@@ -1,0 +1,282 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Per-context canonical-Huffman symbol tables.
+  *
+  * `codes` hold bit-reversed (LSB-first) canonical codes so they can be
+  * written directly to the LE bit stream. Built once on the driver from the
+  * merged histograms and broadcast to executors.
+  *
+  * Bit-format semantics match the reference coder so compressed sizes agree
+  * by construction: length-limited package-merge code lengths
+  * (/root/reference/src/huffman/encoder.rs:205-265), canonical assignment
+  * with u16 bit reversal (/root/reference/src/huffman/common.rs:58-79), and
+  * the self-describing header layout
+  * (/root/reference/src/huffman/encoder.rs:310-335).
+  */
+final case class SymbolTables(
+    maxBits: Int,
+    numContexts: Int,
+    present: Array[Array[Boolean]],
+    nBits: Array[Array[Byte]],
+    codes: Array[Array[Int]]
+) extends Serializable {
+  def numSymbols: Int = 1 << maxBits
+
+  /** Stable content hash (FNV-1a over lengths+presence) for lineage records. */
+  def tableHash: Long = {
+    var h = 0xcbf29ce484222325L
+    @inline def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    mix(maxBits.toLong); mix(numContexts.toLong)
+    var c = 0
+    while (c < numContexts) {
+      var s = 0
+      while (s < numSymbols) {
+        mix(if (present(c)(s)) nBits(c)(s).toLong + 1 else 0L)
+        s += 1
+      }
+      c += 1
+    }
+    h
+  }
+
+  /** Exact bit cost of encoding `value` in `ctx` with these tables. */
+  @inline def bitCost(ctx: Int, value: Long): Int = {
+    val packed = Hybrid.split(value)
+    nBits(ctx)(Hybrid.splitToken(packed)).toInt + Hybrid.splitNBits(packed)
+  }
+}
+
+object Huffman {
+
+  /** Bits used in the header for each symbol's code length (len-1). */
+  def symbolLenBits(maxBits: Int): Int =
+    64 - java.lang.Long.numberOfLeadingZeros((maxBits - 1).toLong).toInt
+
+  /** Optimal length-limited code lengths via the quadratic package-merge /
+    * coin-collector algorithm, with the reference's exact tie-breaking
+    * (sort by (frequency, symbol-list) lexicographically) so that code
+    * lengths — and therefore compressed sizes — are identical on identical
+    * histograms.
+    */
+  def computeSymbolNumBits(
+      histogram: Array[Long],
+      maxBits: Int,
+      present: Array[Boolean],
+      nBits: Array[Byte]
+  ): Unit = {
+    require(present.length == (1 << maxBits))
+    var nonZero = 0
+    var i = 0
+    while (i < histogram.length) {
+      if (histogram(i) != 0) { present(i) = true; nonZero += 1 }
+      i += 1
+    }
+    if (nonZero <= 1) {
+      var s = 0
+      while (s < present.length) { if (present(s)) nBits(s) = 1; s += 1 }
+      return
+    }
+
+    // (freq, symbols) bags; compare freq, then symbol list lexicographically
+    // (element-wise; shorter prefix sorts first) — the ordering of Rust's
+    // (usize, Vec<u16>) tuples.
+    val ord = new Ordering[(Long, ArrayBuffer[Int])] {
+      def compare(a: (Long, ArrayBuffer[Int]), b: (Long, ArrayBuffer[Int])): Int = {
+        if (a._1 != b._1) return java.lang.Long.compare(a._1, b._1)
+        val (x, y) = (a._2, b._2)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          if (x(i) != y(i)) return Integer.compare(x(i), y(i))
+          i += 1
+        }
+        Integer.compare(x.length, y.length)
+      }
+    }
+
+    val bags = Array.fill(maxBits)(ArrayBuffer.empty[(Long, ArrayBuffer[Int])])
+    var b = 0
+    while (b < maxBits) {
+      var s = 0
+      while (s < present.length) {
+        if (present(s)) bags(b) += ((histogram(s), ArrayBuffer(s)))
+        s += 1
+      }
+      b += 1
+    }
+
+    var lvl = 0
+    while (lvl < maxBits - 1) {
+      val bag = bags(lvl)
+      val sorted = bag.sorted(ord)
+      bag.clear(); bag ++= sorted
+      var j = 0
+      while (j + 1 < bag.length) {
+        val nf = bag(j)._1 + bag(j + 1)._1
+        val merged = bag(j)._2 ++ bag(j + 1)._2
+        bags(lvl + 1) += ((nf, merged))
+        j += 2
+      }
+      lvl += 1
+    }
+    val last = bags(maxBits - 1).sorted(ord)
+    val take = 2 * nonZero - 2
+    var k = 0
+    while (k < take && k < last.length) {
+      val syms = last(k)._2
+      var i2 = 0
+      while (i2 < syms.length) { nBits(syms(i2)) = (nBits(syms(i2)) + 1).toByte; i2 += 1 }
+      k += 1
+    }
+  }
+
+  /** Canonical code assignment, bit-reversed for the LSB-first stream. */
+  def computeSymbolBits(
+      maxBits: Int,
+      present: Array[Boolean],
+      nBits: Array[Byte],
+      codes: Array[Int]
+  ): Unit = {
+    val symbols = ArrayBuffer.empty[(Int, Int)] // (n_bits, symbol)
+    var i = 0
+    while (i < present.length) {
+      if (present(i)) symbols += ((nBits(i).toInt, i))
+      i += 1
+    }
+    val sorted = symbols.sortInPlace()(Ordering.Tuple2(Ordering.Int, Ordering.Int))
+    var x = 0
+    var s = 0
+    while (s < sorted.length) {
+      val (nb, sym) = sorted(s)
+      codes(sym) = (Integer.reverse(x) >>> 16) >>> (16 - maxBits) >>> (maxBits - nb)
+      x += 1
+      if (s + 1 != sorted.length) x <<= sorted(s + 1)._1 - nb
+      s += 1
+    }
+  }
+
+  /** Build per-context tables from merged histograms. */
+  def buildTables(hist: Histograms, maxBits: Int): SymbolTables = {
+    val numSymbols = 1 << maxBits
+    require(hist.numSymbols == numSymbols, s"histogram symbols ${hist.numSymbols} != $numSymbols")
+    val present = Array.ofDim[Boolean](hist.numContexts, numSymbols)
+    val nBits = Array.ofDim[Byte](hist.numContexts, numSymbols)
+    val codes = Array.ofDim[Int](hist.numContexts, numSymbols)
+    var c = 0
+    while (c < hist.numContexts) {
+      computeSymbolNumBits(hist.counts(c), maxBits, present(c), nBits(c))
+      computeSymbolBits(maxBits, present(c), nBits(c), codes(c))
+      c += 1
+    }
+    SymbolTables(maxBits, hist.numContexts, present, nBits, codes)
+  }
+
+  /** Self-describing header: per context, the last-present symbol index in
+    * maxBits bits, then for each symbol up to it one presence bit and, if
+    * present, (symbolLenBits) bits holding code length - 1.
+    */
+  def writeHeader(t: SymbolTables, w: BitWriter): Long = {
+    val slb = symbolLenBits(t.maxBits)
+    val before = w.bitsWritten
+    var c = 0
+    while (c < t.numContexts) {
+      var ms = 0
+      var i = 0
+      while (i < t.numSymbols) { if (t.present(c)(i)) ms = i; i += 1 }
+      w.writeBits(ms.toLong, t.maxBits)
+      i = 0
+      while (i <= ms) {
+        if (t.present(c)(i)) {
+          w.writeBits(1, 1)
+          w.writeBits(t.nBits(c)(i).toLong - 1, slb)
+        } else w.writeBits(0, 1)
+        i += 1
+      }
+      c += 1
+    }
+    w.bitsWritten - before
+  }
+
+  /** Parse a header back into tables (code bits recomputed canonically). */
+  def readHeader(r: BitReader, maxBits: Int, numContexts: Int): SymbolTables = {
+    val numSymbols = 1 << maxBits
+    val slb = symbolLenBits(maxBits)
+    val present = Array.ofDim[Boolean](numContexts, numSymbols)
+    val nBits = Array.ofDim[Byte](numContexts, numSymbols)
+    val codes = Array.ofDim[Int](numContexts, numSymbols)
+    var c = 0
+    while (c < numContexts) {
+      val ms = r.readBits(maxBits).toInt
+      var i = 0
+      while (i <= ms) {
+        if (r.readBits(1) != 0) {
+          present(c)(i) = true
+          nBits(c)(i) = (r.readBits(slb) + 1).toByte
+        }
+        i += 1
+      }
+      computeSymbolBits(maxBits, present(c), nBits(c), codes(c))
+      c += 1
+    }
+    SymbolTables(maxBits, numContexts, present, nBits, codes)
+  }
+
+  /** Decoder lookup tables: per context, 2^maxBits entries packing
+    * (codeLen << 16 | symbol); decode = peek maxBits, index, skip codeLen.
+    */
+  def decoderLut(t: SymbolTables): Array[Array[Int]] = {
+    val size = t.numSymbols
+    val lut = Array.ofDim[Int](t.numContexts, size)
+    var c = 0
+    while (c < t.numContexts) {
+      var cnt = 0
+      var lastPresent = 0
+      var s = 0
+      while (s < size) {
+        if (t.present(c)(s)) { cnt += 1; lastPresent = s }
+        s += 1
+      }
+      if (cnt <= 1) {
+        val nb = if (cnt == 1) t.nBits(c)(lastPresent).toInt else 0
+        val entry = (nb << 16) | lastPresent
+        java.util.Arrays.fill(lut(c), entry)
+      } else {
+        s = 0
+        while (s < size) {
+          if (t.present(c)(s)) {
+            val nb = t.nBits(c)(s).toInt
+            val code = t.codes(c)(s)
+            val entry = (nb << 16) | s
+            val stride = 1 << nb
+            var i = code
+            while (i < size) { lut(c)(i) = entry; i += stride }
+          }
+          s += 1
+        }
+      }
+      c += 1
+    }
+    lut
+  }
+
+  /** Write one value: canonical code bits then raw mantissa bits. */
+  @inline def writeValue(t: SymbolTables, ctx: Int, value: Long, w: BitWriter): Unit = {
+    val packed = Hybrid.split(value)
+    val tok = Hybrid.splitToken(packed)
+    val nb = Hybrid.splitNBits(packed)
+    w.writeBits(t.codes(ctx)(tok).toLong, t.nBits(ctx)(tok).toInt)
+    if (nb > 0) w.writeBits(Hybrid.rawBits(value, nb), nb)
+  }
+
+  /** Read one value via the LUT. */
+  @inline def readValue(lut: Array[Array[Int]], maxBits: Int, ctx: Int, r: BitReader): Long = {
+    val entry = lut(ctx)(r.peekBits(maxBits))
+    r.skipBits(entry >>> 16)
+    val tok = entry & 0xffff
+    val nb = Hybrid.tokenNBits(tok)
+    val bits = if (nb > 0) r.readBits(nb) else 0L
+    Hybrid.assemble(tok, bits)
+  }
+}
