@@ -1,0 +1,405 @@
+package graft.codec
+
+import graft.core._
+
+/** Single-pass statistics over a block's flattened token stream, driving
+  * codec auto-selection (the generalization of the reference's pluggable
+  * estimators in /root/reference/src/graphs/estimator/ — Fixed/Log2/
+  * Huffman cost strategies become closed-form size formulas per codec).
+  */
+final case class BlockStats(
+    n: Int,
+    min: Long,
+    max: Long,
+    nRuns: Int,
+    maxRunLen: Int,
+    distinct: Int, // exact if <= DictCap, else DictCap + 1
+    distinctValues: Array[Long] // sorted, only when distinct <= DictCap
+) extends Serializable
+
+object BlockStats {
+  val DictCap = 4096
+
+  def compute(values: Array[Long], from: Int, until: Int): BlockStats = {
+    val n = until - from
+    if (n == 0) return BlockStats(0, 0L, 0L, 0, 0, 0, Array.emptyLongArray)
+    var min = Long.MaxValue
+    var max = Long.MinValue
+    var runs = 1
+    var runLen = 1
+    var maxRun = 1
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var capped = false
+    var i = from
+    var prev = values(from)
+    while (i < until) {
+      val v = values(i)
+      if (v < min) min = v
+      if (v > max) max = v
+      if (i > from) {
+        if (v == prev) { runLen += 1; if (runLen > maxRun) maxRun = runLen }
+        else { runs += 1; runLen = 1 }
+      }
+      if (!capped) {
+        set.add(v)
+        if (set.size > DictCap) capped = true
+      }
+      prev = v
+      i += 1
+    }
+    val distinct = if (capped) DictCap + 1 else set.size
+    val dv =
+      if (capped) Array.emptyLongArray
+      else {
+        val out = new Array[Long](set.size)
+        val it = set.iterator()
+        var j = 0
+        while (it.hasNext) { out(j) = it.next(); j += 1 }
+        out
+      }
+    BlockStats(n, min, max, runs, maxRun, distinct, dv)
+  }
+}
+
+/** A per-block integer codec over the flattened token stream of a block of
+  * rows. `rowOffsets` (length nRows+1) marks row boundaries — only the
+  * hybrid codec is row-sensitive (its context model resets per row).
+  * Every codec's payload is self-contained given the codec id and `n`.
+  */
+trait IntBlockCodec extends Serializable {
+  def id: Byte
+  def name: String
+
+  /** Exact number of payload bits `encode` will write for this stream. */
+  def estimateBits(stats: BlockStats): Long
+  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long]
+}
+
+object IntCodecs {
+  @inline def bitsFor(maxValue: Long): Int =
+    if (maxValue <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(maxValue).toInt
+
+  val PlainId: Byte = 0
+  val BitPackId: Byte = 1
+  val ForId: Byte = 2
+  val RleId: Byte = 3
+  val DictId: Byte = 4
+  val HybridId: Byte = 5
+
+  def nameOf(id: Byte): String = id match {
+    case PlainId => "plain"
+    case BitPackId => "bitpack"
+    case ForId => "for"
+    case RleId => "rle"
+    case DictId => "dict"
+    case HybridId => "hybrid"
+    case other => s"codec-$other"
+  }
+}
+
+/** Fixed 32-bit little-endian values; the fallback with zero metadata. */
+object PlainCodec extends IntBlockCodec {
+  val id: Byte = IntCodecs.PlainId
+  val name = "plain"
+  def estimateBits(s: BlockStats): Long = s.n.toLong * 32
+
+  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    var i = 0
+    while (i < values.length) { w.writeBits(values(i), 32); i += 1 }
+  }
+
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = r.readBits(32); i += 1 }
+    out
+  }
+}
+
+/** Fixed-width bit packing: 6-bit width header then n * width bits. */
+object BitPackCodec extends IntBlockCodec {
+  val id: Byte = IntCodecs.BitPackId
+  val name = "bitpack"
+
+  def estimateBits(s: BlockStats): Long = 6L + s.n.toLong * IntCodecs.bitsFor(s.max)
+
+  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    var max = 0L
+    var i = 0
+    while (i < values.length) { if (values(i) > max) max = values(i); i += 1 }
+    val width = IntCodecs.bitsFor(max)
+    w.writeBits(width.toLong, 6)
+    i = 0
+    while (i < values.length) { w.writeBits(values(i), width); i += 1 }
+  }
+
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
+    val width = r.readBits(6).toInt
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = r.readBits(width); i += 1 }
+    out
+  }
+}
+
+/** Frame-of-reference: 33-bit base (min) + 6-bit width + deltas off the base. */
+object ForCodec extends IntBlockCodec {
+  val id: Byte = IntCodecs.ForId
+  val name = "for"
+
+  def estimateBits(s: BlockStats): Long =
+    33L + 6L + s.n.toLong * IntCodecs.bitsFor(s.max - s.min)
+
+  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    var min = Long.MaxValue
+    var max = Long.MinValue
+    var i = 0
+    while (i < values.length) {
+      if (values(i) < min) min = values(i)
+      if (values(i) > max) max = values(i)
+      i += 1
+    }
+    if (values.isEmpty) { min = 0L; max = 0L }
+    val width = IntCodecs.bitsFor(max - min)
+    w.writeBits(min, 33)
+    w.writeBits(width.toLong, 6)
+    i = 0
+    while (i < values.length) { w.writeBits(values(i) - min, width); i += 1 }
+  }
+
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
+    val base = r.readBits(33)
+    val width = r.readBits(6).toInt
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = base + r.readBits(width); i += 1 }
+    out
+  }
+}
+
+/** Run-length encoding: header (nRuns:32, widthV:6, widthR:6) then per run
+  * the value and (runLength - 1).
+  */
+object RleCodec extends IntBlockCodec {
+  val id: Byte = IntCodecs.RleId
+  val name = "rle"
+
+  def estimateBits(s: BlockStats): Long = {
+    val widthV = IntCodecs.bitsFor(s.max)
+    val widthR = IntCodecs.bitsFor(s.maxRunLen.toLong - 1)
+    32L + 6L + 6L + s.nRuns.toLong * (widthV + widthR)
+  }
+
+  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    val n = values.length
+    if (n == 0) { w.writeBits(0, 32); w.writeBits(0, 6); w.writeBits(0, 6); return }
+    var max = 0L
+    var nRuns = 1
+    var runLen = 1
+    var maxRun = 1
+    var i = 0
+    var prev = values(0)
+    while (i < n) {
+      val v = values(i)
+      if (v > max) max = v
+      if (i > 0) {
+        if (v == prev) { runLen += 1; if (runLen > maxRun) maxRun = runLen }
+        else { nRuns += 1; runLen = 1 }
+      }
+      prev = v
+      i += 1
+    }
+    val widthV = IntCodecs.bitsFor(max)
+    val widthR = IntCodecs.bitsFor(maxRun.toLong - 1)
+    w.writeBits(nRuns.toLong, 32)
+    w.writeBits(widthV.toLong, 6)
+    w.writeBits(widthR.toLong, 6)
+    i = 0
+    while (i < n) {
+      val v = values(i)
+      var len = 1
+      while (i + len < n && values(i + len) == v) len += 1
+      w.writeBits(v, widthV)
+      w.writeBits(len.toLong - 1, widthR)
+      i += len
+    }
+  }
+
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
+    val nRuns = r.readBits(32).toInt
+    val widthV = r.readBits(6).toInt
+    val widthR = r.readBits(6).toInt
+    val out = new Array[Long](n)
+    var i = 0
+    var run = 0
+    while (run < nRuns) {
+      val v = r.readBits(widthV)
+      val len = r.readBits(widthR).toInt + 1
+      var k = 0
+      while (k < len) { out(i) = v; i += 1; k += 1 }
+      run += 1
+    }
+    out
+  }
+}
+
+/** Dictionary encoding: header (card:32, widthV:6) + sorted dictionary
+  * bit-packed at widthV + indices bit-packed at bitsFor(card-1).
+  * Only selected when the stream's exact cardinality <= BlockStats.DictCap.
+  */
+object DictCodec extends IntBlockCodec {
+  val id: Byte = IntCodecs.DictId
+  val name = "dict"
+
+  def estimateBits(s: BlockStats): Long = {
+    if (s.distinct > BlockStats.DictCap) return Long.MaxValue
+    val widthV = IntCodecs.bitsFor(s.max)
+    val widthIdx = IntCodecs.bitsFor(s.distinct.toLong - 1)
+    32L + 6L + s.distinct.toLong * widthV + s.n.toLong * widthIdx
+  }
+
+  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < values.length) { set.add(values(i)); i += 1 }
+    val dict = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { dict(j) = it.next(); j += 1 }
+    val widthV = IntCodecs.bitsFor(if (dict.isEmpty) 0L else dict(dict.length - 1))
+    val widthIdx = IntCodecs.bitsFor(dict.length.toLong - 1)
+    w.writeBits(dict.length.toLong, 32)
+    w.writeBits(widthV.toLong, 6)
+    i = 0
+    while (i < dict.length) { w.writeBits(dict(i), widthV); i += 1 }
+    i = 0
+    while (i < values.length) {
+      val idx = java.util.Arrays.binarySearch(dict, values(i))
+      w.writeBits(idx.toLong, widthIdx)
+      i += 1
+    }
+  }
+
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
+    val card = r.readBits(32).toInt
+    val widthV = r.readBits(6).toInt
+    val dict = new Array[Long](card)
+    var i = 0
+    while (i < card) { dict(i) = r.readBits(widthV); i += 1 }
+    val widthIdx = IntCodecs.bitsFor(card.toLong - 1)
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) { out(i) = dict(r.readBits(widthIdx).toInt); i += 1 }
+    out
+  }
+}
+
+/** The reference's hybrid canonical-Huffman codec over a shared (broadcast)
+  * symbol table. Row-sensitive: the context model (token of the previous
+  * value, clamped) resets at each row boundary, mirroring the per-list
+  * stateful model of /root/reference/src/main.rs:394-399. Payload carries no
+  * header — tables ship via the block's tableHash + the job manifest.
+  */
+final class HybridCodec(tables: SymbolTables, numContexts: Int) extends IntBlockCodec {
+  require(numContexts == tables.numContexts)
+  val id: Byte = IntCodecs.HybridId
+  val name = "hybrid"
+
+  @transient private lazy val lut: Array[Array[Int]] = Huffman.decoderLut(tables)
+
+  def tableHash: Long = tables.tableHash
+
+  /** Exact cost; needs the actual values, so stats-only estimation is done
+    * by [[exactBits]] during selection instead.
+    */
+  def estimateBits(stats: BlockStats): Long = Long.MaxValue
+
+  def exactBits(values: Array[Long], rowOffsets: Array[Int]): Long = {
+    var bits = 0L
+    var row = 0
+    while (row < rowOffsets.length - 1) {
+      var last = 0L
+      var i = rowOffsets(row)
+      while (i < rowOffsets(row + 1)) {
+        val v = values(i)
+        bits += tables.bitCost(Hybrid.chooseContext(last, numContexts), v)
+        last = v
+        i += 1
+      }
+      row += 1
+    }
+    bits
+  }
+
+  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    var row = 0
+    while (row < rowOffsets.length - 1) {
+      var last = 0L
+      var i = rowOffsets(row)
+      while (i < rowOffsets(row + 1)) {
+        val v = values(i)
+        Huffman.writeValue(tables, Hybrid.chooseContext(last, numContexts), v, w)
+        last = v
+        i += 1
+      }
+      row += 1
+    }
+  }
+
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
+    val out = new Array[Long](n)
+    var row = 0
+    while (row < rowOffsets.length - 1) {
+      var last = 0L
+      var i = rowOffsets(row)
+      while (i < rowOffsets(row + 1)) {
+        val v = Huffman.readValue(lut, tables.maxBits, Hybrid.chooseContext(last, numContexts), r)
+        out(i) = v
+        last = v
+        i += 1
+      }
+      row += 1
+    }
+    out
+  }
+}
+
+/** Cost-based per-block codec selection: pick the codec with the smallest
+  * exact encoded size (generalizing the reference's estimator-driven
+  * selection rounds, /root/reference/src/graphs/convert.rs:95-152).
+  */
+object CodecSelector {
+  val lightweight: Seq[IntBlockCodec] = Seq(BitPackCodec, ForCodec, RleCodec, DictCodec)
+
+  /** Returns (codec, predicted payload bits). */
+  def select(
+      values: Array[Long],
+      rowOffsets: Array[Int],
+      hybrid: Option[HybridCodec]
+  ): (IntBlockCodec, Long) = {
+    val stats = BlockStats.compute(values, 0, values.length)
+    var best: IntBlockCodec = PlainCodec
+    var bestBits: Long = PlainCodec.estimateBits(stats)
+    lightweight.foreach { c =>
+      val b = c.estimateBits(stats)
+      if (b < bestBits) { best = c; bestBits = b }
+    }
+    hybrid.foreach { h =>
+      val b = h.exactBits(values, rowOffsets)
+      if (b < bestBits) { best = h; bestBits = b }
+    }
+    (best, bestBits)
+  }
+
+  def decoderFor(id: Byte, hybrid: Option[HybridCodec]): IntBlockCodec = id match {
+    case IntCodecs.PlainId => PlainCodec
+    case IntCodecs.BitPackId => BitPackCodec
+    case IntCodecs.ForId => ForCodec
+    case IntCodecs.RleId => RleCodec
+    case IntCodecs.DictId => DictCodec
+    case IntCodecs.HybridId =>
+      hybrid.getOrElse(throw new IllegalStateException("hybrid tables not provided"))
+    case other => throw new IllegalArgumentException(s"unknown codec id $other")
+  }
+}

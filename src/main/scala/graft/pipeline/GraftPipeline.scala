@@ -1,0 +1,301 @@
+package graft.pipeline
+
+import graft.codec._
+import graft.core._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One row of the input table (BASELINE input_hint shape). */
+final case class TokenRow(doc_id: String, tokens: Array[Int], n_tok: Int, source: String)
+
+/** One encoded block: the unit of compression, checkpointing and decode
+  * parallelism. Self-contained given the job's symbol tables (identified by
+  * `table_hash`): block content is a deterministic function of the rows in
+  * its bin, independent of cluster size (the Spark reshaping of the
+  * reference's ordered chunk sink, /root/reference/src/graphs/convert.rs:617-888
+  * — order is preserved by (bin, block_seq) keys instead of physical
+  * concatenation).
+  */
+final case class EncodedBlock(
+    bin: Int,
+    block_seq: Int,
+    doc_ids: Array[String],
+    sources: Array[String],
+    n_toks: Array[Int],
+    codec: String,
+    n_rows: Int,
+    n_values: Long,
+    payload: Array[Byte],
+    payload_bits: Long,
+    table_hash: Long
+)
+
+/** Per-block encode metrics (the O27 stats surface). */
+final case class BlockMetric(
+    bin: Int,
+    block_seq: Int,
+    codec: String,
+    n_rows: Int,
+    n_values: Long,
+    payload_bits: Long,
+    raw_bits: Long
+)
+
+object GraftPipeline {
+
+  /** @param numContexts  entropy-coder contexts (context = token of previous
+    *                     value in the row, clamped; reference main.rs:394-399)
+    * @param maxBits      canonical-code length limit; 8 covers all int32 tokens
+    * @param numBins      logical partitions (salted-hash bins of doc_id);
+    *                     sized independently of executor count so output is
+    *                     byte-identical at any parallelism
+    * @param maxBlockRows / maxBlockValues  caps on the block work unit — the
+    *                     skew control: a giant row becomes its own block, so
+    *                     no single task element exceeds ~maxBlockValues tokens
+    * @param salt         salt mixed into the doc_id hash (defeats adversarial
+    *                     key clustering)
+    * @param autoSelect   per-block codec auto-selection; when false, always
+    *                     uses the hybrid entropy codec
+    */
+  final case class Config(
+      numContexts: Int = 64,
+      maxBits: Int = Hybrid.DefaultMaxBits,
+      numBins: Int = 128,
+      maxBlockRows: Int = 4096,
+      maxBlockValues: Int = 262144,
+      salt: Long = 0x5eedL,
+      autoSelect: Boolean = true
+  ) {
+    require(numContexts >= 1 && numContexts <= Hybrid.MaxNumContexts)
+  }
+
+  /** Deterministic logical partition of a row: salted hash of doc_id.
+    * All downstream structure (blocks, manifests, resume) is keyed by bin,
+    * never by physical partition id, so results are identical at any
+    * executor count.
+    */
+  def binCol(numBins: Int, salt: Long) =
+    pmod(xxhash64(col("doc_id"), lit(salt)), lit(numBins)).cast("int")
+
+  /** Pass 1: per-context token histograms. Reads only the `tokens` column
+    * (column-pruned scan), builds per-partition partial histograms in a tight
+    * primitive loop, merges them with an element-wise-sum reduce — Spark's
+    * partial+final aggregation, the same algebra as the reference's per-thread
+    * `add_all` merge (/root/reference/src/graphs/convert.rs:156-262).
+    */
+  def analyze(ds: Dataset[TokenRow], cfg: Config): Histograms = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val nCtx = cfg.numContexts
+    val nSym = 1 << cfg.maxBits
+    val flat = ds
+      .select($"tokens")
+      .as[Array[Int]]
+      .mapPartitions { rows =>
+        val hist = new Histograms(nCtx, nSym)
+        while (rows.hasNext) {
+          val tokens = rows.next()
+          var last = 0L
+          var i = 0
+          while (i < tokens.length) {
+            val v = tokens(i).toLong & 0xffffffffL
+            hist.add(Hybrid.chooseContext(last, nCtx), v)
+            last = v
+            i += 1
+          }
+        }
+        Iterator.single(hist.flat)
+      }
+      .reduce(Histograms.mergeFlat _)
+    Histograms.fromFlat(flat, nCtx, nSym)
+  }
+
+  def buildTables(hist: Histograms, cfg: Config): SymbolTables =
+    Huffman.buildTables(hist, cfg.maxBits)
+
+  /** Pass 2: deterministic block encode. Rows are routed to their bin
+    * (salted hash of doc_id), sorted within partitions by (bin, doc_id), and
+    * packed greedily into blocks capped by rows AND values — the value cap is
+    * the skew guard: long token arrays fill a block alone instead of bloating
+    * one task's unit of work.
+    */
+  def encode(
+      ds: Dataset[TokenRow],
+      tables: Broadcast[SymbolTables],
+      cfg: Config
+  ): Dataset[EncodedBlock] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val nCtx = cfg.numContexts
+    val maxRows = cfg.maxBlockRows
+    val maxValues = cfg.maxBlockValues
+    val auto = cfg.autoSelect
+
+    // Sorting by (bin, source, doc_id) keeps blocks source-homogeneous, so
+    // per-block codec selection sees the source's token distribution rather
+    // than an average over sources.
+    ds.withColumn("bin", binCol(cfg.numBins, cfg.salt))
+      .repartition(cfg.numBins, $"bin")
+      .sortWithinPartitions($"bin", $"source", $"doc_id")
+      .select($"doc_id", $"tokens", $"n_tok", $"source", $"bin")
+      .as[(String, Array[Int], Int, String, Int)]
+      .mapPartitions { rows =>
+        new Iterator[EncodedBlock] {
+          private val hybrid = new HybridCodec(tables.value, nCtx)
+          private var pending: (String, Array[Int], Int, String, Int) = null
+          private var done = false
+          private var seqBin = -1
+          private var seqCounter = 0
+
+          private def nextRow(): (String, Array[Int], Int, String, Int) = {
+            if (pending != null) { val r = pending; pending = null; r }
+            else if (rows.hasNext) rows.next()
+            else null
+          }
+
+          def hasNext: Boolean = !done && (pending != null || rows.hasNext)
+
+          def next(): EncodedBlock = {
+            // gather one block: same bin, capped by rows and values
+            val docIds = Array.newBuilder[String]
+            val sources = Array.newBuilder[String]
+            val nToks = Array.newBuilder[Int]
+            var blockBin = -1
+            var blockRows = 0
+            var blockValues = 0L
+            val tokenArrays = Array.newBuilder[Array[Int]]
+            var continue = true
+            while (continue) {
+              val r = nextRow()
+              if (r == null) { continue = false; done = !hasNext }
+              else {
+                val (docId, tokens, nTok, source, bin) = r
+                if (blockRows == 0) blockBin = bin
+                val fits = blockRows == 0 ||
+                  (bin == blockBin && blockRows < maxRows &&
+                    blockValues + tokens.length <= maxValues)
+                if (!fits) { pending = r; continue = false }
+                else {
+                  docIds += docId; sources += source; nToks += nTok
+                  tokenArrays += tokens
+                  blockRows += 1
+                  blockValues += tokens.length
+                }
+              }
+            }
+            val arrays = tokenArrays.result()
+            val rowOffsets = new Array[Int](arrays.length + 1)
+            val values = new Array[Long](blockValues.toInt)
+            var off = 0
+            var ri = 0
+            while (ri < arrays.length) {
+              rowOffsets(ri) = off
+              val a = arrays(ri)
+              var i = 0
+              while (i < a.length) { values(off) = a(i).toLong & 0xffffffffL; off += 1; i += 1 }
+              ri += 1
+            }
+            rowOffsets(arrays.length) = off
+
+            val (codec, _) =
+              if (auto) CodecSelector.select(values, rowOffsets, Some(hybrid))
+              else (hybrid, 0L)
+            val w = new BitWriter(math.max(blockValues.toInt / 2, 64))
+            codec.encode(values, rowOffsets, w)
+            // deterministic per-bin sequence: bins are contiguous after the
+            // within-partition sort, so a simple counter suffices
+            if (blockBin != seqBin) { seqBin = blockBin; seqCounter = 0 }
+            val thisSeq = seqCounter
+            seqCounter += 1
+            EncodedBlock(
+              bin = blockBin,
+              block_seq = thisSeq,
+              doc_ids = docIds.result(),
+              sources = sources.result(),
+              n_toks = nToks.result(),
+              codec = codec.name,
+              n_rows = blockRows,
+              n_values = blockValues,
+              payload = w.toBytes,
+              payload_bits = w.bitsWritten,
+              table_hash = tables.value.tableHash
+            )
+          }
+        }
+      }
+  }
+
+  /** Decode blocks back to rows. Embarrassingly parallel: each block is
+    * self-contained given the broadcast tables.
+    */
+  def decode(
+      blocks: Dataset[EncodedBlock],
+      tables: Broadcast[SymbolTables],
+      cfg: Config
+  ): Dataset[TokenRow] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val nCtx = cfg.numContexts
+    blocks.mapPartitions { it =>
+      // one decoder LUT per partition, shared across its blocks
+      val hybrid = new HybridCodec(tables.value, nCtx)
+      it.flatMap { b =>
+        require(
+          b.codec != "hybrid" || b.table_hash == tables.value.tableHash,
+          s"table hash mismatch: block ${b.bin}/${b.block_seq} written with ${b.table_hash}"
+        )
+        val codec = CodecSelector.decoderFor(codecId(b.codec), Some(hybrid))
+      val rowOffsets = new Array[Int](b.n_rows + 1)
+      var off = 0
+      var i = 0
+      while (i < b.n_rows) { rowOffsets(i) = off; off += b.n_toks(i); i += 1 }
+      rowOffsets(b.n_rows) = off
+        val values = codec.decode(new BitReader(b.payload), off, rowOffsets)
+        (0 until b.n_rows).iterator.map { r =>
+          val tokens = new Array[Int](b.n_toks(r))
+          var k = 0
+          while (k < tokens.length) { tokens(k) = values(rowOffsets(r) + k).toInt; k += 1 }
+          TokenRow(b.doc_ids(r), tokens, b.n_toks(r), b.sources(r))
+        }
+      }
+    }
+  }
+
+  def codecId(name: String): Byte = name match {
+    case "plain" => IntCodecs.PlainId
+    case "bitpack" => IntCodecs.BitPackId
+    case "for" => IntCodecs.ForId
+    case "rle" => IntCodecs.RleId
+    case "dict" => IntCodecs.DictId
+    case "hybrid" => IntCodecs.HybridId
+    case other => throw new IllegalArgumentException(s"unknown codec $other")
+  }
+
+  /** Roundtrip verification: per-row array<int32> equality via an equi-join
+    * on doc_id (the reference's graph-compare zip join,
+    * /root/reference/src/graphs/utils.rs:127-166). Returns mismatch count —
+    * must be 0.
+    */
+  def verify(source: Dataset[TokenRow], decoded: Dataset[TokenRow]): Long = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val s = source.select($"doc_id", $"tokens".as("src_tokens"), $"n_tok".as("src_n_tok"))
+    val d = decoded.select($"doc_id", $"tokens".as("dec_tokens"), $"n_tok".as("dec_n_tok"))
+    s.join(d, Seq("doc_id"), "full_outer")
+      .where(
+        $"src_tokens".isNull || $"dec_tokens".isNull ||
+          $"src_n_tok" =!= $"dec_n_tok" || !($"src_tokens" <=> $"dec_tokens")
+      )
+      .count()
+  }
+
+  /** Per-block metrics DataFrame (raw_bits = 32 bits/token baseline). */
+  def metrics(blocks: Dataset[EncodedBlock]): Dataset[BlockMetric] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks.map { b =>
+      BlockMetric(b.bin, b.block_seq, b.codec, b.n_rows, b.n_values, b.payload_bits, b.n_values * 32L)
+    }
+  }
+}

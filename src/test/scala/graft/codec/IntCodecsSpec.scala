@@ -1,0 +1,128 @@
+package graft.codec
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IntCodecsSpec extends AnyFunSuite {
+
+  def hash64(seed: Long, i: Long): Long = {
+    var x = seed * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^= x >>> 31
+    x
+  }
+
+  def singleRow(values: Array[Long]): Array[Int] = Array(0, values.length)
+
+  val streams: Map[String, Array[Long]] = Map(
+    "uniform16bit" -> Array.tabulate(5000)(i => hash64(1, i.toLong) & 0xffffL),
+    "lowcard" -> Array.tabulate(5000)(i => (hash64(2, i.toLong) & 0x7L) * 1000L),
+    "runs" -> Array.tabulate(5000)(i => (i / 100).toLong % 7),
+    "narrowrange" -> Array.tabulate(5000)(i => 1000000L + (hash64(3, i.toLong) & 0x3fL)),
+    "constant" -> Array.fill(5000)(42L),
+    "empty" -> Array.emptyLongArray,
+    "single" -> Array(7L),
+    "maxint" -> Array.tabulate(100)(i => if (i % 2 == 0) Int.MaxValue.toLong else 0L)
+  )
+
+  val codecs: Seq[IntBlockCodec] = Seq(PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec)
+
+  test("every lightweight codec roundtrips every stream; estimate == actual bits") {
+    for ((sname, values) <- streams; codec <- codecs) {
+      val stats = BlockStats.compute(values, 0, values.length)
+      val est = codec.estimateBits(stats)
+      if (est != Long.MaxValue) {
+        val w = new BitWriter()
+        codec.encode(values, singleRow(values), w)
+        assert(w.bitsWritten == est, s"${codec.name} on $sname: est=$est actual=${w.bitsWritten}")
+        val r = new BitReader(w.toBytes)
+        val out = codec.decode(r, values.length, singleRow(values))
+        assert(out.sameElements(values), s"${codec.name} on $sname roundtrip")
+      }
+    }
+  }
+
+  test("hybrid codec roundtrips with row-reset contexts; exactBits == actual") {
+    val nRows = 50
+    val rowOffsets = new Array[Int](nRows + 1)
+    val all = Array.newBuilder[Long]
+    var off = 0
+    for (rIdx <- 0 until nRows) {
+      rowOffsets(rIdx) = off
+      val len = (hash64(10, rIdx.toLong) & 0x7fL).toInt + 1
+      for (i <- 0 until len) all += (hash64(11, rIdx * 1000L + i) & 0xffffffL)
+      off += len
+    }
+    rowOffsets(nRows) = off
+    val values = all.result()
+
+    val numContexts = 32
+    val hist = new Histograms(numContexts, 256)
+    for (rIdx <- 0 until nRows) {
+      var last = 0L
+      for (i <- rowOffsets(rIdx) until rowOffsets(rIdx + 1)) {
+        hist.add(Hybrid.chooseContext(last, numContexts), values(i))
+        last = values(i)
+      }
+    }
+    val tables = Huffman.buildTables(hist, 8)
+    val hybrid = new HybridCodec(tables, numContexts)
+    val w = new BitWriter()
+    hybrid.encode(values, rowOffsets, w)
+    assert(w.bitsWritten == hybrid.exactBits(values, rowOffsets))
+    val out = hybrid.decode(new BitReader(w.toBytes), values.length, rowOffsets)
+    assert(out.sameElements(values))
+  }
+
+  test("selector picks the distribution-appropriate codec") {
+    def pick(values: Array[Long]): String =
+      CodecSelector.select(values, singleRow(values), None)._1.name
+    // constant stream: FOR with width 0 (39 bits) beats RLE's run headers
+    assert(pick(streams("constant")) == "for")
+    assert(pick(streams("runs")) == "rle")
+    assert(pick(streams("lowcard")) == "dict")
+    assert(pick(streams("narrowrange")) == "for")
+    assert(pick(streams("uniform16bit")) == "bitpack")
+  }
+
+  test("selector includes hybrid and prefers it on skewed streams") {
+    val values = Array.tabulate(20000) { i =>
+      val u = ((hash64(20, i.toLong) >>> 11).toDouble / (1L << 53).toDouble) max 1e-12
+      math.min(Int.MaxValue.toLong, (1.0 / math.pow(u, 2.0)).toLong)
+    }
+    val rowOffsets = singleRow(values)
+    val numContexts = 32
+    val hist = new Histograms(numContexts, 256)
+    var last = 0L
+    values.foreach { v => hist.add(Hybrid.chooseContext(last, numContexts), v); last = v }
+    val hybrid = new HybridCodec(Huffman.buildTables(hist, 8), numContexts)
+    val (codec, bits) = CodecSelector.select(values, rowOffsets, Some(hybrid))
+    assert(codec.name == "hybrid", s"picked ${codec.name}")
+    // skewed stream: entropy coding beats fixed-width by a wide margin
+    val (bp, bpBits) = (BitPackCodec, BitPackCodec.estimateBits(BlockStats.compute(values, 0, values.length)))
+    assert(bits < bpBits / 2, s"hybrid $bits vs bitpack $bpBits")
+    // selection is truthful: encode then decode back
+    val w = new BitWriter()
+    codec.encode(values, rowOffsets, w)
+    assert(w.bitsWritten == bits)
+    assert(codec.decode(new BitReader(w.toBytes), values.length, rowOffsets).sameElements(values))
+  }
+
+  test("BlockStats counts runs and distincts correctly") {
+    val s = BlockStats.compute(Array(5L, 5L, 5L, 2L, 2L, 9L), 0, 6)
+    assert(s.nRuns == 3)
+    assert(s.maxRunLen == 3)
+    assert(s.distinct == 3)
+    assert(s.distinctValues.sameElements(Array(2L, 5L, 9L)))
+    assert(s.min == 2L && s.max == 9L)
+  }
+
+  test("decoderFor dispatches all ids") {
+    for (c <- codecs)
+      assert(CodecSelector.decoderFor(c.id, None).name == c.name)
+    intercept[IllegalStateException] {
+      CodecSelector.decoderFor(IntCodecs.HybridId, None)
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.pipeline.GraftPipeline.Config
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  lazy val cfg = Config(numContexts = 32, numBins = 16, maxBlockRows = 256, maxBlockValues = 65536)
+  lazy val input = TokenTables.synthetic(spark, 2000L, seed = 42L).cache()
+  lazy val tables = {
+    val hist = GraftPipeline.analyze(input, cfg)
+    spark.sparkContext.broadcast(GraftPipeline.buildTables(hist, cfg))
+  }
+  lazy val blocks = GraftPipeline.encode(input, tables, cfg).cache()
+
+  test("encode -> decode roundtrip: 0 mismatches on the full corpus") {
+    val decoded = GraftPipeline.decode(blocks, tables, cfg)
+    assert(GraftPipeline.verify(input, decoded) == 0L)
+  }
+
+  test("row counts and value counts are preserved") {
+    import spark.implicits._
+    val inRows = input.count()
+    val inValues = input.map(_.n_tok.toLong).reduce(_ + _)
+    val blockRows = blocks.map(_.n_rows.toLong).reduce(_ + _)
+    val blockValues = blocks.map(_.n_values).reduce(_ + _)
+    assert(blockRows == inRows)
+    assert(blockValues == inValues)
+  }
+
+  test("auto-selection engages multiple codecs on the mixed corpus") {
+    import spark.implicits._
+    val codecs = blocks.map(_.codec).distinct().collect().toSet
+    assert(codecs.contains("hybrid"), s"got $codecs")
+    assert(codecs.size >= 3, s"expected a codec mix, got $codecs")
+  }
+
+  test("compression beats the 32-bit raw baseline substantially") {
+    import spark.implicits._
+    val payloadBits = blocks.map(_.payload_bits).reduce(_ + _)
+    val rawBits = blocks.map(_.n_values * 32L).reduce(_ + _)
+    assert(payloadBits < rawBits / 2, s"payload=$payloadBits raw=$rawBits")
+  }
+
+  test("block packing respects value cap except for single giant rows") {
+    import spark.implicits._
+    val bad = blocks
+      .filter(b => b.n_values > 65536 && b.n_rows > 1)
+      .count()
+    assert(bad == 0L)
+    // heavy-tail rows exist in the corpus and land in their own blocks
+    val giants = blocks.filter(b => b.n_rows == 1 && b.n_values > 65536).count()
+    assert(giants > 0L, "expected heavy-tail singleton blocks in synthetic corpus")
+  }
+
+  test("encoded output is byte-identical regardless of input partitioning") {
+    import spark.implicits._
+    def blockHashes(parts: Int): Map[(Int, Int), Long] =
+      GraftPipeline
+        .encode(input.repartition(parts), tables, cfg)
+        .map(b => ((b.bin, b.block_seq), java.util.Arrays.hashCode(b.payload).toLong << 32 | b.n_values))
+        .collect()
+        .map { case (k, v) => (k, v) }
+        .toMap
+    val a = blockHashes(3)
+    val b = blockHashes(13)
+    assert(a == b, s"block sets differ: ${a.size} vs ${b.size} blocks")
+  }
+
+  test("verify catches corruption") {
+    import spark.implicits._
+    val corrupted = input.map { r =>
+      if (r.doc_id.endsWith("13")) {
+        val t = r.tokens.clone(); if (t.nonEmpty) t(0) = t(0) + 1
+        r.copy(tokens = t)
+      } else r
+    }
+    val decoded = GraftPipeline.decode(blocks, tables, cfg)
+    assert(GraftPipeline.verify(corrupted, decoded) > 0L)
+  }
+
+  test("bins are stable under the salted hash (deterministic routing)") {
+    import spark.implicits._
+    val bins1 = blocks.map(b => (b.bin, b.block_seq, b.doc_ids.head)).collect().sortBy(x => (x._1, x._2))
+    val blocks2 = GraftPipeline.encode(input, tables, cfg)
+    val bins2 = blocks2.map(b => (b.bin, b.block_seq, b.doc_ids.head)).collect().sortBy(x => (x._1, x._2))
+    assert(bins1.sameElements(bins2))
+  }
+
+  test("metrics aggregate to the block totals") {
+    import spark.implicits._
+    val m = GraftPipeline.metrics(blocks)
+    assert(m.map(_.n_values).reduce(_ + _) == blocks.map(_.n_values).reduce(_ + _))
+    assert(m.map(_.payload_bits).reduce(_ + _) == blocks.map(_.payload_bits).reduce(_ + _))
+  }
+}
