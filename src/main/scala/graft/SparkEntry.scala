@@ -1,13 +1,367 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.codec.{BlockStats, CodecSelector}
+import graft.core.{Histograms, Hybrid}
+import graft.pipeline.{EncodedBlock, GraftPipeline, TokenRow, TokenTables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries run over the deterministic token table derived from the driver's
+  * lineitem parquet (TokenTables.fromLineitem; DuckDB-side twin in
+  * TokenTables.duckTokCte) plus the documents/embeddings tables. Where
+  * possible the Spark side calls the PRODUCTION codec code (Hybrid.token,
+  * CodecSelector, Histograms.costModel) so the DuckDB oracle checks the
+  * engine itself, not a SQL re-derivation.
+  */
 object SparkEntry {
+
+  private val CTE = TokenTables.duckTokCte
+
+  /** DuckDB-side hybrid token split (mirrors Hybrid.token / the reference
+    * encode split at /root/reference/src/huffman/common.rs:38-53).
+    */
+  private def duckHybridToken(col: String): String =
+    s"""(CASE WHEN $col < 16 THEN $col
+       | ELSE 16 + (length(bin($col))-1-4)*8
+       |      + CAST(floor(($col - power(2, length(bin($col))-1)) / power(2, length(bin($col))-3)) AS BIGINT)*2
+       |      + $col % 2 END)""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB-side bit width (mirrors IntCodecs.bitsFor). */
+  private def duckBitsFor(col: String): String =
+    s"(CASE WHEN $col <= 0 THEN 0 ELSE length(bin($col)) END)"
+
+  private val hybridTokenUdf = udf((t: Long) => Hybrid.token(t))
+
+  /** Per-doc lightweight codec selection via the production CodecSelector. */
+  private val codecChoiceUdf = udf { tokens: Seq[Long] =>
+    val values = tokens.toArray
+    val (codec, bits) = CodecSelector.select(values, Array(0, values.length), None)
+    (codec.name, bits)
+  }
+
+  private def tok(s: SparkSession, dir: String): DataFrame =
+    TokenTables.tokExploded(s, dir)
+
+  private def docTable(s: SparkSession, dir: String): DataFrame =
+    TokenTables.fromLineitem(s, dir)
+
+  val pipelineCfg: GraftPipeline.Config =
+    GraftPipeline.Config(numContexts = 64, numBins = 32, maxBlockRows = 2048, maxBlockValues = 131072)
+
+  /** Full encode->decode->verify of the derived token table; the engine's
+    * flagship E2E path (analyze, broadcast tables, block encode with codec
+    * auto-selection, parallel decode, join-verify).
+    */
+  def roundtrip(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val rows = docTable(s, dir)
+      .select(
+        $"doc_id".cast("string").as("doc_id"),
+        $"tokens".cast("array<int>").as("tokens"),
+        $"n_tok",
+        $"source"
+      )
+      .as[TokenRow]
+    val hist = GraftPipeline.analyze(rows, pipelineCfg)
+    val tables = s.sparkContext.broadcast(GraftPipeline.buildTables(hist, pipelineCfg))
+    val blocks = GraftPipeline.encode(rows, tables, pipelineCfg).cache()
+    val decoded = GraftPipeline.decode(blocks, tables, pipelineCfg)
+    val mismatches = GraftPipeline.verify(rows, decoded)
+    val summary = blocks
+      .groupBy($"codec")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum($"n_rows").cast("long").as("n_rows"),
+        sum($"n_values").as("n_values"),
+        sum($"payload_bits").as("payload_bits")
+      )
+      .withColumn("n_mismatches", lit(mismatches))
+      .orderBy($"codec")
+    (summary, blocks.toDF())
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    roundtrip(spark, "/root/testdata/sf0.001")._1
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O28-style scan + classic aggregate sanity check
+    "q_lineitem_agg" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .parquet(s"$dir/lineitem.parquet")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sum($"l_extendedprice").as("sum_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // O27 stats surface: per-source token stream statistics
+    "q_source_stats" -> ((s, dir) => {
+      import s.implicits._
+      tok(s, dir)
+        .groupBy($"source")
+        .agg(
+          countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("total_tokens"),
+          min($"token").as("min_token"),
+          max($"token").as("max_token"),
+          sum($"token").as("sum_token")
+        )
+        .orderBy($"source")
+    }),
+
+    // O1+O3: hybrid-token histogram via the production split function
+    "q_token_histogram" -> ((s, dir) => {
+      import s.implicits._
+      tok(s, dir)
+        .withColumn("hybrid_token", hybridTokenUdf($"token").cast("long"))
+        .groupBy($"hybrid_token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy($"hybrid_token")
+    }),
+
+    // O11+O3/O4: per-(context, token) histogram, context = token of the
+    // previous value in the doc, clamped to 64 contexts
+    "q_context_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      tok(s, dir)
+        .withColumn("prev", lag($"token", 1).over(w))
+        .withColumn(
+          "ctx",
+          least(hybridTokenUdf(coalesce($"prev", lit(0L))).cast("long"), lit(63L))
+        )
+        .withColumn("hybrid_token", hybridTokenUdf($"token").cast("long"))
+        .groupBy($"ctx", $"hybrid_token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy($"ctx", $"hybrid_token")
+    }),
+
+    // RLE estimator input: run counts per source
+    "q_rle_runs" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      tok(s, dir)
+        .withColumn("prev", lag($"token", 1).over(w))
+        .withColumn("chg", when($"prev".isNull || $"token" =!= $"prev", 1L).otherwise(0L))
+        .groupBy($"source")
+        .agg(sum($"chg").as("total_runs"), count(lit(1)).as("total_tokens"))
+        .orderBy($"source")
+    }),
+
+    // O12/O13 generalized: per-doc codec auto-selection by exact size
+    // estimates, via the production CodecSelector
+    "q_codec_cost" -> ((s, dir) => {
+      import s.implicits._
+      docTable(s, dir)
+        .withColumn("choice", codecChoiceUdf($"tokens".cast("array<long>")))
+        .select($"source", $"choice._1".as("best_codec"), $"choice._2".as("est_bits"))
+        .groupBy($"source", $"best_codec")
+        .agg(count(lit(1)).as("n_docs"), sum($"est_bits").as("sum_est_bits"))
+        .orderBy($"source", $"best_codec")
+    }),
+
+    // O24: running-sum offsets per source (exclusive prefix of n_tok)
+    "q_offsets" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window
+        .partitionBy($"source")
+        .orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docTable(s, dir)
+        .select($"doc_id", $"source", $"n_tok")
+        .withColumn("tok_offset", coalesce(sum($"n_tok").over(w), lit(0L)))
+        .where($"doc_id" % 97 === 0)
+        .orderBy($"source", $"doc_id")
+    }),
+
+    // O12: entropy cost model from the production Histograms.costModel
+    "q_cost_model" -> ((s, dir) => {
+      import s.implicits._
+      val rows = docTable(s, dir)
+        .select(
+          $"doc_id".cast("string").as("doc_id"),
+          $"tokens".cast("array<int>").as("tokens"),
+          $"n_tok",
+          $"source"
+        )
+        .as[TokenRow]
+      val cfg1 = GraftPipeline.Config(numContexts = 1, maxBits = Hybrid.DefaultMaxBits)
+      val hist = GraftPipeline.analyze(rows, cfg1)
+      val costs = hist.costModel(0)
+      val freqs = hist.counts(0)
+      val out = (0 until 256).collect {
+        case t if freqs(t) > 0 => (t.toLong, freqs(t), costs(t).toLong)
+      }
+      s.createDataFrame(out).toDF("hybrid_token", "freq", "cost_bits")
+        .orderBy($"hybrid_token")
+    }),
+
+    // Training-data ops: exact dedup accounting on documents
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .parquet(s"$dir/documents.parquet")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"text").as("n_unique"),
+          (count(lit(1)) - countDistinct($"text")).as("n_dupes")
+        )
+        .orderBy($"source")
+    }),
+
+    // Training-data ops: text statistics per language
+    "q_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .parquet(s"$dir/documents.parquet")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          sum(length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+            .as("total_words")
+        )
+        .orderBy($"lang")
+    }),
+
+    // Training-data ops: embedding table shape per label
+    "q_embed_dims" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .parquet(s"$dir/embeddings.parquet")
+        .groupBy($"label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          min(size($"embedding")).cast("long").as("min_dim"),
+          max(size($"embedding")).cast("long").as("max_dim")
+        )
+        .orderBy($"label")
+    }),
+
+    // Self-oracle (rows-only): full E2E roundtrip + per-codec metrics.
+    // Correctness asserted inside: n_mismatches column must be 0.
+    "q_roundtrip_verify" -> ((s, dir) => roundtrip(s, dir)._1)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q_roundtrip_verify) → driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | sum(l_extendedprice) AS sum_price, count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_source_stats" ->
+      s"""$CTE
+         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS total_tokens,
+         | min(token) AS min_token, max(token) AS max_token,
+         | CAST(sum(token) AS BIGINT) AS sum_token
+         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_token_histogram" ->
+      s"""$CTE
+         |SELECT ${duckHybridToken("token")} AS hybrid_token, count(*) AS freq
+         |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_context_histogram" ->
+      s"""$CTE, lagged AS (
+         | SELECT token, lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok
+         |), ctxed AS (
+         | SELECT least(${duckHybridToken("coalesce(prev, 0)")}, 63) AS ctx,
+         |        ${duckHybridToken("token")} AS hybrid_token
+         | FROM lagged)
+         |SELECT ctx, hybrid_token, count(*) AS freq
+         |FROM ctxed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_rle_runs" ->
+      s"""$CTE, lagged AS (
+         | SELECT source, token, lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok
+         |)
+         |SELECT source,
+         | CAST(sum(CASE WHEN prev IS NULL OR token != prev THEN 1 ELSE 0 END) AS BIGINT) AS total_runs,
+         | count(*) AS total_tokens
+         |FROM lagged GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_codec_cost" ->
+      s"""$CTE, t1 AS (
+         | SELECT doc_id, source, pos, token,
+         |  CASE WHEN lag(token) OVER (PARTITION BY doc_id ORDER BY pos) IS DISTINCT FROM token
+         |       THEN 1 ELSE 0 END AS chg
+         | FROM tok
+         |), t2 AS (
+         | SELECT doc_id, source, token,
+         |  sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+         | FROM t1
+         |), runlens AS (
+         | SELECT doc_id, source, run_id, count(*) AS run_len FROM t2 GROUP BY 1, 2, 3
+         |), docruns AS (
+         | SELECT doc_id, source, count(*) AS n_runs, max(run_len) AS max_run FROM runlens GROUP BY 1, 2
+         |), docstats AS (
+         | SELECT doc_id, source, count(*) AS n, max(token) AS mx, min(token) AS mn,
+         |        count(DISTINCT token) AS card
+         | FROM tok GROUP BY 1, 2
+         |), est AS (
+         | SELECT d.source,
+         |  32*n AS plain_bits,
+         |  6 + n*${duckBitsFor("mx")} AS bitpack_bits,
+         |  39 + n*${duckBitsFor("(mx-mn)")} AS for_bits,
+         |  44 + n_runs*(${duckBitsFor("mx")} + ${duckBitsFor("(max_run-1)")}) AS rle_bits,
+         |  38 + card*${duckBitsFor("mx")} + n*${duckBitsFor("(card-1)")} AS dict_bits
+         | FROM docstats d JOIN docruns r USING (doc_id, source)
+         |), chosen AS (
+         | SELECT source,
+         |  least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits) AS m,
+         |  CASE WHEN plain_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits) THEN 'plain'
+         |       WHEN bitpack_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits) THEN 'bitpack'
+         |       WHEN for_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits) THEN 'for'
+         |       WHEN rle_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits) THEN 'rle'
+         |       ELSE 'dict' END AS best_codec
+         | FROM est)
+         |SELECT source, best_codec, count(*) AS n_docs, CAST(sum(m) AS BIGINT) AS sum_est_bits
+         |FROM chosen GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_offsets" ->
+      s"""$CTE, docs AS (
+         | SELECT DISTINCT doc_id, source, n_tok FROM tok
+         |)
+         |SELECT doc_id, source, n_tok,
+         | CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |FROM docs QUALIFY doc_id % 97 = 0 ORDER BY source, doc_id""".stripMargin,
+
+    "q_cost_model" ->
+      s"""$CTE, hist AS (
+         | SELECT ${duckHybridToken("token")} AS hybrid_token, count(*) AS freq FROM tok GROUP BY 1
+         |), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM hist)
+         |SELECT hybrid_token, freq,
+         | CAST(length(bin(greatest(CAST(floor(total / freq) AS BIGINT), 2))) - 1 AS BIGINT) AS cost_bits
+         |FROM hist, tot ORDER BY hybrid_token""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+        | count(*) - count(DISTINCT text) AS n_dupes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_words
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_embed_dims" ->
+      """SELECT label, count(*) AS n_vecs, CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+        | CAST(max(len(embedding)) AS BIGINT) AS max_dim
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
 }

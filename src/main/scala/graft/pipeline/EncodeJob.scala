@@ -1,0 +1,218 @@
+package graft.pipeline
+
+import graft.core._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** Resumable, lineage-tracked encode job (the generalization of the
+  * reference's properties/metadata surface, /root/reference/src/graphs/
+  * parameters.rs:92-125, to per-partition checkpoints + snapshot log).
+  *
+  * Output layout under `outDir`:
+  *   blocks/          parquet of EncodedBlock rows (appended per run)
+  *   _tables/header.bin   shared symbol tables in the reference's
+  *                        self-describing header bit format
+  *   _tables/meta.json    maxBits / numContexts / tableHash / config
+  *   _manifest/       parquet of per-bin manifests (appended per run)
+  *   _snapshots/snap-<n>.json   snapshot lineage (parent pointer, bins added)
+  *
+  * Resume correctness: a bin is "done" iff its blocks are committed in
+  * blocks/ — the parquet commit is the atomic unit of progress, the manifest
+  * is derived metadata. Blocks are a deterministic function of (bin row set,
+  * symbol tables, config), so a resumed run is byte-identical to an
+  * uninterrupted one; the recorded table hash guards against resuming with
+  * different tables.
+  */
+object EncodeJob {
+
+  final case class BinManifest(
+      snapshot_id: Long,
+      bin: Int,
+      n_blocks: Long,
+      n_rows: Long,
+      n_values: Long,
+      payload_bytes: Long,
+      payload_bits: Long,
+      table_hash: Long
+  )
+
+  final case class EncodeResult(
+      snapshotId: Long,
+      binsEncoded: Seq[Int],
+      binsSkipped: Seq[Int],
+      tableHash: Long
+  )
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(new Path(path), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readString(spark: SparkSession, path: String): String = {
+    val f = fs(spark, path)
+    val in = f.open(new Path(path))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** Persist tables in the reference's header bit format plus a meta file. */
+  def saveTables(spark: SparkSession, outDir: String, t: SymbolTables): Unit = {
+    val w = new BitWriter(4096)
+    Huffman.writeHeader(t, w)
+    val bytes = w.toBytes
+    val f = fs(spark, outDir)
+    val out = f.create(new Path(s"$outDir/_tables/header.bin"), true)
+    try out.write(bytes)
+    finally out.close()
+    writeString(
+      spark,
+      s"$outDir/_tables/meta.json",
+      s"""{"max_bits":${t.maxBits},"num_contexts":${t.numContexts},"table_hash":${t.tableHash}}"""
+    )
+  }
+
+  def loadTables(spark: SparkSession, outDir: String): Option[SymbolTables] = {
+    if (!exists(spark, s"$outDir/_tables/meta.json")) return None
+    val meta = readString(spark, s"$outDir/_tables/meta.json")
+    def field(name: String): Long =
+      s""""$name":(-?\\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong).get
+    val maxBits = field("max_bits").toInt
+    val numContexts = field("num_contexts").toInt
+    val expectedHash = field("table_hash")
+    val f = fs(spark, outDir)
+    val in = f.open(new Path(s"$outDir/_tables/header.bin"))
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    val t = Huffman.readHeader(new BitReader(bytes), maxBits, numContexts)
+    require(
+      t.tableHash == expectedHash,
+      s"symbol table corruption: hash ${t.tableHash} != recorded $expectedHash"
+    )
+    Some(t)
+  }
+
+  /** Bins already committed to blocks/ (empty if no output yet). */
+  def doneBins(spark: SparkSession, outDir: String): Set[Int] = {
+    if (!exists(spark, s"$outDir/blocks")) return Set.empty
+    import spark.implicits._
+    spark.read
+      .parquet(s"$outDir/blocks")
+      .select("bin")
+      .distinct()
+      .as[Int]
+      .collect()
+      .toSet
+  }
+
+  private def nextSnapshotId(spark: SparkSession, outDir: String): (Long, Long) = {
+    val dir = s"$outDir/_snapshots"
+    val f = fs(spark, outDir)
+    if (!f.exists(new Path(dir))) return (0L, -1L)
+    val ids = f
+      .listStatus(new Path(dir))
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("snap-") => s.stripPrefix("snap-").stripSuffix(".json").toLong }
+    if (ids.isEmpty) (0L, -1L) else (ids.max + 1, ids.max)
+  }
+
+  /** Run (or resume) the full encode into `outDir`.
+    *
+    * @param onlyBins  restrict this run to a subset of bins — the test hook
+    *                  for simulating a job killed mid-encode.
+    */
+  def run(
+      input: Dataset[TokenRow],
+      outDir: String,
+      cfg: GraftPipeline.Config,
+      onlyBins: Option[Set[Int]] = None
+  ): EncodeResult = {
+    val spark = input.sparkSession
+    import spark.implicits._
+
+    // 1. shared symbol tables: reuse persisted ones (byte-identical resume),
+    // else pass-1 analyze + build + persist.
+    val tables = loadTables(spark, outDir) match {
+      case Some(t) =>
+        require(
+          t.maxBits == cfg.maxBits && t.numContexts == cfg.numContexts,
+          s"persisted tables (maxBits=${t.maxBits}, ctx=${t.numContexts}) do not match config"
+        )
+        t
+      case None =>
+        val t = GraftPipeline.buildTables(GraftPipeline.analyze(input, cfg), cfg)
+        saveTables(spark, outDir, t)
+        t
+    }
+    val bTables = spark.sparkContext.broadcast(tables)
+
+    // 2. skip bins whose blocks are already committed.
+    val done = doneBins(spark, outDir)
+    val requested = onlyBins.getOrElse((0 until cfg.numBins).toSet)
+    val todo = requested -- done
+    val (snapshotId, parentId) = nextSnapshotId(spark, outDir)
+
+    if (todo.nonEmpty) {
+      // 3. encode only the missing bins: the bin predicate prunes before the
+      // shuffle, so resumed runs shuffle only the remaining data.
+      val pending = input
+        .withColumn("__bin", GraftPipeline.binCol(cfg.numBins, cfg.salt))
+        .where(col("__bin").isInCollection(todo))
+        .drop("__bin")
+        .as[TokenRow]
+      val blocks = GraftPipeline.encode(pending, bTables, cfg)
+      blocks.write.mode(SaveMode.Append).parquet(s"$outDir/blocks")
+
+      // 4. manifest entries derived from the committed blocks (cheap: payload
+      // column pruned away).
+      val manifest = spark.read
+        .parquet(s"$outDir/blocks")
+        .where(col("bin").isInCollection(todo))
+        .groupBy($"bin")
+        .agg(
+          count(lit(1)).as("n_blocks"),
+          sum($"n_rows").cast("long").as("n_rows"),
+          sum($"n_values").as("n_values"),
+          sum(expr("length(payload)")).as("payload_bytes"),
+          sum($"payload_bits").as("payload_bits"),
+          first($"table_hash").as("table_hash")
+        )
+        .withColumn("snapshot_id", lit(snapshotId))
+        .select(
+          $"snapshot_id", $"bin", $"n_blocks", $"n_rows", $"n_values",
+          $"payload_bytes", $"payload_bits", $"table_hash"
+        )
+        .as[BinManifest]
+      manifest.write.mode(SaveMode.Append).parquet(s"$outDir/_manifest")
+    }
+
+    // 5. snapshot lineage record.
+    val binsJson = todo.toSeq.sorted.mkString("[", ",", "]")
+    writeString(
+      spark,
+      s"$outDir/_snapshots/snap-$snapshotId.json",
+      s"""{"snapshot_id":$snapshotId,"parent_id":$parentId,"table_hash":${tables.tableHash},
+         |"num_bins":${cfg.numBins},"num_contexts":${cfg.numContexts},"max_bits":${cfg.maxBits},
+         |"salt":${cfg.salt},"bins_added":$binsJson,"bins_skipped":${done.size}}""".stripMargin
+    )
+
+    EncodeResult(snapshotId, todo.toSeq.sorted, done.toSeq.sorted, tables.tableHash)
+  }
+
+  /** Read the encoded blocks back as a typed Dataset. */
+  def readBlocks(spark: SparkSession, outDir: String): Dataset[EncodedBlock] = {
+    import spark.implicits._
+    spark.read.parquet(s"$outDir/blocks").as[EncodedBlock]
+  }
+}

@@ -78,16 +78,24 @@ object TokenTables {
     * Must stay in lockstep with the DuckDB CTE in SparkEntry.oracleSql.
     */
   def fromLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the driver testdata; pick a
+    // deterministic representative per key (min packed partkey/suppkey) so
+    // doc_id is a true key in both engines.
     spark.read
       .parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(
+        min(col("l_partkey") * 100000 + col("l_suppkey")).as("pk"),
+        min(col("l_returnflag")).as("source")
+      )
       .select(
         (col("l_orderkey") * 10 + col("l_linenumber")).as("doc_id"),
         expr(
           "transform(sequence(1, (l_linenumber*7) % 23 + 1), " +
-            "i -> (l_partkey*2654435761 + i*l_suppkey) % 65536)"
+            "i -> cast(((pk div 100000)*2654435761 + i*(pk % 100000)) % 65536 as bigint))"
         ).as("tokens"),
         ((col("l_linenumber") * 7) % 23 + 1).cast("int").as("n_tok"),
-        col("l_returnflag").as("source")
+        col("source")
       )
   }
 
@@ -95,16 +103,21 @@ object TokenTables {
     * (doc, position, token) — prepended as a CTE to every oracle query.
     */
   val duckTokCte: String =
-    """WITH tok_base AS (
+    """WITH lineitem_u AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         min(l_partkey*100000 + l_suppkey) AS pk,
+      |         min(l_returnflag) AS source
+      |  FROM lineitem GROUP BY 1, 2
+      |), tok_base AS (
       |  SELECT l_orderkey*10 + l_linenumber AS doc_id,
-      |         l_returnflag AS source,
+      |         source,
       |         (l_linenumber*7) % 23 + 1 AS n_tok,
       |         unnest(generate_series(1, (l_linenumber*7) % 23 + 1)) AS pos,
-      |         l_partkey, l_suppkey
-      |  FROM lineitem
+      |         pk
+      |  FROM lineitem_u
       |), tok AS (
       |  SELECT doc_id, source, n_tok, pos,
-      |         (l_partkey*2654435761 + pos*l_suppkey) % 65536 AS token
+      |         ((pk // 100000)*2654435761 + pos*(pk % 100000)) % 65536 AS token
       |  FROM tok_base
       |)""".stripMargin
 

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.pipeline.GraftPipeline.Config
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class EncodeJobSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 128, maxBlockValues = 32768)
+  lazy val input = TokenTables.synthetic(spark, 600L, seed = 7L).cache()
+
+  def blockFingerprints(dir: String): Map[(Int, Int), (String, Long, Int)] = {
+    import spark.implicits._
+    EncodeJob
+      .readBlocks(spark, dir)
+      .map(b => ((b.bin, b.block_seq), (b.codec, b.payload_bits, java.util.Arrays.hashCode(b.payload))))
+      .collect()
+      .toMap
+  }
+
+  test("kill/resume: partial run + resume == uninterrupted run, byte-identical") {
+    val fullDir = Files.createTempDirectory("graft-full").toString
+    val resumeDir = Files.createTempDirectory("graft-resume").toString
+
+    // uninterrupted run
+    val full = EncodeJob.run(input, fullDir, cfg)
+    assert(full.binsEncoded == (0 until cfg.numBins))
+    assert(full.binsSkipped.isEmpty)
+
+    // simulated kill: first run covers only bins 0..3
+    val partial = EncodeJob.run(input, resumeDir, cfg, onlyBins = Some(Set(0, 1, 2, 3)))
+    assert(partial.binsEncoded == Seq(0, 1, 2, 3))
+
+    // resume: completes the rest, skips the committed bins
+    val resumed = EncodeJob.run(input, resumeDir, cfg)
+    assert(resumed.binsEncoded == Seq(4, 5, 6, 7))
+    assert(resumed.binsSkipped == Seq(0, 1, 2, 3))
+    assert(resumed.tableHash == partial.tableHash)
+    assert(resumed.snapshotId == partial.snapshotId + 1)
+
+    assert(blockFingerprints(resumeDir) == blockFingerprints(fullDir))
+  }
+
+  test("resumed output decodes to the source corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dec").toString
+    EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0, 1, 4)))
+    EncodeJob.run(input, dir, cfg)
+    val tables = EncodeJob.loadTables(spark, dir).get
+    val bTables = spark.sparkContext.broadcast(tables)
+    val decoded = GraftPipeline.decode(EncodeJob.readBlocks(spark, dir), bTables, cfg)
+    assert(GraftPipeline.verify(input, decoded) == 0L)
+  }
+
+  test("idempotent re-run: nothing to do, new snapshot records lineage") {
+    val dir = Files.createTempDirectory("graft-idem").toString
+    EncodeJob.run(input, dir, cfg)
+    val again = EncodeJob.run(input, dir, cfg)
+    assert(again.binsEncoded.isEmpty)
+    assert(again.binsSkipped == (0 until cfg.numBins))
+  }
+
+  test("persisted tables roundtrip through the reference header format") {
+    val dir = Files.createTempDirectory("graft-tables").toString
+    val tables = GraftPipeline.buildTables(GraftPipeline.analyze(input, cfg), cfg)
+    EncodeJob.saveTables(spark, dir, tables)
+    val loaded = EncodeJob.loadTables(spark, dir).get
+    assert(loaded.tableHash == tables.tableHash)
+    assert(loaded.maxBits == tables.maxBits && loaded.numContexts == tables.numContexts)
+  }
+
+  test("manifest totals match block totals") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    EncodeJob.run(input, dir, cfg)
+    val manifest = spark.read.parquet(s"$dir/_manifest").as[EncodeJob.BinManifest]
+    val blocks = EncodeJob.readBlocks(spark, dir)
+    assert(manifest.map(_.n_values).reduce(_ + _) == blocks.map(_.n_values).reduce(_ + _))
+    assert(manifest.map(_.n_rows).reduce(_ + _) == input.count())
+    assert(manifest.map(_.table_hash).distinct().count() == 1L)
+  }
+}
