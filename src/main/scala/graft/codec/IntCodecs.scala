@@ -28,7 +28,12 @@ object BlockStats {
     var runs = 1
     var runLen = 1
     var maxRun = 1
-    val set = new java.util.TreeSet[java.lang.Long]()
+    // primitive open-addressing set (values are non-negative; -1 = empty)
+    val capacity = Integer.highestOneBit(DictCap * 4 - 1) * 2
+    val mask = capacity - 1
+    val set = new Array[Long](capacity)
+    java.util.Arrays.fill(set, -1L)
+    var setSize = 0
     var capped = false
     var i = from
     var prev = values(from)
@@ -40,21 +45,30 @@ object BlockStats {
         if (v == prev) { runLen += 1; if (runLen > maxRun) maxRun = runLen }
         else { runs += 1; runLen = 1 }
       }
-      if (!capped) {
-        set.add(v)
-        if (set.size > DictCap) capped = true
+      if (!capped && v != prev || i == from) {
+        var slot = ((v * 0x9e3779b97f4a7c15L) >>> 40).toInt & mask
+        while (set(slot) != -1L && set(slot) != v) slot = (slot + 1) & mask
+        if (set(slot) == -1L) {
+          set(slot) = v
+          setSize += 1
+          if (setSize > DictCap) capped = true
+        }
       }
       prev = v
       i += 1
     }
-    val distinct = if (capped) DictCap + 1 else set.size
+    val distinct = if (capped) DictCap + 1 else setSize
     val dv =
       if (capped) Array.emptyLongArray
       else {
-        val out = new Array[Long](set.size)
-        val it = set.iterator()
+        val out = new Array[Long](setSize)
         var j = 0
-        while (it.hasNext) { out(j) = it.next(); j += 1 }
+        var s = 0
+        while (s < capacity) {
+          if (set(s) != -1L) { out(j) = set(s); j += 1 }
+          s += 1
+        }
+        java.util.Arrays.sort(out)
         out
       }
     BlockStats(n, min, max, runs, maxRun, distinct, dv)
@@ -390,6 +404,27 @@ object CodecSelector {
       if (b < bestBits) { best = h; bestBits = b }
     }
     (best, bestBits)
+  }
+
+  /** Encode a standalone integer metadata column (e.g. per-row n_tok) with
+    * the best lightweight codec; payload is self-contained given the name.
+    */
+  def encodeIntColumn(values: Array[Long]): (String, Array[Byte]) = {
+    val offsets = Array(0, values.length)
+    val (codec, _) = select(values, offsets, None)
+    val w = new graft.core.BitWriter(values.length / 2 + 16)
+    codec.encode(values, offsets, w)
+    (codec.name, w.toBytes)
+  }
+
+  def decodeIntColumn(name: String, bytes: Array[Byte], n: Int): Array[Long] = {
+    val codec: IntBlockCodec =
+      if (name == PlainCodec.name) PlainCodec
+      else
+        lightweight
+          .find(_.name == name)
+          .getOrElse(throw new IllegalArgumentException(s"unknown int column codec $name"))
+    codec.decode(new graft.core.BitReader(bytes), n, Array(0, n))
   }
 
   def decoderFor(id: Byte, hybrid: Option[HybridCodec]): IntBlockCodec = id match {

@@ -184,7 +184,7 @@ object EncodeJob {
           count(lit(1)).as("n_blocks"),
           sum($"n_rows").cast("long").as("n_rows"),
           sum($"n_values").as("n_values"),
-          sum(expr("length(payload)")).as("payload_bytes"),
+          (sum(expr("length(payload)")) + sum($"meta_bytes")).as("payload_bytes"),
           sum($"payload_bits").as("payload_bits"),
           first($"table_hash").as("table_hash")
         )

@@ -20,14 +20,18 @@ final case class TokenRow(doc_id: String, tokens: Array[Int], n_tok: Int, source
 final case class EncodedBlock(
     bin: Int,
     block_seq: Int,
-    doc_ids: Array[String],
-    sources: Array[String],
-    n_toks: Array[Int],
+    doc_ids_codec: String,
+    doc_ids_payload: Array[Byte],
+    sources_codec: String,
+    sources_payload: Array[Byte],
+    n_toks_codec: String,
+    n_toks_payload: Array[Byte],
     codec: String,
     n_rows: Int,
     n_values: Long,
     payload: Array[Byte],
     payload_bits: Long,
+    meta_bytes: Long,
     table_hash: Long
 )
 
@@ -36,9 +40,12 @@ final case class BlockMetric(
     bin: Int,
     block_seq: Int,
     codec: String,
+    doc_ids_codec: String,
+    sources_codec: String,
     n_rows: Int,
     n_values: Long,
     payload_bits: Long,
+    meta_bytes: Long,
     raw_bits: Long
 )
 
@@ -203,6 +210,13 @@ object GraftPipeline {
               else (hybrid, 0L)
             val w = new BitWriter(math.max(blockValues.toInt / 2, 64))
             codec.encode(values, rowOffsets, w)
+            // metadata columns go through codec selection too: strings via
+            // plain/dict/FSST, the n_tok ints via the lightweight family
+            val (dCodec, dPayload) = StringCodecs.select(docIds.result())
+            val (sCodec, sPayload) = StringCodecs.select(sources.result())
+            val (nCodec, nPayload) = CodecSelector.encodeIntColumn(
+              nToks.result().map(_.toLong)
+            )
             // deterministic per-bin sequence: bins are contiguous after the
             // within-partition sort, so a simple counter suffices
             if (blockBin != seqBin) { seqBin = blockBin; seqCounter = 0 }
@@ -211,14 +225,18 @@ object GraftPipeline {
             EncodedBlock(
               bin = blockBin,
               block_seq = thisSeq,
-              doc_ids = docIds.result(),
-              sources = sources.result(),
-              n_toks = nToks.result(),
+              doc_ids_codec = dCodec,
+              doc_ids_payload = dPayload,
+              sources_codec = sCodec,
+              sources_payload = sPayload,
+              n_toks_codec = nCodec,
+              n_toks_payload = nPayload,
               codec = codec.name,
               n_rows = blockRows,
               n_values = blockValues,
               payload = w.toBytes,
               payload_bits = w.bitsWritten,
+              meta_bytes = dPayload.length.toLong + sPayload.length + nPayload.length,
               table_hash = tables.value.tableHash
             )
           }
@@ -246,17 +264,22 @@ object GraftPipeline {
           s"table hash mismatch: block ${b.bin}/${b.block_seq} written with ${b.table_hash}"
         )
         val codec = CodecSelector.decoderFor(codecId(b.codec), Some(hybrid))
-      val rowOffsets = new Array[Int](b.n_rows + 1)
-      var off = 0
-      var i = 0
-      while (i < b.n_rows) { rowOffsets(i) = off; off += b.n_toks(i); i += 1 }
-      rowOffsets(b.n_rows) = off
+        val nToks = CodecSelector
+          .decodeIntColumn(b.n_toks_codec, b.n_toks_payload, b.n_rows)
+          .map(_.toInt)
+        val docIds = StringCodecs.decode(b.doc_ids_codec, b.doc_ids_payload, b.n_rows)
+        val sources = StringCodecs.decode(b.sources_codec, b.sources_payload, b.n_rows)
+        val rowOffsets = new Array[Int](b.n_rows + 1)
+        var off = 0
+        var i = 0
+        while (i < b.n_rows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
+        rowOffsets(b.n_rows) = off
         val values = codec.decode(new BitReader(b.payload), off, rowOffsets)
         (0 until b.n_rows).iterator.map { r =>
-          val tokens = new Array[Int](b.n_toks(r))
+          val tokens = new Array[Int](nToks(r))
           var k = 0
           while (k < tokens.length) { tokens(k) = values(rowOffsets(r) + k).toInt; k += 1 }
-          TokenRow(b.doc_ids(r), tokens, b.n_toks(r), b.sources(r))
+          TokenRow(docIds(r), tokens, nToks(r), sources(r))
         }
       }
     }
@@ -295,7 +318,10 @@ object GraftPipeline {
     val spark = blocks.sparkSession
     import spark.implicits._
     blocks.map { b =>
-      BlockMetric(b.bin, b.block_seq, b.codec, b.n_rows, b.n_values, b.payload_bits, b.n_values * 32L)
+      BlockMetric(
+        b.bin, b.block_seq, b.codec, b.doc_ids_codec, b.sources_codec,
+        b.n_rows, b.n_values, b.payload_bits, b.meta_bytes, b.n_values * 32L
+      )
     }
   }
 }

@@ -82,10 +82,27 @@ class GraftPipelineSpec extends AnyFunSuite {
 
   test("bins are stable under the salted hash (deterministic routing)") {
     import spark.implicits._
-    val bins1 = blocks.map(b => (b.bin, b.block_seq, b.doc_ids.head)).collect().sortBy(x => (x._1, x._2))
+    def key(b: EncodedBlock) =
+      (b.bin, b.block_seq, b.n_rows, java.util.Arrays.hashCode(b.doc_ids_payload))
+    val bins1 = blocks.map(key _).collect().sortBy(x => (x._1, x._2))
     val blocks2 = GraftPipeline.encode(input, tables, cfg)
-    val bins2 = blocks2.map(b => (b.bin, b.block_seq, b.doc_ids.head)).collect().sortBy(x => (x._1, x._2))
+    val bins2 = blocks2.map(key _).collect().sortBy(x => (x._1, x._2))
     assert(bins1.sameElements(bins2))
+  }
+
+  test("string and n_tok metadata columns are codec-compressed and roundtrip") {
+    import spark.implicits._
+    val sCodecs = blocks.map(_.sources_codec).distinct().collect().toSet
+    val dCodecs = blocks.map(_.doc_ids_codec).distinct().collect().toSet
+    // sources: 4 distinct values -> dict; doc_ids share long prefixes -> fsst
+    assert(sCodecs.contains("dict_s"), s"sources codecs: $sCodecs")
+    assert(dCodecs.contains("fsst_s"), s"doc_ids codecs: $dCodecs")
+    // meta bytes beat plain-utf8 doc_ids substantially
+    val metaBytes = blocks.map(_.meta_bytes).reduce(_ + _)
+    val rawStringBytes = input
+      .map(r => (r.doc_id.length + r.source.length + 4).toLong)
+      .reduce(_ + _)
+    assert(metaBytes < rawStringBytes / 2, s"meta=$metaBytes raw=$rawStringBytes")
   }
 
   test("metrics aggregate to the block totals") {
