@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   def session(cores: Int): SparkSession = {
+    // shuffle/spill on tmpfs: the sandbox's /tmp is a real disk whose
+    // writeback variance would otherwise dominate the scaling measurement
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+      else System.getProperty("java.io.tmpdir")
     val s = SparkSession
       .builder()
       .master(s"local[$cores]")
@@ -30,6 +35,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -68,7 +74,9 @@ object Bench {
     // stays under ~10% of a timed run at 32 cores.
     val synthRows = math.max((sf * 3000000).toLong, 2000L)
     val cfg = GraftPipeline.Config(numContexts = 64, numBins = 128)
-    val synthPath = s"/tmp/graft_bench_synth_$synthRows"
+    val synthBase =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    val synthPath = s"$synthBase/graft_bench_synth_$synthRows"
 
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     var tokens = 0L
@@ -137,7 +145,7 @@ object Bench {
     var best32s = Double.MaxValue
     var tok8 = 0L
     var tok32 = 0L
-    for (round <- 1 to 2) {
+    for (round <- 1 to 3) {
       val s8 = session(8)
       val (t8, _, sec8) =
         try encodeRun(s8, synthPath, cfg)

@@ -112,8 +112,11 @@ object StringCodecs {
     Array.fill(n)(new String(table.decode(c.readBytes(c.readVarint())), UTF_8))
   }
 
-  /** Encode with the smallest of plain / dict / FSST (dict only when the
-    * cardinality is materially below the row count).
+  /** Encode with the smallest of plain / dict / FSST. Dict is tried only
+    * when cardinality is materially below the row count; FSST is tried only
+    * when a sampled estimate (train on <=128 strings, extrapolate the
+    * sample's compression ratio) beats the current best — a full FSST
+    * train+encode per block would dominate encode time otherwise.
     */
   def select(strings: Array[String]): (String, Array[Byte]) = {
     val plain = encodePlain(strings)
@@ -124,9 +127,31 @@ object StringCodecs {
       val dict = encodeDict(strings)
       if (dict.length < best.length) { bestName = Dict; best = dict }
     }
-    if (strings.length >= 16) {
-      val fsst = encodeFsst(strings)
-      if (fsst.length < best.length) { bestName = Fsst; best = fsst }
+    if (strings.length >= 16 && card * 2 > strings.length) {
+      val sampleSize = math.min(128, strings.length)
+      val sample = (0 until sampleSize)
+        .map(i => strings(i * strings.length / sampleSize).getBytes(UTF_8))
+      // cap the table so its serialized size stays a small fraction of the
+      // column: ~9 bytes/symbol vs plain.length bytes of data
+      val maxSymbols = math.max(16, math.min(255L, plain.length / 64L)).toInt
+      val table = graft.codec.Fsst.train(sample, iterations = 3, maxSymbols = maxSymbols)
+      val sampleRaw = sample.iterator.map(_.length).sum.max(1)
+      val sampleEnc = sample.iterator.map(table.encodedLength).sum
+      val rawTotal = plain.length.toLong
+      val estimate = table.serializedLength + rawTotal * sampleEnc / sampleRaw
+      if (estimate < best.length * 9L / 10) {
+        // commit: encode all strings with the sampled table
+        val out = new ByteArrayOutputStream()
+        val t = table.serialize
+        out.write(t, 0, t.length)
+        strings.foreach { s =>
+          val enc = table.encode(s.getBytes(UTF_8))
+          writeVarint(out, enc.length)
+          out.write(enc, 0, enc.length)
+        }
+        val fsst = out.toByteArray
+        if (fsst.length < best.length) { bestName = Fsst; best = fsst }
+      }
     }
     (bestName, best)
   }

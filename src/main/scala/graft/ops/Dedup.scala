@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, each shaped for
+  * scale: exact dedup is a hash group-by; MinHash+LSH and SimHash generate
+  * candidate pairs via bucket equi-joins (shuffle on the bucket key — never
+  * an all-pairs comparison), then verify candidates exactly.
+  */
+object Dedup {
+
+  /** Exact duplicate accounting by content hash (xxhash64 group-by). */
+  def exact(docs: DataFrame): DataFrame = {
+    docs
+      .groupBy(xxhash64(col("text")).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keep_doc_id"),
+        collect_list(col("doc_id")).as("doc_ids")
+      )
+      .where(col("n_copies") > 1)
+  }
+
+  /** MinHash signatures: k seeded min-hashes over word n-gram shingles. */
+  def minhashSignatures(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame = {
+    val sigUdf = udf { shingles: Seq[Long] =>
+      if (shingles == null || shingles.isEmpty) Array.fill(k)(Long.MaxValue)
+      else {
+        val sig = Array.fill(k)(Long.MaxValue)
+        shingles.foreach { s =>
+          var i = 0
+          while (i < k) {
+            val h = TextOps.mix64(s ^ (i.toLong * 0xbf58476d1ce4e5b9L + 0x2545f4914f6cdd1dL))
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        sig
+      }
+    }
+    docs
+      .withColumn("shingles", TextOps.shingleUdf(shingleN)(TextOps.wordsCol(col("text"))))
+      .withColumn("minhash", sigUdf(col("shingles")))
+      .select(col("doc_id"), col("shingles"), col("minhash"))
+  }
+
+  /** LSH banding: split the k-signature into `bands` bands of k/bands rows;
+    * docs sharing any band bucket are candidates. Bucket join = one shuffle
+    * on the band key; pairs are built per bucket (buckets are small when
+    * bands/rows are sized for the target similarity).
+    */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int = 16): DataFrame = {
+    val bandUdf = udf { (sig: Seq[Long], band: Int) =>
+      val rows = sig.length / bands
+      var h = 0x9e3779b97f4a7c15L ^ band.toLong
+      var i = band * rows
+      while (i < (band + 1) * rows) { h = TextOps.mix64(h ^ sig(i)); i += 1 }
+      h
+    }
+    val banded = sigs
+      .select(col("doc_id"), col("minhash"))
+      .crossJoin(spark_range_bands(sigs, bands))
+      .withColumn("bucket", bandUdf(col("minhash"), col("band")))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  private def spark_range_bands(df: DataFrame, bands: Int): DataFrame =
+    df.sparkSession.range(bands).select(col("id").cast("int").as("band"))
+
+  /** Exact Jaccard similarity over shingle sets for candidate verification. */
+  def jaccard(pairs: DataFrame, shingled: DataFrame): DataFrame = {
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    pairs
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Full MinHash near-dup pipeline: signatures -> LSH candidates -> exact
+    * Jaccard filter at `threshold`.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3
+  ): DataFrame = {
+    val sigs = minhashSignatures(docs, k, shingleN)
+    val candidates = lshCandidatePairs(sigs, bands)
+    jaccard(candidates, sigs.select("doc_id", "shingles"))
+      .where(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup candidates: 64-bit signature, banded into 4x16-bit
+    * keys (Hamming distance <= 3 guarantees an exact match in at least one
+    * band), verified by exact Hamming distance.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs
+      .withColumn("simhash", TextOps.simhashUdf(TextOps.wordsCol(col("text"))))
+      .select(col("doc_id"), col("simhash"))
+    val banded = sigs
+      .crossJoin(spark_range_bands(sigs, 4))
+      .withColumn("bucket", expr("(simhash >> (band * 16)) & 65535"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** N-gram Jaccard near-dups without LSH (exact, for small verification
+    * sets): prefilter pairs sharing at least one rare shingle.
+    */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val shingled = docs
+      .withColumn("shingles", TextOps.shingleUdf(shingleN)(TextOps.wordsCol(col("text"))))
+      .select(col("doc_id"), col("shingles"))
+    val posting = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val w = Window.partitionBy(col("shingle"))
+    val rare = posting
+      .withColumn("df", count(lit(1)).over(w))
+      .where(col("df") <= 50) // skip stop-shingles: bounded bucket size
+    val a = rare.select(col("shingle"), col("doc_id").as("doc_a"))
+    val b = rare.select(col("shingle"), col("doc_id").as("doc_b"))
+    val pairs = a
+      .join(b, "shingle")
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    jaccard(pairs, shingled)
+      .where(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * language-ID heuristic, quality scoring, document fingerprinting.
+  * All deterministic, all expressed over the `documents` table shape
+  * (doc_id, text, lang, source, n_chars).
+  */
+object TextOps {
+
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hashWord(w: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < w.length) { h ^= w.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Whitespace word split as a column. */
+  def wordsCol(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword count: whitespace words, long words split into <=4-char
+    * pieces (a deterministic proxy for a subword tokenizer's token count).
+    */
+  val subwordCountUdf = udf { text: String =>
+    if (text == null || text.isEmpty) 0L
+    else text.split(" ").iterator.map(w => (w.length + 3L) / 4L).sum
+  }
+
+  /** Word n-gram shingle hashes (distinct) — the dedup unit. */
+  def shingleUdf(n: Int) = udf { words: Seq[String] =>
+    if (words == null || words.length < n) Array.empty[Long]
+    else
+      words
+        .sliding(n)
+        .map { gram =>
+          var h = 0x9e3779b97f4a7c15L
+          gram.foreach(w => h = mix64(h ^ hashWord(w)))
+          h
+        }
+        .toArray
+        .distinct
+        .sorted
+  }
+
+  /** 64-bit SimHash over word hashes. */
+  val simhashUdf = udf { words: Seq[String] =>
+    if (words == null || words.isEmpty) 0L
+    else {
+      val counts = new Array[Int](64)
+      words.foreach { w =>
+        val h = hashWord(w)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+      sig
+    }
+  }
+
+  /** Polynomial rolling hash of the whole text (document fingerprint). */
+  val fingerprintUdf = udf { text: String =>
+    if (text == null) 0L
+    else {
+      var h = 0L
+      var i = 0
+      while (i < text.length) { h = h * 1315423911L + text.charAt(i); i += 1 }
+      mix64(h)
+    }
+  }
+
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "on"),
+    "es" -> Set("el", "la", "de", "y", "en", "es", "un", "que"),
+    "de" -> Set("der", "die", "das", "und", "in", "ist", "ein", "zu"),
+    "fr" -> Set("le", "la", "de", "et", "en", "est", "un", "que")
+  )
+
+  /** N-gram/stopword language-ID heuristic: argmax over per-language
+    * stopword hit counts; ties and zero hits fall back to "en".
+    */
+  val langIdUdf = udf { words: Seq[String] =>
+    if (words == null || words.isEmpty) "en"
+    else {
+      val scores = stopwords.map { case (lang, sw) =>
+        (lang, words.count(w => sw.contains(w)))
+      }
+      val best = scores.maxBy { case (lang, c) => (c, lang) }
+      if (best._2 == 0) "en" else best._1
+    }
+  }
+
+  /** Quality features: word count, characters sans spaces, mean word length
+    * scaled x100 (integer — cross-engine safe), share of short words x1000.
+    */
+  def withQualityFeatures(docs: DataFrame): DataFrame = {
+    docs
+      .withColumn("words", wordsCol(col("text")))
+      .withColumn("word_count", size(col("words")).cast("long"))
+      .withColumn(
+        "chars_nospace",
+        (length(col("text")) - (size(col("words")) - 1)).cast("long")
+      )
+      .withColumn(
+        "mean_word_len_x100",
+        (col("chars_nospace") * 100L / greatest(col("word_count"), lit(1L))).cast("long")
+      )
+      .withColumn(
+        "stopword_hits",
+        size(filter(col("words"), w => w.isin("the", "a", "of", "and", "to", "in", "is", "on")))
+          .cast("long")
+      )
+      .drop("words")
+  }
+}

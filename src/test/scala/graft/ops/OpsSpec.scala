@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.pipeline.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** Synthetic doc corpus with planted near-duplicates: base docs plus
+    * mutated copies (a few words changed) and exact copies.
+    */
+  lazy val docs: DataFrame = {
+    import spark.implicits._
+    val vocab = Array(
+      "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part",
+      "window", "small", "hash", "join", "batch", "stream", "spark", "data",
+      "row", "group", "query", "filter", "agg", "value", "line", "big", "slow"
+    )
+    def baseWords(id: Int): Array[String] =
+      Array.tabulate(60)(j => vocab(TextOps.mix64(id.toLong * 77 + j).toInt.abs % vocab.length))
+    val rows = (0 until 120).flatMap { id =>
+      val base = baseWords(id)
+      val orig = (id.toLong, base.mkString(" "), "en", s"src${id % 4}")
+      val extra =
+        if (id % 10 == 0) {
+          // near-dup: mutate 4 of 60 words
+          val mut = base.clone()
+          for (j <- Seq(3, 17, 31, 45)) mut(j) = vocab((j * 7 + id) % vocab.length)
+          Seq((1000L + id, mut.mkString(" "), "en", s"src${id % 4}"))
+        } else if (id % 15 == 0) {
+          Seq((2000L + id, base.mkString(" "), "en", s"src${id % 4}")) // exact dup
+        } else Seq.empty
+      orig +: extra
+    }
+    rows.toDF("doc_id", "text", "lang", "source").withColumn("n_chars", length($"text"))
+  }
+
+  test("exact dedup finds exactly the planted exact copies") {
+    val dups = Dedup.exact(docs).collect()
+    val planted = (0 until 120).count(id => id % 15 == 0 && id % 10 != 0)
+    assert(dups.length == planted, s"found ${dups.length}, planted $planted")
+    assert(dups.forall(_.getAs[Long]("n_copies") == 2))
+  }
+
+  test("minhash LSH finds every planted near-dup pair (jaccard >= 0.5)") {
+    val near = Dedup.minhashNearDups(docs, threshold = 0.5).collect()
+    val foundPairs = near.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- 0 until 120 if id % 10 == 0) {
+      assert(
+        foundPairs.contains((id.toLong, 1000L + id)),
+        s"missing near-dup pair ($id, ${1000 + id}); found ${foundPairs.size} pairs"
+      )
+    }
+    // jaccard values are genuine (not just candidates)
+    assert(near.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("ngram jaccard agrees with minhash on planted pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+    val pairs = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- 0 until 120 if id % 10 == 0)
+      assert(pairs.contains((id.toLong, 1000L + id)))
+  }
+
+  test("simhash finds exact copies at hamming 0 and near-dups at small distance") {
+    val near = Dedup.simhashNearDups(docs, maxHamming = 6).collect()
+    val pairs = near.map(r => (r.getLong(0), r.getLong(1))).toMap.keySet ++
+      near.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- 0 until 120 if id % 15 == 0 && id % 10 != 0)
+      assert(pairs.exists(p => p == ((id.toLong, 2000L + id))), s"missing exact pair at $id")
+  }
+
+  test("quality features and subword counts are sane") {
+    import spark.implicits._
+    val q = TextOps.withQualityFeatures(docs)
+    val row = q.where($"doc_id" === 0L).select($"word_count", $"chars_nospace").head()
+    assert(row.getLong(0) == 60L)
+    val sub = docs
+      .withColumn("subwords", TextOps.subwordCountUdf($"text"))
+      .agg(sum($"subwords"))
+      .head()
+      .getLong(0)
+    assert(sub > 0)
+  }
+
+  test("langId heuristic classifies stopword-bearing text") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat is on the mat and the dog is in the house"),
+      (2L, "el perro es un animal que vive en la casa"),
+      (3L, "der hund ist ein tier und die katze ist zu haus")
+    ).toDF("id", "text")
+    val out = samples
+      .withColumn("lang", TextOps.langIdUdf(TextOps.wordsCol($"text")))
+      .select($"id", $"lang")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+  }
+
+  lazy val embeddings: DataFrame = {
+    import spark.implicits._
+    // clustered embeddings: 8 centers, 30 points each, deterministic jitter
+    val rows = for (c <- 0 until 8; i <- 0 until 30) yield {
+      val emb = Array.tabulate(32) { d =>
+        val center = if (TextOps.mix64(c.toLong * 31 + d) % 3 == 0) 1.0f else -1.0f
+        val jitter = (TextOps.mix64(c.toLong << 32 | i.toLong << 8 | d.toLong) % 100) / 1000.0f
+        center + jitter
+      }
+      (c * 100L + i, emb, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force cosine top-k returns k neighbors, mostly same-cluster") {
+    import spark.implicits._
+    val queries = embeddings.where($"vec_id" % 100 === 0) // one per cluster
+    val topk = Ann.bruteForceTopK(embeddings, queries, k = 5).collect()
+    assert(topk.length == 8 * 5)
+    val sameCluster = topk.count(r => r.getLong(0) / 100 == r.getLong(1) / 100)
+    assert(sameCluster >= 36, s"only $sameCluster/40 same-cluster neighbors")
+  }
+
+  test("LSH top-k recalls most of brute-force top-k") {
+    import spark.implicits._
+    val queries = embeddings.where($"vec_id" % 100 === 0)
+    val exact = Ann
+      .bruteForceTopK(embeddings, queries, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val approx = Ann
+      .lshTopK(embeddings, queries, k = 5, nPlanes = 8, nTables = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall")
+  }
+}
