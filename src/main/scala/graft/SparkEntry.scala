@@ -248,9 +248,130 @@ object SparkEntry {
         .orderBy($"label")
     }),
 
+    // Training-data ops: quality features per source (production
+    // TextOps.withQualityFeatures, oracled by DuckDB arithmetic)
+    "q_quality" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.TextOps
+        .withQualityFeatures(s.read.parquet(s"$dir/documents.parquet"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"word_count").as("total_words"),
+          sum($"chars_nospace").as("total_chars_nospace"),
+          sum($"stopword_hits").as("total_stopword_hits"),
+          sum(when($"mean_word_len_x100" > 500, 1L).otherwise(0L)).as("n_long_worded")
+        )
+        .orderBy($"source")
+    }),
+
+    // Training-data ops: BPE-ish subword token counting per language
+    "q_subword_tokens" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .parquet(s"$dir/documents.parquet")
+        .withColumn("subwords", graft.ops.TextOps.subwordCountUdf($"text"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"subwords").as("total_subwords"))
+        .orderBy($"lang")
+    }),
+
     // Self-oracle (rows-only): full E2E roundtrip + per-codec metrics.
     // Correctness asserted inside: n_mismatches column must be 0.
-    "q_roundtrip_verify" -> ((s, dir) => roundtrip(s, dir)._1)
+    "q_roundtrip_verify" -> ((s, dir) => roundtrip(s, dir)._1),
+
+    // Rows-only: MinHash+LSH near-dup summary on documents (1-row agg,
+    // self-validated by exact Jaccard inside the op)
+    "q_minhash_neardups" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup
+        .minhashNearDups(docs, threshold = 0.2)
+        .agg(
+          count(lit(1)).as("n_near_dup_pairs"),
+          coalesce(max($"jaccard"), lit(0.0)).as("max_jaccard"),
+          coalesce(min($"jaccard"), lit(0.0)).as("min_jaccard")
+        )
+    }),
+
+    // Rows-only: SimHash near-dup summary
+    "q_simhash_neardups" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup
+        .simhashNearDups(docs, maxHamming = 10)
+        .agg(
+          count(lit(1)).as("n_candidate_pairs"),
+          coalesce(min($"hamming"), lit(-1)).as("min_hamming")
+        )
+    }),
+
+    // Rows-only: language-ID heuristic vs the labeled lang column
+    "q_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .parquet(s"$dir/documents.parquet")
+        .withColumn("detected", graft.ops.TextOps.langIdUdf(graft.ops.TextOps.wordsCol($"text")))
+        .groupBy($"lang", $"detected")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"detected")
+    }),
+
+    // Rows-only: document fingerprint collision accounting
+    "q_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .parquet(s"$dir/documents.parquet")
+        .withColumn("fp", graft.ops.TextOps.fingerprintUdf($"text"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"fp").as("n_distinct_fingerprints")
+        )
+    }),
+
+    // Rows-only: brute-force cosine top-5 for one query vector per label
+    "q_ann_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where($"vec_id" < 5)
+      graft.ops.Ann.bruteForceTopK(emb, queries, k = 5)
+    }),
+
+    // Rows-only: multimodal binary-column plumbing (stubbed decode) —
+    // per-kind feature extraction accounting
+    "q_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.ops.BinaryOps.mediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet")
+      )
+      graft.ops.BinaryOps
+        .extractFeatures(media)
+        .groupBy($"kind")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum($"n_bytes").as("total_bytes"),
+          sum($"frames_sampled").as("total_frames")
+        )
+        .orderBy($"kind")
+    }),
+
+    // Rows-only: LSH ANN agreement with brute force (recall@5 as a count)
+    "q_ann_lsh_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where($"vec_id" < 5)
+      val exact = graft.ops.Ann
+        .bruteForceTopK(emb, queries, k = 5)
+        .select($"query_id", $"neighbor_id")
+      // bucket granularity ~ corpus_size / 2^nPlanes: keep ≥ ~8 vectors
+      // per bucket so candidates exist (6 planes for the small testdata)
+      val approx = graft.ops.Ann
+        .lshTopK(emb, queries, k = 5, nPlanes = 6, nTables = 8)
+        .select($"query_id", $"neighbor_id")
+      exact
+        .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_recalled_of_25"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -362,6 +483,36 @@ object SparkEntry {
     "q_embed_dims" ->
       """SELECT label, count(*) AS n_vecs, CAST(min(len(embedding)) AS BIGINT) AS min_dim,
         | CAST(max(len(embedding)) AS BIGINT) AS max_dim
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, text,
+        |         length(text) - length(replace(text, ' ', '')) + 1 AS word_count,
+        |         length(replace(text, ' ', '')) AS chars_nospace
+        |  FROM documents
+        |), sw AS (
+        |  SELECT doc_id,
+        |         count(*) FILTER (x.w IN ('the','a','of','and','to','in','is','on')) AS stopword_hits
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) x
+        |  GROUP BY doc_id
+        |)
+        |SELECT w.source, count(*) AS n_docs,
+        |  CAST(sum(w.word_count) AS BIGINT) AS total_words,
+        |  CAST(sum(w.chars_nospace) AS BIGINT) AS total_chars_nospace,
+        |  CAST(sum(coalesce(sw.stopword_hits, 0)) AS BIGINT) AS total_stopword_hits,
+        |  CAST(sum(CASE WHEN w.chars_nospace * 100 // w.word_count > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_worded
+        |FROM w LEFT JOIN sw USING (doc_id)
+        |GROUP BY w.source ORDER BY w.source""".stripMargin,
+
+    "q_subword_tokens" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+        |), per_doc AS (
+        |  SELECT doc_id, lang, CAST(sum((length(w) + 3) // 4) AS BIGINT) AS subwords
+        |  FROM words GROUP BY doc_id, lang
+        |)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(subwords) AS BIGINT) AS total_subwords
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
