@@ -23,8 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Fixed pre-touched heap on 2MB transparent huge pages: this sandbox is a
+// microVM where first-touch page faults cost ~370us/4KB page — a lazily
+// growing heap turns every young GC into a multi-second fault storm
+// (observed: 11.5s young pause with Sys=211s). THP+pretouch pins the whole
+// heap in ~3s at JVM start and makes GC times normal and stable.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+UseTransparentHugePages",
+  "-XX:+AlwaysPreTouch",
 )

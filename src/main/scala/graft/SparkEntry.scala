@@ -37,7 +37,7 @@ object SparkEntry {
 
   /** Per-doc lightweight codec selection via the production CodecSelector. */
   private val codecChoiceUdf = udf { tokens: Seq[Long] =>
-    val values = tokens.toArray
+    val values = tokens.map(_.toInt).toArray
     val (codec, bits) = CodecSelector.select(values, Array(0, values.length), None)
     (codec.name, bits)
   }

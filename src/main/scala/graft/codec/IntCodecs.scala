@@ -6,33 +6,39 @@ import graft.core._
   * codec auto-selection (the generalization of the reference's pluggable
   * estimators in /root/reference/src/graphs/estimator/ — Fixed/Log2/
   * Huffman cost strategies become closed-form size formulas per codec).
+  *
+  * The whole block-codec layer is specialized to non-negative int32 values
+  * (the input_hint token domain): Array[Int] halves memory traffic versus a
+  * Long stream, which matters — the encode kernel is memory-bandwidth-bound
+  * at high core counts.
   */
 final case class BlockStats(
     n: Int,
-    min: Long,
-    max: Long,
+    min: Int,
+    max: Int,
     nRuns: Int,
     maxRunLen: Int,
     distinct: Int, // exact if <= DictCap, else DictCap + 1
-    distinctValues: Array[Long] // sorted, only when distinct <= DictCap
+    distinctValues: Array[Int] // sorted, only when distinct <= DictCap
 ) extends Serializable
 
 object BlockStats {
   val DictCap = 4096
 
-  def compute(values: Array[Long], from: Int, until: Int): BlockStats = {
+  /** values must be non-negative. */
+  def compute(values: Array[Int], from: Int, until: Int): BlockStats = {
     val n = until - from
-    if (n == 0) return BlockStats(0, 0L, 0L, 0, 0, 0, Array.emptyLongArray)
-    var min = Long.MaxValue
-    var max = Long.MinValue
+    if (n == 0) return BlockStats(0, 0, 0, 0, 0, 0, Array.emptyIntArray)
+    var min = Int.MaxValue
+    var max = Int.MinValue
     var runs = 1
     var runLen = 1
     var maxRun = 1
     // primitive open-addressing set (values are non-negative; -1 = empty)
     val capacity = Integer.highestOneBit(DictCap * 4 - 1) * 2
     val mask = capacity - 1
-    val set = new Array[Long](capacity)
-    java.util.Arrays.fill(set, -1L)
+    val set = new Array[Int](capacity)
+    java.util.Arrays.fill(set, -1)
     var setSize = 0
     var capped = false
     var i = from
@@ -46,9 +52,9 @@ object BlockStats {
         else { runs += 1; runLen = 1 }
       }
       if (!capped && v != prev || i == from) {
-        var slot = ((v * 0x9e3779b97f4a7c15L) >>> 40).toInt & mask
-        while (set(slot) != -1L && set(slot) != v) slot = (slot + 1) & mask
-        if (set(slot) == -1L) {
+        var slot = ((v * 0x9e3779b9) >>> 17) & mask
+        while (set(slot) != -1 && set(slot) != v) slot = (slot + 1) & mask
+        if (set(slot) == -1) {
           set(slot) = v
           setSize += 1
           if (setSize > DictCap) capped = true
@@ -59,13 +65,13 @@ object BlockStats {
     }
     val distinct = if (capped) DictCap + 1 else setSize
     val dv =
-      if (capped) Array.emptyLongArray
+      if (capped) Array.emptyIntArray
       else {
-        val out = new Array[Long](setSize)
+        val out = new Array[Int](setSize)
         var j = 0
         var s = 0
         while (s < capacity) {
-          if (set(s) != -1L) { out(j) = set(s); j += 1 }
+          if (set(s) != -1) { out(j) = set(s); j += 1 }
           s += 1
         }
         java.util.Arrays.sort(out)
@@ -75,10 +81,11 @@ object BlockStats {
   }
 }
 
-/** A per-block integer codec over the flattened token stream of a block of
-  * rows. `rowOffsets` (length nRows+1) marks row boundaries — only the
-  * hybrid codec is row-sensitive (its context model resets per row).
-  * Every codec's payload is self-contained given the codec id and `n`.
+/** A per-block integer codec over the flattened (non-negative int32) token
+  * stream of a block of rows. `rowOffsets` (length nRows+1) marks row
+  * boundaries — only the hybrid codec is row-sensitive (its context model
+  * resets per row). Every codec's payload is self-contained given the codec
+  * id and `n`.
   */
 trait IntBlockCodec extends Serializable {
   def id: Byte
@@ -86,8 +93,8 @@ trait IntBlockCodec extends Serializable {
 
   /** Exact number of payload bits `encode` will write for this stream. */
   def estimateBits(stats: BlockStats): Long
-  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit
-  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long]
+  def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int]
 }
 
 object IntCodecs {
@@ -118,15 +125,15 @@ object PlainCodec extends IntBlockCodec {
   val name = "plain"
   def estimateBits(s: BlockStats): Long = s.n.toLong * 32
 
-  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
+  def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
     var i = 0
-    while (i < values.length) { w.writeBits(values(i), 32); i += 1 }
+    while (i < values.length) { w.writeBits(values(i).toLong, 32); i += 1 }
   }
 
-  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
-    val out = new Array[Long](n)
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int] = {
+    val out = new Array[Int](n)
     var i = 0
-    while (i < n) { out(i) = r.readBits(32); i += 1 }
+    while (i < n) { out(i) = r.readBits(32).toInt; i += 1 }
     out
   }
 }
@@ -136,23 +143,23 @@ object BitPackCodec extends IntBlockCodec {
   val id: Byte = IntCodecs.BitPackId
   val name = "bitpack"
 
-  def estimateBits(s: BlockStats): Long = 6L + s.n.toLong * IntCodecs.bitsFor(s.max)
+  def estimateBits(s: BlockStats): Long = 6L + s.n.toLong * IntCodecs.bitsFor(s.max.toLong)
 
-  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
-    var max = 0L
+  def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    var max = 0
     var i = 0
     while (i < values.length) { if (values(i) > max) max = values(i); i += 1 }
-    val width = IntCodecs.bitsFor(max)
+    val width = IntCodecs.bitsFor(max.toLong)
     w.writeBits(width.toLong, 6)
     i = 0
-    while (i < values.length) { w.writeBits(values(i), width); i += 1 }
+    while (i < values.length) { w.writeBits(values(i).toLong, width); i += 1 }
   }
 
-  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int] = {
     val width = r.readBits(6).toInt
-    val out = new Array[Long](n)
+    val out = new Array[Int](n)
     var i = 0
-    while (i < n) { out(i) = r.readBits(width); i += 1 }
+    while (i < n) { out(i) = r.readBits(width).toInt; i += 1 }
     out
   }
 }
@@ -163,31 +170,31 @@ object ForCodec extends IntBlockCodec {
   val name = "for"
 
   def estimateBits(s: BlockStats): Long =
-    33L + 6L + s.n.toLong * IntCodecs.bitsFor(s.max - s.min)
+    33L + 6L + s.n.toLong * IntCodecs.bitsFor((s.max - s.min).toLong)
 
-  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
-    var min = Long.MaxValue
-    var max = Long.MinValue
+  def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    var min = Int.MaxValue
+    var max = Int.MinValue
     var i = 0
     while (i < values.length) {
       if (values(i) < min) min = values(i)
       if (values(i) > max) max = values(i)
       i += 1
     }
-    if (values.isEmpty) { min = 0L; max = 0L }
-    val width = IntCodecs.bitsFor(max - min)
-    w.writeBits(min, 33)
+    if (values.isEmpty) { min = 0; max = 0 }
+    val width = IntCodecs.bitsFor((max - min).toLong)
+    w.writeBits(min.toLong, 33)
     w.writeBits(width.toLong, 6)
     i = 0
-    while (i < values.length) { w.writeBits(values(i) - min, width); i += 1 }
+    while (i < values.length) { w.writeBits((values(i) - min).toLong, width); i += 1 }
   }
 
-  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int] = {
     val base = r.readBits(33)
     val width = r.readBits(6).toInt
-    val out = new Array[Long](n)
+    val out = new Array[Int](n)
     var i = 0
-    while (i < n) { out(i) = base + r.readBits(width); i += 1 }
+    while (i < n) { out(i) = (base + r.readBits(width)).toInt; i += 1 }
     out
   }
 }
@@ -200,15 +207,15 @@ object RleCodec extends IntBlockCodec {
   val name = "rle"
 
   def estimateBits(s: BlockStats): Long = {
-    val widthV = IntCodecs.bitsFor(s.max)
+    val widthV = IntCodecs.bitsFor(s.max.toLong)
     val widthR = IntCodecs.bitsFor(s.maxRunLen.toLong - 1)
     32L + 6L + 6L + s.nRuns.toLong * (widthV + widthR)
   }
 
-  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
+  def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
     val n = values.length
     if (n == 0) { w.writeBits(0, 32); w.writeBits(0, 6); w.writeBits(0, 6); return }
-    var max = 0L
+    var max = 0
     var nRuns = 1
     var runLen = 1
     var maxRun = 1
@@ -224,7 +231,7 @@ object RleCodec extends IntBlockCodec {
       prev = v
       i += 1
     }
-    val widthV = IntCodecs.bitsFor(max)
+    val widthV = IntCodecs.bitsFor(max.toLong)
     val widthR = IntCodecs.bitsFor(maxRun.toLong - 1)
     w.writeBits(nRuns.toLong, 32)
     w.writeBits(widthV.toLong, 6)
@@ -234,21 +241,21 @@ object RleCodec extends IntBlockCodec {
       val v = values(i)
       var len = 1
       while (i + len < n && values(i + len) == v) len += 1
-      w.writeBits(v, widthV)
+      w.writeBits(v.toLong, widthV)
       w.writeBits(len.toLong - 1, widthR)
       i += len
     }
   }
 
-  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int] = {
     val nRuns = r.readBits(32).toInt
     val widthV = r.readBits(6).toInt
     val widthR = r.readBits(6).toInt
-    val out = new Array[Long](n)
+    val out = new Array[Int](n)
     var i = 0
     var run = 0
     while (run < nRuns) {
-      val v = r.readBits(widthV)
+      val v = r.readBits(widthV).toInt
       val len = r.readBits(widthR).toInt + 1
       var k = 0
       while (k < len) { out(i) = v; i += 1; k += 1 }
@@ -268,25 +275,25 @@ object DictCodec extends IntBlockCodec {
 
   def estimateBits(s: BlockStats): Long = {
     if (s.distinct > BlockStats.DictCap) return Long.MaxValue
-    val widthV = IntCodecs.bitsFor(s.max)
+    val widthV = IntCodecs.bitsFor(s.max.toLong)
     val widthIdx = IntCodecs.bitsFor(s.distinct.toLong - 1)
     32L + 6L + s.distinct.toLong * widthV + s.n.toLong * widthIdx
   }
 
-  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
-    val set = new java.util.TreeSet[java.lang.Long]()
+  def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    val set = new java.util.TreeSet[Integer]()
     var i = 0
     while (i < values.length) { set.add(values(i)); i += 1 }
-    val dict = new Array[Long](set.size)
+    val dict = new Array[Int](set.size)
     val it = set.iterator()
     var j = 0
     while (it.hasNext) { dict(j) = it.next(); j += 1 }
-    val widthV = IntCodecs.bitsFor(if (dict.isEmpty) 0L else dict(dict.length - 1))
+    val widthV = IntCodecs.bitsFor(if (dict.isEmpty) 0L else dict(dict.length - 1).toLong)
     val widthIdx = IntCodecs.bitsFor(dict.length.toLong - 1)
     w.writeBits(dict.length.toLong, 32)
     w.writeBits(widthV.toLong, 6)
     i = 0
-    while (i < dict.length) { w.writeBits(dict(i), widthV); i += 1 }
+    while (i < dict.length) { w.writeBits(dict(i).toLong, widthV); i += 1 }
     i = 0
     while (i < values.length) {
       val idx = java.util.Arrays.binarySearch(dict, values(i))
@@ -295,14 +302,14 @@ object DictCodec extends IntBlockCodec {
     }
   }
 
-  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int] = {
     val card = r.readBits(32).toInt
     val widthV = r.readBits(6).toInt
-    val dict = new Array[Long](card)
+    val dict = new Array[Int](card)
     var i = 0
-    while (i < card) { dict(i) = r.readBits(widthV); i += 1 }
+    while (i < card) { dict(i) = r.readBits(widthV).toInt; i += 1 }
     val widthIdx = IntCodecs.bitsFor(card.toLong - 1)
-    val out = new Array[Long](n)
+    val out = new Array[Int](n)
     i = 0
     while (i < n) { out(i) = dict(r.readBits(widthIdx).toInt); i += 1 }
     out
@@ -329,14 +336,14 @@ final class HybridCodec(tables: SymbolTables, numContexts: Int) extends IntBlock
     */
   def estimateBits(stats: BlockStats): Long = Long.MaxValue
 
-  def exactBits(values: Array[Long], rowOffsets: Array[Int]): Long = {
+  def exactBits(values: Array[Int], rowOffsets: Array[Int]): Long = {
     var bits = 0L
     var row = 0
     while (row < rowOffsets.length - 1) {
       var last = 0L
       var i = rowOffsets(row)
       while (i < rowOffsets(row + 1)) {
-        val v = values(i)
+        val v = values(i).toLong
         bits += tables.bitCost(Hybrid.chooseContext(last, numContexts), v)
         last = v
         i += 1
@@ -346,13 +353,13 @@ final class HybridCodec(tables: SymbolTables, numContexts: Int) extends IntBlock
     bits
   }
 
-  def encode(values: Array[Long], rowOffsets: Array[Int], w: BitWriter): Unit = {
+  def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
     var row = 0
     while (row < rowOffsets.length - 1) {
       var last = 0L
       var i = rowOffsets(row)
       while (i < rowOffsets(row + 1)) {
-        val v = values(i)
+        val v = values(i).toLong
         Huffman.writeValue(tables, Hybrid.chooseContext(last, numContexts), v, w)
         last = v
         i += 1
@@ -361,15 +368,15 @@ final class HybridCodec(tables: SymbolTables, numContexts: Int) extends IntBlock
     }
   }
 
-  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Long] = {
-    val out = new Array[Long](n)
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int] = {
+    val out = new Array[Int](n)
     var row = 0
     while (row < rowOffsets.length - 1) {
       var last = 0L
       var i = rowOffsets(row)
       while (i < rowOffsets(row + 1)) {
         val v = Huffman.readValue(lut, tables.maxBits, Hybrid.chooseContext(last, numContexts), r)
-        out(i) = v
+        out(i) = v.toInt
         last = v
         i += 1
       }
@@ -388,7 +395,7 @@ object CodecSelector {
 
   /** Returns (codec, predicted payload bits). */
   def select(
-      values: Array[Long],
+      values: Array[Int],
       rowOffsets: Array[Int],
       hybrid: Option[HybridCodec]
   ): (IntBlockCodec, Long) = {
@@ -409,7 +416,7 @@ object CodecSelector {
   /** Encode a standalone integer metadata column (e.g. per-row n_tok) with
     * the best lightweight codec; payload is self-contained given the name.
     */
-  def encodeIntColumn(values: Array[Long]): (String, Array[Byte]) = {
+  def encodeIntColumn(values: Array[Int]): (String, Array[Byte]) = {
     val offsets = Array(0, values.length)
     val (codec, _) = select(values, offsets, None)
     val w = new graft.core.BitWriter(values.length / 2 + 16)
@@ -417,7 +424,7 @@ object CodecSelector {
     (codec.name, w.toBytes)
   }
 
-  def decodeIntColumn(name: String, bytes: Array[Byte], n: Int): Array[Long] = {
+  def decodeIntColumn(name: String, bytes: Array[Byte], n: Int): Array[Int] = {
     val codec: IntBlockCodec =
       if (name == PlainCodec.name) PlainCodec
       else

@@ -106,7 +106,8 @@ object GraftPipeline {
           var last = 0L
           var i = 0
           while (i < tokens.length) {
-            val v = tokens(i).toLong & 0xffffffffL
+            val v = tokens(i).toLong
+            if (v < 0) throw new IllegalArgumentException(s"negative token $v unsupported")
             hist.add(Hybrid.chooseContext(last, nCtx), v)
             last = v
             i += 1
@@ -134,19 +135,67 @@ object GraftPipeline {
   ): Dataset[EncodedBlock] = {
     val spark = ds.sparkSession
     import spark.implicits._
+
+    // Sorting by (bin, source, doc_id) keeps blocks source-homogeneous, so
+    // per-block codec selection sees the source's token distribution rather
+    // than an average over sources.
+    val binned = ds
+      .withColumn("bin", binCol(cfg.numBins, cfg.salt))
+      .repartition(cfg.numBins, $"bin")
+      .sortWithinPartitions($"bin", $"source", $"doc_id")
+      .select($"doc_id", $"tokens", $"n_tok", $"source", $"bin")
+      .as[(String, Array[Int], Int, String, Int)]
+    encodeBinned(binned, tables, cfg)
+  }
+
+  /** Persist the bin-routed, sorted layout (the Spark stand-in for an
+    * Iceberg table bucketed by doc_id hash): pay the routing shuffle once at
+    * ingest; every subsequent encode of the table is then shuffle-free via
+    * [[encodeStaged]].
+    */
+  def stageBinned(ds: Dataset[TokenRow], cfg: Config, path: String): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.withColumn("bin", binCol(cfg.numBins, cfg.salt))
+      .repartition(cfg.numBins, $"bin")
+      .sortWithinPartitions($"bin", $"source", $"doc_id")
+      .select($"doc_id", $"tokens", $"n_tok", $"source", $"bin")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Shuffle-free encode over a [[stageBinned]] layout. Requires whole-file
+    * task splits (one staged file = one bin), e.g.
+    * spark.sql.files.maxPartitionBytes sized above the largest staged file —
+    * the bucketed-table fast path: scan + kernel, no exchange.
+    */
+  def encodeStaged(
+      spark: SparkSession,
+      path: String,
+      tables: Broadcast[SymbolTables],
+      cfg: Config
+  ): Dataset[EncodedBlock] = {
+    import spark.implicits._
+    val binned = spark.read
+      .parquet(path)
+      .as[(String, Array[Int], Int, String, Int)]
+    encodeBinned(binned, tables, cfg)
+  }
+
+  private def encodeBinned(
+      binned: Dataset[(String, Array[Int], Int, String, Int)],
+      tables: Broadcast[SymbolTables],
+      cfg: Config
+  ): Dataset[EncodedBlock] = {
+    val spark = binned.sparkSession
+    import spark.implicits._
     val nCtx = cfg.numContexts
     val maxRows = cfg.maxBlockRows
     val maxValues = cfg.maxBlockValues
     val auto = cfg.autoSelect
 
-    // Sorting by (bin, source, doc_id) keeps blocks source-homogeneous, so
-    // per-block codec selection sees the source's token distribution rather
-    // than an average over sources.
-    ds.withColumn("bin", binCol(cfg.numBins, cfg.salt))
-      .repartition(cfg.numBins, $"bin")
-      .sortWithinPartitions($"bin", $"source", $"doc_id")
-      .select($"doc_id", $"tokens", $"n_tok", $"source", $"bin")
-      .as[(String, Array[Int], Int, String, Int)]
+    binned
       .mapPartitions { rows =>
         new Iterator[EncodedBlock] {
           private val hybrid = new HybridCodec(tables.value, nCtx)
@@ -193,14 +242,18 @@ object GraftPipeline {
             }
             val arrays = tokenArrays.result()
             val rowOffsets = new Array[Int](arrays.length + 1)
-            val values = new Array[Long](blockValues.toInt)
+            val values = new Array[Int](blockValues.toInt)
             var off = 0
             var ri = 0
             while (ri < arrays.length) {
               rowOffsets(ri) = off
               val a = arrays(ri)
               var i = 0
-              while (i < a.length) { values(off) = a(i).toLong & 0xffffffffL; off += 1; i += 1 }
+              while (i < a.length) {
+                if (a(i) < 0)
+                  throw new IllegalArgumentException(s"negative token ${a(i)} unsupported")
+                values(off) = a(i); off += 1; i += 1
+              }
               ri += 1
             }
             rowOffsets(arrays.length) = off
@@ -215,7 +268,7 @@ object GraftPipeline {
             val (dCodec, dPayload) = StringCodecs.select(docIds.result())
             val (sCodec, sPayload) = StringCodecs.select(sources.result())
             val (nCodec, nPayload) = CodecSelector.encodeIntColumn(
-              nToks.result().map(_.toLong)
+              nToks.result()
             )
             // deterministic per-bin sequence: bins are contiguous after the
             // within-partition sort, so a simple counter suffices

@@ -21,6 +21,10 @@ object Profile {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.props.getOrElse("graft.localdir", "/dev/shm/graft-spark-local"))
+      .config("spark.io.compression.codec", sys.props.getOrElse("graft.codec", "lz4"))
+      .config("spark.shuffle.file.buffer", sys.props.getOrElse("graft.shufbuf", "32k"))
+      .config("spark.sql.files.openCostInBytes", (256L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -53,6 +57,18 @@ object Profile {
         .agg(sum($"n_values"))
         .collect()
     )
+    // staged (shuffle-free) path at two bin granularities: separates the
+    // straggler tail (shrinks with finer bins) from true per-job overhead
+    for (bins <- Seq(128, 512)) {
+      val c = cfg.copy(numBins = bins)
+      val p = s"/dev/shm/graft_profile_staged_$bins"
+      if (!new java.io.File(p + "/_SUCCESS").exists())
+        t(s"stage_$bins")(GraftPipeline.stageBinned(input, c, p))
+      for (i <- 1 to 2)
+        t(s"encode_staged_${bins}_$i")(
+          GraftPipeline.encodeStaged(spark, p, tables, c).agg(sum($"n_values")).collect()
+        )
+    }
     spark.stop()
   }
 }

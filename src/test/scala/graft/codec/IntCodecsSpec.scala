@@ -13,17 +13,17 @@ class IntCodecsSpec extends AnyFunSuite {
     x
   }
 
-  def singleRow(values: Array[Long]): Array[Int] = Array(0, values.length)
+  def singleRow(values: Array[Int]): Array[Int] = Array(0, values.length)
 
-  val streams: Map[String, Array[Long]] = Map(
-    "uniform16bit" -> Array.tabulate(5000)(i => hash64(1, i.toLong) & 0xffffL),
-    "lowcard" -> Array.tabulate(5000)(i => (hash64(2, i.toLong) & 0x7L) * 1000L),
-    "runs" -> Array.tabulate(5000)(i => (i / 100).toLong % 7),
-    "narrowrange" -> Array.tabulate(5000)(i => 1000000L + (hash64(3, i.toLong) & 0x3fL)),
-    "constant" -> Array.fill(5000)(42L),
-    "empty" -> Array.emptyLongArray,
-    "single" -> Array(7L),
-    "maxint" -> Array.tabulate(100)(i => if (i % 2 == 0) Int.MaxValue.toLong else 0L)
+  val streams: Map[String, Array[Int]] = Map(
+    "uniform16bit" -> Array.tabulate(5000)(i => (hash64(1, i.toLong) & 0xffffL).toInt),
+    "lowcard" -> Array.tabulate(5000)(i => ((hash64(2, i.toLong) & 0x7L) * 1000L).toInt),
+    "runs" -> Array.tabulate(5000)(i => (i / 100) % 7),
+    "narrowrange" -> Array.tabulate(5000)(i => (1000000L + (hash64(3, i.toLong) & 0x3fL)).toInt),
+    "constant" -> Array.fill(5000)(42),
+    "empty" -> Array.emptyIntArray,
+    "single" -> Array(7),
+    "maxint" -> Array.tabulate(100)(i => if (i % 2 == 0) Int.MaxValue else 0)
   )
 
   val codecs: Seq[IntBlockCodec] = Seq(PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec)
@@ -46,12 +46,12 @@ class IntCodecsSpec extends AnyFunSuite {
   test("hybrid codec roundtrips with row-reset contexts; exactBits == actual") {
     val nRows = 50
     val rowOffsets = new Array[Int](nRows + 1)
-    val all = Array.newBuilder[Long]
+    val all = Array.newBuilder[Int]
     var off = 0
     for (rIdx <- 0 until nRows) {
       rowOffsets(rIdx) = off
       val len = (hash64(10, rIdx.toLong) & 0x7fL).toInt + 1
-      for (i <- 0 until len) all += (hash64(11, rIdx * 1000L + i) & 0xffffffL)
+      for (i <- 0 until len) all += (hash64(11, rIdx * 1000L + i) & 0xffffffL).toInt
       off += len
     }
     rowOffsets(nRows) = off
@@ -62,8 +62,8 @@ class IntCodecsSpec extends AnyFunSuite {
     for (rIdx <- 0 until nRows) {
       var last = 0L
       for (i <- rowOffsets(rIdx) until rowOffsets(rIdx + 1)) {
-        hist.add(Hybrid.chooseContext(last, numContexts), values(i))
-        last = values(i)
+        hist.add(Hybrid.chooseContext(last, numContexts), values(i).toLong)
+        last = values(i).toLong
       }
     }
     val tables = Huffman.buildTables(hist, 8)
@@ -76,7 +76,7 @@ class IntCodecsSpec extends AnyFunSuite {
   }
 
   test("selector picks the distribution-appropriate codec") {
-    def pick(values: Array[Long]): String =
+    def pick(values: Array[Int]): String =
       CodecSelector.select(values, singleRow(values), None)._1.name
     // constant stream: FOR with width 0 (39 bits) beats RLE's run headers
     assert(pick(streams("constant")) == "for")
@@ -89,13 +89,13 @@ class IntCodecsSpec extends AnyFunSuite {
   test("selector includes hybrid and prefers it on skewed streams") {
     val values = Array.tabulate(20000) { i =>
       val u = ((hash64(20, i.toLong) >>> 11).toDouble / (1L << 53).toDouble) max 1e-12
-      math.min(Int.MaxValue.toLong, (1.0 / math.pow(u, 2.0)).toLong)
+      math.min(Int.MaxValue.toLong, (1.0 / math.pow(u, 2.0)).toLong).toInt
     }
     val rowOffsets = singleRow(values)
     val numContexts = 32
     val hist = new Histograms(numContexts, 256)
     var last = 0L
-    values.foreach { v => hist.add(Hybrid.chooseContext(last, numContexts), v); last = v }
+    values.foreach { v => hist.add(Hybrid.chooseContext(last, numContexts), v.toLong); last = v.toLong }
     val hybrid = new HybridCodec(Huffman.buildTables(hist, 8), numContexts)
     val (codec, bits) = CodecSelector.select(values, rowOffsets, Some(hybrid))
     assert(codec.name == "hybrid", s"picked ${codec.name}")
@@ -110,12 +110,12 @@ class IntCodecsSpec extends AnyFunSuite {
   }
 
   test("BlockStats counts runs and distincts correctly") {
-    val s = BlockStats.compute(Array(5L, 5L, 5L, 2L, 2L, 9L), 0, 6)
+    val s = BlockStats.compute(Array(5, 5, 5, 2, 2, 9), 0, 6)
     assert(s.nRuns == 3)
     assert(s.maxRunLen == 3)
     assert(s.distinct == 3)
-    assert(s.distinctValues.sameElements(Array(2L, 5L, 9L)))
-    assert(s.min == 2L && s.max == 9L)
+    assert(s.distinctValues.sameElements(Array(2, 5, 9)))
+    assert(s.min == 2 && s.max == 9)
   }
 
   test("decoderFor dispatches all ids") {
