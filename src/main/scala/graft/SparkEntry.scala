@@ -248,6 +248,43 @@ object SparkEntry {
         .orderBy($"label")
     }),
 
+    // O18: random-access point lookup — decode selected docs from the
+    // COMPRESSED blocks and compare against DuckDB's recomputation of the
+    // raw derivation (proves random access through the codec stack)
+    "q_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val (_, blocksDf) = roundtrip(s, dir)
+      val blocks = blocksDf.as[graft.pipeline.EncodedBlock]
+      val rows = docTable(s, dir)
+      val ids = rows
+        .where($"doc_id" % 1013 === 0)
+        .select($"doc_id".cast("string"))
+        .collect()
+        .map(_.getString(0))
+        .toSet
+      // tables must match the ones roundtrip encoded with: rebuild from the
+      // same deterministic analyze
+      val tokenRows = rows
+        .select(
+          $"doc_id".cast("string").as("doc_id"),
+          $"tokens".cast("array<int>").as("tokens"),
+          $"n_tok",
+          $"source"
+        )
+        .as[TokenRow]
+      val tables = s.sparkContext.broadcast(
+        GraftPipeline.buildTables(GraftPipeline.analyze(tokenRows, pipelineCfg), pipelineCfg)
+      )
+      GraftPipeline
+        .lookupDocs(blocks, ids, tables, pipelineCfg)
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
     // Training-data ops: quality features per source (production
     // TextOps.withQualityFeatures, oracled by DuckDB arithmetic)
     "q_quality" -> ((s, dir) => {
@@ -484,6 +521,11 @@ object SparkEntry {
       """SELECT label, count(*) AS n_vecs, CAST(min(len(embedding)) AS BIGINT) AS min_dim,
         | CAST(max(len(embedding)) AS BIGINT) AS max_dim
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_point_lookup" ->
+      s"""$CTE
+         |SELECT doc_id, pos, token FROM tok
+         |WHERE doc_id % 1013 = 0 ORDER BY doc_id, pos""".stripMargin,
 
     "q_quality" ->
       """WITH w AS (

@@ -338,6 +338,56 @@ object GraftPipeline {
     }
   }
 
+  /** Random-access decode (the reference's random-access factory, O18,
+    * /root/reference/src/graphs/huffman_graph_decoder.rs:151-205, re-keyed):
+    * each doc's bin is recomputed from the same salted hash used at encode
+    * time, so the scan touches only those bins' blocks (an equality filter
+    * that parquet pushes down), decodes the small doc_ids metadata column to
+    * find the owning blocks, and decodes only those blocks' payloads.
+    */
+  def lookupDocs(
+      blocks: Dataset[EncodedBlock],
+      docIds: Set[String],
+      tables: Broadcast[SymbolTables],
+      cfg: Config
+  ): Dataset[TokenRow] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    // compute bins with the exact write-path expression (1-row-per-id job)
+    val bins = docIds.toSeq
+      .toDF("doc_id")
+      .select(binCol(cfg.numBins, cfg.salt))
+      .collect()
+      .map(_.getInt(0))
+      .toSet
+    val wanted = docIds
+    val nCtx = cfg.numContexts
+    val candidate = blocks.filter($"bin".isInCollection(bins))
+    candidate.mapPartitions { it =>
+      val hybrid = new HybridCodec(tables.value, nCtx)
+      it.flatMap { b =>
+        val docIdsInBlock = StringCodecs.decode(b.doc_ids_codec, b.doc_ids_payload, b.n_rows)
+        if (!docIdsInBlock.exists(wanted.contains)) Iterator.empty
+        else {
+          val codec = CodecSelector.decoderFor(codecId(b.codec), Some(hybrid))
+          val nToks = CodecSelector.decodeIntColumn(b.n_toks_codec, b.n_toks_payload, b.n_rows)
+          val sources = StringCodecs.decode(b.sources_codec, b.sources_payload, b.n_rows)
+          val rowOffsets = new Array[Int](b.n_rows + 1)
+          var off = 0
+          var i = 0
+          while (i < b.n_rows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
+          rowOffsets(b.n_rows) = off
+          val values = codec.decode(new BitReader(b.payload), off, rowOffsets)
+          (0 until b.n_rows).iterator.collect {
+            case r if wanted.contains(docIdsInBlock(r)) =>
+              val tokens = java.util.Arrays.copyOfRange(values, rowOffsets(r), rowOffsets(r + 1))
+              TokenRow(docIdsInBlock(r), tokens, nToks(r), sources(r))
+          }
+        }
+      }
+    }
+  }
+
   def codecId(name: String): Byte = name match {
     case "plain" => IntCodecs.PlainId
     case "bitpack" => IntCodecs.BitPackId

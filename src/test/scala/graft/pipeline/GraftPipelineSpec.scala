@@ -105,6 +105,40 @@ class GraftPipelineSpec extends AnyFunSuite {
     assert(metaBytes < rawStringBytes / 2, s"meta=$metaBytes raw=$rawStringBytes")
   }
 
+  test("random-access lookup decodes exactly the requested docs") {
+    import spark.implicits._
+    val wanted = input
+      .map(_.doc_id)
+      .collect()
+      .sorted
+      .zipWithIndex
+      .collect { case (id, i) if i % 97 == 0 => id }
+      .toSet
+    val got = GraftPipeline.lookupDocs(blocks, wanted, tables, cfg).collect()
+    assert(got.map(_.doc_id).toSet == wanted)
+    val expected = input.filter(r => wanted.contains(r.doc_id)).collect()
+      .map(r => r.doc_id -> r.tokens.toSeq).toMap
+    got.foreach(r => assert(r.tokens.toSeq == expected(r.doc_id), s"tokens differ for ${r.doc_id}"))
+  }
+
+  test("compressed size regression: pinned total payload bits (seed 42 corpus)") {
+    import spark.implicits._
+    val payloadBits = blocks.map(_.payload_bits).reduce(_ + _)
+    val metaBytes = blocks.map(_.meta_bytes).reduce(_ + _)
+    val tableHash = tables.value.tableHash
+    info(s"payloadBits=$payloadBits metaBytes=$metaBytes tableHash=$tableHash")
+    // Pinned golden values: byte-identical output is part of the contract
+    // (reruns, resume, any parallelism). Update deliberately if the format
+    // or selection logic changes — never silently.
+    assert(payloadBits == PinnedPayloadBits, s"payload bits drifted: $payloadBits")
+    assert(metaBytes == PinnedMetaBytes, s"meta bytes drifted: $metaBytes")
+    assert(tableHash == PinnedTableHash, s"symbol tables drifted: $tableHash")
+  }
+
+  private val PinnedPayloadBits = 3102405L
+  private val PinnedMetaBytes = 24787L
+  private val PinnedTableHash = -4203900203503182743L
+
   test("metrics aggregate to the block totals") {
     import spark.implicits._
     val m = GraftPipeline.metrics(blocks)
