@@ -41,10 +41,15 @@ final case class SymbolTables(
     h
   }
 
-  /** Exact bit cost of encoding `value` in `ctx` with these tables. */
+  /** Exact bit cost of encoding `value` in `ctx` with these tables; a
+    * symbol absent from the table (code length 0) costs a prohibitive
+    * penalty so cost-based selection never routes an un-encodable stream
+    * to the entropy coder.
+    */
   @inline def bitCost(ctx: Int, value: Long): Int = {
     val packed = Hybrid.split(value)
-    nBits(ctx)(Hybrid.splitToken(packed)).toInt + Hybrid.splitNBits(packed)
+    val nb = nBits(ctx)(Hybrid.splitToken(packed)).toInt
+    if (nb == 0) 1 << 24 else nb + Hybrid.splitNBits(packed)
   }
 }
 
@@ -261,12 +266,19 @@ object Huffman {
     lut
   }
 
-  /** Write one value: canonical code bits then raw mantissa bits. */
+  /** Write one value: canonical code bits then raw mantissa bits. Fails
+    * loudly on a symbol the tables cannot express (reference asserts the
+    * same, /root/reference/src/huffman/encoder.rs:294-297) — writing a
+    * zero-length code would silently corrupt the stream.
+    */
   @inline def writeValue(t: SymbolTables, ctx: Int, value: Long, w: BitWriter): Unit = {
     val packed = Hybrid.split(value)
     val tok = Hybrid.splitToken(packed)
     val nb = Hybrid.splitNBits(packed)
-    w.writeBits(t.codes(ctx)(tok).toLong, t.nBits(ctx)(tok).toInt)
+    val codeLen = t.nBits(ctx)(tok).toInt
+    if (codeLen == 0)
+      throw new IllegalStateException(s"value $value (token $tok) absent from tables in ctx $ctx")
+    w.writeBits(t.codes(ctx)(tok).toLong, codeLen)
     if (nb > 0) w.writeBits(Hybrid.rawBits(value, nb), nb)
   }
 

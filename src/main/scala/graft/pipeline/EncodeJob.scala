@@ -151,7 +151,11 @@ object EncodeJob {
         )
         t
       case None =>
-        val t = GraftPipeline.buildTables(GraftPipeline.analyze(input, cfg), cfg)
+        // cfg.rounds > 1 runs the reference-style iterative re-estimation
+        // (requires autoSelect — round-refined tables only cover the
+        // streams selection routes to the entropy coder)
+        require(cfg.rounds == 1 || cfg.autoSelect, "rounds > 1 requires autoSelect")
+        val t = GraftPipeline.analyzeRounds(input, cfg, cfg.rounds)
         saveTables(spark, outDir, t)
         t
     }
@@ -203,7 +207,7 @@ object EncodeJob {
       spark,
       s"$outDir/_snapshots/snap-$snapshotId.json",
       s"""{"snapshot_id":$snapshotId,"parent_id":$parentId,"table_hash":${tables.tableHash},
-         |"num_bins":${cfg.numBins},"num_contexts":${cfg.numContexts},"max_bits":${cfg.maxBits},
+         |"num_bins":${cfg.numBins},"num_contexts":${cfg.numContexts},"max_bits":${cfg.maxBits},"rounds":${cfg.rounds},
          |"salt":${cfg.salt},"bins_added":$binsJson,"bins_skipped":${done.size}}""".stripMargin
     )
 

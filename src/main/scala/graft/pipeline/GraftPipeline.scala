@@ -72,7 +72,8 @@ object GraftPipeline {
       maxBlockRows: Int = 4096,
       maxBlockValues: Int = 262144,
       salt: Long = 0x5eedL,
-      autoSelect: Boolean = true
+      autoSelect: Boolean = true,
+      rounds: Int = 1
   ) {
     require(numContexts >= 1 && numContexts <= Hybrid.MaxNumContexts)
   }
@@ -121,6 +122,70 @@ object GraftPipeline {
 
   def buildTables(hist: Histograms, cfg: Config): SymbolTables =
     Huffman.buildTables(hist, cfg.maxBits)
+
+  /** Iterative re-estimation (the reference's multi-round conversion,
+    * /root/reference/src/graphs/convert.rs:398-561, re-targeted): round-1
+    * tables are built from ALL tokens, but auto-selection then routes
+    * RLE/FOR/dict-friendly blocks away from the entropy coder — their tokens
+    * polluted the histograms. Each extra round re-collects histograms only
+    * from the streams that the previous round's tables would actually send
+    * to the hybrid codec, sharpening the tables for the data they encode.
+    */
+  def analyzeRounds(ds: Dataset[TokenRow], cfg: Config, rounds: Int): SymbolTables = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    var tables = buildTables(analyze(ds, cfg), cfg)
+    var r = 1
+    while (r < rounds) {
+      val bTables = spark.sparkContext.broadcast(tables)
+      val nCtx = cfg.numContexts
+      val nSym = 1 << cfg.maxBits
+      // dry-run round: encode with the current tables, then collect
+      // histograms from exactly the streams block-level selection routed to
+      // the entropy coder (decode them back — the blocks ARE those streams).
+      // Huffman optimality over that union guarantees the next tables'
+      // total over those blocks is <= this round's, and selection only
+      // reroutes a block when it strictly shrinks, so total size is
+      // monotonically non-increasing across rounds.
+      val flat = encode(ds, bTables, cfg)
+        .filter(_.codec == "hybrid")
+        .mapPartitions { it =>
+          val hybrid = new HybridCodec(bTables.value, nCtx)
+          val hist = new Histograms(nCtx, nSym)
+          it.foreach { b =>
+            val nToks = CodecSelector.decodeIntColumn(b.n_toks_codec, b.n_toks_payload, b.n_rows)
+            val rowOffsets = new Array[Int](b.n_rows + 1)
+            var off = 0
+            var i = 0
+            while (i < b.n_rows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
+            rowOffsets(b.n_rows) = off
+            val values = hybrid.decode(new BitReader(b.payload), off, rowOffsets)
+            var row = 0
+            while (row < b.n_rows) {
+              var last = 0L
+              var k = rowOffsets(row)
+              while (k < rowOffsets(row + 1)) {
+                val v = values(k).toLong
+                hist.add(Hybrid.chooseContext(last, nCtx), v)
+                last = v
+                k += 1
+              }
+              row += 1
+            }
+          }
+          Iterator.single(hist.flat)
+        }
+        // union a zero histogram so reduce is total even when no block
+        // chose the hybrid codec
+        .union(spark.createDataset(Seq(new Histograms(nCtx, nSym).flat)))
+        .reduce(Histograms.mergeFlat _)
+      val refined = Histograms.fromFlat(flat, nCtx, nSym)
+      // if nothing routed to hybrid, keep the previous round's tables
+      if (refined.total > 0) tables = buildTables(refined, cfg)
+      r += 1
+    }
+    tables
+  }
 
   /** Pass 2: deterministic block encode. Rows are routed to their bin
     * (salted hash of doc_id), sorted within partitions by (bin, doc_id), and

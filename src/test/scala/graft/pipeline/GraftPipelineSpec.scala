@@ -139,6 +139,19 @@ class GraftPipelineSpec extends AnyFunSuite {
   private val PinnedMetaBytes = 24787L
   private val PinnedTableHash = -4203900203503182743L
 
+  test("round-2 re-estimation shrinks (or matches) the encoded size and stays lossless") {
+    import spark.implicits._
+    val tables2 = spark.sparkContext.broadcast(GraftPipeline.analyzeRounds(input, cfg, rounds = 2))
+    val blocks2 = GraftPipeline.encode(input, tables2, cfg).cache()
+    val bits1 = blocks.map(_.payload_bits).reduce(_ + _)
+    val bits2 = blocks2.map(_.payload_bits).reduce(_ + _)
+    assert(bits2 <= bits1, s"round-2 $bits2 > round-1 $bits1")
+    val decoded = GraftPipeline.decode(blocks2, tables2, cfg)
+    assert(GraftPipeline.verify(input, decoded) == 0L)
+    info(f"round1=$bits1 bits, round2=$bits2 bits (${(bits1 - bits2) * 100.0 / bits1}%.2f%% smaller)")
+    blocks2.unpersist()
+  }
+
   test("metrics aggregate to the block totals") {
     import spark.implicits._
     val m = GraftPipeline.metrics(blocks)

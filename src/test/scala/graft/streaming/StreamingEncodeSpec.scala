@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.pipeline.{GraftPipeline, SparkTestBase, TokenRow, TokenTables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class StreamingEncodeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  val cfg = GraftPipeline.Config(numContexts = 16, numBins = 8, maxBlockRows = 128)
+
+  test("micro-batch streaming encode: all batches decode back losslessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft-stream").toString
+
+    val corpus = TokenTables.synthetic(spark, 400L, seed = 11L).collect()
+    val bootstrap = spark.createDataset(corpus.toSeq)
+    val tables = spark.sparkContext.broadcast(
+      GraftPipeline.buildTables(GraftPipeline.analyze(bootstrap, cfg), cfg)
+    )
+
+    val input = MemoryStream[TokenRow]
+    val query = StreamingEncode.start(input.toDS(), outDir, tables, cfg)
+    try {
+      input.addData(corpus.take(150).toSeq)
+      query.processAllAvailable()
+      input.addData(corpus.slice(150, 400).toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val blocks = StreamingEncode.readBlocks(spark, outDir)
+    val decoded = GraftPipeline.decode(blocks, tables, cfg)
+    assert(GraftPipeline.verify(bootstrap, decoded) == 0L)
+  }
+
+  test("windowed token counts with watermark aggregate per source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val stream = input.toDF().toDF("ts", "source", "n_tok")
+    val counts = StreamingEncode.windowedTokenCounts(stream, "1 minute", "2 minutes")
+    val query = counts.writeStream
+      .format("memory")
+      .queryName("wtc")
+      .outputMode("update")
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:10")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:00:50")
+      val t2 = java.sql.Timestamp.valueOf("2026-01-01 10:01:20")
+      input.addData((t0, "web", 100), (t1, "web", 50), (t2, "code", 7))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT source, n_docs, n_tokens FROM wtc ORDER BY source").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+        Set(("web", 2L, 150L), ("code", 1L, 7L)))
+    } finally query.stop()
+  }
+}
