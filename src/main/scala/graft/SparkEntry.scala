@@ -118,11 +118,11 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
-    // O1+O3: hybrid-token histogram via the production split function
+    // O1+O3: hybrid-token histogram via the codegen'd Catalyst expression
     "q_token_histogram" -> ((s, dir) => {
       import s.implicits._
       tok(s, dir)
-        .withColumn("hybrid_token", hybridTokenUdf($"token").cast("long"))
+        .withColumn("hybrid_token", graft.functions.HieToken.hie_token($"token").cast("long"))
         .groupBy($"hybrid_token")
         .agg(count(lit(1)).as("freq"))
         .orderBy($"hybrid_token")
