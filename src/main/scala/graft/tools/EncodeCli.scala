@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.pipeline.{EncodeJob, GraftPipeline, TokenRow, TokenTables}
+import org.apache.spark.sql.SparkSession
+
+/** The spark-submit-able encode job (north-rule launch surface):
+  * reads a token table, runs the resumable checkpointed encode into
+  * `outDir`, prints the snapshot summary. Re-running resumes: committed
+  * bins are skipped, output stays byte-identical.
+  *
+  * Usage:
+  *   runMain graft.tools.EncodeCli synth:<rows> <outDir> [numBins] [rounds]
+  *   runMain graft.tools.EncodeCli lineitem:<sfDir> <outDir> [numBins] [rounds]
+  *   runMain graft.tools.EncodeCli parquet:<path> <outDir> [numBins] [rounds]
+  */
+object EncodeCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: EncodeCli <input> <outDir> [numBins] [rounds]")
+    val spark = SparkSession
+      .builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-encode")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val numBins = if (args.length > 2) args(2).toInt else 64
+    val rounds = if (args.length > 3) args(3).toInt else 1
+    val cfg = GraftPipeline.Config(numBins = numBins, rounds = rounds)
+
+    val input = args(0) match {
+      case s if s.startsWith("synth:") =>
+        TokenTables.synthetic(spark, s.stripPrefix("synth:").toLong)
+      case s if s.startsWith("lineitem:") =>
+        import org.apache.spark.sql.functions.col
+        TokenTables
+          .fromLineitem(spark, s.stripPrefix("lineitem:"))
+          .select(
+            col("doc_id").cast("string").as("doc_id"),
+            col("tokens").cast("array<int>").as("tokens"),
+            col("n_tok"),
+            col("source")
+          )
+          .as[TokenRow]
+      case s if s.startsWith("parquet:") =>
+        spark.read.parquet(s.stripPrefix("parquet:")).as[TokenRow]
+      case other => sys.error(s"unknown input spec $other")
+    }
+
+    val result = EncodeJob.run(input, args(1), cfg)
+    val manifest = spark.read.parquet(s"${args(1)}/_manifest")
+    import org.apache.spark.sql.functions._
+    val row = manifest
+      .agg(
+        sum($"n_rows").as("rows"),
+        sum($"n_values").as("tokens"),
+        sum($"payload_bits").as("bits"),
+        sum($"payload_bytes").as("bytes")
+      )
+      .head()
+    println(
+      s"snapshot=${result.snapshotId} encoded_bins=${result.binsEncoded.size} " +
+        s"skipped_bins=${result.binsSkipped.size} table_hash=${result.tableHash} " +
+        s"rows=${row.getLong(0)} tokens=${row.getLong(1)} payload_bits=${row.getLong(2)} " +
+        s"bytes=${row.getLong(3)} bits_per_token=${row.getLong(2).toDouble / math.max(row.getLong(1), 1)}"
+    )
+    spark.stop()
+  }
+}
