@@ -155,7 +155,7 @@ object Bench {
     var best32s = Double.MaxValue
     var tok8 = 0L
     var tok32 = 0L
-    for (round <- 1 to 2) {
+    for (round <- 1 to 3) {
       val s8 = session(4)
       val (t8, _, sec8) =
         try encodeRun(s8, synthPath, cfg)
