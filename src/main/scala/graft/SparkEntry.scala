@@ -392,6 +392,19 @@ object SparkEntry {
         .orderBy($"kind")
     }),
 
+    // Rows-only: embedding-cosine near-dup summary (LSH candidates +
+    // exact-cosine filter; 1-row agg)
+    "q_cosine_neardups" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Ann
+        .cosineNearDups(emb, threshold = 0.5)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(max($"cosine"), lit(0.0)).as("max_cosine")
+        )
+    }),
+
     // Rows-only: LSH ANN agreement with brute force (recall@5 as a count)
     "q_ann_lsh_recall" -> ((s, dir) => {
       import s.implicits._

@@ -47,6 +47,52 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    * generate candidates (equi-join on signature, never all-pairs), exact
+    * cosine filters at `threshold`. The embedding-space member of the dedup
+    * family (alongside exact / MinHash / SimHash / n-gram Jaccard).
+    */
+  def cosineNearDups(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      nPlanes: Int = 8,
+      nTables: Int = 6,
+      seed: Long = 0x5eedL
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val tablesDf = spark.range(nTables).select(col("id").cast("int").as("lsh_table"))
+    val sigUdf = udf { (emb: Seq[Float], table: Int) =>
+      var sig = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0.0
+        var d = 0
+        while (d < emb.length) {
+          val r = TextOps.mix64(seed ^ (table.toLong << 48) ^ (p.toLong << 32) ^ d.toLong)
+          dot += (if ((r & 1L) == 0L) emb(d) else -emb(d))
+          d += 1
+        }
+        if (dot > 0) sig |= 1L << p
+        p += 1
+      }
+      sig
+    }
+    val banded = corpus
+      .crossJoin(tablesDf)
+      .withColumn("bucket", sigUdf(col("embedding"), col("lsh_table")))
+      .select(col("lsh_table"), col("bucket"), col("vec_id"), col("embedding"))
+    val a = banded.select(col("lsh_table"), col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = banded.select(col("lsh_table"), col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("lsh_table", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"))
+      .distinct()
+      .withColumn("cosine", cosineUdf(col("emb_a"), col("emb_b")))
+      .where(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Deterministic random-hyperplane signature: bit p = sign of the dot
     * product with a seeded Rademacher (+/-1) plane.
     */

@@ -126,6 +126,16 @@ class OpsSpec extends AnyFunSuite {
     assert(sameCluster >= 36, s"only $sameCluster/40 same-cluster neighbors")
   }
 
+  test("embedding-cosine near-dups finds same-cluster pairs, none below threshold") {
+    import spark.implicits._
+    val pairs = Ann.cosineNearDups(embeddings, threshold = 0.9, nPlanes = 6, nTables = 6).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("cosine") >= 0.9))
+    // clustered corpus: high-cosine pairs should be overwhelmingly same-cluster
+    val sameCluster = pairs.count(r => r.getLong(0) / 100 == r.getLong(1) / 100)
+    assert(sameCluster.toDouble / pairs.length >= 0.9, s"$sameCluster/${pairs.length}")
+  }
+
   test("LSH top-k recalls most of brute-force top-k") {
     import spark.implicits._
     val queries = embeddings.where($"vec_id" % 100 === 0)
