@@ -1,9 +1,10 @@
 package graft
 
 import graft.codec.{BlockStats, CodecSelector}
-import graft.core.{Histograms, Hybrid}
+import graft.core.{Histograms, Hybrid, SymbolTables}
 import graft.pipeline.{EncodedBlock, GraftPipeline, TokenRow, TokenTables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,8 +34,6 @@ object SparkEntry {
   private def duckBitsFor(col: String): String =
     s"(CASE WHEN $col <= 0 THEN 0 ELSE length(bin($col)) END)"
 
-  private val hybridTokenUdf = udf((t: Long) => Hybrid.token(t))
-
   /** Per-doc lightweight codec selection via the production CodecSelector. */
   private val codecChoiceUdf = udf { tokens: Seq[Long] =>
     val values = tokens.map(_.toInt).toArray
@@ -51,26 +50,47 @@ object SparkEntry {
   val pipelineCfg: GraftPipeline.Config =
     GraftPipeline.Config(numContexts = 64, numBins = 32, maxBlockRows = 2048, maxBlockValues = 131072)
 
+  /** One shared encode of the derived corpus per (session, sfDir): analyze →
+    * broadcast tables → cached blocks, with the join-verify computed lazily.
+    * Every query that touches the compressed corpus (q_roundtrip_verify,
+    * q_point_lookup, …) reuses this instead of re-running analyze+encode.
+    */
+  final class EncodedCorpus(s: SparkSession, dir: String) {
+    val rows: Dataset[TokenRow] = {
+      import s.implicits._
+      docTable(s, dir)
+        .select(
+          $"doc_id".cast("string").as("doc_id"),
+          $"tokens".cast("array<int>").as("tokens"),
+          $"n_tok",
+          $"source"
+        )
+        .as[TokenRow]
+    }
+    val tables: Broadcast[SymbolTables] =
+      s.sparkContext.broadcast(
+        GraftPipeline.buildTables(GraftPipeline.analyze(rows, pipelineCfg), pipelineCfg)
+      )
+    val blocks: Dataset[EncodedBlock] =
+      GraftPipeline.encode(rows, tables, pipelineCfg).cache()
+    lazy val mismatches: Long =
+      GraftPipeline.verify(rows, GraftPipeline.decode(blocks, tables, pipelineCfg))
+  }
+
+  private val corpusCache =
+    scala.collection.concurrent.TrieMap[(Int, String), EncodedCorpus]()
+
+  def encodedCorpus(s: SparkSession, dir: String): EncodedCorpus =
+    corpusCache.getOrElseUpdate((System.identityHashCode(s), dir), new EncodedCorpus(s, dir))
+
   /** Full encode->decode->verify of the derived token table; the engine's
     * flagship E2E path (analyze, broadcast tables, block encode with codec
     * auto-selection, parallel decode, join-verify).
     */
   def roundtrip(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val rows = docTable(s, dir)
-      .select(
-        $"doc_id".cast("string").as("doc_id"),
-        $"tokens".cast("array<int>").as("tokens"),
-        $"n_tok",
-        $"source"
-      )
-      .as[TokenRow]
-    val hist = GraftPipeline.analyze(rows, pipelineCfg)
-    val tables = s.sparkContext.broadcast(GraftPipeline.buildTables(hist, pipelineCfg))
-    val blocks = GraftPipeline.encode(rows, tables, pipelineCfg).cache()
-    val decoded = GraftPipeline.decode(blocks, tables, pipelineCfg)
-    val mismatches = GraftPipeline.verify(rows, decoded)
-    val summary = blocks
+    val ec = encodedCorpus(s, dir)
+    val summary = ec.blocks
       .groupBy($"codec")
       .agg(
         count(lit(1)).as("n_blocks"),
@@ -78,9 +98,9 @@ object SparkEntry {
         sum($"n_values").as("n_values"),
         sum($"payload_bits").as("payload_bits")
       )
-      .withColumn("n_mismatches", lit(mismatches))
+      .withColumn("n_mismatches", lit(ec.mismatches))
       .orderBy($"codec")
-    (summary, blocks.toDF())
+    (summary, ec.blocks.toDF())
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -137,9 +157,12 @@ object SparkEntry {
         .withColumn("prev", lag($"token", 1).over(w))
         .withColumn(
           "ctx",
-          least(hybridTokenUdf(coalesce($"prev", lit(0L))).cast("long"), lit(63L))
+          least(
+            graft.functions.HieToken.hie_token(coalesce($"prev", lit(0L))).cast("long"),
+            lit(63L)
+          )
         )
-        .withColumn("hybrid_token", hybridTokenUdf($"token").cast("long"))
+        .withColumn("hybrid_token", graft.functions.HieToken.hie_token($"token").cast("long"))
         .groupBy($"ctx", $"hybrid_token")
         .agg(count(lit(1)).as("freq"))
         .orderBy($"ctx", $"hybrid_token")
@@ -253,30 +276,15 @@ object SparkEntry {
     // raw derivation (proves random access through the codec stack)
     "q_point_lookup" -> ((s, dir) => {
       import s.implicits._
-      val (_, blocksDf) = roundtrip(s, dir)
-      val blocks = blocksDf.as[graft.pipeline.EncodedBlock]
-      val rows = docTable(s, dir)
-      val ids = rows
+      val ec = encodedCorpus(s, dir)
+      val ids = docTable(s, dir)
         .where($"doc_id" % 1013 === 0)
         .select($"doc_id".cast("string"))
         .collect()
         .map(_.getString(0))
         .toSet
-      // tables must match the ones roundtrip encoded with: rebuild from the
-      // same deterministic analyze
-      val tokenRows = rows
-        .select(
-          $"doc_id".cast("string").as("doc_id"),
-          $"tokens".cast("array<int>").as("tokens"),
-          $"n_tok",
-          $"source"
-        )
-        .as[TokenRow]
-      val tables = s.sparkContext.broadcast(
-        GraftPipeline.buildTables(GraftPipeline.analyze(tokenRows, pipelineCfg), pipelineCfg)
-      )
       GraftPipeline
-        .lookupDocs(blocks, ids, tables, pipelineCfg)
+        .lookupDocs(ec.blocks, ids, ec.tables, pipelineCfg)
         .select(
           $"doc_id".cast("long").as("doc_id"),
           posexplode($"tokens").as(Seq("pos0", "token"))

@@ -107,6 +107,9 @@ final class BitReader(bytes: Array[Byte], startBit: Long = 0L) {
   /** Read n (0..57) bits, LSB first; bits past EOF read as 0. */
   def readBits(n: Int): Long = {
     if (n == 0) return 0L
+    // refill() only guarantees 57 buffered bits; a wider read would silently
+    // drop its top bits and desynchronize the stream — fail loudly instead.
+    require(n <= 57, s"readBits supports 0..57 bits, got $n")
     if (accBits < n) refill()
     val v = acc & (if (n >= 64) -1L else (1L << n) - 1)
     val consumed = math.min(n, accBits)

@@ -55,7 +55,17 @@ final case class SymbolTables(
 
 object Huffman {
 
-  /** Bits used in the header for each symbol's code length (len-1). */
+  /** Bits used in the header for each symbol's code length (len-1).
+    *
+    * Deliberate deviation from the reference: its `compute_symbol_len_bits`
+    * (/root/reference/src/huffman/common.rs:24-26) uses `usize::BITS` (64) as
+    * the minuend, yielding 35 bits per length field at maxBits=8 — almost
+    * certainly an upstream bug for `u32::BITS`. We use the minimal width
+    * (ceil(log2(maxBits)) = 3 at maxBits=8). Both sides of OUR header
+    * read/write agree; graft headers are NOT byte-interchangeable with
+    * reference artifacts (payload bit format and sizes still match — the
+    * header is metadata, excluded from the payload-size comparisons).
+    */
   def symbolLenBits(maxBits: Int): Int =
     64 - java.lang.Long.numberOfLeadingZeros((maxBits - 1).toLong).toInt
 

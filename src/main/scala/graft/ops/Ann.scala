@@ -57,7 +57,8 @@ object Ann {
       threshold: Double = 0.95,
       nPlanes: Int = 8,
       nTables: Int = 6,
-      seed: Long = 0x5eedL
+      seed: Long = 0x5eedL,
+      maxBucket: Int = 1024
   ): DataFrame = {
     val spark = corpus.sparkSession
     val tablesDf = spark.range(nTables).select(col("id").cast("int").as("lsh_table"))
@@ -77,10 +78,17 @@ object Ann {
       }
       sig
     }
+    // capped bucket self-join: a degenerate bucket (zero vectors, clustered
+    // corpora) of m members emits m²/2 pairs — drop buckets above maxBucket
+    // (members still pair through other tables), same as Dedup.capBuckets
+    val bw = Window.partitionBy(col("lsh_table"), col("bucket"))
     val banded = corpus
       .crossJoin(tablesDf)
       .withColumn("bucket", sigUdf(col("embedding"), col("lsh_table")))
       .select(col("lsh_table"), col("bucket"), col("vec_id"), col("embedding"))
+      .withColumn("__bucket_size", count(lit(1)).over(bw))
+      .where(col("__bucket_size") <= maxBucket)
+      .drop("__bucket_size")
     val a = banded.select(col("lsh_table"), col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = banded.select(col("lsh_table"), col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("lsh_table", "bucket"))
@@ -122,7 +130,8 @@ object Ann {
       k: Int,
       nPlanes: Int = 12,
       nTables: Int = 4,
-      seed: Long = 0x5eedL
+      seed: Long = 0x5eedL,
+      maxBucket: Int = 4096
   ): DataFrame = {
     val spark = corpus.sparkSession
     val tablesDf = spark.range(nTables).select(col("id").cast("int").as("lsh_table"))
@@ -143,10 +152,16 @@ object Ann {
       }
       sig
     }
+    // cap hot corpus buckets: candidate volume per query is the sum of its
+    // bucket sizes, so one degenerate bucket would dominate every probe
+    val bw = Window.partitionBy(col("lsh_table"), col("bucket"))
     val c = corpus
       .crossJoin(tablesDf)
       .withColumn("bucket", sigUdf(col("embedding"), col("lsh_table")))
       .select(col("lsh_table"), col("bucket"), col("vec_id"), col("embedding"))
+      .withColumn("__bucket_size", count(lit(1)).over(bw))
+      .where(col("__bucket_size") <= maxBucket)
+      .drop("__bucket_size")
     val q = queries
       .crossJoin(tablesDf)
       .withColumn("bucket", sigUdf(col("embedding"), col("lsh_table")))

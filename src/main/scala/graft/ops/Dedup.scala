@@ -8,8 +8,27 @@ import org.apache.spark.sql.functions._
   * scale: exact dedup is a hash group-by; MinHash+LSH and SimHash generate
   * candidate pairs via bucket equi-joins (shuffle on the bucket key — never
   * an all-pairs comparison), then verify candidates exactly.
+  *
+  * Every bucket join is CAPPED: a degenerate bucket (empty texts, boilerplate
+  * pages, zero vectors) of m members would otherwise emit m²/2 pairs onto one
+  * shuffle partition — at 100 TB a single hot bucket is billions of rows.
+  * Buckets above `maxBucket` are dropped before the self-join (the standard
+  * "stop bucket" treatment, same as the df<=50 stop-shingle cap in
+  * [[ngramJaccardPairs]]); members of a dropped bucket still pair through
+  * their other bands/tables.
   */
 object Dedup {
+
+  /** Drop bucket groups larger than `cap` before a bucket self-join. One
+    * window over the same key the join shuffles on — no extra exchange.
+    */
+  private[ops] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded
+      .withColumn("__bucket_size", count(lit(1)).over(w))
+      .where(col("__bucket_size") <= cap)
+      .drop("__bucket_size")
+  }
 
   /** Exact duplicate accounting by content hash (xxhash64 group-by). */
   def exact(docs: DataFrame): DataFrame = {
@@ -51,7 +70,7 @@ object Dedup {
     * on the band key; pairs are built per bucket (buckets are small when
     * bands/rows are sized for the target similarity).
     */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int = 16): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, bands: Int = 16, maxBucket: Int = 1024): DataFrame = {
     val bandUdf = udf { (sig: Seq[Long], band: Int) =>
       val rows = sig.length / bands
       var h = 0x9e3779b97f4a7c15L ^ band.toLong
@@ -59,10 +78,14 @@ object Dedup {
       while (i < (band + 1) * rows) { h = TextOps.mix64(h ^ sig(i)); i += 1 }
       h
     }
-    val banded = sigs
-      .select(col("doc_id"), col("minhash"))
-      .crossJoin(spark_range_bands(sigs, bands))
-      .withColumn("bucket", bandUdf(col("minhash"), col("band")))
+    val banded = capBuckets(
+      sigs
+        .select(col("doc_id"), col("minhash"))
+        .crossJoin(spark_range_bands(sigs, bands))
+        .withColumn("bucket", bandUdf(col("minhash"), col("band"))),
+      Seq("band", "bucket"),
+      maxBucket
+    )
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bucket"))
@@ -81,10 +104,13 @@ object Dedup {
     pairs
       .join(sa, "doc_a")
       .join(sb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", when(col("uni") > 0, col("inter") / col("uni")).otherwise(0.0))
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(0.0)
+      )
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
 
   /** Full MinHash near-dup pipeline: signatures -> LSH candidates -> exact
@@ -95,12 +121,15 @@ object Dedup {
       threshold: Double = 0.5,
       k: Int = 64,
       bands: Int = 16,
-      shingleN: Int = 3
+      shingleN: Int = 3,
+      maxBucket: Int = 1024
   ): DataFrame = {
     val sigs = minhashSignatures(docs, k, shingleN)
-    val candidates = lshCandidatePairs(sigs, bands)
+    val candidates = lshCandidatePairs(sigs, bands, maxBucket)
+    // integer threshold test (inter/uni are exact set sizes) so the filter is
+    // reproducible in any engine without floating-point comparison
     jaccard(candidates, sigs.select("doc_id", "shingles"))
-      .where(col("jaccard") >= threshold)
+      .where(col("uni") > 0 && col("inter").cast("double") >= col("uni") * threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -108,13 +137,17 @@ object Dedup {
     * keys (Hamming distance <= 3 guarantees an exact match in at least one
     * band), verified by exact Hamming distance.
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     val sigs = docs
       .withColumn("simhash", TextOps.simhashUdf(TextOps.wordsCol(col("text"))))
       .select(col("doc_id"), col("simhash"))
-    val banded = sigs
-      .crossJoin(spark_range_bands(sigs, 4))
-      .withColumn("bucket", expr("(simhash >> (band * 16)) & 65535"))
+    val banded = capBuckets(
+      sigs
+        .crossJoin(spark_range_bands(sigs, 4))
+        .withColumn("bucket", expr("(simhash >> (band * 16)) & 65535")),
+      Seq("band", "bucket"),
+      maxBucket
+    )
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
     a.join(b, Seq("band", "bucket"))

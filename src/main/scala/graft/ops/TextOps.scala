@@ -105,14 +105,17 @@ object TextOps {
 
   /** Quality features: word count, characters sans spaces, mean word length
     * scaled x100 (integer — cross-engine safe), share of short words x1000.
+    * word_count/chars_nospace count spaces directly (space-count + 1 /
+    * length minus spaces) rather than via split(), so multi-space and
+    * leading/trailing-space text yields the same numbers in any engine.
     */
   def withQualityFeatures(docs: DataFrame): DataFrame = {
     docs
       .withColumn("words", wordsCol(col("text")))
-      .withColumn("word_count", size(col("words")).cast("long"))
+      .withColumn("chars_nospace", length(regexp_replace(col("text"), " ", "")).cast("long"))
       .withColumn(
-        "chars_nospace",
-        (length(col("text")) - (size(col("words")) - 1)).cast("long")
+        "word_count",
+        (length(col("text")) - col("chars_nospace") + 1).cast("long")
       )
       .withColumn(
         "mean_word_len_x100",

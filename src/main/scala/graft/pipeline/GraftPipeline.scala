@@ -91,6 +91,11 @@ object GraftPipeline {
     * primitive loop, merges them with an element-wise-sum reduce — Spark's
     * partial+final aggregation, the same algebra as the reference's per-thread
     * `add_all` merge (/root/reference/src/graphs/convert.rs:156-262).
+    *
+    * Partials merge via `treeReduce(depth=2)`, not a flat reduce: one partial
+    * is numContexts×numSymbols longs (128 KiB at 64×256); at 100 TB (~1e5
+    * tasks) a flat reduce would funnel ~12 GB into the driver, while the tree
+    * inserts an executor-side combine layer (O(sqrt(tasks)) driver ingress).
     */
   def analyze(ds: Dataset[TokenRow], cfg: Config): Histograms = {
     val spark = ds.sparkSession
@@ -116,7 +121,8 @@ object GraftPipeline {
         }
         Iterator.single(hist.flat)
       }
-      .reduce(Histograms.mergeFlat _)
+      .rdd
+      .treeReduce(Histograms.mergeFlat _, depth = 2)
     Histograms.fromFlat(flat, nCtx, nSym)
   }
 
@@ -178,7 +184,8 @@ object GraftPipeline {
         // union a zero histogram so reduce is total even when no block
         // chose the hybrid codec
         .union(spark.createDataset(Seq(new Histograms(nCtx, nSym).flat)))
-        .reduce(Histograms.mergeFlat _)
+        .rdd
+        .treeReduce(Histograms.mergeFlat _, depth = 2)
       val refined = Histograms.fromFlat(flat, nCtx, nSym)
       // if nothing routed to hybrid, keep the previous round's tables
       if (refined.total > 0) tables = buildTables(refined, cfg)
@@ -292,6 +299,13 @@ object GraftPipeline {
               if (r == null) { continue = false; done = !hasNext }
               else {
                 val (docId, tokens, nTok, source, bin) = r
+                // the n_tok column is untrusted input (EncodeCli accepts
+                // arbitrary parquet); a mismatch vs the actual array length
+                // would silently shift every row boundary at decode
+                if (nTok != tokens.length)
+                  throw new IllegalArgumentException(
+                    s"row $docId: n_tok=$nTok != tokens.length=${tokens.length}"
+                  )
                 if (blockRows == 0) blockBin = bin
                 val fits = blockRows == 0 ||
                   (bin == blockBin && blockRows < maxRows &&

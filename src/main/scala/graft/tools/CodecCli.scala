@@ -13,7 +13,6 @@ import graft.core._
 object CodecCli {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: CodecCli <input.txt> [maxBits] [numContexts]")
-    val maxBits = if (args.length > 1) args(1).toInt else Hybrid.DefaultMaxBits
     val numContexts = if (args.length > 2) args(2).toInt else 64
     require(numContexts >= 1 && numContexts <= Hybrid.MaxNumContexts, "numContexts in 1..256")
 
@@ -22,6 +21,20 @@ object CodecCli {
       try src.mkString.split("\\s+").iterator.filter(_.nonEmpty).map(_.toLong).toArray
       finally src.close()
     require(values.forall(_ >= 0), "values must be non-negative")
+    // raw mantissa width is bounded by BitReader's 57-bit read contract
+    val maxValue = if (values.isEmpty) 0L else values.max
+    require(
+      Hybrid.tokenNBits(Hybrid.token(maxValue)) <= 57,
+      s"value $maxValue needs more than 57 raw bits — beyond the bit reader's contract"
+    )
+    // derive the symbol-space width from the data unless explicitly given:
+    // the default 8 only covers tokens of values < 2^34
+    val maxBits =
+      if (args.length > 1) args(1).toInt else Hybrid.requiredMaxBits(maxValue)
+    require(
+      (1 << maxBits) > Hybrid.maxTokenFor(maxValue),
+      s"maxBits=$maxBits cannot express token ${Hybrid.maxTokenFor(maxValue)} (value $maxValue)"
+    )
 
     val hist = new Histograms(numContexts, 1 << maxBits)
     var last = 0L
