@@ -34,6 +34,20 @@ object SparkEntry {
   private def duckBitsFor(col: String): String =
     s"(CASE WHEN $col <= 0 THEN 0 ELSE length(bin($col)) END)"
 
+  // ---- DuckDB twins of the text-dedup hash chain (graft.ops.XHash /
+  // TextOps) — shared CTE computing the 62-bit word hash per (doc, pos).
+  private val X = graft.ops.XHash
+  private val duckWordHashCte: String =
+    s"""words AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(string_split(text, ' ')))) AS j,
+       |         string_split(text, ' ') AS ws
+       |  FROM documents
+       |), wraw AS (
+       |  SELECT doc_id, j, ${X.sqlHashCharsRaw("ws[j]")} AS hr FROM words
+       |), wh AS (
+       |  SELECT doc_id, j, ${X.sqlMix62("hr")} AS word_hash FROM wraw
+       |)""".stripMargin
+
   /** Per-doc lightweight codec selection via the production CodecSelector. */
   private val codecChoiceUdf = udf { tokens: Seq[Long] =>
     val values = tokens.map(_.toInt).toArray
@@ -325,33 +339,32 @@ object SparkEntry {
     // Correctness asserted inside: n_mismatches column must be 0.
     "q_roundtrip_verify" -> ((s, dir) => roundtrip(s, dir)._1),
 
-    // Rows-only: MinHash+LSH near-dup summary on documents (1-row agg,
-    // self-validated by exact Jaccard inside the op)
+    // MinHash+LSH near-dups (production op: 64 minhashes over word 3-gram
+    // shingles, 16 capped band buckets, exact Jaccard filter). The DuckDB
+    // oracle recomputes the full signature/banding/jaccard chain in the
+    // cross-engine 62-bit hash domain; inter/uni are exact set sizes.
     "q_minhash_neardups" -> ((s, dir) => {
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.ops.Dedup
         .minhashNearDups(docs, threshold = 0.2)
-        .agg(
-          count(lit(1)).as("n_near_dup_pairs"),
-          coalesce(max($"jaccard"), lit(0.0)).as("max_jaccard"),
-          coalesce(min($"jaccard"), lit(0.0)).as("min_jaccard")
-        )
+        .select($"doc_a".cast("long"), $"doc_b".cast("long"), $"inter", $"uni")
+        .orderBy($"doc_a", $"doc_b")
     }),
 
-    // Rows-only: SimHash near-dup summary
+    // SimHash near-dups (production op: 62-bit simhash, 4 capped 16-bit
+    // band buckets, exact Hamming filter); fully oracle-recomputed.
     "q_simhash_neardups" -> ((s, dir) => {
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.ops.Dedup
         .simhashNearDups(docs, maxHamming = 10)
-        .agg(
-          count(lit(1)).as("n_candidate_pairs"),
-          coalesce(min($"hamming"), lit(-1)).as("min_hamming")
-        )
+        .select($"doc_a".cast("long"), $"doc_b".cast("long"), $"hamming".cast("long"))
+        .orderBy($"doc_a", $"doc_b")
     }),
 
-    // Rows-only: language-ID heuristic vs the labeled lang column
+    // Language-ID heuristic vs the labeled lang column (stopword argmax,
+    // ties broken toward the lexicographically greatest language)
     "q_lang_id" -> ((s, dir) => {
       import s.implicits._
       s.read
@@ -362,16 +375,14 @@ object SparkEntry {
         .orderBy($"lang", $"detected")
     }),
 
-    // Rows-only: document fingerprint collision accounting
+    // Per-document rolling-hash fingerprints (62-bit FNV fold + mix)
     "q_fingerprints" -> ((s, dir) => {
       import s.implicits._
       s.read
         .parquet(s"$dir/documents.parquet")
         .withColumn("fp", graft.ops.TextOps.fingerprintUdf($"text"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          countDistinct($"fp").as("n_distinct_fingerprints")
-        )
+        .select($"doc_id", $"fp")
+        .orderBy($"doc_id")
     }),
 
     // Rows-only: brute-force cosine top-5 for one query vector per label
@@ -567,6 +578,88 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN w.chars_nospace * 100 // w.word_count > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_worded
         |FROM w LEFT JOIN sw USING (doc_id)
         |GROUP BY w.source ORDER BY w.source""".stripMargin,
+
+    "q_fingerprints" ->
+      s"""WITH fr AS (SELECT doc_id, ${X.sqlHashCharsRaw("text")} AS hr FROM documents)
+         |SELECT doc_id, ${X.sqlMix62("hr")} AS fp FROM fr ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      def inList(lang: String): String =
+        graft.ops.TextOps.stopwords(lang).toSeq.sorted.map(w => s"'$w'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS wd FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  sum(CASE WHEN wd IN (${inList("en")}) THEN 1 ELSE 0 END) AS c_en,
+         |  sum(CASE WHEN wd IN (${inList("es")}) THEN 1 ELSE 0 END) AS c_es,
+         |  sum(CASE WHEN wd IN (${inList("de")}) THEN 1 ELSE 0 END) AS c_de,
+         |  sum(CASE WHEN wd IN (${inList("fr")}) THEN 1 ELSE 0 END) AS c_fr
+         |  FROM w GROUP BY 1, 2),
+         |d AS (SELECT lang, CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'en'
+         |  WHEN c_fr = greatest(c_en, c_es, c_de, c_fr) THEN 'fr'
+         |  WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+         |  WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+         |  ELSE 'de' END AS detected FROM c)
+         |SELECT lang, detected, count(*) AS n_docs FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q_simhash_neardups" ->
+      s"""WITH $duckWordHashCte,
+         |bits AS (
+         |  SELECT doc_id, b, sum(CASE WHEN (word_hash >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM wh, (SELECT unnest(generate_series(0, 61)) AS b) bs GROUP BY 1, 2
+         |),
+         |sig AS (SELECT doc_id,
+         |        CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM bits GROUP BY 1),
+         |banded AS (SELECT doc_id, band, (simhash >> (band * 16)) & 65535 AS bucket
+         |           FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) bd),
+         |kept AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1024),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM kept a JOIN kept b USING (band, bucket) WHERE a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 10
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_minhash_neardups" ->
+      s"""WITH $duckWordHashCte,
+         |sh3 AS (
+         |  SELECT doc_id, word_hash AS w1,
+         |         lead(word_hash, 1) OVER (PARTITION BY doc_id ORDER BY j) AS w2,
+         |         lead(word_hash, 2) OVER (PARTITION BY doc_id ORDER BY j) AS w3
+         |  FROM wh
+         |),
+         |shf1 AS (SELECT doc_id, w2, w3, ${X.sqlMix62(s"xor(${X.FoldInit}, w1)")} AS f1 FROM sh3 WHERE w3 IS NOT NULL),
+         |shf2 AS (SELECT doc_id, w3, ${X.sqlMix62("xor(f1, w2)")} AS f2 FROM shf1),
+         |shingles AS (SELECT DISTINCT doc_id, ${X.sqlMix62("xor(f2, w3)")} AS shingle FROM shf2),
+         |shsize AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+         |salts AS (SELECT i, ${X.sqlMix62("(24301 + i)")} AS salt FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+         |sigv AS (SELECT s.doc_id, t.i, min(${X.sqlMix62("xor(s.shingle, t.salt)")}) AS sig
+         |         FROM shingles s, salts t GROUP BY 1, 2),
+         |alldocs AS (SELECT DISTINCT doc_id FROM documents),
+         |sigfull AS (SELECT d.doc_id, t.i, coalesce(v.sig, ${X.Mask62}) AS sig
+         |            FROM alldocs d CROSS JOIN salts t
+         |            LEFT JOIN sigv v ON v.doc_id = d.doc_id AND v.i = t.i),
+         |buckets AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         list_reduce(list_prepend(xor(CAST(${X.FoldInit} AS BIGINT), i // 4), list(sig ORDER BY i)),
+         |                     (h, v) -> ${X.sqlFoldStep("h", "v")}) AS bucket
+         |  FROM sigfull GROUP BY doc_id, band
+         |),
+         |kept AS (SELECT * FROM buckets QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1024),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM kept a JOIN kept b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+         |inters AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |           FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b, CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         |       CAST(coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0) AS BIGINT) AS uni
+         |FROM cand c
+         |LEFT JOIN inters i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |LEFT JOIN shsize sa ON sa.doc_id = c.doc_a
+         |LEFT JOIN shsize sb ON sb.doc_id = c.doc_b
+         |WHERE coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0) > 0
+         |  AND coalesce(i.inter, 0) >= (coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0)) * 0.2
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_subword_tokens" ->
       """WITH words AS (

@@ -42,16 +42,25 @@ object Dedup {
       .where(col("n_copies") > 1)
   }
 
-  /** MinHash signatures: k seeded min-hashes over word n-gram shingles. */
+  /** Per-permutation salt for MinHash (cross-engine: see [[XHash]]). */
+  def minhashSalt(i: Int): Long = XHash.mix62(0x5eedL + i)
+
+  /** MinHash signatures: k seeded min-hashes over word n-gram shingles.
+    * Permutation i is the 62-bit bijection s -> mix62(s ^ salt_i); an empty
+    * shingle set yields the max-62-bit sentinel in every slot (the DuckDB
+    * oracle's coalesce default — NOT Long.MaxValue, which exceeds the
+    * cross-engine domain).
+    */
   def minhashSignatures(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame = {
+    val salts = Array.tabulate(k)(minhashSalt)
     val sigUdf = udf { shingles: Seq[Long] =>
-      if (shingles == null || shingles.isEmpty) Array.fill(k)(Long.MaxValue)
+      if (shingles == null || shingles.isEmpty) Array.fill(k)(XHash.Mask62)
       else {
-        val sig = Array.fill(k)(Long.MaxValue)
+        val sig = Array.fill(k)(XHash.Mask62)
         shingles.foreach { s =>
           var i = 0
           while (i < k) {
-            val h = TextOps.mix64(s ^ (i.toLong * 0xbf58476d1ce4e5b9L + 0x2545f4914f6cdd1dL))
+            val h = XHash.mix62(s ^ salts(i))
             if (h < sig(i)) sig(i) = h
             i += 1
           }
@@ -73,9 +82,9 @@ object Dedup {
   def lshCandidatePairs(sigs: DataFrame, bands: Int = 16, maxBucket: Int = 1024): DataFrame = {
     val bandUdf = udf { (sig: Seq[Long], band: Int) =>
       val rows = sig.length / bands
-      var h = 0x9e3779b97f4a7c15L ^ band.toLong
+      var h = XHash.FoldInit ^ band.toLong
       var i = band * rows
-      while (i < (band + 1) * rows) { h = TextOps.mix64(h ^ sig(i)); i += 1 }
+      while (i < (band + 1) * rows) { h = XHash.mix62(h ^ sig(i)); i += 1 }
       h
     }
     val banded = capBuckets(

@@ -17,12 +17,10 @@ object TextOps {
     z ^ (z >>> 31)
   }
 
-  def hashWord(w: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < w.length) { h ^= w.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    mix64(h)
-  }
+  /** Word hash in the cross-engine 62-bit domain (see [[XHash]]) so the
+    * DuckDB oracle can recompute every dedup signature exactly.
+    */
+  def hashWord(w: String): Long = XHash.hashChars(w)
 
   /** Whitespace word split as a column. */
   def wordsCol(text: Column): Column = split(text, " ")
@@ -35,54 +33,51 @@ object TextOps {
     else text.split(" ").iterator.map(w => (w.length + 3L) / 4L).sum
   }
 
-  /** Word n-gram shingle hashes (distinct) — the dedup unit. */
+  /** Word n-gram shingle hashes (distinct, sorted) — the dedup unit.
+    * Each shingle = XHash.fold of its word hashes (oracle-recomputable).
+    */
   def shingleUdf(n: Int) = udf { words: Seq[String] =>
     if (words == null || words.length < n) Array.empty[Long]
     else
       words
         .sliding(n)
-        .map { gram =>
-          var h = 0x9e3779b97f4a7c15L
-          gram.foreach(w => h = mix64(h ^ hashWord(w)))
-          h
-        }
+        .map(gram => XHash.fold(gram.iterator.map(hashWord).toArray))
         .toArray
         .distinct
         .sorted
   }
 
-  /** 64-bit SimHash over word hashes. */
+  /** SimHash over word hashes: 62 signature bits (the cross-engine hash
+    * domain; bits 62/63 unused).
+    */
+  val SimhashBits = 62
   val simhashUdf = udf { words: Seq[String] =>
     if (words == null || words.isEmpty) 0L
     else {
-      val counts = new Array[Int](64)
+      val counts = new Array[Int](SimhashBits)
       words.foreach { w =>
         val h = hashWord(w)
         var b = 0
-        while (b < 64) {
+        while (b < SimhashBits) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
       }
       var sig = 0L
       var b = 0
-      while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+      while (b < SimhashBits) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
       sig
     }
   }
 
-  /** Polynomial rolling hash of the whole text (document fingerprint). */
+  /** Rolling-hash document fingerprint (FNV-1a fold over all chars + mix,
+    * 62-bit domain — oracle-recomputable).
+    */
   val fingerprintUdf = udf { text: String =>
-    if (text == null) 0L
-    else {
-      var h = 0L
-      var i = 0
-      while (i < text.length) { h = h * 1315423911L + text.charAt(i); i += 1 }
-      mix64(h)
-    }
+    if (text == null) 0L else XHash.hashChars(text)
   }
 
-  private val stopwords: Map[String, Set[String]] = Map(
+  val stopwords: Map[String, Set[String]] = Map(
     "en" -> Set("the", "a", "of", "and", "to", "in", "is", "on"),
     "es" -> Set("el", "la", "de", "y", "en", "es", "un", "que"),
     "de" -> Set("der", "die", "das", "und", "in", "ist", "ein", "zu"),
