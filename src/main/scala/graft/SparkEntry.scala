@@ -48,6 +48,38 @@ object SparkEntry {
        |  SELECT doc_id, j, ${X.sqlMix62("hr")} AS word_hash FROM wraw
        |)""".stripMargin
 
+  // ---- DuckDB twins of the quantized ANN scoring (graft.ops.Ann) ----
+  /** qe = floor(x*1000 + 0.5) per element (Ann.quantize). */
+  private val duckQuant =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+
+  /** Exact integer-quantized cosine (Ann.icos) over two BIGINT lists. */
+  private def duckIcos(qa: String, qb: String): String =
+    s"""(CASE WHEN CAST(list_sum(list_transform($qa, x -> x*x)) AS BIGINT) = 0
+       | OR CAST(list_sum(list_transform($qb, x -> x*x)) AS BIGINT) = 0 THEN 0
+       | ELSE CAST(floor(CAST(list_sum(list_transform(generate_series(1, len($qa)), d -> $qa[d] * $qb[d])) AS BIGINT) * 1000000.0
+       |   / sqrt(CAST(CAST(list_sum(list_transform($qa, x -> x*x)) AS BIGINT) * CAST(list_sum(list_transform($qb, x -> x*x)) AS BIGINT) AS DOUBLE))) AS BIGINT) END)""".stripMargin
+      .replaceAll("\n", " ")
+
+  /** Random-hyperplane signature CTE (Ann.planeSig): per (vec, table) a
+    * bucket of nPlanes sign bits, each from the XHash.mix62 Rademacher
+    * draw for (table<<20 | plane<<10 | d).
+    */
+  private def duckSigCte(nPlanes: Int, nTables: Int): String = {
+    val base =
+      s"xor(xor(${graft.ops.Ann.DefaultSeed}, CAST(t AS BIGINT) << 20), xor(CAST(p AS BIGINT) << 10, CAST(d AS BIGINT)))"
+    s"""sigrows AS (
+       |  SELECT vec_id, t, p,
+       |    CAST(list_sum(list_transform(generate_series(1, len(qe)), d ->
+       |      CASE WHEN (${X.sqlMix62(base)}) & 1 = 0 THEN qe[d] ELSE -qe[d] END)) AS BIGINT) AS dotp
+       |  FROM qc, (SELECT unnest(generate_series(0, ${nTables - 1})) AS t),
+       |       (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS p)
+       |), sigs AS (
+       |  SELECT vec_id, t, CAST(sum(CASE WHEN dotp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM sigrows GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
   /** Per-doc lightweight codec selection via the production CodecSelector. */
   private val codecChoiceUdf = udf { tokens: Seq[Long] =>
     val values = tokens.map(_.toInt).toArray
@@ -385,7 +417,9 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // Rows-only: brute-force cosine top-5 for one query vector per label
+    // Brute-force cosine top-5 in the quantized integer-cosine domain —
+    // the DuckDB oracle recomputes scores and the total (icos desc, vec_id)
+    // ranking exactly
     "q_ann_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -411,20 +445,17 @@ object SparkEntry {
         .orderBy($"kind")
     }),
 
-    // Rows-only: embedding-cosine near-dup summary (LSH candidates +
-    // exact-cosine filter; 1-row agg)
+    // Embedding-cosine near-dups: capped random-hyperplane LSH candidates +
+    // exact quantized-cosine filter; oracle recomputes signatures, caps,
+    // candidate join and scores
     "q_cosine_neardups" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.ops.Ann
-        .cosineNearDups(emb, threshold = 0.5)
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          coalesce(max($"cosine"), lit(0.0)).as("max_cosine")
-        )
+      graft.ops.Ann.cosineNearDups(emb, threshold = 0.3)
     }),
 
-    // Rows-only: LSH ANN agreement with brute force (recall@5 as a count)
+    // LSH ANN agreement with brute force (recall@5 as a count); the oracle
+    // recomputes BOTH top-k sides and the semi-join count
     "q_ann_lsh_recall" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -432,10 +463,10 @@ object SparkEntry {
       val exact = graft.ops.Ann
         .bruteForceTopK(emb, queries, k = 5)
         .select($"query_id", $"neighbor_id")
-      // bucket granularity ~ corpus_size / 2^nPlanes: keep ≥ ~8 vectors
-      // per bucket so candidates exist (6 planes for the small testdata)
+      // bucket granularity ~ corpus_size / 2^nPlanes: 4 planes keeps
+      // candidate sets large enough for useful recall on the testdata
       val approx = graft.ops.Ann
-        .lshTopK(emb, queries, k = 5, nPlanes = 6, nTables = 8)
+        .lshTopK(emb, queries, k = 5, nPlanes = 4, nTables = 8)
         .select($"query_id", $"neighbor_id")
       exact
         .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
@@ -660,6 +691,49 @@ object SparkEntry {
          |WHERE coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0) > 0
          |  AND coalesce(i.inter, 0) >= (coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0)) * 0.2
          |ORDER BY 1, 2""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH qc AS (SELECT vec_id, $duckQuant AS qe FROM embeddings),
+         |qq AS (SELECT vec_id AS query_id, qe AS query_qe FROM qc WHERE vec_id < 5),
+         |icosed AS (SELECT query_id, vec_id, ${duckIcos("c.qe", "q.query_qe")} AS icos
+         |           FROM qc c, qq q WHERE c.vec_id != q.query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY icos DESC, vec_id) AS rank FROM icosed)
+         |SELECT query_id, vec_id AS neighbor_id, icos, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_cosine_neardups" -> {
+      val minIcos = (0.3 * graft.ops.Ann.IcosScale).toLong // same rounding as the op
+      s"""WITH qc AS (SELECT vec_id, $duckQuant AS qe FROM embeddings),
+         |${duckSigCte(nPlanes = 8, nTables = 6)},
+         |kept AS (SELECT * FROM sigs QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 1024),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM kept a JOIN kept b USING (t, bucket) WHERE a.vec_id < b.vec_id),
+         |icosed AS (SELECT c.vec_a, c.vec_b, ${duckIcos("ea.qe", "eb.qe")} AS icos
+         |           FROM cand c JOIN qc ea ON ea.vec_id = c.vec_a JOIN qc eb ON eb.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, icos, CAST(icos AS DOUBLE) / 1000000.0 AS cosine
+         |FROM icosed WHERE icos >= $minIcos ORDER BY 1, 2""".stripMargin
+    },
+
+    "q_ann_lsh_recall" ->
+      s"""WITH qc AS (SELECT vec_id, $duckQuant AS qe FROM embeddings),
+         |qq AS (SELECT vec_id AS query_id, qe AS query_qe FROM qc WHERE vec_id < 5),
+         |exact_icos AS (SELECT query_id, vec_id, ${duckIcos("c.qe", "q.query_qe")} AS icos
+         |               FROM qc c, qq q WHERE c.vec_id != q.query_id),
+         |exact AS (SELECT query_id, vec_id AS neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY icos DESC, vec_id) AS rank FROM exact_icos)
+         |  WHERE rank <= 5),
+         |${duckSigCte(nPlanes = 4, nTables = 8)},
+         |kept AS (SELECT * FROM sigs QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 4096),
+         |qsig AS (SELECT vec_id AS query_id, t, bucket FROM sigs WHERE vec_id < 5),
+         |cands AS (SELECT DISTINCT q.query_id, k.vec_id
+         |          FROM qsig q JOIN kept k USING (t, bucket) WHERE k.vec_id != q.query_id),
+         |aicos AS (SELECT c.query_id, c.vec_id, ${duckIcos("ea.qe", "eq.qe")} AS icos
+         |          FROM cands c JOIN qc ea ON ea.vec_id = c.vec_id JOIN qc eq ON eq.vec_id = c.query_id),
+         |approx AS (SELECT query_id, vec_id AS neighbor_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY icos DESC, vec_id) AS rank FROM aicos)
+         |  WHERE rank <= 5)
+         |SELECT count(*) AS n_recalled_of_25 FROM exact e SEMI JOIN approx a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id""".stripMargin,
 
     "q_subword_tokens" ->
       """WITH words AS (

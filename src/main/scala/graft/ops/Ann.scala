@@ -7,12 +7,25 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>). Brute-force cosine top-k is the exact baseline
   * (broadcast the query set, never the corpus); the LSH variant
-  * (random-hyperplane signatures + bucket join) is the scale path —
+  * (random-hyperplane signatures + capped bucket join) is the scale path —
   * candidates come from an equi-join on signature buckets, so the corpus
   * is never all-pairs compared.
+  *
+  * Scoring runs in a QUANTIZED integer domain: embeddings quantize to
+  * qe[d] = floor(x*1000 + 0.5) (exact in any engine), and similarity is
+  * icos = floor(dot * 1e6 / sqrt(|a|²·|b|²)) — dot and the squared norms
+  * are exact 64-bit integers below 2^53, so the double ops (sqrt, one
+  * divide, one multiply, floor) are IEEE-correctly-rounded and produce the
+  * SAME value on every platform/engine. That makes ANN results (and their
+  * tie-breaking order) reproducible bit-for-bit and recomputable by the
+  * DuckDB oracle — which a float-summation cosine is not.
   */
 object Ann {
 
+  /** icos unit: icos = cosine * 1e6, floored. */
+  val IcosScale = 1000000L
+
+  /** Plain float cosine (for exploratory use; NOT the oracle-checked path). */
   val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
     var dot = 0.0
     var na = 0.0
@@ -28,91 +41,49 @@ object Ann {
     if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 
-  /** Exact brute-force top-k: broadcast the (small) query set against the
-    * corpus, score with cosine, keep k per query via a window.
-    */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(
-      col("vec_id").as("query_id"),
-      col("embedding").as("query_emb")
-    )
-    val scored = corpus
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineUdf(col("embedding"), col("query_emb")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+  /** qe[d] = floor(x*1000 + 0.5) — round-half-up, exact cross-engine. */
+  @inline def quantize(x: Float): Long = math.floor(x.toDouble * 1000.0 + 0.5).toLong
+
+  val quantizeUdf = udf { emb: Seq[Float] =>
+    if (emb == null) Array.empty[Long] else emb.iterator.map(quantize).toArray
   }
 
-  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
-    * generate candidates (equi-join on signature, never all-pairs), exact
-    * cosine filters at `threshold`. The embedding-space member of the dedup
-    * family (alongside exact / MinHash / SimHash / n-gram Jaccard).
+  /** Deterministic integer-quantized cosine (see object doc). Requires
+    * |qe| <= ~1100 per element and dim <= ~512 so all integer intermediates
+    * stay below 2^53 (exact as doubles).
     */
-  def cosineNearDups(
-      corpus: DataFrame,
-      threshold: Double = 0.95,
-      nPlanes: Int = 8,
-      nTables: Int = 6,
-      seed: Long = 0x5eedL,
-      maxBucket: Int = 1024
-  ): DataFrame = {
-    val spark = corpus.sparkSession
-    val tablesDf = spark.range(nTables).select(col("id").cast("int").as("lsh_table"))
-    val sigUdf = udf { (emb: Seq[Float], table: Int) =>
-      var sig = 0L
-      var p = 0
-      while (p < nPlanes) {
-        var dot = 0.0
-        var d = 0
-        while (d < emb.length) {
-          val r = TextOps.mix64(seed ^ (table.toLong << 48) ^ (p.toLong << 32) ^ d.toLong)
-          dot += (if ((r & 1L) == 0L) emb(d) else -emb(d))
-          d += 1
-        }
-        if (dot > 0) sig |= 1L << p
-        p += 1
-      }
-      sig
+  def icos(a: Array[Long], b: Array[Long]): Long = {
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i)
+      na += a(i) * a(i)
+      nb += b(i) * b(i)
+      i += 1
     }
-    // capped bucket self-join: a degenerate bucket (zero vectors, clustered
-    // corpora) of m members emits m²/2 pairs — drop buckets above maxBucket
-    // (members still pair through other tables), same as Dedup.capBuckets
-    val bw = Window.partitionBy(col("lsh_table"), col("bucket"))
-    val banded = corpus
-      .crossJoin(tablesDf)
-      .withColumn("bucket", sigUdf(col("embedding"), col("lsh_table")))
-      .select(col("lsh_table"), col("bucket"), col("vec_id"), col("embedding"))
-      .withColumn("__bucket_size", count(lit(1)).over(bw))
-      .where(col("__bucket_size") <= maxBucket)
-      .drop("__bucket_size")
-    val a = banded.select(col("lsh_table"), col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = banded.select(col("lsh_table"), col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("lsh_table", "bucket"))
-      .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"))
-      .distinct()
-      .withColumn("cosine", cosineUdf(col("emb_a"), col("emb_b")))
-      .where(col("cosine") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
-      .orderBy(col("vec_a"), col("vec_b"))
+    if (na == 0L || nb == 0L) 0L
+    else math.floor(dot.toDouble * 1000000.0 / math.sqrt((na * nb).toDouble)).toLong
   }
 
-  /** Deterministic random-hyperplane signature: bit p = sign of the dot
-    * product with a seeded Rademacher (+/-1) plane.
+  val icosUdf = udf { (a: Seq[Long], b: Seq[Long]) => icos(a.toArray, b.toArray) }
+
+  /** Random-hyperplane signature over the quantized embedding: bit p of
+    * table `table` is set iff sum_d(±qe[d]) > 0, with the Rademacher sign
+    * for (table, p, d) drawn from XHash.mix62 (cross-engine exact). Field
+    * layout table<<20 / p<<10 / (d+1) keeps distinct triples distinct.
     */
-  def planeSignatureUdf(nPlanes: Int, seed: Long) = udf { emb: Seq[Float] =>
+  def planeSig(qe: Array[Long], table: Int, nPlanes: Int, seed: Long): Long = {
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
-      var dot = 0.0
+      var dot = 0L
       var d = 0
-      while (d < emb.length) {
-        val r = TextOps.mix64(seed ^ (p.toLong << 32) ^ d.toLong)
-        dot += (if ((r & 1L) == 0L) emb(d) else -emb(d))
+      while (d < qe.length) {
+        val r = XHash.mix62(seed ^ (table.toLong << 20) ^ (p.toLong << 10) ^ (d + 1).toLong)
+        dot += (if ((r & 1L) == 0L) qe(d) else -qe(d))
         d += 1
       }
       if (dot > 0) sig |= 1L << p
@@ -121,8 +92,78 @@ object Ann {
     sig
   }
 
-  /** LSH ANN: signature buckets (multiple rotations widen recall), exact
-    * cosine within candidates, top-k per query.
+  def planeSigUdf(nPlanes: Int, seed: Long) = udf { (qe: Seq[Long], table: Int) =>
+    planeSig(qe.toArray, table, nPlanes, seed)
+  }
+
+  val DefaultSeed: Long = 0x5eedL // 24301, below the p<<10 field
+
+  /** Exact brute-force top-k: broadcast the (small) query set against the
+    * corpus, score with icos, keep k per query via a window. Ordering
+    * (icos desc, vec_id) is a total deterministic order.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"),
+      quantizeUdf(col("embedding")).as("query_qe")
+    )
+    val scored = corpus
+      .withColumn("qe", quantizeUdf(col("embedding")))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("icos", icosUdf(col("qe"), col("query_qe")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("icos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("icos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    * generate candidates (capped equi-join, never all-pairs), exact icos
+    * filters at `threshold` (compared as icos >= floor-scaled threshold).
+    * The embedding-space member of the dedup family.
+    */
+  def cosineNearDups(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      nPlanes: Int = 8,
+      nTables: Int = 6,
+      seed: Long = DefaultSeed,
+      maxBucket: Int = 1024
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val tablesDf = spark.range(nTables).select(col("id").cast("int").as("lsh_table"))
+    val sig = planeSigUdf(nPlanes, seed)
+    // capped bucket self-join: a degenerate bucket (zero vectors, clustered
+    // corpora) of m members emits m²/2 pairs — drop buckets above maxBucket
+    // (members still pair through other tables), same as Dedup.capBuckets
+    val bw = Window.partitionBy(col("lsh_table"), col("bucket"))
+    val banded = corpus
+      .withColumn("qe", quantizeUdf(col("embedding")))
+      .crossJoin(tablesDf)
+      .withColumn("bucket", sig(col("qe"), col("lsh_table")))
+      .select(col("lsh_table"), col("bucket"), col("vec_id"), col("qe"))
+      .withColumn("__bucket_size", count(lit(1)).over(bw))
+      .where(col("__bucket_size") <= maxBucket)
+      .drop("__bucket_size")
+    val a = banded.select(col("lsh_table"), col("bucket"), col("vec_id").as("vec_a"), col("qe").as("qe_a"))
+    val b = banded.select(col("lsh_table"), col("bucket"), col("vec_id").as("vec_b"), col("qe").as("qe_b"))
+    val minIcos = (threshold * IcosScale).toLong
+    a.join(b, Seq("lsh_table", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("qe_a"), col("qe_b"))
+      .distinct()
+      .withColumn("icos", icosUdf(col("qe_a"), col("qe_b")))
+      .where(col("icos") >= minIcos)
+      .withColumn("cosine", col("icos").cast("double") / IcosScale.toDouble)
+      .select(col("vec_a"), col("vec_b"), col("icos"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** LSH ANN: signature buckets (multiple tables widen recall), exact icos
+    * within candidates, top-k per query. Hot corpus buckets are capped —
+    * candidate volume per query is the sum of its bucket sizes.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -130,58 +171,42 @@ object Ann {
       k: Int,
       nPlanes: Int = 12,
       nTables: Int = 4,
-      seed: Long = 0x5eedL,
+      seed: Long = DefaultSeed,
       maxBucket: Int = 4096
   ): DataFrame = {
     val spark = corpus.sparkSession
     val tablesDf = spark.range(nTables).select(col("id").cast("int").as("lsh_table"))
-    // per-table seeds give each LSH table distinct planes
-    val sigUdf = udf { (emb: Seq[Float], table: Int) =>
-      var sig = 0L
-      var p = 0
-      while (p < nPlanes) {
-        var dot = 0.0
-        var d = 0
-        while (d < emb.length) {
-          val r = TextOps.mix64(seed ^ (table.toLong << 48) ^ (p.toLong << 32) ^ d.toLong)
-          dot += (if ((r & 1L) == 0L) emb(d) else -emb(d))
-          d += 1
-        }
-        if (dot > 0) sig |= 1L << p
-        p += 1
-      }
-      sig
-    }
-    // cap hot corpus buckets: candidate volume per query is the sum of its
-    // bucket sizes, so one degenerate bucket would dominate every probe
+    val sig = planeSigUdf(nPlanes, seed)
     val bw = Window.partitionBy(col("lsh_table"), col("bucket"))
     val c = corpus
+      .withColumn("qe", quantizeUdf(col("embedding")))
       .crossJoin(tablesDf)
-      .withColumn("bucket", sigUdf(col("embedding"), col("lsh_table")))
-      .select(col("lsh_table"), col("bucket"), col("vec_id"), col("embedding"))
+      .withColumn("bucket", sig(col("qe"), col("lsh_table")))
+      .select(col("lsh_table"), col("bucket"), col("vec_id"), col("qe"))
       .withColumn("__bucket_size", count(lit(1)).over(bw))
       .where(col("__bucket_size") <= maxBucket)
       .drop("__bucket_size")
     val q = queries
+      .withColumn("query_qe", quantizeUdf(col("embedding")))
       .crossJoin(tablesDf)
-      .withColumn("bucket", sigUdf(col("embedding"), col("lsh_table")))
+      .withColumn("bucket", sig(col("query_qe"), col("lsh_table")))
       .select(
         col("lsh_table"),
         col("bucket"),
         col("vec_id").as("query_id"),
-        col("embedding").as("query_emb")
+        col("query_qe")
       )
     val candidates = c
       .join(broadcast(q), Seq("lsh_table", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("query_emb"), col("vec_id"), col("embedding"))
+      .select(col("query_id"), col("query_qe"), col("vec_id"), col("qe"))
       .distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("icos").desc, col("vec_id"))
     candidates
-      .withColumn("cosine", cosineUdf(col("embedding"), col("query_emb")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("icos", icosUdf(col("qe"), col("query_qe")))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("icos"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 }
