@@ -427,8 +427,11 @@ object SparkEntry {
       graft.ops.Ann.bruteForceTopK(emb, queries, k = 5)
     }),
 
-    // Rows-only: multimodal binary-column plumbing (stubbed decode) —
-    // per-kind feature extraction accounting
+    // Multimodal decode: synthesize real BMP/WAV/GFTV containers from the
+    // documents table, PARSE them back (headers + padding-aware content
+    // walks), and emit per-media features. The oracle recomputes every
+    // feature closed-form (dims/rates from n_chars, content sums from the
+    // XHash byte chain) — a wrong parser offset fails the compare.
     "q_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       val media = graft.ops.BinaryOps.mediaFromDocuments(
@@ -436,13 +439,11 @@ object SparkEntry {
       )
       graft.ops.BinaryOps
         .extractFeatures(media)
-        .groupBy($"kind")
-        .agg(
-          count(lit(1)).as("n_media"),
-          sum($"n_bytes").as("total_bytes"),
-          sum($"frames_sampled").as("total_frames")
+        .select(
+          $"media_id", $"kind", $"n_bytes", $"width", $"height",
+          $"rate", $"n_units", $"frames_sampled", $"content_sum"
         )
-        .orderBy($"kind")
+        .orderBy($"media_id")
     }),
 
     // Embedding-cosine near-dups: capped random-hyperplane LSH candidates +
@@ -734,6 +735,51 @@ object SparkEntry {
          |  WHERE rank <= 5)
          |SELECT count(*) AS n_recalled_of_25 FROM exact e SEMI JOIN approx a
          |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id""".stripMargin,
+
+    "q_multimodal_features" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, n_chars, doc_id % 3 AS k, ${X.sqlMix62("doc_id")} AS dseed FROM documents
+         |),
+         |img AS (SELECT doc_id, dseed, 4 + n_chars % 29 AS w, 3 + n_chars % 17 AS h FROM m WHERE k = 0),
+         |img_sum AS (
+         |  SELECT doc_id, CAST(sum(${X.sqlMix62("xor(dseed, i)")} & 255) AS BIGINT) AS cs
+         |  FROM (SELECT doc_id, dseed, unnest(generate_series(0, w*3*h - 1)) AS i FROM img) GROUP BY 1
+         |),
+         |img_f AS (
+         |  SELECT i.doc_id AS media_id, 'image' AS kind,
+         |    CAST(54 + ((w*3 + 3) // 4 * 4) * h AS BIGINT) AS n_bytes,
+         |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |    CAST(24 AS BIGINT) AS rate, CAST(h AS BIGINT) AS n_units,
+         |    CAST((h + 3) // 4 AS BIGINT) AS frames_sampled, s.cs AS content_sum
+         |  FROM img i JOIN img_sum s ON s.doc_id = i.doc_id
+         |),
+         |aud AS (SELECT doc_id, dseed, 8000 + (n_chars % 5) * 4000 AS sr, 64 + n_chars % 200 AS ns FROM m WHERE k = 1),
+         |aud_sum AS (
+         |  SELECT doc_id, CAST(sum(abs((${X.sqlMix62("xor(dseed, i)")} & 65535) - 32768)) AS BIGINT) AS cs
+         |  FROM (SELECT doc_id, dseed, unnest(generate_series(0, ns - 1)) AS i FROM aud) GROUP BY 1
+         |),
+         |aud_f AS (
+         |  SELECT a.doc_id AS media_id, 'audio' AS kind,
+         |    CAST(44 + 2*ns AS BIGINT) AS n_bytes, CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+         |    CAST(sr AS BIGINT) AS rate, CAST(ns AS BIGINT) AS n_units,
+         |    CAST((ns + 3) // 4 AS BIGINT) AS frames_sampled, s.cs AS content_sum
+         |  FROM aud a JOIN aud_sum s ON s.doc_id = a.doc_id
+         |),
+         |vid AS (SELECT doc_id, dseed, 8 + n_chars % 8 AS w, 6 + n_chars % 6 AS h,
+         |               12 + (n_chars % 2) * 12 AS fps, 4 + n_chars % 12 AS nf FROM m WHERE k = 2),
+         |vid_sum AS (
+         |  SELECT doc_id, CAST(sum(${X.sqlMix62("xor(dseed, i)")} & 255) AS BIGINT) AS cs
+         |  FROM (SELECT doc_id, dseed, unnest(generate_series(0, nf*w*h - 1)) AS i FROM vid) GROUP BY 1
+         |),
+         |vid_f AS (
+         |  SELECT v.doc_id AS media_id, 'video' AS kind,
+         |    CAST(20 + nf*w*h AS BIGINT) AS n_bytes, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |    CAST(fps AS BIGINT) AS rate, CAST(nf AS BIGINT) AS n_units,
+         |    CAST((nf + 3) // 4 AS BIGINT) AS frames_sampled, s.cs AS content_sum
+         |  FROM vid v JOIN vid_sum s ON s.doc_id = v.doc_id
+         |)
+         |SELECT * FROM img_f UNION ALL SELECT * FROM aud_f UNION ALL SELECT * FROM vid_f
+         |ORDER BY media_id""".stripMargin,
 
     "q_subword_tokens" ->
       """WITH words AS (
