@@ -101,33 +101,48 @@ object SparkEntry {
     * Every query that touches the compressed corpus (q_roundtrip_verify,
     * q_point_lookup, …) reuses this instead of re-running analyze+encode.
     */
-  final class EncodedCorpus(s: SparkSession, dir: String) {
-    val rows: Dataset[TokenRow] = {
-      import s.implicits._
-      docTable(s, dir)
-        .select(
-          $"doc_id".cast("string").as("doc_id"),
-          $"tokens".cast("array<int>").as("tokens"),
-          $"n_tok",
-          $"source"
-        )
-        .as[TokenRow]
-    }
+  private def tokenRows(s: SparkSession, dir: String): Dataset[TokenRow] = {
+    import s.implicits._
+    docTable(s, dir)
+      .select(
+        $"doc_id".cast("string").as("doc_id"),
+        $"tokens".cast("array<int>").as("tokens"),
+        $"n_tok",
+        $"source"
+      )
+      .as[TokenRow]
+  }
+
+  final class EncodedCorpus(s: SparkSession, dir: String, cfg: GraftPipeline.Config) {
+    val rows: Dataset[TokenRow] = tokenRows(s, dir)
     val tables: Broadcast[SymbolTables] =
       s.sparkContext.broadcast(
-        GraftPipeline.buildTables(GraftPipeline.analyze(rows, pipelineCfg), pipelineCfg)
+        GraftPipeline.buildTables(GraftPipeline.analyze(rows, cfg), cfg)
       )
     val blocks: Dataset[EncodedBlock] =
-      GraftPipeline.encode(rows, tables, pipelineCfg).cache()
+      GraftPipeline.encode(rows, tables, cfg).cache()
     lazy val mismatches: Long =
-      GraftPipeline.verify(rows, GraftPipeline.decode(blocks, tables, pipelineCfg))
+      GraftPipeline.verify(rows, GraftPipeline.decode(blocks, tables, cfg))
   }
 
   private val corpusCache =
-    scala.collection.concurrent.TrieMap[(Int, String), EncodedCorpus]()
+    scala.collection.concurrent.TrieMap[(Int, String, Boolean), EncodedCorpus]()
 
   def encodedCorpus(s: SparkSession, dir: String): EncodedCorpus =
-    corpusCache.getOrElseUpdate((System.identityHashCode(s), dir), new EncodedCorpus(s, dir))
+    corpusCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir, true),
+      new EncodedCorpus(s, dir, pipelineCfg)
+    )
+
+  /** Pure-hybrid variant (autoSelect off) — the stats-measurement corpus:
+    * every token stream goes through the entropy coder, so per-context bit
+    * accounting covers the whole table.
+    */
+  def encodedCorpusHybrid(s: SparkSession, dir: String): EncodedCorpus =
+    corpusCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir, false),
+      new EncodedCorpus(s, dir, pipelineCfg.copy(autoSelect = false))
+    )
 
   /** Full encode->decode->verify of the derived token table; the engine's
     * flagship E2E path (analyze, broadcast tables, block encode with codec
@@ -212,6 +227,40 @@ object SparkEntry {
         .groupBy($"ctx", $"hybrid_token")
         .agg(count(lit(1)).as("freq"))
         .orderBy($"ctx", $"hybrid_token")
+    }),
+
+    // O11 full: per-(context, token) histogram under the ZUCKERLI stateful
+    // model (first value keyed by the row-length token, rest by the
+    // prev-value token), computed by the PRODUCTION analyze pass
+    "q_zuckerli_context_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val zCfg = GraftPipeline.Config(
+        numContexts = graft.core.ZuckerliContextModel.NumContexts,
+        contextModel = "zuckerli"
+      )
+      val hist = GraftPipeline.analyze(tokenRows(s, dir), zCfg)
+      val out = for {
+        c <- 0 until hist.numContexts
+        t <- 0 until hist.numSymbols
+        if hist.counts(c)(t) > 0
+      } yield (c.toLong, t.toLong, hist.counts(c)(t))
+      s.createDataFrame(out).toDF("ctx", "hybrid_token", "freq")
+        .orderBy($"ctx", $"hybrid_token")
+    }),
+
+    // O27 full: per-context bit accounting measured by the stats decoder
+    // (bit-position deltas over the COMPRESSED hybrid blocks); the oracle
+    // recomputes value counts and raw mantissa bits per context from the
+    // raw derivation (code bits are Huffman-table-dependent — asserted
+    // against payload_bits in the test suite instead)
+    "q_context_bits" -> ((s, dir) => {
+      import s.implicits._
+      val ec = encodedCorpusHybrid(s, dir)
+      GraftPipeline
+        .measureStats(ec.blocks, ec.tables, pipelineCfg.copy(autoSelect = false))
+        .toDF("ctx", "n_values", "code_bits", "raw_bits")
+        .select($"ctx".cast("long"), $"n_values", $"raw_bits")
+        .orderBy($"ctx")
     }),
 
     // RLE estimator input: run counts per source
@@ -506,6 +555,30 @@ object SparkEntry {
          | FROM lagged)
          |SELECT ctx, hybrid_token, count(*) AS freq
          |FROM ctxed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_zuckerli_context_histogram" ->
+      s"""$CTE, lagged AS (
+         | SELECT doc_id, pos, n_tok, token,
+         |        lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok
+         |), ctxed AS (
+         | SELECT CAST(CASE WHEN pos = 1 THEN least(${duckHybridToken("n_tok")}, 15)
+         |        ELSE 16 + least(${duckHybridToken("prev")}, 31) END AS BIGINT) AS ctx,
+         |        ${duckHybridToken("token")} AS hybrid_token
+         | FROM lagged)
+         |SELECT ctx, hybrid_token, count(*) AS freq
+         |FROM ctxed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_context_bits" ->
+      s"""$CTE, lagged AS (
+         | SELECT doc_id, pos, token,
+         |        lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok
+         |), ctxed AS (
+         | SELECT CAST(CASE WHEN pos = 1 THEN 0
+         |        ELSE least(${duckHybridToken("prev")}, 63) END AS BIGINT) AS ctx,
+         |        CASE WHEN token < 16 THEN 0 ELSE length(bin(token)) - 4 END AS rb
+         | FROM lagged)
+         |SELECT ctx, count(*) AS n_values, CAST(sum(rb) AS BIGINT) AS raw_bits
+         |FROM ctxed GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rle_runs" ->
       s"""$CTE, lagged AS (

@@ -317,19 +317,29 @@ object DictCodec extends IntBlockCodec {
 }
 
 /** The reference's hybrid canonical-Huffman codec over a shared (broadcast)
-  * symbol table. Row-sensitive: the context model (token of the previous
-  * value, clamped) resets at each row boundary, mirroring the per-list
-  * stateful model of /root/reference/src/main.rs:394-399. Payload carries no
-  * header — tables ship via the block's tableHash + the job manifest.
+  * symbol table. Row-sensitive: the context model resets at each row
+  * boundary (per-list state, /root/reference/src/main.rs:394-399 and the
+  * Zuckerli model, context_model.rs:70-189), so every row is independently
+  * decodable given its start bit. Payload carries no header — tables ship
+  * via the block's tableHash + the job manifest.
   */
-final class HybridCodec(tables: SymbolTables, numContexts: Int) extends IntBlockCodec {
-  require(numContexts == tables.numContexts)
+final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBlockCodec {
+  require(
+    tables.numContexts >= model.minContexts,
+    s"tables have ${tables.numContexts} contexts; model ${model.name} needs ${model.minContexts}"
+  )
+
+  /** Prev-token model over `numContexts` contexts (the original default). */
+  def this(tables: SymbolTables, numContexts: Int) =
+    this(tables, new SimpleContextModel(numContexts))
+
   val id: Byte = IntCodecs.HybridId
   val name = "hybrid"
 
   @transient private lazy val lut: Array[Array[Int]] = Huffman.decoderLut(tables)
 
   def tableHash: Long = tables.tableHash
+  def contextModel: ContextModel = model
 
   /** Exact cost; needs the actual values, so stats-only estimation is done
     * by [[exactBits]] during selection instead.
@@ -340,12 +350,12 @@ final class HybridCodec(tables: SymbolTables, numContexts: Int) extends IntBlock
     var bits = 0L
     var row = 0
     while (row < rowOffsets.length - 1) {
-      var last = 0L
+      var ctx = model.first(rowOffsets(row + 1) - rowOffsets(row))
       var i = rowOffsets(row)
       while (i < rowOffsets(row + 1)) {
         val v = values(i).toLong
-        bits += tables.bitCost(Hybrid.chooseContext(last, numContexts), v)
-        last = v
+        bits += tables.bitCost(ctx, v)
+        ctx = model.next(v)
         i += 1
       }
       row += 1
@@ -354,30 +364,97 @@ final class HybridCodec(tables: SymbolTables, numContexts: Int) extends IntBlock
   }
 
   def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    encodeWithRowBits(values, rowOffsets, w)
+    ()
+  }
+
+  /** Encode and return each row's payload bit LENGTH (the O25 random-access
+    * index: a decoder prefix-sums these to seek straight to a row).
+    */
+  def encodeWithRowBits(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Array[Int] = {
+    val nRows = rowOffsets.length - 1
+    val rowBits = new Array[Int](nRows)
     var row = 0
-    while (row < rowOffsets.length - 1) {
-      var last = 0L
+    while (row < nRows) {
+      val before = w.bitsWritten
+      var ctx = model.first(rowOffsets(row + 1) - rowOffsets(row))
       var i = rowOffsets(row)
       while (i < rowOffsets(row + 1)) {
         val v = values(i).toLong
-        Huffman.writeValue(tables, Hybrid.chooseContext(last, numContexts), v, w)
-        last = v
+        Huffman.writeValue(tables, ctx, v, w)
+        ctx = model.next(v)
         i += 1
       }
+      rowBits(row) = (w.bitsWritten - before).toInt
       row += 1
     }
+    rowBits
   }
 
   def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int] = {
     val out = new Array[Int](n)
     var row = 0
     while (row < rowOffsets.length - 1) {
-      var last = 0L
+      decodeRowInto(r, out, rowOffsets(row), rowOffsets(row + 1))
+      row += 1
+    }
+    out
+  }
+
+  /** Decode one row of `until - from` values at the reader's position. */
+  @inline private def decodeRowInto(r: BitReader, out: Array[Int], from: Int, until: Int): Unit = {
+    var ctx = model.first(until - from)
+    var i = from
+    while (i < until) {
+      val v = Huffman.readValue(lut, tables.maxBits, ctx, r)
+      out(i) = v.toInt
+      ctx = model.next(v)
+      i += 1
+    }
+  }
+
+  /** Random-access row decode: seek + decode a single row (context models
+    * reset per row, so rows are independent given their start bit).
+    */
+  def decodeRow(r: BitReader, nTok: Int): Array[Int] = {
+    val out = new Array[Int](nTok)
+    decodeRowInto(r, out, 0, nTok)
+    out
+  }
+
+  /** Decode while measuring per-context bit usage via bit-position deltas
+    * (the reference StatsDecoder approach, /root/reference/src/graphs/
+    * stats.rs:45-151). `counts`/`codeBits`/`rawBits` are per-context
+    * accumulators of length tables.numContexts.
+    */
+  def decodeWithStats(
+      r: BitReader,
+      n: Int,
+      rowOffsets: Array[Int],
+      counts: Array[Long],
+      codeBits: Array[Long],
+      rawBits: Array[Long]
+  ): Array[Int] = {
+    val out = new Array[Int](n)
+    val maxBits = tables.maxBits
+    var row = 0
+    while (row < rowOffsets.length - 1) {
+      var ctx = model.first(rowOffsets(row + 1) - rowOffsets(row))
       var i = rowOffsets(row)
       while (i < rowOffsets(row + 1)) {
-        val v = Huffman.readValue(lut, tables.maxBits, Hybrid.chooseContext(last, numContexts), r)
+        val before = r.bitPos
+        val entry = lut(ctx)(r.peekBits(maxBits))
+        r.skipBits(entry >>> 16)
+        val afterCode = r.bitPos
+        val tok = entry & 0xffff
+        val nb = Hybrid.tokenNBits(tok)
+        val bits = if (nb > 0) r.readBits(nb) else 0L
+        val v = Hybrid.assemble(tok, bits)
+        counts(ctx) += 1
+        codeBits(ctx) += afterCode - before
+        rawBits(ctx) += r.bitPos - afterCode
         out(i) = v.toInt
-        last = v
+        ctx = model.next(v)
         i += 1
       }
       row += 1

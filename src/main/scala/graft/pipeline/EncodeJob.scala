@@ -67,7 +67,12 @@ object EncodeJob {
     fs(spark, path).exists(new Path(path))
 
   /** Persist tables in the reference's header bit format plus a meta file. */
-  def saveTables(spark: SparkSession, outDir: String, t: SymbolTables): Unit = {
+  def saveTables(
+      spark: SparkSession,
+      outDir: String,
+      t: SymbolTables,
+      contextModel: String = "simple"
+  ): Unit = {
     val w = new BitWriter(4096)
     Huffman.writeHeader(t, w)
     val bytes = w.toBytes
@@ -78,7 +83,7 @@ object EncodeJob {
     writeString(
       spark,
       s"$outDir/_tables/meta.json",
-      s"""{"max_bits":${t.maxBits},"num_contexts":${t.numContexts},"table_hash":${t.tableHash}}"""
+      s"""{"max_bits":${t.maxBits},"num_contexts":${t.numContexts},"table_hash":${t.tableHash},"context_model":"$contextModel"}"""
     )
   }
 
@@ -149,6 +154,13 @@ object EncodeJob {
           t.maxBits == cfg.maxBits && t.numContexts == cfg.numContexts,
           s"persisted tables (maxBits=${t.maxBits}, ctx=${t.numContexts}) do not match config"
         )
+        val recorded = readString(spark, s"$outDir/_tables/meta.json")
+        val recordedModel =
+          """"context_model":"([a-z]+)"""".r.findFirstMatchIn(recorded).map(_.group(1))
+        require(
+          recordedModel.forall(_ == cfg.contextModel),
+          s"persisted context model ${recordedModel.getOrElse("?")} != config ${cfg.contextModel}"
+        )
         t
       case None =>
         // cfg.rounds > 1 runs the reference-style iterative re-estimation
@@ -156,7 +168,7 @@ object EncodeJob {
         // streams selection routes to the entropy coder)
         require(cfg.rounds == 1 || cfg.autoSelect, "rounds > 1 requires autoSelect")
         val t = GraftPipeline.analyzeRounds(input, cfg, cfg.rounds)
-        saveTables(spark, outDir, t)
+        saveTables(spark, outDir, t, cfg.contextModel)
         t
     }
     val bTables = spark.sparkContext.broadcast(tables)
@@ -208,7 +220,7 @@ object EncodeJob {
       s"$outDir/_snapshots/snap-$snapshotId.json",
       s"""{"snapshot_id":$snapshotId,"parent_id":$parentId,"table_hash":${tables.tableHash},
          |"num_bins":${cfg.numBins},"num_contexts":${cfg.numContexts},"max_bits":${cfg.maxBits},"rounds":${cfg.rounds},
-         |"salt":${cfg.salt},"bins_added":$binsJson,"bins_skipped":${done.size}}""".stripMargin
+         |"context_model":"${cfg.contextModel}","salt":${cfg.salt},"bins_added":$binsJson,"bins_skipped":${done.size}}""".stripMargin
     )
 
     EncodeResult(snapshotId, todo.toSeq.sorted, done.toSeq.sorted, tables.tableHash)

@@ -26,6 +26,11 @@ final case class EncodedBlock(
     sources_payload: Array[Byte],
     n_toks_codec: String,
     n_toks_payload: Array[Byte],
+    // per-row payload bit lengths (hybrid blocks; "none" otherwise): the
+    // random-access index — prefix-sum to seek straight to one row's bits
+    // (the Spark shape of the reference's offsets stream, offsets.rs:19-58)
+    row_bits_codec: String,
+    row_bits_payload: Array[Byte],
     codec: String,
     n_rows: Int,
     n_values: Long,
@@ -64,6 +69,9 @@ object GraftPipeline {
     *                     key clustering)
     * @param autoSelect   per-block codec auto-selection; when false, always
     *                     uses the hybrid entropy codec
+    * @param contextModel "simple" (prev-token), "single" (one context) or
+    *                     "zuckerli" (stateful: first value keyed by row
+    *                     length, rest by prev value — see core.ContextModel)
     */
   final case class Config(
       numContexts: Int = 64,
@@ -73,9 +81,12 @@ object GraftPipeline {
       maxBlockValues: Int = 262144,
       salt: Long = 0x5eedL,
       autoSelect: Boolean = true,
-      rounds: Int = 1
+      rounds: Int = 1,
+      contextModel: String = "simple"
   ) {
     require(numContexts >= 1 && numContexts <= Hybrid.MaxNumContexts)
+    /** Resolved context model; construction validates name + context count. */
+    def model: ContextModel = ContextModel(contextModel, numContexts)
   }
 
   /** Deterministic logical partition of a row: salted hash of doc_id.
@@ -102,6 +113,7 @@ object GraftPipeline {
     import spark.implicits._
     val nCtx = cfg.numContexts
     val nSym = 1 << cfg.maxBits
+    val model = cfg.model
     val flat = ds
       .select($"tokens")
       .as[Array[Int]]
@@ -109,13 +121,13 @@ object GraftPipeline {
         val hist = new Histograms(nCtx, nSym)
         while (rows.hasNext) {
           val tokens = rows.next()
-          var last = 0L
+          var ctx = model.first(tokens.length)
           var i = 0
           while (i < tokens.length) {
             val v = tokens(i).toLong
             if (v < 0) throw new IllegalArgumentException(s"negative token $v unsupported")
-            hist.add(Hybrid.chooseContext(last, nCtx), v)
-            last = v
+            hist.add(ctx, v)
+            ctx = model.next(v)
             i += 1
           }
         }
@@ -153,10 +165,11 @@ object GraftPipeline {
       // total over those blocks is <= this round's, and selection only
       // reroutes a block when it strictly shrinks, so total size is
       // monotonically non-increasing across rounds.
+      val model = cfg.model
       val flat = encode(ds, bTables, cfg)
         .filter(_.codec == "hybrid")
         .mapPartitions { it =>
-          val hybrid = new HybridCodec(bTables.value, nCtx)
+          val hybrid = new HybridCodec(bTables.value, model)
           val hist = new Histograms(nCtx, nSym)
           it.foreach { b =>
             val nToks = CodecSelector.decodeIntColumn(b.n_toks_codec, b.n_toks_payload, b.n_rows)
@@ -168,12 +181,12 @@ object GraftPipeline {
             val values = hybrid.decode(new BitReader(b.payload), off, rowOffsets)
             var row = 0
             while (row < b.n_rows) {
-              var last = 0L
+              var ctx = model.first(rowOffsets(row + 1) - rowOffsets(row))
               var k = rowOffsets(row)
               while (k < rowOffsets(row + 1)) {
                 val v = values(k).toLong
-                hist.add(Hybrid.chooseContext(last, nCtx), v)
-                last = v
+                hist.add(ctx, v)
+                ctx = model.next(v)
                 k += 1
               }
               row += 1
@@ -262,7 +275,7 @@ object GraftPipeline {
   ): Dataset[EncodedBlock] = {
     val spark = binned.sparkSession
     import spark.implicits._
-    val nCtx = cfg.numContexts
+    val model = cfg.model
     val maxRows = cfg.maxBlockRows
     val maxValues = cfg.maxBlockValues
     val auto = cfg.autoSelect
@@ -270,7 +283,7 @@ object GraftPipeline {
     binned
       .mapPartitions { rows =>
         new Iterator[EncodedBlock] {
-          private val hybrid = new HybridCodec(tables.value, nCtx)
+          private val hybrid = new HybridCodec(tables.value, model)
           private var pending: (String, Array[Int], Int, String, Int) = null
           private var done = false
           private var seqBin = -1
@@ -341,7 +354,12 @@ object GraftPipeline {
               if (auto) CodecSelector.select(values, rowOffsets, Some(hybrid))
               else (hybrid, 0L)
             val w = new BitWriter(math.max(blockValues.toInt / 2, 64))
-            codec.encode(values, rowOffsets, w)
+            // hybrid rows are independently decodable, so record each row's
+            // bit length — the random-access index for lookupDocs
+            val rowBits: Array[Int] = codec match {
+              case h: HybridCodec => h.encodeWithRowBits(values, rowOffsets, w)
+              case c => c.encode(values, rowOffsets, w); null
+            }
             // metadata columns go through codec selection too: strings via
             // plain/dict/FSST, the n_tok ints via the lightweight family
             val (dCodec, dPayload) = StringCodecs.select(docIds.result())
@@ -349,6 +367,9 @@ object GraftPipeline {
             val (nCodec, nPayload) = CodecSelector.encodeIntColumn(
               nToks.result()
             )
+            val (rbCodec, rbPayload) =
+              if (rowBits == null) ("none", Array.emptyByteArray)
+              else CodecSelector.encodeIntColumn(rowBits)
             // deterministic per-bin sequence: bins are contiguous after the
             // within-partition sort, so a simple counter suffices
             if (blockBin != seqBin) { seqBin = blockBin; seqCounter = 0 }
@@ -363,12 +384,15 @@ object GraftPipeline {
               sources_payload = sPayload,
               n_toks_codec = nCodec,
               n_toks_payload = nPayload,
+              row_bits_codec = rbCodec,
+              row_bits_payload = rbPayload,
               codec = codec.name,
               n_rows = blockRows,
               n_values = blockValues,
               payload = w.toBytes,
               payload_bits = w.bitsWritten,
-              meta_bytes = dPayload.length.toLong + sPayload.length + nPayload.length,
+              meta_bytes = dPayload.length.toLong + sPayload.length + nPayload.length +
+                rbPayload.length,
               table_hash = tables.value.tableHash
             )
           }
@@ -386,10 +410,10 @@ object GraftPipeline {
   ): Dataset[TokenRow] = {
     val spark = blocks.sparkSession
     import spark.implicits._
-    val nCtx = cfg.numContexts
+    val model = cfg.model
     blocks.mapPartitions { it =>
       // one decoder LUT per partition, shared across its blocks
-      val hybrid = new HybridCodec(tables.value, nCtx)
+      val hybrid = new HybridCodec(tables.value, model)
       it.flatMap { b =>
         require(
           b.codec != "hybrid" || b.table_hash == tables.value.tableHash,
@@ -422,7 +446,11 @@ object GraftPipeline {
     * each doc's bin is recomputed from the same salted hash used at encode
     * time, so the scan touches only those bins' blocks (an equality filter
     * that parquet pushes down), decodes the small doc_ids metadata column to
-    * find the owning blocks, and decodes only those blocks' payloads.
+    * find the owning blocks, and decodes ONLY the hit rows: hybrid blocks
+    * carry per-row bit lengths, so the reader seeks straight to each row's
+    * start bit (the reference's per-node offsets, offsets.rs:19-58) instead
+    * of entropy-decoding the whole block for one hit. Non-hybrid codecs
+    * (fixed-width or run-packed) fall back to a full-block decode.
     */
   def lookupDocs(
       blocks: Dataset[EncodedBlock],
@@ -440,31 +468,88 @@ object GraftPipeline {
       .map(_.getInt(0))
       .toSet
     val wanted = docIds
-    val nCtx = cfg.numContexts
+    val model = cfg.model
     val candidate = blocks.filter($"bin".isInCollection(bins))
     candidate.mapPartitions { it =>
-      val hybrid = new HybridCodec(tables.value, nCtx)
+      val hybrid = new HybridCodec(tables.value, model)
       it.flatMap { b =>
         val docIdsInBlock = StringCodecs.decode(b.doc_ids_codec, b.doc_ids_payload, b.n_rows)
-        if (!docIdsInBlock.exists(wanted.contains)) Iterator.empty
+        val hits = (0 until b.n_rows).filter(r => wanted.contains(docIdsInBlock(r)))
+        if (hits.isEmpty) Iterator.empty
         else {
-          val codec = CodecSelector.decoderFor(codecId(b.codec), Some(hybrid))
           val nToks = CodecSelector.decodeIntColumn(b.n_toks_codec, b.n_toks_payload, b.n_rows)
           val sources = StringCodecs.decode(b.sources_codec, b.sources_payload, b.n_rows)
+          if (b.codec == "hybrid" && b.row_bits_codec != "none") {
+            // O(row) point decode: prefix-sum the row bit lengths, seek, decode
+            val rowBits =
+              CodecSelector.decodeIntColumn(b.row_bits_codec, b.row_bits_payload, b.n_rows)
+            val startBit = new Array[Long](b.n_rows)
+            var acc = 0L
+            var i = 0
+            while (i < b.n_rows) { startBit(i) = acc; acc += rowBits(i); i += 1 }
+            hits.iterator.map { r =>
+              val tokens = hybrid.decodeRow(new BitReader(b.payload, startBit(r)), nToks(r))
+              TokenRow(docIdsInBlock(r), tokens, nToks(r), sources(r))
+            }
+          } else {
+            val codec = CodecSelector.decoderFor(codecId(b.codec), Some(hybrid))
+            val rowOffsets = new Array[Int](b.n_rows + 1)
+            var off = 0
+            var i = 0
+            while (i < b.n_rows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
+            rowOffsets(b.n_rows) = off
+            val values = codec.decode(new BitReader(b.payload), off, rowOffsets)
+            hits.iterator.map { r =>
+              val tokens = java.util.Arrays.copyOfRange(values, rowOffsets(r), rowOffsets(r + 1))
+              TokenRow(docIdsInBlock(r), tokens, nToks(r), sources(r))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Per-context bit accounting (the O27 stats surface, reference
+    * StatsDecoder / measure_stats, /root/reference/src/graphs/stats.rs:12-204
+    * and utils.rs:101-123): decode every hybrid block measuring code vs raw
+    * mantissa bits per context via bit-position deltas, merge the partials
+    * with a tree reduce, and return one row per context.
+    */
+  def measureStats(
+      blocks: Dataset[EncodedBlock],
+      tables: Broadcast[SymbolTables],
+      cfg: Config
+  ): Dataset[(Int, Long, Long, Long)] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val model = cfg.model
+    val nCtx = cfg.numContexts
+    val flat = blocks
+      .filter(_.codec == "hybrid")
+      .mapPartitions { it =>
+        val hybrid = new HybridCodec(tables.value, model)
+        val counts = new Array[Long](nCtx)
+        val codeBits = new Array[Long](nCtx)
+        val rawBits = new Array[Long](nCtx)
+        it.foreach { b =>
+          val nToks = CodecSelector.decodeIntColumn(b.n_toks_codec, b.n_toks_payload, b.n_rows)
           val rowOffsets = new Array[Int](b.n_rows + 1)
           var off = 0
           var i = 0
           while (i < b.n_rows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
           rowOffsets(b.n_rows) = off
-          val values = codec.decode(new BitReader(b.payload), off, rowOffsets)
-          (0 until b.n_rows).iterator.collect {
-            case r if wanted.contains(docIdsInBlock(r)) =>
-              val tokens = java.util.Arrays.copyOfRange(values, rowOffsets(r), rowOffsets(r + 1))
-              TokenRow(docIdsInBlock(r), tokens, nToks(r), sources(r))
-          }
+          hybrid.decodeWithStats(new BitReader(b.payload), off, rowOffsets, counts, codeBits, rawBits)
         }
+        Iterator.single(counts ++ codeBits ++ rawBits)
       }
+      .union(spark.createDataset(Seq(new Array[Long](3 * nCtx))))
+      .rdd
+      .treeReduce(Histograms.mergeFlat _, depth = 2)
+    val rows = (0 until nCtx).collect {
+      case c if flat(c) > 0 =>
+        (c, flat(c), flat(nCtx + c), flat(2 * nCtx + c))
     }
+    spark.createDataset(rows)
   }
 
   def codecId(name: String): Byte = name match {

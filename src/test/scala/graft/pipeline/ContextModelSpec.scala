@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.core._
+import graft.pipeline.GraftPipeline.Config
+import org.scalatest.funsuite.AnyFunSuite
+
+class ContextModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("model context assignments match the reference layouts") {
+    val simple = ContextModel("simple", 32)
+    assert(simple.first(100) == 0)
+    assert(simple.next(0L) == 0 && simple.next(5L) == 5)
+    assert(simple.next(1L << 40) == 31) // clamped
+
+    val single = ContextModel("single", 1)
+    assert(single.first(7) == 0 && single.next(999L) == 0)
+
+    val z = ContextModel("zuckerli", 48)
+    // first value: keyed by token(row length), 16 contexts
+    assert(z.first(1) == 1 && z.first(15) == 15)
+    assert(z.first(100000) == 15) // clamped to NUM_FIRST-1
+    // rest: 16 + token(prev) clamped to 32 contexts
+    assert(z.next(0L) == 16 && z.next(7L) == 23)
+    assert(z.next(1L << 50) == 16 + 31)
+
+    intercept[IllegalArgumentException](ContextModel("zuckerli", 32)) // too few
+    intercept[IllegalArgumentException](ContextModel("bogus", 64))
+  }
+
+  lazy val input = TokenTables.synthetic(spark, 1200L, seed = 7L).cache()
+
+  def roundtripBits(cfg: Config): Long = {
+    import spark.implicits._
+    val tables = spark.sparkContext.broadcast(
+      GraftPipeline.buildTables(GraftPipeline.analyze(input, cfg), cfg)
+    )
+    val blocks = GraftPipeline.encode(input, tables, cfg).cache()
+    val decoded = GraftPipeline.decode(blocks, tables, cfg)
+    assert(GraftPipeline.verify(input, decoded) == 0L, s"model ${cfg.contextModel} not lossless")
+    val bits = blocks.map(_.payload_bits).reduce(_ + _)
+    blocks.unpersist()
+    bits
+  }
+
+  test("all context models roundtrip losslessly; richer models do not explode size") {
+    val single = roundtripBits(Config(numContexts = 1, numBins = 8, contextModel = "single"))
+    val simple = roundtripBits(Config(numContexts = 64, numBins = 8, contextModel = "simple"))
+    val zuck = roundtripBits(
+      Config(numContexts = ZuckerliContextModel.NumContexts, numBins = 8, contextModel = "zuckerli")
+    )
+    info(s"payload bits: single=$single simple=$simple zuckerli=$zuck")
+    // context modelling must help vs a single shared table on this corpus
+    assert(simple < single, s"simple $simple !< single $single")
+    assert(zuck < single, s"zuckerli $zuck !< single $single")
+  }
+
+  test("zuckerli-encoded blocks support per-row random access (bit-offset seek)") {
+    import spark.implicits._
+    val cfg = Config(
+      numContexts = ZuckerliContextModel.NumContexts,
+      numBins = 8,
+      contextModel = "zuckerli",
+      autoSelect = false // force hybrid so the row-seek path is exercised
+    )
+    val tables = spark.sparkContext.broadcast(
+      GraftPipeline.buildTables(GraftPipeline.analyze(input, cfg), cfg)
+    )
+    val blocks = GraftPipeline.encode(input, tables, cfg).cache()
+    assert(blocks.map(_.codec).distinct().collect().toSet == Set("hybrid"))
+    assert(blocks.map(_.row_bits_codec).filter(_ == "none").count() == 0L)
+    val wanted = input.map(_.doc_id).collect().sorted.zipWithIndex
+      .collect { case (id, i) if i % 37 == 0 => id }.toSet
+    val got = GraftPipeline.lookupDocs(blocks, wanted, tables, cfg).collect()
+    assert(got.map(_.doc_id).toSet == wanted)
+    val expected = input.filter(r => wanted.contains(r.doc_id)).collect()
+      .map(r => r.doc_id -> r.tokens.toSeq).toMap
+    got.foreach(r => assert(r.tokens.toSeq == expected(r.doc_id)))
+    blocks.unpersist()
+  }
+
+  test("measureStats bit accounting reconciles exactly with payload bits") {
+    import spark.implicits._
+    val cfg = Config(numContexts = 64, numBins = 8, autoSelect = false)
+    val tables = spark.sparkContext.broadcast(
+      GraftPipeline.buildTables(GraftPipeline.analyze(input, cfg), cfg)
+    )
+    val blocks = GraftPipeline.encode(input, tables, cfg).cache()
+    val stats = GraftPipeline.measureStats(blocks, tables, cfg).collect()
+    val nValues = stats.map(_._2).sum
+    val codeBits = stats.map(_._3).sum
+    val rawBits = stats.map(_._4).sum
+    assert(nValues == blocks.map(_.n_values).reduce(_ + _))
+    assert(codeBits + rawBits == blocks.map(_.payload_bits).reduce(_ + _),
+      s"code=$codeBits raw=$rawBits != payload")
+    assert(stats.forall { case (_, n, cb, _) => cb >= n }) // >=1 code bit per value
+    blocks.unpersist()
+  }
+}

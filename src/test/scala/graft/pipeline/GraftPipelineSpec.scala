@@ -97,10 +97,11 @@ class GraftPipelineSpec extends AnyFunSuite {
     // sources: 4 distinct values -> dict; doc_ids share long prefixes -> fsst
     assert(sCodecs.contains("dict_s"), s"sources codecs: $sCodecs")
     assert(dCodecs.contains("fsst_s"), s"doc_ids codecs: $dCodecs")
-    // meta bytes beat plain-utf8 doc_ids substantially
+    // meta bytes (incl. the row-bit index) beat the raw baseline of
+    // plain-utf8 strings + u32 n_tok + u32 row offsets substantially
     val metaBytes = blocks.map(_.meta_bytes).reduce(_ + _)
     val rawStringBytes = input
-      .map(r => (r.doc_id.length + r.source.length + 4).toLong)
+      .map(r => (r.doc_id.length + r.source.length + 8).toLong)
       .reduce(_ + _)
     assert(metaBytes < rawStringBytes / 2, s"meta=$metaBytes raw=$rawStringBytes")
   }
@@ -136,7 +137,9 @@ class GraftPipelineSpec extends AnyFunSuite {
   }
 
   private val PinnedPayloadBits = 3102405L
-  private val PinnedMetaBytes = 24787L
+  // meta grew 24787 -> 27907 when the per-row bit-length index (random
+  // access, round 2) was added to hybrid blocks; payload bits unchanged.
+  private val PinnedMetaBytes = 27907L
   private val PinnedTableHash = -4203900203503182743L
 
   test("round-2 re-estimation shrinks (or matches) the encoded size and stays lossless") {
