@@ -207,6 +207,132 @@ object GraftPipeline {
     tables
   }
 
+  /** Estimator-driven analysis rounds — the reference's cheap bootstrap
+    * (round 1 scores streams with the Log2 prior, /root/reference/src/
+    * graphs/convert.rs:95-152 + log2_estimator.rs; later rounds with the
+    * Huffman estimator over the previous round's measured cost model) and
+    * its dry-run sink that NEVER writes bytes (huffman_graph_encoder.rs:
+    * 149-293). Each round packs pseudo-blocks with the production caps,
+    * routes each block hybrid-vs-lightweight by ESTIMATED cost, and
+    * collects histograms only from hybrid-routed streams. No bin shuffle,
+    * no table build per partition, no bit-writing — one column-pruned scan
+    * per round.
+    *
+    * Coverage: histograms are shaped by the hybrid-routed streams, but
+    * every (ctx, token) seen ANYWHERE in the corpus keeps a count-1
+    * presence floor. Without it, one uncovered token poisons a whole
+    * encode block (exact selection penalizes absent symbols), cascading
+    * blocks away from the entropy coder whenever analysis-time pseudo-block
+    * boundaries differ from encode-time blocks. The floor costs a few
+    * long-coded rare symbols per context and guarantees the tables can
+    * express any stream selection routes to them. [[analyzeRounds]] remains
+    * the exact variant with a monotone-size guarantee.
+    */
+  def analyzeRoundsEstimated(ds: Dataset[TokenRow], cfg: Config, rounds: Int): SymbolTables = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val nCtx = cfg.numContexts
+    val nSym = 1 << cfg.maxBits
+    val model = cfg.model
+    val maxRows = cfg.maxBlockRows
+    val maxValues = cfg.maxBlockValues
+
+    var estimator: CostEstimator = Log2Estimator
+    var hist: Histograms = null
+    var r = 0
+    while (r < math.max(rounds, 1)) {
+      val est = estimator
+      val flat = ds
+        .select($"tokens")
+        .as[Array[Int]]
+        .mapPartitions { rows =>
+          val h = new Histograms(nCtx, nSym) // hybrid-routed streams
+          val hAll = new Histograms(nCtx, nSym) // presence floor source
+          val block = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
+          var blockValues = 0L
+
+          def flush(): Unit = {
+            if (block.isEmpty) return
+            val values = new Array[Int](blockValues.toInt)
+            val rowOffsets = new Array[Int](block.length + 1)
+            var off = 0
+            var bi = 0
+            while (bi < block.length) {
+              rowOffsets(bi) = off
+              System.arraycopy(block(bi), 0, values, off, block(bi).length)
+              off += block(bi).length
+              bi += 1
+            }
+            rowOffsets(block.length) = off
+            // lightweight side: exact closed-form sizes from stats
+            val stats = BlockStats.compute(values, 0, values.length)
+            var best = PlainCodec.estimateBits(stats)
+            CodecSelector.lightweight.foreach { c =>
+              val b = c.estimateBits(stats); if (b < best) best = b
+            }
+            // hybrid side: estimator walk with the context model
+            var hybridBits = 0L
+            var row = 0
+            while (row < block.length) {
+              var ctx = model.first(rowOffsets(row + 1) - rowOffsets(row))
+              var i = rowOffsets(row)
+              while (i < rowOffsets(row + 1)) {
+                val v = values(i).toLong
+                hybridBits += est.bits(ctx, v)
+                ctx = model.next(v)
+                i += 1
+              }
+              row += 1
+            }
+            val routed = hybridBits < best
+            var row2 = 0
+            while (row2 < block.length) {
+              var ctx = model.first(rowOffsets(row2 + 1) - rowOffsets(row2))
+              var i = rowOffsets(row2)
+              while (i < rowOffsets(row2 + 1)) {
+                val v = values(i).toLong
+                if (routed) h.add(ctx, v)
+                hAll.add(ctx, v)
+                ctx = model.next(v)
+                i += 1
+              }
+              row2 += 1
+            }
+            block.clear()
+            blockValues = 0L
+          }
+
+          rows.foreach { tokens =>
+            if (block.nonEmpty &&
+              (block.length >= maxRows || blockValues + tokens.length > maxValues)) flush()
+            block += tokens
+            blockValues += tokens.length
+          }
+          flush()
+          Iterator.single(h.flat ++ hAll.flat)
+        }
+        .union(spark.createDataset(Seq(new Array[Long](2 * nCtx * nSym))))
+        .rdd
+        .treeReduce(Histograms.mergeFlat _, depth = 2)
+      val routedHist = Histograms.fromFlat(flat.take(nCtx * nSym), nCtx, nSym)
+      // presence floor: any symbol seen in the corpus gets >= 1 count
+      var c = 0
+      while (c < nCtx) {
+        var sym = 0
+        while (sym < nSym) {
+          if (routedHist.counts(c)(sym) == 0 && flat(nCtx * nSym + c * nSym + sym) > 0)
+            routedHist.counts(c)(sym) = 1
+          sym += 1
+        }
+        c += 1
+      }
+      hist = routedHist
+      estimator = new HuffmanCostEstimator(hist.costModel)
+      r += 1
+    }
+    buildTables(hist, cfg)
+  }
+
   /** Pass 2: deterministic block encode. Rows are routed to their bin
     * (salted hash of doc_id), sorted within partitions by (bin, doc_id), and
     * packed greedily into blocks capped by rows AND values — the value cap is
