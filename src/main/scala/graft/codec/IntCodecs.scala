@@ -341,6 +341,14 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
   def tableHash: Long = tables.tableHash
   def contextModel: ContextModel = model
 
+  /** Bit cost of the self-describing table header (O7) — charged to the
+    * hybrid side during selection when blocks embed their tables.
+    */
+  lazy val headerBits: Long = {
+    val w = new BitWriter(4096)
+    Huffman.writeHeader(tables, w)
+  }
+
   /** Exact cost; needs the actual values, so stats-only estimation is done
     * by [[exactBits]] during selection instead.
     */
@@ -470,11 +478,14 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
 object CodecSelector {
   val lightweight: Seq[IntBlockCodec] = Seq(BitPackCodec, ForCodec, RleCodec, DictCodec)
 
-  /** Returns (codec, predicted payload bits). */
+  /** Returns (codec, predicted payload bits). `hybridExtraBits` charges
+    * per-block overhead to the hybrid side (e.g. an embedded table header).
+    */
   def select(
       values: Array[Int],
       rowOffsets: Array[Int],
-      hybrid: Option[HybridCodec]
+      hybrid: Option[HybridCodec],
+      hybridExtraBits: Long = 0L
   ): (IntBlockCodec, Long) = {
     val stats = BlockStats.compute(values, 0, values.length)
     var best: IntBlockCodec = PlainCodec
@@ -484,7 +495,7 @@ object CodecSelector {
       if (b < bestBits) { best = c; bestBits = b }
     }
     hybrid.foreach { h =>
-      val b = h.exactBits(values, rowOffsets)
+      val b = h.exactBits(values, rowOffsets) + hybridExtraBits
       if (b < bestBits) { best = h; bestBits = b }
     }
     (best, bestBits)

@@ -163,11 +163,13 @@ object EncodeJob {
         )
         t
       case None =>
-        // cfg.rounds > 1 runs the reference-style iterative re-estimation
-        // (requires autoSelect — round-refined tables only cover the
-        // streams selection routes to the entropy coder)
+        // cfg.rounds > 1 runs the reference-style iterative re-estimation:
+        // exact (dry-run encode, monotone-size guarantee) or estimated
+        // (Log2 bootstrap + Huffman estimator, no bit-writing)
         require(cfg.rounds == 1 || cfg.autoSelect, "rounds > 1 requires autoSelect")
-        val t = GraftPipeline.analyzeRounds(input, cfg, cfg.rounds)
+        val t =
+          if (cfg.estimatedRounds) GraftPipeline.analyzeRoundsEstimated(input, cfg, cfg.rounds)
+          else GraftPipeline.analyzeRounds(input, cfg, cfg.rounds)
         saveTables(spark, outDir, t, cfg.contextModel)
         t
     }

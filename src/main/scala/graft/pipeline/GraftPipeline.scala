@@ -31,6 +31,10 @@ final case class EncodedBlock(
     // (the Spark shape of the reference's offsets stream, offsets.rs:19-58)
     row_bits_codec: String,
     row_bits_payload: Array[Byte],
+    // true when the payload begins with the self-describing table header
+    // (O7, reference encoder.rs:310-335): the block decodes with no
+    // external _tables/header.bin
+    embedded_tables: Boolean,
     codec: String,
     n_rows: Int,
     n_values: Long,
@@ -72,6 +76,13 @@ object GraftPipeline {
     * @param contextModel "simple" (prev-token), "single" (one context) or
     *                     "zuckerli" (stateful: first value keyed by row
     *                     length, rest by prev value — see core.ContextModel)
+    * @param embedTables  write the self-describing table header at the head
+    *                     of every hybrid block payload (blocks become
+    *                     externally readable without the job's header file;
+    *                     selection charges the header bits to the hybrid side)
+    * @param estimatedRounds rounds > 1 uses the estimator-driven analysis
+    *                     (Log2 bootstrap + Huffman re-estimation, no
+    *                     bit-writing) instead of the exact dry-run encode
     */
   final case class Config(
       numContexts: Int = 64,
@@ -82,7 +93,9 @@ object GraftPipeline {
       salt: Long = 0x5eedL,
       autoSelect: Boolean = true,
       rounds: Int = 1,
-      contextModel: String = "simple"
+      contextModel: String = "simple",
+      embedTables: Boolean = false,
+      estimatedRounds: Boolean = false
   ) {
     require(numContexts >= 1 && numContexts <= Hybrid.MaxNumContexts)
     /** Resolved context model; construction validates name + context count. */
@@ -178,7 +191,10 @@ object GraftPipeline {
             var i = 0
             while (i < b.n_rows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
             rowOffsets(b.n_rows) = off
-            val values = hybrid.decode(new BitReader(b.payload), off, rowOffsets)
+            val reader = new BitReader(b.payload)
+            if (b.embedded_tables)
+              Huffman.readHeader(reader, bTables.value.maxBits, bTables.value.numContexts)
+            val values = hybrid.decode(reader, off, rowOffsets)
             var row = 0
             while (row < b.n_rows) {
               var ctx = model.first(rowOffsets(row + 1) - rowOffsets(row))
@@ -405,6 +421,7 @@ object GraftPipeline {
     val maxRows = cfg.maxBlockRows
     val maxValues = cfg.maxBlockValues
     val auto = cfg.autoSelect
+    val embed = cfg.embedTables
 
     binned
       .mapPartitions { rows =>
@@ -477,13 +494,21 @@ object GraftPipeline {
             rowOffsets(arrays.length) = off
 
             val (codec, _) =
-              if (auto) CodecSelector.select(values, rowOffsets, Some(hybrid))
+              if (auto)
+                CodecSelector.select(
+                  values,
+                  rowOffsets,
+                  Some(hybrid),
+                  if (embed) hybrid.headerBits else 0L
+                )
               else (hybrid, 0L)
             val w = new BitWriter(math.max(blockValues.toInt / 2, 64))
             // hybrid rows are independently decodable, so record each row's
             // bit length — the random-access index for lookupDocs
             val rowBits: Array[Int] = codec match {
-              case h: HybridCodec => h.encodeWithRowBits(values, rowOffsets, w)
+              case h: HybridCodec =>
+                if (embed) Huffman.writeHeader(tables.value, w)
+                h.encodeWithRowBits(values, rowOffsets, w)
               case c => c.encode(values, rowOffsets, w); null
             }
             // metadata columns go through codec selection too: strings via
@@ -512,6 +537,7 @@ object GraftPipeline {
               n_toks_payload = nPayload,
               row_bits_codec = rbCodec,
               row_bits_payload = rbPayload,
+              embedded_tables = embed && codec.name == "hybrid",
               codec = codec.name,
               n_rows = blockRows,
               n_values = blockValues,
@@ -545,7 +571,18 @@ object GraftPipeline {
           b.codec != "hybrid" || b.table_hash == tables.value.tableHash,
           s"table hash mismatch: block ${b.bin}/${b.block_seq} written with ${b.table_hash}"
         )
-        val codec = CodecSelector.decoderFor(codecId(b.codec), Some(hybrid))
+        val reader = new BitReader(b.payload)
+        val codec =
+          if (b.embedded_tables && b.codec == "hybrid") {
+            // self-describing block: decode through the EMBEDDED header
+            // (proves O7 end-to-end); hash-checked against the job tables
+            val parsed = Huffman.readHeader(reader, tables.value.maxBits, tables.value.numContexts)
+            require(
+              parsed.tableHash == tables.value.tableHash,
+              s"embedded header hash ${parsed.tableHash} != job tables ${tables.value.tableHash}"
+            )
+            new HybridCodec(parsed, model)
+          } else CodecSelector.decoderFor(codecId(b.codec), Some(hybrid))
         val nToks = CodecSelector
           .decodeIntColumn(b.n_toks_codec, b.n_toks_payload, b.n_rows)
           .map(_.toInt)
@@ -556,7 +593,47 @@ object GraftPipeline {
         var i = 0
         while (i < b.n_rows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
         rowOffsets(b.n_rows) = off
-        val values = codec.decode(new BitReader(b.payload), off, rowOffsets)
+        val values = codec.decode(reader, off, rowOffsets)
+        (0 until b.n_rows).iterator.map { r =>
+          val tokens = new Array[Int](nToks(r))
+          var k = 0
+          while (k < tokens.length) { tokens(k) = values(rowOffsets(r) + k).toInt; k += 1 }
+          TokenRow(docIds(r), tokens, nToks(r), sources(r))
+        }
+      }
+    }
+  }
+
+  /** Decode WITHOUT job tables — every hybrid block must carry its embedded
+    * self-describing header ([[Config.embedTables]]); lightweight blocks
+    * never needed tables. The externally-readable path: any reader with the
+    * blocks parquet and the config can reconstruct the rows.
+    */
+  def decodeSelfDescribing(blocks: Dataset[EncodedBlock], cfg: Config): Dataset[TokenRow] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val model = cfg.model
+    val maxBits = cfg.maxBits
+    val nCtx = cfg.numContexts
+    blocks.mapPartitions { it =>
+      it.flatMap { b =>
+        val reader = new BitReader(b.payload)
+        val codec =
+          if (b.codec == "hybrid") {
+            require(b.embedded_tables, s"block ${b.bin}/${b.block_seq} lacks an embedded header")
+            new HybridCodec(Huffman.readHeader(reader, maxBits, nCtx), model)
+          } else CodecSelector.decoderFor(codecId(b.codec), None)
+        val nToks = CodecSelector
+          .decodeIntColumn(b.n_toks_codec, b.n_toks_payload, b.n_rows)
+          .map(_.toInt)
+        val docIds = StringCodecs.decode(b.doc_ids_codec, b.doc_ids_payload, b.n_rows)
+        val sources = StringCodecs.decode(b.sources_codec, b.sources_payload, b.n_rows)
+        val rowOffsets = new Array[Int](b.n_rows + 1)
+        var off = 0
+        var i = 0
+        while (i < b.n_rows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
+        rowOffsets(b.n_rows) = off
+        val values = codec.decode(reader, off, rowOffsets)
         (0 until b.n_rows).iterator.map { r =>
           val tokens = new Array[Int](nToks(r))
           var k = 0
@@ -607,14 +684,21 @@ object GraftPipeline {
           val sources = StringCodecs.decode(b.sources_codec, b.sources_payload, b.n_rows)
           if (b.codec == "hybrid" && b.row_bits_codec != "none") {
             // O(row) point decode: prefix-sum the row bit lengths, seek, decode
+            val (blockCodec, dataStart) =
+              if (b.embedded_tables) {
+                val headReader = new BitReader(b.payload)
+                val parsed =
+                  Huffman.readHeader(headReader, tables.value.maxBits, tables.value.numContexts)
+                (new HybridCodec(parsed, model), headReader.bitPos)
+              } else (hybrid, 0L)
             val rowBits =
               CodecSelector.decodeIntColumn(b.row_bits_codec, b.row_bits_payload, b.n_rows)
             val startBit = new Array[Long](b.n_rows)
-            var acc = 0L
+            var acc = dataStart
             var i = 0
             while (i < b.n_rows) { startBit(i) = acc; acc += rowBits(i); i += 1 }
             hits.iterator.map { r =>
-              val tokens = hybrid.decodeRow(new BitReader(b.payload, startBit(r)), nToks(r))
+              val tokens = blockCodec.decodeRow(new BitReader(b.payload, startBit(r)), nToks(r))
               TokenRow(docIdsInBlock(r), tokens, nToks(r), sources(r))
             }
           } else {
@@ -664,7 +748,14 @@ object GraftPipeline {
           var i = 0
           while (i < b.n_rows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
           rowOffsets(b.n_rows) = off
-          hybrid.decodeWithStats(new BitReader(b.payload), off, rowOffsets, counts, codeBits, rawBits)
+          val reader = new BitReader(b.payload)
+          val codec =
+            if (b.embedded_tables) {
+              val parsed =
+                Huffman.readHeader(reader, tables.value.maxBits, tables.value.numContexts)
+              new HybridCodec(parsed, model)
+            } else hybrid
+          codec.decodeWithStats(reader, off, rowOffsets, counts, codeBits, rawBits)
         }
         Iterator.single(counts ++ codeBits ++ rawBits)
       }

@@ -79,6 +79,42 @@ class ContextModelSpec extends AnyFunSuite {
     blocks.unpersist()
   }
 
+  test("O23 sequential sink: numBins=1 single-partition encode matches parallel decode") {
+    import spark.implicits._
+    val cfg = Config(numContexts = 32, numBins = 1, maxBlockRows = 128, maxBlockValues = 32768)
+    val tables = spark.sparkContext.broadcast(
+      GraftPipeline.buildTables(GraftPipeline.analyze(input, cfg), cfg)
+    )
+    val blocks = GraftPipeline.encode(input, tables, cfg).cache()
+    // one bin, contiguous block sequence — the ordered single-stream shape
+    assert(blocks.map(_.bin).distinct().collect().toSeq == Seq(0))
+    val seqs = blocks.map(_.block_seq).collect().sorted.toSeq
+    assert(seqs == seqs.indices.toSeq, "block_seq not contiguous from 0")
+    assert(GraftPipeline.verify(input, GraftPipeline.decode(blocks, tables, cfg)) == 0L)
+    blocks.unpersist()
+  }
+
+  test("embedded table headers make blocks self-describing (decode with no job tables)") {
+    import spark.implicits._
+    val cfg = Config(numContexts = 32, numBins = 8, embedTables = true)
+    val tables = spark.sparkContext.broadcast(
+      GraftPipeline.buildTables(GraftPipeline.analyze(input, cfg), cfg)
+    )
+    val blocks = GraftPipeline.encode(input, tables, cfg).cache()
+    val hybridBlocks = blocks.filter(_.codec == "hybrid")
+    assert(hybridBlocks.count() > 0)
+    assert(hybridBlocks.filter(!_.embedded_tables).count() == 0L)
+    // standalone decode: no broadcast tables anywhere
+    val decoded = GraftPipeline.decodeSelfDescribing(blocks, cfg)
+    assert(GraftPipeline.verify(input, decoded) == 0L)
+    // the tables-present paths also handle embedded blocks (skip the header)
+    assert(GraftPipeline.verify(input, GraftPipeline.decode(blocks, tables, cfg)) == 0L)
+    val wanted = input.map(_.doc_id).collect().sorted.take(5).toSet
+    val got = GraftPipeline.lookupDocs(blocks, wanted, tables, cfg).collect()
+    assert(got.map(_.doc_id).toSet == wanted)
+    blocks.unpersist()
+  }
+
   test("measureStats bit accounting reconciles exactly with payload bits") {
     import spark.implicits._
     val cfg = Config(numContexts = 64, numBins = 8, autoSelect = false)
