@@ -226,7 +226,10 @@ object Bench {
     var hbest8 = Double.MaxValue
     var hbest32 = Double.MaxValue
     var stok = 0L
-    for (round <- 1 to 3) {
+    // 4 interleaved rounds (vs 2 for the shuffle-bound e2e pair): these are
+    // the scaling headline, and best-of-4 rides out host-level noise spikes
+    // that occasionally double a single rep on this shared microVM
+    for (round <- 1 to 4) {
       val s8 = session(4)
       try {
         val (t8, a8) = stagedRun(s8, hybridOnly = false)
@@ -261,10 +264,14 @@ object Bench {
     val efficiency = (thr32 / thr8) / 4.0
     val bytesPerToken = payloadBits / 8.0 / math.max(tokens, 1L)
 
+    // single-thread kernel throughput: host-scheduling-noise-immune codec
+    // speed evidence (pure JVM, no Spark)
+    val (kernelEnc, kernelDec) = graft.tools.KernelBench.measure()
+
     val total = queries.values.sum
     val qs = queries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"encode+decode bench (tokens/sec, bytes/token, N->4N scaling)","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tokens":$tokens,"bytes_per_token":$bytesPerToken%.4f,"scaling_n_cores":4,"scaling_4n_cores":16,"tokens_per_sec_n":$thr8%.0f,"tokens_per_sec_4n":$thr32%.0f,"scaling_efficiency":$efficiency%.3f,"staged_tokens_per_sec_n":$sthr8%.0f,"staged_tokens_per_sec_4n":$sthr32%.0f,"staged_scaling_efficiency":$stagedEfficiency%.3f,"hybrid_tokens_per_sec_n":${stok / hbest8}%.0f,"hybrid_tokens_per_sec_4n":${stok / hbest32}%.0f,"hybrid_scaling_efficiency":$hybridEfficiency%.3f}"""
+      f"""{"metric":"encode+decode bench (tokens/sec, bytes/token, N->4N scaling)","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tokens":$tokens,"bytes_per_token":$bytesPerToken%.4f,"scaling_n_cores":4,"scaling_4n_cores":16,"tokens_per_sec_n":$thr8%.0f,"tokens_per_sec_4n":$thr32%.0f,"scaling_efficiency":$efficiency%.3f,"staged_tokens_per_sec_n":$sthr8%.0f,"staged_tokens_per_sec_4n":$sthr32%.0f,"staged_scaling_efficiency":$stagedEfficiency%.3f,"hybrid_tokens_per_sec_n":${stok / hbest8}%.0f,"hybrid_tokens_per_sec_4n":${stok / hbest32}%.0f,"hybrid_scaling_efficiency":$hybridEfficiency%.3f,"kernel_encode_mtok_per_s":$kernelEnc%.1f,"kernel_decode_mtok_per_s":$kernelDec%.1f}"""
     )
   }
 }

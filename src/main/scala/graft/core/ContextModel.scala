@@ -26,7 +26,7 @@ sealed abstract class ContextModel extends Serializable {
   * /root/reference/src/main.rs:394-399): ctx = token(prev) clamped; the
   * first value sees ctx = token(0) = 0.
   */
-final class SimpleContextModel(numContexts: Int) extends ContextModel {
+final class SimpleContextModel(val numContexts: Int) extends ContextModel {
   val name = "simple"
   def minContexts = 1
   @inline def first(nTok: Int): Int = 0

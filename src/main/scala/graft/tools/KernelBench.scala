@@ -1,0 +1,121 @@
+package graft.tools
+
+import graft.codec.{CodecSelector, HybridCodec}
+import graft.core._
+
+/** Pure-JVM micro-benchmark of the hybrid kernel (no Spark): isolates
+  * exactBits / encode / decode throughput from scan+shuffle noise.
+  */
+object KernelBench {
+
+  /** Single-thread hybrid kernel throughput on the zipf shape:
+    * (encode Mtok/s, decode Mtok/s), best of `reps`. Host-noise-resistant
+    * evidence of codec speed, independent of Spark scheduling.
+    */
+  def measure(nRows: Int = 2048, rowLen: Int = 512, reps: Int = 10): (Double, Double) = {
+    val nCtx = 64
+    val n = nRows * rowLen
+    val values = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      values(i) = graft.pipeline.TokenTables.zipfToken(42L, i / rowLen, i % rowLen, 1000000000L)
+      i += 1
+    }
+    val rowOffsets = Array.tabulate(nRows + 1)(_ * rowLen)
+    val model = new SimpleContextModel(nCtx)
+    val hist = new Histograms(nCtx, 256)
+    var row = 0
+    while (row < nRows) {
+      var ctx = model.first(rowLen)
+      var k = rowOffsets(row)
+      while (k < rowOffsets(row + 1)) {
+        hist.add(ctx, values(k).toLong); ctx = model.next(values(k).toLong); k += 1
+      }
+      row += 1
+    }
+    val tables = Huffman.buildTables(hist, 8)
+    val hybrid = new HybridCodec(tables, model)
+    var encBest = Double.MaxValue
+    var sink = 0L
+    for (_ <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val w = new BitWriter(n / 2)
+      hybrid.encode(values, rowOffsets, w)
+      sink ^= w.bitsWritten
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dt < encBest) encBest = dt
+    }
+    val w = new BitWriter(n / 2)
+    hybrid.encode(values, rowOffsets, w)
+    val payload = w.toBytes
+    var decBest = Double.MaxValue
+    for (_ <- 1 to reps) {
+      val t0 = System.nanoTime()
+      sink ^= hybrid.decode(new BitReader(payload), n, rowOffsets).length.toLong
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dt < decBest) decBest = dt
+    }
+    if (sink == Long.MinValue) println(sink) // keep the work alive
+    (n / encBest / 1e6, n / decBest / 1e6)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nRows = if (args.nonEmpty) args(0).toInt else 4096
+    val rowLen = if (args.length > 1) args(1).toInt else 512
+    val reps = if (args.length > 2) args(2).toInt else 30
+    val nCtx = 64
+
+    // zipf-ish values (the dominant bench shape)
+    val n = nRows * rowLen
+    val values = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val x = graft.pipeline.TokenTables.zipfToken(42L, i / rowLen, i % rowLen, 1000000000L)
+      values(i) = x
+      i += 1
+    }
+    val rowOffsets = Array.tabulate(nRows + 1)(_ * rowLen)
+
+    val model = new SimpleContextModel(nCtx)
+    val hist = new Histograms(nCtx, 256)
+    var row = 0
+    while (row < nRows) {
+      var ctx = model.first(rowLen)
+      var k = rowOffsets(row)
+      while (k < rowOffsets(row + 1)) {
+        hist.add(ctx, values(k).toLong); ctx = model.next(values(k).toLong); k += 1
+      }
+      row += 1
+    }
+    val tables = Huffman.buildTables(hist, 8)
+    val hybrid = new HybridCodec(tables, model)
+
+    def time(name: String)(f: => Long): Unit = {
+      var best = Double.MaxValue
+      var sink = 0L
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        sink ^= f
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best) best = dt
+      }
+      println(f"KERNEL $name%-16s best ${best}%8.4f s  ${n / best / 1e6}%8.1f Mtok/s (sink=$sink)")
+    }
+
+    time("exactBits")(hybrid.exactBits(values, rowOffsets))
+    time("select") {
+      CodecSelector.select(values, rowOffsets, Some(hybrid))._2
+    }
+    time("encode") {
+      val w = new BitWriter(n / 2)
+      hybrid.encode(values, rowOffsets, w)
+      w.bitsWritten
+    }
+    val w = new BitWriter(n / 2)
+    hybrid.encode(values, rowOffsets, w)
+    val payload = w.toBytes
+    time("decode") {
+      hybrid.decode(new BitReader(payload), n, rowOffsets).length.toLong
+    }
+  }
+}
