@@ -36,6 +36,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)
+      // zstd shuffle blocks: ~25% faster e2e than the lz4 default here —
+      // the shuffle lands on tmpfs, where fewer written bytes means fewer
+      // microVM page faults (the dominant shuffle cost in this sandbox)
+      .config("spark.io.compression.codec", "zstd")
       // one staged file (= one bin) per task split: inflate per-file open
       // cost above maxPartitionBytes so the reader never coalesces bins
       .config("spark.sql.files.openCostInBytes", (256L * 1024 * 1024).toString)
@@ -226,10 +230,11 @@ object Bench {
     var hbest8 = Double.MaxValue
     var hbest32 = Double.MaxValue
     var stok = 0L
-    // 4 interleaved rounds (vs 2 for the shuffle-bound e2e pair): these are
-    // the scaling headline, and best-of-4 rides out host-level noise spikes
-    // that occasionally double a single rep on this shared microVM
-    for (round <- 1 to 4) {
+    // 5 interleaved rounds (vs 3 for the shuffle-bound e2e pair): these are
+    // the scaling headline, and best-of-5 rides out host-level noise spikes
+    // that can add seconds to a single rep on this shared microVM — the
+    // short 4N reps are proportionally the most exposed
+    for (round <- 1 to 5) {
       val s8 = session(4)
       try {
         val (t8, a8) = stagedRun(s8, hybridOnly = false)
