@@ -47,6 +47,20 @@ object StreamingEncode {
       .as[graft.pipeline.EncodedBlock]
   }
 
+  /** Streaming exact dedup over an event-timestamped document stream
+    * (ts, doc_id, text, ...): keep the first arrival of each content hash,
+    * with state bounded by the watermark (duplicates separated by more
+    * than `lateness` pass through — the standard bounded-state trade of
+    * streaming dedup at ingest; the batch Dedup.exact pass sweeps the
+    * long-range tail).
+    */
+  def streamingDedup(stream: DataFrame, lateness: String = "10 minutes"): DataFrame = {
+    stream
+      .withColumn("content_hash", xxhash64(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** Watermarked per-source ingest metrics over an event-timestamped token
     * stream (ts, source, n_tok): tumbling-window token counts that tolerate
     * `lateness` of out-of-order data.

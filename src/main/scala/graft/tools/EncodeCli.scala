@@ -9,13 +9,17 @@ import org.apache.spark.sql.SparkSession
   * bins are skipped, output stays byte-identical.
   *
   * Usage:
-  *   runMain graft.tools.EncodeCli synth:<rows> <outDir> [numBins] [rounds]
-  *   runMain graft.tools.EncodeCli lineitem:<sfDir> <outDir> [numBins] [rounds]
-  *   runMain graft.tools.EncodeCli parquet:<path> <outDir> [numBins] [rounds]
+  *   runMain graft.tools.EncodeCli synth:<rows> <outDir> [numBins] [rounds] [model] [flags]
+  *   runMain graft.tools.EncodeCli lineitem:<sfDir> <outDir> [numBins] [rounds] [model] [flags]
+  *   runMain graft.tools.EncodeCli parquet:<path> <outDir> [numBins] [rounds] [model] [flags]
+  * model: simple (default) | single | zuckerli
+  * flags: comma-separated subset of {estimated, embed, nohybridselect}
+  *   estimated — estimator-driven analysis rounds (no-bit-writing bootstrap)
+  *   embed     — self-describing per-block table headers
   */
 object EncodeCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: EncodeCli <input> <outDir> [numBins] [rounds]")
+    require(args.length >= 2, "usage: EncodeCli <input> <outDir> [numBins] [rounds] [model] [flags]")
     val spark = SparkSession
       .builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
@@ -28,7 +32,17 @@ object EncodeCli {
 
     val numBins = if (args.length > 2) args(2).toInt else 64
     val rounds = if (args.length > 3) args(3).toInt else 1
-    val cfg = GraftPipeline.Config(numBins = numBins, rounds = rounds)
+    val model = if (args.length > 4) args(4) else "simple"
+    val flags = (if (args.length > 5) args(5) else "").split(",").map(_.trim).toSet
+    val cfg = GraftPipeline.Config(
+      numBins = numBins,
+      rounds = rounds,
+      contextModel = model,
+      numContexts =
+        if (model == "zuckerli") graft.core.ZuckerliContextModel.NumContexts else 64,
+      estimatedRounds = flags.contains("estimated"),
+      embedTables = flags.contains("embed")
+    )
 
     val input = args(0) match {
       case s if s.startsWith("synth:") =>

@@ -37,6 +37,37 @@ class StreamingEncodeSpec extends AnyFunSuite {
     assert(GraftPipeline.verify(bootstrap, decoded) == 0L)
   }
 
+  test("streaming dedup keeps the first arrival of each content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingEncode
+      .streamingDedup(stream, lateness = "10 minutes")
+      .select("doc_id", "text")
+      .writeStream
+      .format("memory")
+      .queryName("sdedup")
+      .outputMode("append")
+      .start()
+    try {
+      val t = (s: String) => java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2026-01-01 10:00:00"), 1L, "alpha beta"),
+        (t("2026-01-01 10:00:05"), 2L, "gamma"),
+        (t("2026-01-01 10:00:10"), 3L, "alpha beta") // dup of doc 1
+      )
+      query.processAllAvailable()
+      input.addData(
+        (t("2026-01-01 10:01:00"), 4L, "gamma"), // dup of doc 2, within watermark
+        (t("2026-01-01 10:01:05"), 5L, "delta")
+      )
+      query.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM sdedup").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 5L), s"kept $kept")
+    } finally query.stop()
+  }
+
   test("windowed token counts with watermark aggregate per source") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
