@@ -48,6 +48,23 @@ object SparkEntry {
        |  SELECT doc_id, j, ${X.sqlMix62("hr")} AS word_hash FROM wraw
        |)""".stripMargin
 
+  /** Word 3-gram shingle CTE chain (TextOps.shingleUdf twin): word hashes →
+    * lead-window 3-grams → staged XHash fold → DISTINCT shingle set + per-doc
+    * set sizes. Shared by the MinHash and n-gram Jaccard oracles.
+    */
+  private val duckShinglesCte: String =
+    s"""$duckWordHashCte,
+       |sh3 AS (
+       |  SELECT doc_id, word_hash AS w1,
+       |         lead(word_hash, 1) OVER (PARTITION BY doc_id ORDER BY j) AS w2,
+       |         lead(word_hash, 2) OVER (PARTITION BY doc_id ORDER BY j) AS w3
+       |  FROM wh
+       |),
+       |shf1 AS (SELECT doc_id, w2, w3, ${X.sqlMix62(s"xor(${X.FoldInit}, w1)")} AS f1 FROM sh3 WHERE w3 IS NOT NULL),
+       |shf2 AS (SELECT doc_id, w3, ${X.sqlMix62("xor(f1, w2)")} AS f2 FROM shf1),
+       |shingles AS (SELECT DISTINCT doc_id, ${X.sqlMix62("xor(f2, w3)")} AS shingle FROM shf2),
+       |shsize AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1)""".stripMargin
+
   // ---- DuckDB twins of the quantized ANN scoring (graft.ops.Ann) ----
   /** qe = floor(x*1000 + 0.5) per element (Ann.quantize). */
   private val duckQuant =
@@ -444,6 +461,18 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // N-gram Jaccard near-dups WITHOUT LSH: rare-shingle posting lists
+    // (df <= 50 stop-shingle cap) generate candidates, exact Jaccard
+    // filters; the oracle recomputes postings, cap, pairs and set sizes
+    "q_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup
+        .ngramJaccardPairs(docs, shingleN = 3, threshold = 0.2)
+        .select($"doc_a".cast("long"), $"doc_b".cast("long"), $"inter", $"uni")
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Language-ID heuristic vs the labeled lang column (stopword argmax,
     // ties broken toward the lexicographically greatest language)
     "q_lang_id" -> ((s, dir) => {
@@ -726,17 +755,7 @@ object SparkEntry {
          |ORDER BY 1, 2""".stripMargin,
 
     "q_minhash_neardups" ->
-      s"""WITH $duckWordHashCte,
-         |sh3 AS (
-         |  SELECT doc_id, word_hash AS w1,
-         |         lead(word_hash, 1) OVER (PARTITION BY doc_id ORDER BY j) AS w2,
-         |         lead(word_hash, 2) OVER (PARTITION BY doc_id ORDER BY j) AS w3
-         |  FROM wh
-         |),
-         |shf1 AS (SELECT doc_id, w2, w3, ${X.sqlMix62(s"xor(${X.FoldInit}, w1)")} AS f1 FROM sh3 WHERE w3 IS NOT NULL),
-         |shf2 AS (SELECT doc_id, w3, ${X.sqlMix62("xor(f1, w2)")} AS f2 FROM shf1),
-         |shingles AS (SELECT DISTINCT doc_id, ${X.sqlMix62("xor(f2, w3)")} AS shingle FROM shf2),
-         |shsize AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+      s"""WITH $duckShinglesCte,
          |salts AS (SELECT i, ${X.sqlMix62("(24301 + i)")} AS salt FROM (SELECT unnest(generate_series(0, 63)) AS i)),
          |sigv AS (SELECT s.doc_id, t.i, min(${X.sqlMix62("xor(s.shingle, t.salt)")}) AS sig
          |         FROM shingles s, salts t GROUP BY 1, 2),
@@ -853,6 +872,26 @@ object SparkEntry {
          |)
          |SELECT * FROM img_f UNION ALL SELECT * FROM aud_f UNION ALL SELECT * FROM vid_f
          |ORDER BY media_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $duckShinglesCte,
+         |rare AS (SELECT doc_id, shingle FROM shingles
+         |         QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id),
+         |inters AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |           FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |res AS (
+         |  SELECT c.doc_a, c.doc_b, i.inter AS inter,
+         |         sa.n_sh + sb.n_sh - i.inter AS uni
+         |  FROM cand c
+         |  JOIN inters i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN shsize sa ON sa.doc_id = c.doc_a
+         |  JOIN shsize sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+         |FROM res WHERE CAST(inter AS DOUBLE) / uni >= 0.2
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_subword_tokens" ->
       """WITH words AS (
