@@ -1,0 +1,43 @@
+package graft.ops
+import graft.pipeline.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  test("plan audit: capped LSH bucket join exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s")).withColumn("n_chars", length($"text"))
+    val plan = Dedup.minhashNearDups(docs, threshold = 0.2).queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val nSorts = "Sort ".r.findAllIn(plan).size
+    info(s"minhash plan: $nExchanges hash exchanges, $nSorts sorts, ${plan.linesIterator.size} lines")
+    println("PLANAUDIT minhash exchanges=" + nExchanges)
+    // window partitioning (band,bucket) must be reused by the self-join:
+    // each join side = window output, so expect no extra exchange layer
+    // beyond the initial (band,bucket) partitioning of each side + the
+    // jaccard doc joins
+    assert(nExchanges <= 8, s"unexpected exchange count in:\n$plan")
+  }
+  test("plan audit: lookupDocs bin filter pushes to parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-audit").toString
+    val cfg = graft.pipeline.GraftPipeline.Config(numContexts = 16, numBins = 8)
+    val input = graft.pipeline.TokenTables.synthetic(spark, 200L, seed = 3L)
+    val tables = spark.sparkContext.broadcast(
+      graft.pipeline.GraftPipeline.buildTables(graft.pipeline.GraftPipeline.analyze(input, cfg), cfg))
+    graft.pipeline.GraftPipeline.encode(input, tables, cfg).write.parquet(s"$dir/blocks")
+    val blocks = spark.read.parquet(s"$dir/blocks").as[graft.pipeline.EncodedBlock]
+    val wanted = Set(input.head().doc_id)
+    val lookup = graft.pipeline.GraftPipeline.lookupDocs(blocks, wanted, tables, cfg)
+    val plan = lookup.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    println("PLANAUDIT lookup pushed=" + pushed)
+    // the salted-hash bin predicate must reach the parquet scan (In for
+    // many bins, EqualTo when the requested ids collapse to one bin)
+    assert(
+      pushed.contains("In(bin") || pushed.contains("EqualTo(bin"),
+      s"bin filter not pushed:\n${plan.take(2000)}"
+    )
+  }
+}
