@@ -288,17 +288,32 @@ object Huffman {
     val codeLen = t.nBits(ctx)(tok).toInt
     if (codeLen == 0)
       throw new IllegalStateException(s"value $value (token $tok) absent from tables in ctx $ctx")
-    w.writeBits(t.codes(ctx)(tok).toLong, codeLen)
-    if (nb > 0) w.writeBits(Hybrid.rawBits(value, nb), nb)
+    // one fused append: code in the low bits, raw mantissa above it — the
+    // LSB-first stream layout is identical to two separate writes, at half
+    // the bit-IO call cost (codeLen + nb <= 8 + 57 stays in one write for
+    // all int32 tokens; the guard falls back for pathological widths)
+    val total = codeLen + nb
+    if (total < 64)
+      w.writeBits(t.codes(ctx)(tok).toLong | (Hybrid.rawBits(value, nb) << codeLen), total)
+    else {
+      w.writeBits(t.codes(ctx)(tok).toLong, codeLen)
+      w.writeBits(Hybrid.rawBits(value, nb), nb)
+    }
   }
 
-  /** Read one value via the LUT. */
+  /** Read one value via the LUT (fused code+raw consume, see writeValue). */
   @inline def readValue(lut: Array[Array[Int]], maxBits: Int, ctx: Int, r: BitReader): Long = {
     val entry = lut(ctx)(r.peekBits(maxBits))
-    r.skipBits(entry >>> 16)
+    val codeLen = entry >>> 16
     val tok = entry & 0xffff
     val nb = Hybrid.tokenNBits(tok)
-    val bits = if (nb > 0) r.readBits(nb) else 0L
-    Hybrid.assemble(tok, bits)
+    if (codeLen + nb <= 57) {
+      val bits = r.readBits(codeLen + nb) >>> codeLen
+      Hybrid.assemble(tok, bits)
+    } else {
+      r.skipBits(codeLen)
+      val bits = if (nb > 0) r.readBits(nb) else 0L
+      Hybrid.assemble(tok, bits)
+    }
   }
 }
