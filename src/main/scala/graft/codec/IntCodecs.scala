@@ -502,10 +502,10 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
       while (i < rowOffsets(row + 1)) {
         val before = r.bitPos
         val entry = lut(ctx)(r.peekBits(maxBits))
-        r.skipBits(entry >>> 16)
+        r.skipBits(entry >>> 24)
         val afterCode = r.bitPos
         val tok = entry & 0xffff
-        val nb = Hybrid.tokenNBits(tok)
+        val nb = (entry >>> 16) & 0xff
         val bits = if (nb > 0) r.readBits(nb) else 0L
         val v = Hybrid.assemble(tok, bits)
         counts(ctx) += 1

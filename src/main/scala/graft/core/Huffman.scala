@@ -239,11 +239,15 @@ object Huffman {
   }
 
   /** Decoder lookup tables: per context, 2^maxBits entries packing
-    * (codeLen << 16 | symbol); decode = peek maxBits, index, skip codeLen.
+    * (codeLen << 24 | rawBits << 16 | symbol); decode = peek maxBits,
+    * index, consume codeLen + rawBits. Pre-packing the token's raw
+    * mantissa width saves recomputing it per decoded value.
     */
   def decoderLut(t: SymbolTables): Array[Array[Int]] = {
     val size = t.numSymbols
     val lut = Array.ofDim[Int](t.numContexts, size)
+    @inline def pack(codeLen: Int, sym: Int): Int =
+      (codeLen << 24) | (Hybrid.tokenNBits(sym) << 16) | sym
     var c = 0
     while (c < t.numContexts) {
       var cnt = 0
@@ -255,15 +259,14 @@ object Huffman {
       }
       if (cnt <= 1) {
         val nb = if (cnt == 1) t.nBits(c)(lastPresent).toInt else 0
-        val entry = (nb << 16) | lastPresent
-        java.util.Arrays.fill(lut(c), entry)
+        java.util.Arrays.fill(lut(c), pack(nb, lastPresent))
       } else {
         s = 0
         while (s < size) {
           if (t.present(c)(s)) {
             val nb = t.nBits(c)(s).toInt
             val code = t.codes(c)(s)
-            val entry = (nb << 16) | s
+            val entry = pack(nb, s)
             val stride = 1 << nb
             var i = code
             while (i < size) { lut(c)(i) = entry; i += stride }
@@ -304,9 +307,9 @@ object Huffman {
   /** Read one value via the LUT (fused code+raw consume, see writeValue). */
   @inline def readValue(lut: Array[Array[Int]], maxBits: Int, ctx: Int, r: BitReader): Long = {
     val entry = lut(ctx)(r.peekBits(maxBits))
-    val codeLen = entry >>> 16
+    val codeLen = entry >>> 24
+    val nb = (entry >>> 16) & 0xff
     val tok = entry & 0xffff
-    val nb = Hybrid.tokenNBits(tok)
     if (codeLen + nb <= 57) {
       val bits = r.readBits(codeLen + nb) >>> codeLen
       Hybrid.assemble(tok, bits)
