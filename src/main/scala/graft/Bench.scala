@@ -92,6 +92,11 @@ object Bench {
     var tokens = 0L
     var payloadBits = 0L
 
+    // single-thread kernel throughput FIRST, before any Spark session: the
+    // cleanest host state, and host-scheduling-noise-immune codec-speed
+    // evidence (pure JVM)
+    val (kernelEnc, kernelDec) = graft.tools.KernelBench.measure()
+
     // ---- main session at local[32]: materialize input (untimed), measure phases
     val spark32 = session(32)
     try {
@@ -145,6 +150,27 @@ object Bench {
         SparkEntry.roundtrip(spark32, sfDir)._1.collect()
       }
       queries("roundtrip_derived") = tDerived
+
+      // random-access point lookups through the compressed blocks (the
+      // reference's bench-random analog): bin-pruned scan + per-row
+      // bit-offset seek; reuses the corpus roundtrip just encoded
+      {
+        val ec = SparkEntry.encodedCorpus(spark32, sfDir)
+        val ids = TokenTables
+          .fromLineitem(spark32, sfDir)
+          .where(col("doc_id") % 997 === 0)
+          .select(col("doc_id").cast("string"))
+          .collect()
+          .map(_.getString(0))
+          .toSet
+        val (nHits, tLookup) = time {
+          GraftPipeline.lookupDocs(ec.blocks, ids, ec.tables, SparkEntry.pipelineCfg).count()
+        }
+        if (nHits != ids.size)
+          System.err.println(s"WARN point lookup returned $nHits of ${ids.size}")
+        queries("point_lookup") = tLookup
+        queries("point_lookup_ids") = ids.size.toDouble
+      }
     } finally spark32.stop()
 
     // ---- scaling pair on the same input: N=4 vs 4N=16 cores. Levels are
@@ -268,10 +294,6 @@ object Bench {
     val thr32 = tok32 / sec32
     val efficiency = (thr32 / thr8) / 4.0
     val bytesPerToken = payloadBits / 8.0 / math.max(tokens, 1L)
-
-    // single-thread kernel throughput: host-scheduling-noise-immune codec
-    // speed evidence (pure JVM, no Spark)
-    val (kernelEnc, kernelDec) = graft.tools.KernelBench.measure()
 
     val total = queries.values.sum
     val qs = queries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
