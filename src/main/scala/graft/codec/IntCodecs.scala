@@ -417,7 +417,7 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
           last = v
           i += 1
         }
-        rowBits(row) = (w.bitsWritten - before).toInt
+        rowBits(row) = rowBitLen(w.bitsWritten - before)
         row += 1
       }
     } else {
@@ -431,11 +431,19 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
           ctx = model.next(v)
           i += 1
         }
-        rowBits(row) = (w.bitsWritten - before).toInt
+        rowBits(row) = rowBitLen(w.bitsWritten - before)
         row += 1
       }
     }
     rowBits
+  }
+
+  /** Row bit lengths ride in an int column; a silent overflow (a single
+    * row beyond ~33M tokens) would corrupt the random-access index.
+    */
+  @inline private def rowBitLen(bits: Long): Int = {
+    require(bits <= Int.MaxValue, s"row payload of $bits bits overflows the row index")
+    bits.toInt
   }
 
   def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int] = {
