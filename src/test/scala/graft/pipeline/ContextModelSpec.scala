@@ -53,6 +53,11 @@ class ContextModelSpec extends AnyFunSuite {
     // context modelling must help vs a single shared table on this corpus
     assert(simple < single, s"simple $simple !< single $single")
     assert(zuck < single, s"zuckerli $zuck !< single $single")
+    // golden pins (seed-7 corpus): deliberate-update-only, like the default
+    // model's pin in GraftPipelineSpec — drift means the bit format or the
+    // context assignment changed
+    assert(single == 1535372L, s"single-model bits drifted: $single")
+    assert(zuck == 1408492L, s"zuckerli-model bits drifted: $zuck")
   }
 
   test("zuckerli-encoded blocks support per-row random access (bit-offset seek)") {
