@@ -244,7 +244,12 @@ object GraftPipeline {
     * express any stream selection routes to them. [[analyzeRounds]] remains
     * the exact variant with a monotone-size guarantee.
     */
-  def analyzeRoundsEstimated(ds: Dataset[TokenRow], cfg: Config, rounds: Int): SymbolTables = {
+  def analyzeRoundsEstimated(
+      ds: Dataset[TokenRow],
+      cfg: Config,
+      rounds: Int,
+      bootstrap: CostEstimator = Log2Estimator
+  ): SymbolTables = {
     val spark = ds.sparkSession
     import spark.implicits._
     val nCtx = cfg.numContexts
@@ -253,7 +258,7 @@ object GraftPipeline {
     val maxRows = cfg.maxBlockRows
     val maxValues = cfg.maxBlockValues
 
-    var estimator: CostEstimator = Log2Estimator
+    var estimator: CostEstimator = bootstrap
     var hist: Histograms = null
     var r = 0
     while (r < math.max(rounds, 1)) {

@@ -49,4 +49,17 @@ class EstimatorSpec extends AnyFunSuite {
     info(s"estimated-round tables: $bits bits; full-analyze tables: $exactBits bits")
     blocks.unpersist(); input.unpersist()
   }
+
+  test("fixed-estimator bootstrap also yields lossless tables (reference parity)") {
+    import spark.implicits._
+    val cfg = Config(numContexts = 32, numBins = 8)
+    val input = TokenTables.synthetic(spark, 600L, seed = 23L)
+    // the reference compresses with FixedEstimator too
+    // (tests/test_compression.rs:170-176) — a cruder prior, same contract
+    val tables = spark.sparkContext.broadcast(
+      GraftPipeline.analyzeRoundsEstimated(input, cfg, rounds = 2, bootstrap = FixedEstimator)
+    )
+    val blocks = GraftPipeline.encode(input, tables, cfg)
+    assert(GraftPipeline.verify(input, GraftPipeline.decode(blocks, tables, cfg)) == 0L)
+  }
 }

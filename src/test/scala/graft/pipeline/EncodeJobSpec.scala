@@ -71,6 +71,21 @@ class EncodeJobSpec extends AnyFunSuite {
     assert(loaded.maxBits == tables.maxBits && loaded.numContexts == tables.numContexts)
   }
 
+  test("resume with mismatched parameters fails loudly (check_compression_parameters parity)") {
+    // the reference validates persisted vs requested compression params
+    // (/root/reference/src/graphs/mod.rs:62-95, tests/test_compression.rs:200-238)
+    val dir = Files.createTempDirectory("graft-params").toString
+    EncodeJob.run(input, dir, cfg)
+    val wrongCtx = intercept[IllegalArgumentException] {
+      EncodeJob.run(input, dir, cfg.copy(numContexts = cfg.numContexts * 2))
+    }
+    assert(wrongCtx.getMessage.contains("do not match config"))
+    val wrongModel = intercept[IllegalArgumentException] {
+      EncodeJob.run(input, dir, cfg.copy(contextModel = "single"))
+    }
+    assert(wrongModel.getMessage.contains("context model"))
+  }
+
   test("manifest totals match block totals") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-manifest").toString
