@@ -146,6 +146,9 @@ object GraftPipeline {
         }
         Iterator.single(hist.flat)
       }
+      // the zero-histogram seed keeps the tree reduce total on an EMPTY
+      // corpus (tables degenerate to all-absent; encode then writes nothing)
+      .union(spark.createDataset(Seq(new Histograms(nCtx, nSym).flat)))
       .rdd
       .treeReduce(Histograms.mergeFlat _, depth = 2)
     Histograms.fromFlat(flat, nCtx, nSym)

@@ -155,6 +155,17 @@ class GraftPipelineSpec extends AnyFunSuite {
     blocks2.unpersist()
   }
 
+  test("empty corpus: analyze/encode/decode degrade gracefully to zero blocks") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[TokenRow]
+    val t = spark.sparkContext.broadcast(
+      GraftPipeline.buildTables(GraftPipeline.analyze(empty, cfg), cfg)
+    )
+    val b = GraftPipeline.encode(empty, t, cfg)
+    assert(b.count() == 0L)
+    assert(GraftPipeline.verify(empty, GraftPipeline.decode(b, t, cfg)) == 0L)
+  }
+
   test("metrics aggregate to the block totals") {
     import spark.implicits._
     val m = GraftPipeline.metrics(blocks)
