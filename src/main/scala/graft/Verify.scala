@@ -37,6 +37,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // cache lifecycle: the shared EncodedCorpus caches are scoped to this
+    // run — unpersist them and check nothing stays pinned in the session
+    SparkEntry.releaseCorpora(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs
+    if (leaked.nonEmpty)
+      System.err.println(s"[verify] WARN ${leaked.size} persistent RDDs left after release")
     spark.stop()
   }
 }

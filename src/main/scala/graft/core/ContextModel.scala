@@ -28,7 +28,11 @@ sealed abstract class ContextModel extends Serializable {
   */
 final class SimpleContextModel(val numContexts: Int) extends ContextModel {
   val name = "simple"
-  def minContexts = 1
+  // the model indexes the full [0, numContexts) space (next() clamps to
+  // numContexts-1), so compatibility checks (HybridCodec's require) must
+  // see the whole space — returning 1 here would let a 64-context model
+  // pair with 16-context tables and mis-index at encode/decode
+  def minContexts = numContexts
   @inline def first(nTok: Int): Int = 0
   @inline def next(prev: Long): Int = math.min(Hybrid.token(prev), numContexts - 1)
 }

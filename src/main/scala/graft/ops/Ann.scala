@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   *
   * Scoring runs in a QUANTIZED integer domain: embeddings quantize to
   * qe[d] = floor(x*1000 + 0.5) (exact in any engine), and similarity is
-  * icos = floor(dot * 1e6 / sqrt(|a|²·|b|²)) — dot and the squared norms
-  * are exact 64-bit integers below 2^53, so the double ops (sqrt, one
-  * divide, one multiply, floor) are IEEE-correctly-rounded and produce the
-  * SAME value on every platform/engine. That makes ANN results (and their
-  * tie-breaking order) reproducible bit-for-bit and recomputable by the
-  * DuckDB oracle — which a float-summation cosine is not.
+  * icos = floor(dot * 1e6 / sqrt(|a|²·|b|²)). dot, the squared norms, and
+  * dot*1e6 are exact 64-bit integers (dot ≤ dim·|qe|² ≈ 6.2e8 at the
+  * bounds below, so dot*1e6 ≤ ~6.2e14 < 2^53); the norm PRODUCT na·nb can
+  * reach ~3.8e17 > 2^53, so its i64→double cast rounds — determinism holds
+  * because both engines perform the IDENTICAL correctly-rounded cast
+  * before the same sqrt/divide/floor sequence, not because every
+  * intermediate is exact. That makes ANN results (and their tie-breaking
+  * order) reproducible bit-for-bit and recomputable by the DuckDB oracle —
+  * which a float-summation cosine is not.
   */
 object Ann {
 
@@ -49,8 +52,10 @@ object Ann {
   }
 
   /** Deterministic integer-quantized cosine (see object doc). Requires
-    * |qe| <= ~1100 per element and dim <= ~512 so all integer intermediates
-    * stay below 2^53 (exact as doubles).
+    * |qe| <= ~1100 per element and dim <= ~512 so dot and each squared
+    * norm stay exact in i64 and dot*1e6 stays below 2^53; na*nb may exceed
+    * 2^53 — cross-engine determinism relies on the identical IEEE
+    * i64→double cast in both engines (see object doc).
     */
   def icos(a: Array[Long], b: Array[Long]): Long = {
     var dot = 0L
@@ -135,22 +140,22 @@ object Ann {
     val spark = corpus.sparkSession
     val tablesDf = spark.range(nTables).select(col("id").cast("int").as("lsh_table"))
     val sig = planeSigUdf(nPlanes, seed)
-    // capped bucket self-join: a degenerate bucket (zero vectors, clustered
-    // corpora) of m members emits m²/2 pairs — drop buckets above maxBucket
-    // (members still pair through other tables), same as Dedup.capBuckets
-    val bw = Window.partitionBy(col("lsh_table"), col("bucket"))
+    // salt-split bucket self-join: a degenerate bucket (zero vectors,
+    // clustered corpora) of m members would emit m²/2 pairs — rank members
+    // by vec_id and pair within salt groups of <= maxBucket, bounding work
+    // at O(m·cap) while still reporting the bucket's duplicates (same rule
+    // as Dedup.saltBuckets; members also pair through other tables)
+    val bw = Window.partitionBy(col("lsh_table"), col("bucket")).orderBy(col("vec_id"))
     val banded = corpus
       .withColumn("qe", quantizeUdf(col("embedding")))
       .crossJoin(tablesDf)
       .withColumn("bucket", sig(col("qe"), col("lsh_table")))
       .select(col("lsh_table"), col("bucket"), col("vec_id"), col("qe"))
-      .withColumn("__bucket_size", count(lit(1)).over(bw))
-      .where(col("__bucket_size") <= maxBucket)
-      .drop("__bucket_size")
-    val a = banded.select(col("lsh_table"), col("bucket"), col("vec_id").as("vec_a"), col("qe").as("qe_a"))
-    val b = banded.select(col("lsh_table"), col("bucket"), col("vec_id").as("vec_b"), col("qe").as("qe_b"))
+      .withColumn("__salt", ((row_number().over(bw) - 1) / maxBucket).cast("int"))
+    val a = banded.select(col("lsh_table"), col("bucket"), col("__salt"), col("vec_id").as("vec_a"), col("qe").as("qe_a"))
+    val b = banded.select(col("lsh_table"), col("bucket"), col("__salt"), col("vec_id").as("vec_b"), col("qe").as("qe_b"))
     val minIcos = (threshold * IcosScale).toLong
-    a.join(b, Seq("lsh_table", "bucket"))
+    a.join(b, Seq("lsh_table", "bucket", "__salt"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("qe_a"), col("qe_b"))
       .distinct()
@@ -162,8 +167,11 @@ object Ann {
   }
 
   /** LSH ANN: signature buckets (multiple tables widen recall), exact icos
-    * within candidates, top-k per query. Hot corpus buckets are capped —
-    * candidate volume per query is the sum of its bucket sizes.
+    * within candidates, top-k per query. Hot corpus buckets are truncated
+    * to their first `maxBucket` members (deterministic vec_id rank) — a
+    * query joining a hot bucket scores a bounded candidate prefix instead
+    * of the whole bucket (partial recall) or nothing (the old drop rule);
+    * candidate volume per query is the sum of its capped bucket sizes.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -177,15 +185,15 @@ object Ann {
     val spark = corpus.sparkSession
     val tablesDf = spark.range(nTables).select(col("id").cast("int").as("lsh_table"))
     val sig = planeSigUdf(nPlanes, seed)
-    val bw = Window.partitionBy(col("lsh_table"), col("bucket"))
+    val bw = Window.partitionBy(col("lsh_table"), col("bucket")).orderBy(col("vec_id"))
     val c = corpus
       .withColumn("qe", quantizeUdf(col("embedding")))
       .crossJoin(tablesDf)
       .withColumn("bucket", sig(col("qe"), col("lsh_table")))
       .select(col("lsh_table"), col("bucket"), col("vec_id"), col("qe"))
-      .withColumn("__bucket_size", count(lit(1)).over(bw))
-      .where(col("__bucket_size") <= maxBucket)
-      .drop("__bucket_size")
+      .withColumn("__rank", row_number().over(bw))
+      .where(col("__rank") <= maxBucket)
+      .drop("__rank")
     val q = queries
       .withColumn("query_qe", quantizeUdf(col("embedding")))
       .crossJoin(tablesDf)

@@ -12,22 +12,31 @@ import org.apache.spark.sql.functions._
   * Every bucket join is CAPPED: a degenerate bucket (empty texts, boilerplate
   * pages, zero vectors) of m members would otherwise emit m²/2 pairs onto one
   * shuffle partition — at 100 TB a single hot bucket is billions of rows.
-  * Buckets above `maxBucket` are dropped before the self-join (the standard
-  * "stop bucket" treatment, same as the df<=50 stop-shingle cap in
-  * [[ngramJaccardPairs]]); members of a dropped bucket still pair through
-  * their other bands/tables.
+  * Buckets above `maxBucket` are SALT-SPLIT before the self-join
+  * ([[saltBuckets]]): work stays bounded at O(m·cap) per hot bucket, and the
+  * bucket's duplicates are still reported (within salt groups, plus through
+  * their other bands/tables) instead of silently dropped — the analog of the
+  * reference's chunked "Approximated" selection
+  * (/root/reference/src/graphs/parameters.rs:131-134), which bounds work per
+  * chunk while still processing every element.
   */
 object Dedup {
 
-  /** Drop bucket groups larger than `cap` before a bucket self-join. One
-    * window over the same key the join shuffles on — no extra exchange.
+  /** Salt-split bucket groups for a bounded self-join: members of each
+    * bucket are ranked deterministically by `orderCol` and assigned salt
+    * group rank/cap, so the join key (keys + __salt) holds at most `cap`
+    * members — a hot bucket of m rows costs O(m·cap) pairs, not O(m²), and
+    * every member still pairs within its group (no recall cliff to zero).
+    * One window over the same key the join shuffles on — no extra exchange.
     */
-  private[ops] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    banded
-      .withColumn("__bucket_size", count(lit(1)).over(w))
-      .where(col("__bucket_size") <= cap)
-      .drop("__bucket_size")
+  private[ops] def saltBuckets(
+      banded: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      cap: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    banded.withColumn("__salt", ((row_number().over(w) - 1) / cap).cast("int"))
   }
 
   /** Exact duplicate accounting by content hash (xxhash64 group-by). */
@@ -87,17 +96,18 @@ object Dedup {
       while (i < (band + 1) * rows) { h = XHash.mix62(h ^ sig(i)); i += 1 }
       h
     }
-    val banded = capBuckets(
+    val banded = saltBuckets(
       sigs
         .select(col("doc_id"), col("minhash"))
         .crossJoin(spark_range_bands(sigs, bands))
         .withColumn("bucket", bandUdf(col("minhash"), col("band"))),
       Seq("band", "bucket"),
+      "doc_id",
       maxBucket
     )
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("__salt"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("__salt"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bucket", "__salt"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
@@ -150,16 +160,17 @@ object Dedup {
     val sigs = docs
       .withColumn("simhash", TextOps.simhashUdf(TextOps.wordsCol(col("text"))))
       .select(col("doc_id"), col("simhash"))
-    val banded = capBuckets(
+    val banded = saltBuckets(
       sigs
         .crossJoin(spark_range_bands(sigs, 4))
         .withColumn("bucket", expr("(simhash >> (band * 16)) & 65535")),
       Seq("band", "bucket"),
+      "doc_id",
       maxBucket
     )
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("__salt"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("__salt"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "bucket", "__salt"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
       .distinct()

@@ -39,11 +39,20 @@ object XHash {
 
   @inline def fnvStep(h: Long, code: Long): Long = mul62(h ^ code, FnvPrime)
 
-  /** FNV-1a-style fold over the UTF-16 units of `s`, finished with mix62. */
+  /** FNV-1a-style fold over the CODEPOINTS of `s`, finished with mix62.
+    * Codepoints (not UTF-16 units) because the DuckDB twin
+    * [[sqlHashCharsRaw]] folds `ascii()` over per-character splits, which
+    * yields codepoints — folding UTF-16 units would diverge on any non-BMP
+    * character (emoji, astral CJK). For BMP text the two are identical.
+    */
   def hashChars(s: String): Long = {
     var h = FnvInit
     var i = 0
-    while (i < s.length) { h = fnvStep(h, s.charAt(i).toLong); i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = fnvStep(h, cp.toLong)
+      i += Character.charCount(cp)
+    }
     mix62(h)
   }
 

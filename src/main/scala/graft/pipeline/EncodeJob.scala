@@ -28,6 +28,14 @@ import java.nio.charset.StandardCharsets
   */
 object EncodeJob {
 
+  /** Blocks-parquet schema version. Bumped whenever [[EncodedBlock]] gains
+    * or changes fields (v2 added row_bits_codec/row_bits_payload/
+    * embedded_tables): resuming into an outDir written by a different
+    * version would fail or mix schemas silently at the parquet layer, so
+    * [[run]] rejects the mismatch explicitly instead.
+    */
+  val FormatVersion = 2
+
   final case class BinManifest(
       snapshot_id: Long,
       bin: Int,
@@ -66,7 +74,14 @@ object EncodeJob {
   private def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
 
-  /** Persist tables in the reference's header bit format plus a meta file. */
+  /** Persist tables in the self-describing header bit format plus a meta
+    * file. The layout follows the reference's header design
+    * (/root/reference/src/huffman/encoder.rs:310-335) with one documented
+    * deviation: symbol-length fields are 3-bit (see Huffman.scala) where
+    * the reference writes 35-bit length fields (an apparent upstream
+    * usize::BITS bug), so header artifacts are NOT byte-interchangeable
+    * with the reference — payload bits are.
+    */
   def saveTables(
       spark: SparkSession,
       outDir: String,
@@ -83,7 +98,7 @@ object EncodeJob {
     writeString(
       spark,
       s"$outDir/_tables/meta.json",
-      s"""{"max_bits":${t.maxBits},"num_contexts":${t.numContexts},"table_hash":${t.tableHash},"context_model":"$contextModel"}"""
+      s"""{"format_version":$FormatVersion,"max_bits":${t.maxBits},"num_contexts":${t.numContexts},"table_hash":${t.tableHash},"context_model":"$contextModel"}"""
     )
   }
 
@@ -161,14 +176,29 @@ object EncodeJob {
           recordedModel.forall(_ == cfg.contextModel),
           s"persisted context model ${recordedModel.getOrElse("?")} != config ${cfg.contextModel}"
         )
+        // pre-v2 outDirs (no format_version recorded) hold blocks without
+        // the row_bits/embedded_tables columns — fail loudly rather than
+        // let the parquet layer mix schemas on append
+        val recordedVersion =
+          """"format_version":(\d+)""".r.findFirstMatchIn(recorded).map(_.group(1).toInt)
+        require(
+          recordedVersion.contains(FormatVersion),
+          s"outDir blocks format v${recordedVersion.getOrElse(1)} != engine v$FormatVersion — " +
+            "re-encode into a fresh outDir (cross-version resume is not supported)"
+        )
         t
       case None =>
-        // cfg.rounds > 1 runs the reference-style iterative re-estimation:
-        // exact (dry-run encode, monotone-size guarantee) or estimated
-        // (Log2 bootstrap + Huffman estimator, no bit-writing)
+        // cfg.rounds > 1 runs the reference-style iterative re-estimation,
+        // DEFAULTING to the estimated variant (Log2 bootstrap + Huffman
+        // estimator, no bit-writing — an extra round costs ~one analyze
+        // scan, the reference's actual design, convert.rs:95-152);
+        // estimatedRounds=false selects the exact dry-run-encode variant
+        // with the monotone-size guarantee. rounds=1 is always the plain
+        // full-corpus analyze.
         require(cfg.rounds == 1 || cfg.autoSelect, "rounds > 1 requires autoSelect")
         val t =
-          if (cfg.estimatedRounds) GraftPipeline.analyzeRoundsEstimated(input, cfg, cfg.rounds)
+          if (cfg.rounds > 1 && cfg.estimatedRounds)
+            GraftPipeline.analyzeRoundsEstimated(input, cfg, cfg.rounds)
           else GraftPipeline.analyzeRounds(input, cfg, cfg.rounds)
         saveTables(spark, outDir, t, cfg.contextModel)
         t

@@ -82,7 +82,11 @@ object GraftPipeline {
     *                     selection charges the header bits to the hybrid side)
     * @param estimatedRounds rounds > 1 uses the estimator-driven analysis
     *                     (Log2 bootstrap + Huffman re-estimation, no
-    *                     bit-writing) instead of the exact dry-run encode
+    *                     bit-writing — the reference's actual multi-round
+    *                     design, convert.rs:95-152) — the DEFAULT: an extra
+    *                     round costs ~one analyze scan, not a full dry-run
+    *                     encode. Set false for the exact variant with the
+    *                     monotone-size guarantee.
     */
   final case class Config(
       numContexts: Int = 64,
@@ -95,11 +99,24 @@ object GraftPipeline {
       rounds: Int = 1,
       contextModel: String = "simple",
       embedTables: Boolean = false,
-      estimatedRounds: Boolean = false
+      estimatedRounds: Boolean = true
   ) {
     require(numContexts >= 1 && numContexts <= Hybrid.MaxNumContexts)
     /** Resolved context model; construction validates name + context count. */
     def model: ContextModel = ContextModel(contextModel, numContexts)
+  }
+
+  /** Merge flat Long-array partials with a depth picked by partial count:
+    * the executor-side combine layer of depth 2 pays off only when partials
+    * are many (at ~1e5 tasks a flat reduce funnels ~12 GB of 128 KiB
+    * partials into the driver; the tree cuts driver ingress to O(√tasks)),
+    * while at bench/local scale (tens of partials, a few MB total) the
+    * extra stage is pure scheduling overhead — r2's analyze-phase
+    * regression window. Depth 1 == a flat reduce.
+    */
+  private def reduceFlat(rdd: org.apache.spark.rdd.RDD[Array[Long]]): Array[Long] = {
+    val depth = if (rdd.getNumPartitions > 64) 2 else 1
+    rdd.treeReduce(Histograms.mergeFlat _, depth)
   }
 
   /** Deterministic logical partition of a row: salted hash of doc_id.
@@ -116,10 +133,11 @@ object GraftPipeline {
     * partial+final aggregation, the same algebra as the reference's per-thread
     * `add_all` merge (/root/reference/src/graphs/convert.rs:156-262).
     *
-    * Partials merge via `treeReduce(depth=2)`, not a flat reduce: one partial
-    * is numContexts×numSymbols longs (128 KiB at 64×256); at 100 TB (~1e5
-    * tasks) a flat reduce would funnel ~12 GB into the driver, while the tree
-    * inserts an executor-side combine layer (O(sqrt(tasks)) driver ingress).
+    * Partials merge via [[reduceFlat]]: one partial is
+    * numContexts×numSymbols longs (128 KiB at 64×256); at 100 TB (~1e5
+    * tasks) the depth-2 tree inserts an executor-side combine layer
+    * (O(sqrt(tasks)) driver ingress) where a flat reduce would funnel
+    * ~12 GB into the driver; at small partial counts it stays flat.
     */
   def analyze(ds: Dataset[TokenRow], cfg: Config): Histograms = {
     val spark = ds.sparkSession
@@ -150,8 +168,7 @@ object GraftPipeline {
       // corpus (tables degenerate to all-absent; encode then writes nothing)
       .union(spark.createDataset(Seq(new Histograms(nCtx, nSym).flat)))
       .rdd
-      .treeReduce(Histograms.mergeFlat _, depth = 2)
-    Histograms.fromFlat(flat, nCtx, nSym)
+    Histograms.fromFlat(reduceFlat(flat), nCtx, nSym)
   }
 
   def buildTables(hist: Histograms, cfg: Config): SymbolTables =
@@ -217,8 +234,7 @@ object GraftPipeline {
         // chose the hybrid codec
         .union(spark.createDataset(Seq(new Histograms(nCtx, nSym).flat)))
         .rdd
-        .treeReduce(Histograms.mergeFlat _, depth = 2)
-      val refined = Histograms.fromFlat(flat, nCtx, nSym)
+      val refined = Histograms.fromFlat(reduceFlat(flat), nCtx, nSym)
       // if nothing routed to hybrid, keep the previous round's tables
       if (refined.total > 0) tables = buildTables(refined, cfg)
       r += 1
@@ -337,14 +353,14 @@ object GraftPipeline {
         }
         .union(spark.createDataset(Seq(new Array[Long](2 * nCtx * nSym))))
         .rdd
-        .treeReduce(Histograms.mergeFlat _, depth = 2)
-      val routedHist = Histograms.fromFlat(flat.take(nCtx * nSym), nCtx, nSym)
+      val flatMerged = reduceFlat(flat)
+      val routedHist = Histograms.fromFlat(flatMerged.take(nCtx * nSym), nCtx, nSym)
       // presence floor: any symbol seen in the corpus gets >= 1 count
       var c = 0
       while (c < nCtx) {
         var sym = 0
         while (sym < nSym) {
-          if (routedHist.counts(c)(sym) == 0 && flat(nCtx * nSym + c * nSym + sym) > 0)
+          if (routedHist.counts(c)(sym) == 0 && flatMerged(nCtx * nSym + c * nSym + sym) > 0)
             routedHist.counts(c)(sym) = 1
           sym += 1
         }
@@ -729,9 +745,15 @@ object GraftPipeline {
 
   /** Per-context bit accounting (the O27 stats surface, reference
     * StatsDecoder / measure_stats, /root/reference/src/graphs/stats.rs:12-204
-    * and utils.rs:101-123): decode every hybrid block measuring code vs raw
-    * mantissa bits per context via bit-position deltas, merge the partials
-    * with a tree reduce, and return one row per context.
+    * and utils.rs:101-123), covering the WHOLE corpus from one auto-select
+    * encode: hybrid blocks are decoded measuring code vs raw mantissa bits
+    * per context via actual bit-position deltas; lightweight-routed blocks
+    * are decoded and walked with the same context model, charging each value
+    * its hybrid-codec cost (raw width is a pure function of the value; code
+    * bits from the shared tables' cost model) — so n_values/raw_bits are
+    * exact per-context corpus stats independent of block routing, and
+    * code_bits is the entropy-coder accounting the reference's StatsDecoder
+    * reports. Partials merge with a tree reduce; one row per context.
     */
   def measureStats(
       blocks: Dataset[EncodedBlock],
@@ -743,7 +765,6 @@ object GraftPipeline {
     val model = cfg.model
     val nCtx = cfg.numContexts
     val flat = blocks
-      .filter(_.codec == "hybrid")
       .mapPartitions { it =>
         val hybrid = new HybridCodec(tables.value, model)
         val counts = new Array[Long](nCtx)
@@ -757,22 +778,42 @@ object GraftPipeline {
           while (i < b.n_rows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
           rowOffsets(b.n_rows) = off
           val reader = new BitReader(b.payload)
-          val codec =
-            if (b.embedded_tables) {
-              val parsed =
-                Huffman.readHeader(reader, tables.value.maxBits, tables.value.numContexts)
-              new HybridCodec(parsed, model)
-            } else hybrid
-          codec.decodeWithStats(reader, off, rowOffsets, counts, codeBits, rawBits)
+          if (b.codec == "hybrid") {
+            val codec =
+              if (b.embedded_tables) {
+                val parsed =
+                  Huffman.readHeader(reader, tables.value.maxBits, tables.value.numContexts)
+                new HybridCodec(parsed, model)
+              } else hybrid
+            codec.decodeWithStats(reader, off, rowOffsets, counts, codeBits, rawBits)
+          } else {
+            val codec = CodecSelector.decoderFor(codecId(b.codec), Some(hybrid))
+            val values = codec.decode(reader, off, rowOffsets)
+            var row = 0
+            while (row < b.n_rows) {
+              var ctx = model.first(rowOffsets(row + 1) - rowOffsets(row))
+              var k = rowOffsets(row)
+              while (k < rowOffsets(row + 1)) {
+                val v = values(k).toLong
+                val nb = Hybrid.splitNBits(Hybrid.split(v))
+                counts(ctx) += 1
+                codeBits(ctx) += tables.value.bitCost(ctx, v) - nb
+                rawBits(ctx) += nb
+                ctx = model.next(v)
+                k += 1
+              }
+              row += 1
+            }
+          }
         }
         Iterator.single(counts ++ codeBits ++ rawBits)
       }
       .union(spark.createDataset(Seq(new Array[Long](3 * nCtx))))
       .rdd
-      .treeReduce(Histograms.mergeFlat _, depth = 2)
+    val merged = reduceFlat(flat)
     val rows = (0 until nCtx).collect {
-      case c if flat(c) > 0 =>
-        (c, flat(c), flat(nCtx + c), flat(2 * nCtx + c))
+      case c if merged(c) > 0 =>
+        (c, merged(c), merged(nCtx + c), merged(2 * nCtx + c))
     }
     spark.createDataset(rows)
   }

@@ -13,9 +13,11 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.EncodeCli lineitem:<sfDir> <outDir> [numBins] [rounds] [model] [flags]
   *   runMain graft.tools.EncodeCli parquet:<path> <outDir> [numBins] [rounds] [model] [flags]
   * model: simple (default) | single | zuckerli
-  * flags: comma-separated subset of {estimated, embed, nohybridselect}
-  *   estimated — estimator-driven analysis rounds (no-bit-writing bootstrap)
-  *   embed     — self-describing per-block table headers
+  * flags: comma-separated subset of {exact, embed, nohybridselect}
+  *   exact — rounds > 1 uses the exact dry-run-encode analysis (monotone
+  *           size guarantee) instead of the default estimator-driven
+  *           no-bit-writing rounds
+  *   embed — self-describing per-block table headers
   */
 object EncodeCli {
   def main(args: Array[String]): Unit = {
@@ -40,7 +42,7 @@ object EncodeCli {
       contextModel = model,
       numContexts =
         if (model == "zuckerli") graft.core.ZuckerliContextModel.NumContexts else 64,
-      estimatedRounds = flags.contains("estimated"),
+      estimatedRounds = !flags.contains("exact"),
       embedTables = flags.contains("embed")
     )
 

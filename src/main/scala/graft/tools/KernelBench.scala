@@ -12,8 +12,20 @@ object KernelBench {
     * (encode Mtok/s, decode Mtok/s), best of `reps`. Host-noise-resistant
     * evidence of codec speed, independent of Spark scheduling.
     */
-  def measure(nRows: Int = 2048, rowLen: Int = 512, reps: Int = 10): (Double, Double) = {
-    val nCtx = 64
+  def measure(nRows: Int = 2048, rowLen: Int = 512, reps: Int = 10): (Double, Double) =
+    measureModel(new SimpleContextModel(64), nRows, rowLen, reps)
+
+  /** Same protocol under an arbitrary context model — one bench row per
+    * model quantifies the virtual-dispatch tax of the non-inlined paths
+    * (zuckerli/single) against the inlined simple-model loops.
+    */
+  def measureModel(
+      model: ContextModel,
+      nRows: Int = 2048,
+      rowLen: Int = 512,
+      reps: Int = 10
+  ): (Double, Double) = {
+    val nCtx = model.minContexts
     val n = nRows * rowLen
     val values = new Array[Int](n)
     var i = 0
@@ -22,7 +34,6 @@ object KernelBench {
       i += 1
     }
     val rowOffsets = Array.tabulate(nRows + 1)(_ * rowLen)
-    val model = new SimpleContextModel(nCtx)
     val hist = new Histograms(nCtx, 256)
     var row = 0
     while (row < nRows) {

@@ -12,4 +12,16 @@ class EntrySmokeSpec extends AnyFunSuite {
     // the summary carries the roundtrip mismatch count — must be zero
     assert(rows.forall(_.getAs[Long]("n_mismatches") == 0L))
   }
+
+  test("releaseCorpora unpersists every cached corpus (Verify teardown contract)") {
+    val spark = SparkTestBase.spark
+    SparkEntry.releaseCorpora(spark) // drop anything the entry test cached
+    // other suites cache their own fixtures in the shared session, so
+    // assert relative to a baseline rather than absolute emptiness
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.encodedCorpus(spark, "/root/testdata/sf0.001").blocks.count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(baseline).nonEmpty)
+    SparkEntry.releaseCorpora(spark)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == baseline)
+  }
 }

@@ -136,6 +136,59 @@ class OpsSpec extends AnyFunSuite {
     assert(sameCluster.toDouble / pairs.length >= 0.9, s"$sameCluster/${pairs.length}")
   }
 
+  test("hot-bucket salt-split: planted identical-doc flood stays bounded AND reports dups") {
+    import spark.implicits._
+    // 260 byte-identical docs: every band of every minhash signature lands
+    // in ONE bucket. The old drop-rule returned ZERO pairs here (silent
+    // recall loss on boilerplate corpora); salt groups of <= 64 bound the
+    // join at O(m·cap) while still pairing within groups.
+    val text = "the fast key order sort table scan merge part window small hash join"
+    val flood = (0 until 260)
+      .map(id => (id.toLong, text, "en", "boiler"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text"))
+    val cap = 64
+    val pairs = Dedup.minhashNearDups(flood, threshold = 0.9, maxBucket = cap).collect()
+    // deterministic salt groups by doc_id rank: 64+64+64+64+4 members
+    // (identical across bands, so distinct() collapses the 16 bands)
+    val groups = Seq(64, 64, 64, 64, 4)
+    val expected = groups.map(g => g * (g - 1) / 2).sum
+    assert(pairs.length == expected, s"got ${pairs.length}, want $expected bounded pairs")
+    // every reported pair is a true duplicate (identical text -> jaccard 1)
+    assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
+    // and pairs never cross a salt group boundary (the work bound)
+    assert(pairs.forall(r => r.getLong(0) / cap == r.getLong(1) / cap))
+  }
+
+  test("cosine near-dup salt-split bounds identical-vector floods without dropping them") {
+    import spark.implicits._
+    val vec = Array.tabulate(16)(d => if (d % 3 == 0) 1.0f else 0.5f)
+    val flood = (0 until 150)
+      .map(id => (id.toLong, vec, 0))
+      .toDF("vec_id", "embedding", "label")
+    val cap = 50
+    val pairs =
+      Ann.cosineNearDups(flood, threshold = 0.99, nPlanes = 4, nTables = 2, maxBucket = cap)
+        .collect()
+    val expected = 3 * (cap * (cap - 1) / 2) // groups of 50/50/50, same per table
+    assert(pairs.length == expected, s"got ${pairs.length}, want $expected")
+    assert(pairs.forall(_.getAs[Long]("icos") == Ann.IcosScale))
+    assert(pairs.forall(r => r.getLong(0) / cap == r.getLong(1) / cap))
+  }
+
+  test("LSH top-k truncates hot buckets to a bounded prefix instead of dropping them") {
+    import spark.implicits._
+    val vec = Array.tabulate(16)(d => if (d % 2 == 0) 1.0f else -0.25f)
+    val flood = (0 until 120).map(id => (id.toLong, vec, 0)).toDF("vec_id", "embedding", "label")
+    val queries = flood.where($"vec_id" === 0L)
+    // old drop rule: bucket of 120 > cap 32 vanished -> zero results;
+    // rank-truncation keeps the first 32 members as candidates
+    val topk = Ann.lshTopK(flood, queries, k = 5, nPlanes = 2, nTables = 2, maxBucket = 32).collect()
+    assert(topk.length == 5, s"got ${topk.length} of 5")
+    // candidates come from the deterministic vec_id-rank prefix
+    assert(topk.forall(_.getLong(1) < 32L))
+  }
+
   test("LSH top-k recalls most of brute-force top-k") {
     import spark.implicits._
     val queries = embeddings.where($"vec_id" % 100 === 0)

@@ -120,6 +120,27 @@ class ContextModelSpec extends AnyFunSuite {
     blocks.unpersist()
   }
 
+  test("measureStats covers the whole corpus independent of block routing") {
+    import spark.implicits._
+    // same tables (analyze ignores autoSelect); one corpus routed by
+    // auto-selection, one forced all-hybrid — the per-context accounting
+    // must be identical: counts/raw bits are pure functions of the values,
+    // code bits come from the shared tables either way (measured on hybrid
+    // blocks, cost-model-charged on lightweight ones)
+    val cfgAuto = Config(numContexts = 64, numBins = 8, maxBlockRows = 64, maxBlockValues = 16384)
+    val tables = spark.sparkContext.broadcast(
+      GraftPipeline.buildTables(GraftPipeline.analyze(input, cfgAuto), cfgAuto)
+    )
+    val auto = GraftPipeline.encode(input, tables, cfgAuto).cache()
+    val hybridOnly = GraftPipeline.encode(input, tables, cfgAuto.copy(autoSelect = false)).cache()
+    // the premise: auto-selection actually routed some blocks away
+    assert(auto.filter(_.codec != "hybrid").count() > 0, "corpus not mixed — test is vacuous")
+    val sAuto = GraftPipeline.measureStats(auto, tables, cfgAuto).collect().sortBy(_._1)
+    val sHyb = GraftPipeline.measureStats(hybridOnly, tables, cfgAuto).collect().sortBy(_._1)
+    assert(sAuto.toSeq == sHyb.toSeq)
+    auto.unpersist(); hybridOnly.unpersist()
+  }
+
   test("measureStats bit accounting reconciles exactly with payload bits") {
     import spark.implicits._
     val cfg = Config(numContexts = 64, numBins = 8, autoSelect = false)

@@ -86,6 +86,35 @@ class EncodeJobSpec extends AnyFunSuite {
     assert(wrongModel.getMessage.contains("context model"))
   }
 
+  test("resume into a different blocks-format version fails loudly") {
+    val dir = Files.createTempDirectory("graft-fmt").toString
+    EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0)))
+    // simulate an outDir written by the previous engine revision
+    val metaPath = java.nio.file.Paths.get(s"$dir/_tables/meta.json")
+    val meta = java.nio.file.Files.readString(metaPath)
+    java.nio.file.Files.writeString(
+      metaPath,
+      meta.replace(s""""format_version":${EncodeJob.FormatVersion}""", """"format_version":1""")
+    )
+    // drop the local-FS checksum sidecar invalidated by the direct rewrite
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_tables/.meta.json.crc")
+    )
+    val err = intercept[IllegalArgumentException](EncodeJob.run(input, dir, cfg))
+    assert(err.getMessage.contains("format"))
+  }
+
+  test("rounds=2 defaults to the estimated (no-bit-writing) path and stays lossless") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-est").toString
+    val cfg2 = cfg.copy(rounds = 2) // estimatedRounds defaults true
+    EncodeJob.run(input, dir, cfg2)
+    val tables = EncodeJob.loadTables(spark, dir).get
+    val bTables = spark.sparkContext.broadcast(tables)
+    val decoded = GraftPipeline.decode(EncodeJob.readBlocks(spark, dir), bTables, cfg2)
+    assert(GraftPipeline.verify(input, decoded) == 0L)
+  }
+
   test("manifest totals match block totals") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-manifest").toString
