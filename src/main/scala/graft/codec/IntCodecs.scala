@@ -394,6 +394,78 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
     bits
   }
 
+  /** One-pass fusion of [[BlockStats.compute]] and [[exactBits]]: codec
+    * auto-selection's pre-encode analysis touches each block's values ONCE
+    * instead of twice. The block-encode path is memory-bandwidth-bound at
+    * high core counts (Bench: staged-auto scales worse than hybrid-only),
+    * so the saved pass buys more than its instruction count. Must stay
+    * equivalent to (BlockStats.compute(values, 0, n), exactBits(values,
+    * rowOffsets)) — pinned by a randomized equivalence test.
+    */
+  def exactBitsAndStats(values: Array[Int], rowOffsets: Array[Int]): (BlockStats, Long) = {
+    val n = values.length
+    if (n == 0) return (BlockStats(0, 0, 0, 0, 0, 0, Array.emptyIntArray), 0L)
+    require(rowOffsets(rowOffsets.length - 1) == n, "rowOffsets must cover the whole stream")
+    var min = Int.MaxValue
+    var max = Int.MinValue
+    var runs = 1
+    var runLen = 1
+    var maxRun = 1
+    val capacity = Integer.highestOneBit(BlockStats.DictCap * 4 - 1) * 2
+    val mask = capacity - 1
+    val set = new Array[Int](capacity)
+    java.util.Arrays.fill(set, -1)
+    var setSize = 0
+    var capped = false
+    var prev = values(0)
+    var bits = 0L
+    var row = 0
+    while (row < rowOffsets.length - 1) {
+      var ctx =
+        if (simpleNCtx > 0) 0 else model.first(rowOffsets(row + 1) - rowOffsets(row))
+      var i = rowOffsets(row)
+      while (i < rowOffsets(row + 1)) {
+        val v = values(i)
+        if (v < min) min = v
+        if (v > max) max = v
+        if (i > 0) {
+          if (v == prev) { runLen += 1; if (runLen > maxRun) maxRun = runLen }
+          else { runs += 1; runLen = 1 }
+        }
+        if (!capped && v != prev || i == 0) {
+          var slot = ((v * 0x9e3779b9) >>> 17) & mask
+          while (set(slot) != -1 && set(slot) != v) slot = (slot + 1) & mask
+          if (set(slot) == -1) {
+            set(slot) = v
+            setSize += 1
+            if (setSize > BlockStats.DictCap) capped = true
+          }
+        }
+        prev = v
+        val vl = v.toLong
+        bits += tables.bitCost(ctx, vl)
+        ctx = if (simpleNCtx > 0) Hybrid.chooseContext(vl, simpleNCtx) else model.next(vl)
+        i += 1
+      }
+      row += 1
+    }
+    val distinct = if (capped) BlockStats.DictCap + 1 else setSize
+    val dv =
+      if (capped) Array.emptyIntArray
+      else {
+        val out = new Array[Int](setSize)
+        var j = 0
+        var s = 0
+        while (s < capacity) {
+          if (set(s) != -1) { out(j) = set(s); j += 1 }
+          s += 1
+        }
+        java.util.Arrays.sort(out)
+        out
+      }
+    (BlockStats(n, min, max, runs, maxRun, distinct, dv), bits)
+  }
+
   def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
     encodeWithRowBits(values, rowOffsets, w)
     ()
@@ -545,7 +617,12 @@ object CodecSelector {
       hybrid: Option[HybridCodec],
       hybridExtraBits: Long = 0L
   ): (IntBlockCodec, Long) = {
-    val stats = BlockStats.compute(values, 0, values.length)
+    // with a hybrid candidate, stats and the hybrid exact cost come from
+    // ONE fused pass over the values (see HybridCodec.exactBitsAndStats)
+    val (stats, hybridBits) = hybrid match {
+      case Some(h) => h.exactBitsAndStats(values, rowOffsets)
+      case None => (BlockStats.compute(values, 0, values.length), Long.MaxValue)
+    }
     var best: IntBlockCodec = PlainCodec
     var bestBits: Long = PlainCodec.estimateBits(stats)
     lightweight.foreach { c =>
@@ -553,7 +630,7 @@ object CodecSelector {
       if (b < bestBits) { best = c; bestBits = b }
     }
     hybrid.foreach { h =>
-      val b = h.exactBits(values, rowOffsets) + hybridExtraBits
+      val b = hybridBits + hybridExtraBits
       if (b < bestBits) { best = h; bestBits = b }
     }
     (best, bestBits)

@@ -378,6 +378,13 @@ object GraftPipeline {
     * packed greedily into blocks capped by rows AND values — the value cap is
     * the skew guard: long token arrays fill a block alone instead of bloating
     * one task's unit of work.
+    *
+    * Token arrays travel through the exchange VARINT-PACKED ([[graft.codec.VarInt]]):
+    * shuffle bytes are the parallelism-independent cost (network at cluster
+    * scale, page-faulted shuffle files locally), and the zipf-heavy token
+    * domain packs ~3x smaller than fixed int32; pack/unpack CPU rides the
+    * scaling compute path. The kernel sees the identical Array[Int], so
+    * block bytes are unchanged (bin-keyed determinism intact).
     */
   def encode(
       ds: Dataset[TokenRow],
@@ -387,16 +394,38 @@ object GraftPipeline {
     val spark = ds.sparkSession
     import spark.implicits._
 
+    // the n_tok column is untrusted input (EncodeCli accepts arbitrary
+    // parquet); unpack sizes rows by n_tok, so validate at pack time —
+    // a mismatch would otherwise silently shift every row boundary
+    val packed = ds
+      .mapPartitions { it =>
+        it.map { r =>
+          if (r.n_tok != r.tokens.length)
+            throw new IllegalArgumentException(
+              s"row ${r.doc_id}: n_tok=${r.n_tok} != tokens.length=${r.tokens.length}"
+            )
+          (r.doc_id, VarInt.pack(r.tokens), r.n_tok, r.source)
+        }
+      }
+      .toDF("doc_id", "packed", "n_tok", "source")
+
     // Sorting by (bin, source, doc_id) keeps blocks source-homogeneous, so
     // per-block codec selection sees the source's token distribution rather
     // than an average over sources.
-    val binned = ds
+    val binned = packed
       .withColumn("bin", binCol(cfg.numBins, cfg.salt))
       .repartition(cfg.numBins, $"bin")
       .sortWithinPartitions($"bin", $"source", $"doc_id")
-      .select($"doc_id", $"tokens", $"n_tok", $"source", $"bin")
-      .as[(String, Array[Int], Int, String, Int)]
-    encodeBinned(binned, tables, cfg)
+      .select($"doc_id", $"packed", $"n_tok", $"source", $"bin")
+      .as[(String, Array[Byte], Int, String, Int)]
+
+    binned.mapPartitions { rows =>
+      blockIterator(
+        rows.map { case (d, p, n, s, b) => (d, VarInt.unpack(p, n), n, s, b) },
+        tables.value,
+        cfg
+      )
+    }
   }
 
   /** Persist the bin-routed, sorted layout (the Spark stand-in for an
@@ -441,16 +470,27 @@ object GraftPipeline {
   ): Dataset[EncodedBlock] = {
     val spark = binned.sparkSession
     import spark.implicits._
+    binned.mapPartitions(rows => blockIterator(rows, tables.value, cfg))
+  }
+
+  /** Greedy block builder over bin-contiguous sorted rows — the shared
+    * kernel of the packed-shuffle path ([[encode]]) and the staged
+    * no-shuffle path ([[encodeStaged]]).
+    */
+  private def blockIterator(
+      rows: Iterator[(String, Array[Int], Int, String, Int)],
+      symbolTables: SymbolTables,
+      cfg: Config
+  ): Iterator[EncodedBlock] = {
     val model = cfg.model
     val maxRows = cfg.maxBlockRows
     val maxValues = cfg.maxBlockValues
     val auto = cfg.autoSelect
     val embed = cfg.embedTables
 
-    binned
-      .mapPartitions { rows =>
+    {
         new Iterator[EncodedBlock] {
-          private val hybrid = new HybridCodec(tables.value, model)
+          private val hybrid = new HybridCodec(symbolTables, model)
           private var pending: (String, Array[Int], Int, String, Int) = null
           private var done = false
           private var seqBin = -1
@@ -531,7 +571,7 @@ object GraftPipeline {
             // bit length — the random-access index for lookupDocs
             val rowBits: Array[Int] = codec match {
               case h: HybridCodec =>
-                if (embed) Huffman.writeHeader(tables.value, w)
+                if (embed) Huffman.writeHeader(symbolTables, w)
                 h.encodeWithRowBits(values, rowOffsets, w)
               case c => c.encode(values, rowOffsets, w); null
             }
@@ -569,11 +609,11 @@ object GraftPipeline {
               payload_bits = w.bitsWritten,
               meta_bytes = dPayload.length.toLong + sPayload.length + nPayload.length +
                 rbPayload.length,
-              table_hash = tables.value.tableHash
+              table_hash = symbolTables.tableHash
             )
           }
         }
-      }
+    }
   }
 
   /** Decode blocks back to rows. Embarrassingly parallel: each block is

@@ -118,6 +118,40 @@ class IntCodecsSpec extends AnyFunSuite {
     assert(s.min == 2 && s.max == 9)
   }
 
+  test("fused exactBitsAndStats equals the separate stats + exactBits passes") {
+    // the selection hot path must stay equivalent to the reference
+    // implementations it fuses, across every stream shape and both
+    // context-model dispatch paths, with multi-row offset layouts
+    val nCtx = 16
+    for ((name, values) <- streams if values.nonEmpty) {
+      val offsets =
+        if (values.length < 10) singleRow(values)
+        else Array(0, values.length / 3, values.length / 2, values.length)
+      for (model <- Seq[ContextModel](new SimpleContextModel(nCtx), new ConstantContextModel)) {
+        val hist = new Histograms(nCtx, 256)
+        var row = 0
+        while (row < offsets.length - 1) {
+          var ctx = model.first(offsets(row + 1) - offsets(row))
+          var i = offsets(row)
+          while (i < offsets(row + 1)) {
+            hist.add(ctx, values(i).toLong); ctx = model.next(values(i).toLong); i += 1
+          }
+          row += 1
+        }
+        val tables = Huffman.buildTables(hist, 8)
+        val h = new HybridCodec(tables, model)
+        val (fusedStats, fusedBits) = h.exactBitsAndStats(values, offsets)
+        val sepStats = BlockStats.compute(values, 0, values.length)
+        val sepBits = h.exactBits(values, offsets)
+        assert(fusedBits == sepBits, s"$name/${model.name}: bits")
+        assert(fusedStats == sepStats.copy(distinctValues = fusedStats.distinctValues),
+          s"$name/${model.name}: stats scalar fields")
+        assert(fusedStats.distinctValues.sameElements(sepStats.distinctValues),
+          s"$name/${model.name}: distinct values")
+      }
+    }
+  }
+
   test("decoderFor dispatches all ids") {
     for (c <- codecs)
       assert(CodecSelector.decoderFor(c.id, None).name == c.name)

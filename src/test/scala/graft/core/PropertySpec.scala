@@ -103,4 +103,18 @@ class PropertySpec extends AnyFunSuite {
       StringCodecs.decode(name, payload, strings.length).sameElements(strings)
     })
   }
+
+  test("property: varint shuffle packing roundtrips arbitrary int32 streams exactly") {
+    // includes negatives (5-byte case) and the full boundary ladder — the
+    // packed form carries token arrays through the encode exchange, so a
+    // single mis-sized value would shift every row boundary downstream
+    val anyInt: Gen[Int] = Gen.oneOf(
+      Gen.chooseNum(Int.MinValue, Int.MaxValue),
+      Gen.oneOf(0, 1, 127, 128, 16383, 16384, 2097151, 2097152,
+        268435455, 268435456, Int.MaxValue, Int.MinValue, -1)
+    )
+    check(Prop.forAll(Gen.listOf(anyInt).map(_.toArray)) { values =>
+      VarInt.unpack(VarInt.pack(values), values.length).sameElements(values)
+    })
+  }
 }
