@@ -558,6 +558,16 @@ object SparkEntry {
       graft.ops.Ann.cosineNearDups(emb, threshold = 0.3)
     }),
 
+    // IVF ANN: coarse-quantizer inverted lists (deterministic centroid
+    // seed), nProbe-list probe, exact icos top-5 — the partitioned-index
+    // scale path; the oracle recomputes the assign→probe→score→rank chain
+    "q_ivf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where($"vec_id" < 5)
+      graft.ops.Ann.ivfTopK(emb, queries, k = 5, nLists = 8, nProbe = 2)
+    }),
+
     // LSH ANN agreement with brute force (recall@5 as a count); the oracle
     // recomputes BOTH top-k sides and the semi-join count
     "q_ann_lsh_recall" -> ((s, dir) => {
@@ -834,6 +844,27 @@ object SparkEntry {
          |SELECT vec_a, vec_b, icos, CAST(icos AS DOUBLE) / 1000000.0 AS cosine
          |FROM icosed WHERE icos >= $minIcos ORDER BY 1, 2""".stripMargin
     },
+
+    "q_ivf_topk" ->
+      s"""WITH qc AS (SELECT vec_id, $duckQuant AS qe FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, qe AS cqe FROM qc ORDER BY vec_id LIMIT 8),
+         |ascore AS (SELECT q.vec_id, c.cid, ${duckIcos("q.qe", "c.cqe")} AS s
+         |           FROM qc q CROSS JOIN cents c),
+         |lists AS (SELECT vec_id, cid AS list_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ascore)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS list_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |   FROM ascore WHERE vec_id < 5)
+         |  WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, l.vec_id
+         |         FROM probes p JOIN lists l USING (list_id) WHERE l.vec_id != p.query_id),
+         |scored AS (SELECT c.query_id, c.vec_id, ${duckIcos("a.qe", "b.qe")} AS icos
+         |           FROM cand c JOIN qc a ON a.vec_id = c.vec_id JOIN qc b ON b.vec_id = c.query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY icos DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT query_id, vec_id AS neighbor_id, icos, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_lsh_recall" ->
       s"""WITH qc AS (SELECT vec_id, $duckQuant AS qe FROM embeddings),

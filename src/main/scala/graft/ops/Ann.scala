@@ -166,6 +166,83 @@ object Ann {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** IVF (inverted-file) ANN — the partitioned-index scale path next to
+    * LSH: the corpus is assigned to `nLists` inverted lists by nearest
+    * coarse centroid, and a query scores only the vectors in its `nProbe`
+    * closest lists — touching ~nProbe/nLists of the corpus instead of all
+    * of it. Centroids are the `nLists` lowest-vec_id vectors (a seeded,
+    * cross-engine-deterministic stand-in for a k-means trainer — the
+    * trainer is pluggable, the index/search plumbing is what scales);
+    * assignment and scoring run in the exact icos domain with (icos desc,
+    * id asc) tie-breaking, so the DuckDB oracle recomputes the whole
+    * assign→probe→score→rank chain bit-for-bit.
+    *
+    * Scale shape: centroids broadcast (bounded driver collect of nLists
+    * rows); assignment is one narrow map over the corpus; candidates come
+    * from an equi-join on list_id with the (small) probe set broadcast —
+    * never an all-pairs compare, and lists are size-bounded by the
+    * centroid spread rather than a hash-bucket cliff.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nLists: Int = 8,
+      nProbe: Int = 2
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic coarse quantizer: the nLists lowest vec_ids
+    val cents: Array[(Long, Array[Long])] = corpus
+      .orderBy(col("vec_id"))
+      .limit(nLists)
+      .select(col("vec_id"), quantizeUdf(col("embedding")).as("qe"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    // nearest centroid by (icos desc, centroid id asc)
+    val assignUdf = udf { qe: Seq[Long] =>
+      val q = qe.toArray
+      var bestId = -1L
+      var bestScore = Long.MinValue
+      bc.value.foreach { case (cid, cqe) =>
+        val s = icos(q, cqe)
+        if (s > bestScore) { bestScore = s; bestId = cid }
+      }
+      bestId
+    }
+    // the query's nProbe nearest centroids, same order
+    val probesUdf = udf { qe: Seq[Long] =>
+      val q = qe.toArray
+      bc.value
+        .map { case (cid, cqe) => (cid, icos(q, cqe)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(nProbe)
+        .map(_._1)
+    }
+
+    val lists = corpus
+      .withColumn("qe", quantizeUdf(col("embedding")))
+      .withColumn("list_id", assignUdf(col("qe")))
+      .select(col("list_id"), col("vec_id"), col("qe"))
+    val probes = queries
+      .withColumn("query_qe", quantizeUdf(col("embedding")))
+      .withColumn("list_id", explode(probesUdf(col("query_qe"))))
+      .select(col("list_id"), col("vec_id").as("query_id"), col("query_qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("icos").desc, col("vec_id"))
+    lists
+      .join(broadcast(probes), Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_qe"), col("vec_id"), col("qe"))
+      .distinct()
+      .withColumn("icos", icosUdf(col("qe"), col("query_qe")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("icos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH ANN: signature buckets (multiple tables widen recall), exact icos
     * within candidates, top-k per query. Hot corpus buckets are truncated
     * to their first `maxBucket` members (deterministic vec_id rank) — a

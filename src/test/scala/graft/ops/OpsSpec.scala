@@ -189,6 +189,24 @@ class OpsSpec extends AnyFunSuite {
     assert(topk.forall(_.getLong(1) < 32L))
   }
 
+  test("IVF top-k touches only probed lists and recalls most of brute force") {
+    import spark.implicits._
+    val queries = embeddings.where($"vec_id" % 100 === 0)
+    val exact = Ann
+      .bruteForceTopK(embeddings, queries, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // 16 lists over 8 clusters; probing 4 lists per query
+    val ivf = Ann.ivfTopK(embeddings, queries, k = 5, nLists = 16, nProbe = 4).collect()
+    assert(ivf.length == 8 * 5)
+    // deterministic total order: rank 1..5 per query
+    assert(ivf.groupBy(_.getLong(0)).values.forall(_.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+    val recalled = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & recalled).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
   test("LSH top-k recalls most of brute-force top-k") {
     import spark.implicits._
     val queries = embeddings.where($"vec_id" % 100 === 0)
