@@ -90,4 +90,41 @@ class StreamingEncodeSpec extends AnyFunSuite {
         Set(("web", 2L, 150L), ("code", 1L, 7L)))
     } finally query.stop()
   }
+
+  test("flatMapGroupsWithState running stats accumulate across batches and suggest codecs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TokenRow]
+    val query = StreamingEncode
+      .runningSourceStats(input.toDS())
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("srcstats")
+      .start()
+    try {
+      // rle-shaped source: long constant runs; zipfish source: wide values
+      input.addData(
+        TokenRow("a1", Array.fill(64)(7), 64, "rleish"),
+        TokenRow("b1", Array.tabulate(64)(i => 1 << (i % 28)), 64, "widish")
+      )
+      query.processAllAvailable()
+      input.addData(
+        TokenRow("a2", Array.fill(64)(9), 64, "rleish"),
+        TokenRow("b2", Array.tabulate(64)(i => (1 << (i % 28)) + 1), 64, "widish")
+      )
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM srcstats").collect()
+      // update mode: one row per source per batch; the LAST row per source
+      // carries the accumulated state
+      val last = rows.groupBy(_.getAs[String]("source")).map { case (k, v) =>
+        k -> v.maxBy(_.getAs[Long]("n_docs"))
+      }
+      assert(last("rleish").getAs[Long]("n_docs") == 2L) // state crossed batches
+      assert(last("rleish").getAs[Long]("n_tokens") == 128L)
+      assert(last("rleish").getAs[Long]("runs") == 2L)
+      assert(last("rleish").getAs[String]("suggested_codec") == "rle")
+      assert(last("widish").getAs[String]("suggested_codec") == "hybrid")
+    } finally query.stop()
+  }
 }
