@@ -394,25 +394,12 @@ object GraftPipeline {
     val spark = ds.sparkSession
     import spark.implicits._
 
-    // the n_tok column is untrusted input (EncodeCli accepts arbitrary
-    // parquet); unpack sizes rows by n_tok, so validate at pack time —
-    // a mismatch would otherwise silently shift every row boundary
-    val packed = ds
-      .mapPartitions { it =>
-        it.map { r =>
-          if (r.n_tok != r.tokens.length)
-            throw new IllegalArgumentException(
-              s"row ${r.doc_id}: n_tok=${r.n_tok} != tokens.length=${r.tokens.length}"
-            )
-          (r.doc_id, VarInt.pack(r.tokens), r.n_tok, r.source)
-        }
-      }
-      .toDF("doc_id", "packed", "n_tok", "source")
-
     // Sorting by (bin, source, doc_id) keeps blocks source-homogeneous, so
     // per-block codec selection sees the source's token distribution rather
-    // than an average over sources.
-    val binned = packed
+    // than an average over sources. pack_varint is a native expression, so
+    // scan → pack → bin stays one whole-stage-codegen span into the exchange.
+    val binned = ds
+      .withColumn("packed", graft.functions.PackVarInt.pack_varint($"tokens"))
       .withColumn("bin", binCol(cfg.numBins, cfg.salt))
       .repartition(cfg.numBins, $"bin")
       .sortWithinPartitions($"bin", $"source", $"doc_id")
@@ -421,7 +408,21 @@ object GraftPipeline {
 
     binned.mapPartitions { rows =>
       blockIterator(
-        rows.map { case (d, p, n, s, b) => (d, VarInt.unpack(p, n), n, s, b) },
+        rows.map { case (d, p, n, s, b) =>
+          // n_tok is untrusted input (EncodeCli accepts arbitrary parquet)
+          // and unpack sizes the row by it; a mismatch cannot pass silently —
+          // VarInt.unpack checks exact byte consumption — but wrap it so the
+          // error names the row instead of the varint stream
+          val toks =
+            try VarInt.unpack(p, n)
+            catch {
+              case e: Exception =>
+                throw new IllegalArgumentException(
+                  s"row $d: n_tok=$n inconsistent with its token array (${e.getMessage})"
+                )
+            }
+          (d, toks, n, s, b)
+        },
         tables.value,
         cfg
       )

@@ -29,6 +29,31 @@ class GraftPipelineSpec extends AnyFunSuite {
     assert(blockValues == inValues)
   }
 
+  test("encode rejects rows whose n_tok disagrees with the token array") {
+    import spark.implicits._
+    val bad = spark.createDataset(Seq(TokenRow("bad-row", Array(1, 2, 3), 5, "s")))
+    val e = intercept[Exception] {
+      GraftPipeline.encode(bad, tables, cfg).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("n_tok")), chain(e).mkString(" | "))
+  }
+
+  test("plan audit: pre-shuffle pack is native (one object boundary, post-exchange only)") {
+    val plan = GraftPipeline.encode(input, tables, cfg).queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx > 0, s"no bin exchange in plan:\n${plan.take(2000)}")
+    // above the exchange: only the block kernel's mapPartitions boundary
+    assert(lines.take(exIdx).count(_.contains("DeserializeToObject")) == 1,
+      s"extra object boundary above the exchange:\n${lines.take(exIdx).mkString("\n")}")
+    // the exchange's direct child is the NATIVE pack projection — no typed
+    // map re-materializing rows around the pack call
+    assert(lines(exIdx + 1).contains("Project") && lines(exIdx + 1).contains("packvarint"),
+      s"exchange child is not the native pack projection: ${lines(exIdx + 1)}")
+  }
+
   test("auto-selection engages multiple codecs on the mixed corpus") {
     import spark.implicits._
     val codecs = blocks.map(_.codec).distinct().collect().toSet
