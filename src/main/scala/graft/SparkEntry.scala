@@ -463,9 +463,10 @@ object SparkEntry {
     "q_roundtrip_verify" -> ((s, dir) => roundtrip(s, dir)._1),
 
     // MinHash+LSH near-dups (production op: 64 minhashes over word 3-gram
-    // shingles, 16 capped band buckets, exact Jaccard filter). The DuckDB
-    // oracle recomputes the full signature/banding/jaccard chain in the
-    // cross-engine 62-bit hash domain; inter/uni are exact set sizes.
+    // shingles, 16 salt-split band buckets, exact Jaccard filter). The
+    // DuckDB oracle recomputes the full signature/banding/salting/jaccard
+    // chain in the cross-engine 62-bit hash domain; inter/uni are exact
+    // set sizes.
     "q_minhash_neardups" -> ((s, dir) => {
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -475,8 +476,8 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // SimHash near-dups (production op: 62-bit simhash, 4 capped 16-bit
-    // band buckets, exact Hamming filter); fully oracle-recomputed.
+    // SimHash near-dups (production op: 62-bit simhash, 4 salt-split
+    // 16-bit band buckets, exact Hamming filter); fully oracle-recomputed.
     "q_simhash_neardups" -> ((s, dir) => {
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -549,9 +550,9 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
-    // Embedding-cosine near-dups: capped random-hyperplane LSH candidates +
-    // exact quantized-cosine filter; oracle recomputes signatures, caps,
-    // candidate join and scores
+    // Embedding-cosine near-dups: salt-split random-hyperplane LSH
+    // candidates + exact quantized-cosine filter; oracle recomputes
+    // signatures, salt groups, candidate join and scores
     "q_cosine_neardups" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
