@@ -213,6 +213,26 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // storm recovery: a max/min spread > 1.5 within a level means transient
+    // guest-wide stalls hit some reps (documented in BASELINE.md) — run up
+    // to 2 extra interleaved pairs so best-of has a clean rep to find
+    var extraRound = 5
+    while (extraRound < 7 &&
+      (e2eReps8.max / e2eReps8.min > 1.5 || e2eReps32.max / e2eReps32.min > 1.5)) {
+      extraRound += 1
+      val s8 = session(4)
+      val (_, _, sec8x) =
+        try encodeRun(s8, synthPath, cfg)
+        finally s8.stop()
+      e2eReps8 += sec8x
+      queries(s"encode_n4_r$extraRound") = sec8x
+      val s32 = session(16)
+      val (_, _, sec32x) =
+        try encodeRun(s32, synthPath, cfg)
+        finally s32.stop()
+      e2eReps32 += sec32x
+      queries(s"encode_n16_r$extraRound") = sec32x
+    }
     val sec8 = e2eReps8.min
     val sec32 = e2eReps32.min
     queries("encode_n4") = sec8
