@@ -106,6 +106,24 @@ object GraftPipeline {
     def model: ContextModel = ContextModel(contextModel, numContexts)
   }
 
+  object Config {
+    /** Size numBins for a corpus: ~`targetValuesPerBin` tokens per bin.
+      * The bin is the unit of shuffle partitioning, within-partition sort,
+      * resume, and task granularity — a fixed default that fits sf0.1
+      * (653M tokens / 512 bins ≈ 1.3M tokens) would put ~200G tokens in
+      * one bin at the 10^12-sequence scale and blow a task's memory. At
+      * the 32M default a bin sorts+encodes ~128 MB of raw token data —
+      * comfortably inside one executor task — and 100 TB of int32 tokens
+      * lands at ~800k bins (well under the cap, plenty of task waves for
+      * skew amortization at any executor count).
+      */
+    def binsFor(totalValues: Long, targetValuesPerBin: Long = 32L * 1024 * 1024): Int = {
+      require(targetValuesPerBin > 0)
+      val bins = (totalValues + targetValuesPerBin - 1) / targetValuesPerBin
+      math.max(1L, math.min(1L << 20, bins)).toInt
+    }
+  }
+
   /** Merge flat Long-array partials with a depth picked by partial count:
     * the executor-side combine layer of depth 2 pays off only when partials
     * are many (at ~1e5 tasks a flat reduce funnels ~12 GB of 128 KiB

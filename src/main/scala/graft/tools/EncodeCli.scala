@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   * bins are skipped, output stays byte-identical.
   *
   * Usage:
-  *   runMain graft.tools.EncodeCli synth:<rows> <outDir> [numBins] [rounds] [model] [flags]
+  *   runMain graft.tools.EncodeCli synth:<rows> <outDir> [numBins|auto] [rounds] [model] [flags]
   *   runMain graft.tools.EncodeCli lineitem:<sfDir> <outDir> [numBins] [rounds] [model] [flags]
   *   runMain graft.tools.EncodeCli parquet:<path> <outDir> [numBins] [rounds] [model] [flags]
+  * numBins: explicit bin count, or "auto" (default) — sized from the
+  *   corpus token count so each bin holds ~32M tokens at ANY data scale
   * model: simple (default) | single | zuckerli
   * flags: comma-separated subset of {exact, embed, nohybridselect}
   *   exact — rounds > 1 uses the exact dry-run-encode analysis (monotone
@@ -32,19 +34,10 @@ object EncodeCli {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val numBins = if (args.length > 2) args(2).toInt else 64
+    val binsArg = if (args.length > 2) args(2) else "auto"
     val rounds = if (args.length > 3) args(3).toInt else 1
     val model = if (args.length > 4) args(4) else "simple"
     val flags = (if (args.length > 5) args(5) else "").split(",").map(_.trim).toSet
-    val cfg = GraftPipeline.Config(
-      numBins = numBins,
-      rounds = rounds,
-      contextModel = model,
-      numContexts =
-        if (model == "zuckerli") graft.core.ZuckerliContextModel.NumContexts else 64,
-      estimatedRounds = !flags.contains("exact"),
-      embedTables = flags.contains("embed")
-    )
 
     val input = args(0) match {
       case s if s.startsWith("synth:") =>
@@ -64,6 +57,29 @@ object EncodeCli {
         spark.read.parquet(s.stripPrefix("parquet:")).as[TokenRow]
       case other => sys.error(s"unknown input spec $other")
     }
+
+    // "auto" sizes the bin layout to the corpus (one cheap n_tok-column
+    // scan): at 10^12-sequence scale a fixed bin count would put hundreds
+    // of gigatokens in one bin — see GraftPipeline.Config.binsFor
+    val numBins = binsArg match {
+      case "auto" =>
+        import org.apache.spark.sql.functions.sum
+        val r = input.agg(sum($"n_tok").cast("long")).head()
+        val totalValues = if (r.isNullAt(0)) 0L else r.getLong(0)
+        val b = GraftPipeline.Config.binsFor(totalValues)
+        println(s"auto numBins=$b for $totalValues tokens")
+        b
+      case n => n.toInt
+    }
+    val cfg = GraftPipeline.Config(
+      numBins = numBins,
+      rounds = rounds,
+      contextModel = model,
+      numContexts =
+        if (model == "zuckerli") graft.core.ZuckerliContextModel.NumContexts else 64,
+      estimatedRounds = !flags.contains("exact"),
+      embedTables = flags.contains("embed")
+    )
 
     val result = EncodeJob.run(input, args(1), cfg)
     val manifest = spark.read.parquet(s"${args(1)}/_manifest")

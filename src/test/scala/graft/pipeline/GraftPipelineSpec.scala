@@ -54,6 +54,18 @@ class GraftPipelineSpec extends AnyFunSuite {
       s"exchange child is not the native pack projection: ${lines(exIdx + 1)}")
   }
 
+  test("Config.binsFor sizes the bin layout to the corpus") {
+    import GraftPipeline.Config
+    assert(Config.binsFor(0L) == 1)
+    assert(Config.binsFor(1L) == 1)
+    assert(Config.binsFor(32L * 1024 * 1024) == 1)
+    assert(Config.binsFor(32L * 1024 * 1024 + 1) == 2)
+    // 100 TB of int32 tokens = 25e12 values -> ~745k bins, under the cap
+    val hundredTb = Config.binsFor(25L * 1000 * 1000 * 1000 * 1000)
+    assert(hundredTb > 500000 && hundredTb <= (1 << 20), s"got $hundredTb")
+    assert(Config.binsFor(Long.MaxValue / 2) == (1 << 20)) // capped
+  }
+
   test("auto-selection engages multiple codecs on the mixed corpus") {
     import spark.implicits._
     val codecs = blocks.map(_.codec).distinct().collect().toSet
