@@ -56,4 +56,17 @@ class XHashSpec extends AnyFunSuite {
       h >= 0L && h <= XHash.Mask62
     })
   }
+
+  test("hashChars folds codepoints, not UTF-16 units (non-BMP oracle parity)") {
+    // the DuckDB twin folds ascii() over per-character splits = codepoints;
+    // an astral char must fold as ONE step with its codepoint value
+    val astral = "a\uD83D\uDE00b" // 'a', U+1F600, 'b'
+    var h = XHash.FnvInit
+    Seq(97L, 0x1F600L, 98L).foreach(cp => h = XHash.fnvStep(h, cp))
+    assert(XHash.hashChars(astral) == XHash.mix62(h))
+    // and differs from the (wrong) surrogate-pair fold
+    var hs = XHash.FnvInit
+    astral.foreach(c => hs = XHash.fnvStep(hs, c.toLong))
+    assert(XHash.hashChars(astral) != XHash.mix62(hs))
+  }
 }
