@@ -86,7 +86,8 @@ object EncodeJob {
       spark: SparkSession,
       outDir: String,
       t: SymbolTables,
-      contextModel: String = "simple"
+      contextModel: String = "simple",
+      layout: Option[GraftPipeline.Config] = None
   ): Unit = {
     val w = new BitWriter(4096)
     Huffman.writeHeader(t, w)
@@ -95,10 +96,14 @@ object EncodeJob {
     val out = f.create(new Path(s"$outDir/_tables/header.bin"), true)
     try out.write(bytes)
     finally out.close()
+    // num_bins/salt define the row->bin routing: a resume under a different
+    // layout would mis-skip bins, so they are recorded for validation
+    val layoutFields =
+      layout.map(c => s""","num_bins":${c.numBins},"salt":${c.salt}""").getOrElse("")
     writeString(
       spark,
       s"$outDir/_tables/meta.json",
-      s"""{"format_version":$FormatVersion,"max_bits":${t.maxBits},"num_contexts":${t.numContexts},"table_hash":${t.tableHash},"context_model":"$contextModel"}"""
+      s"""{"format_version":$FormatVersion,"max_bits":${t.maxBits},"num_contexts":${t.numContexts},"table_hash":${t.tableHash},"context_model":"$contextModel"$layoutFields}"""
     )
   }
 
@@ -186,6 +191,22 @@ object EncodeJob {
           s"outDir blocks format v${recordedVersion.getOrElse(1)} != engine v$FormatVersion — " +
             "re-encode into a fresh outDir (cross-version resume is not supported)"
         )
+        // the recorded bin layout defines row->bin routing; resuming under
+        // a different numBins/salt (e.g. auto-sized bins over GROWN input)
+        // would skip "done" bins whose membership has silently changed
+        val recordedBins =
+          """"num_bins":(\d+)""".r.findFirstMatchIn(recorded).map(_.group(1).toInt)
+        require(
+          recordedBins.forall(_ == cfg.numBins),
+          s"persisted bin layout num_bins=${recordedBins.getOrElse(-1)} != config ${cfg.numBins} — " +
+            "resume requires the original layout (did auto bin sizing change with the input?)"
+        )
+        val recordedSalt =
+          """"salt":(-?\d+)""".r.findFirstMatchIn(recorded).map(_.group(1).toLong)
+        require(
+          recordedSalt.forall(_ == cfg.salt),
+          s"persisted bin salt ${recordedSalt.getOrElse(-1L)} != config ${cfg.salt}"
+        )
         t
       case None =>
         // cfg.rounds > 1 runs the reference-style iterative re-estimation,
@@ -200,7 +221,7 @@ object EncodeJob {
           if (cfg.rounds > 1 && cfg.estimatedRounds)
             GraftPipeline.analyzeRoundsEstimated(input, cfg, cfg.rounds)
           else GraftPipeline.analyzeRounds(input, cfg, cfg.rounds)
-        saveTables(spark, outDir, t, cfg.contextModel)
+        saveTables(spark, outDir, t, cfg.contextModel, layout = Some(cfg))
         t
     }
     val bTables = spark.sparkContext.broadcast(tables)

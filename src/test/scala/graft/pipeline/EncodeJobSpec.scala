@@ -86,6 +86,22 @@ class EncodeJobSpec extends AnyFunSuite {
     assert(wrongModel.getMessage.contains("context model"))
   }
 
+  test("resume under a different bin layout fails loudly (auto-bin drift guard)") {
+    val dir = Files.createTempDirectory("graft-bins").toString
+    EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0)))
+    val wrongBins = intercept[IllegalArgumentException] {
+      EncodeJob.run(input, dir, cfg.copy(numBins = cfg.numBins * 2))
+    }
+    assert(wrongBins.getMessage.contains("num_bins"))
+    val wrongSalt = intercept[IllegalArgumentException] {
+      EncodeJob.run(input, dir, cfg.copy(salt = cfg.salt + 1))
+    }
+    assert(wrongSalt.getMessage.contains("salt"))
+    // the original layout still resumes cleanly
+    val resumed = EncodeJob.run(input, dir, cfg)
+    assert(resumed.binsSkipped == Seq(0))
+  }
+
   test("resume into a different blocks-format version fails loudly") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0)))
