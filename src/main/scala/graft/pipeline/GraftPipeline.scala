@@ -507,8 +507,7 @@ object GraftPipeline {
     val auto = cfg.autoSelect
     val embed = cfg.embedTables
 
-    {
-        new Iterator[EncodedBlock] {
+    new Iterator[EncodedBlock] {
           private val hybrid = new HybridCodec(symbolTables, model)
           private var pending: (String, Array[Int], Int, String, Int) = null
           private var done = false
@@ -632,7 +631,6 @@ object GraftPipeline {
             )
           }
         }
-    }
   }
 
   /** Decode blocks back to rows. Embarrassingly parallel: each block is
