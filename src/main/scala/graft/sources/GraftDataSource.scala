@@ -1,0 +1,501 @@
+package graft.sources
+
+import graft.codec.{CodecSelector, HybridCodec, StringCodecs}
+import graft.core.{BitReader, ContextModel, Huffman}
+import graft.pipeline.GraftPipeline
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.OptionalLong
+import scala.jdk.CollectionConverters._
+
+/** `spark.read.format("graft").load(outDir)` — a DataSource V2 batch-read
+  * surface over an [[graft.pipeline.EncodeJob]] output directory. This is the
+  * Spark-native form of the reference's decoder factories (sequential
+  * `SequentialHuffmanDecoderFactory` and random-access factory,
+  * /root/reference/src/graphs/huffman_graph_decoder.rs:110-205): compressed
+  * blocks become an ordinary Catalyst relation, so decoded rows compose with
+  * the whole DataFrame/SQL surface (joins, aggregates, views) with the scan
+  * doing only the work the plan needs:
+  *
+  *   - **Column pruning to the page level.** The scan projects the blocks
+  *     parquet down to exactly the metadata streams the query touches: a
+  *     `SELECT source, n_tok` never reads the entropy `payload` column's
+  *     pages at all (parquet column pruning), and never runs the entropy
+  *     decoder. The 4-byte-per-token decode work is paid only when `tokens`
+  *     is in the required schema.
+  *   - **Filter pushdown with bin pruning.** `doc_id` equality/IN predicates
+  *     re-derive the writer's salted bins (same xxhash64 expression as
+  *     [[GraftPipeline.binCol]]) and push a `bin` predicate into the parquet
+  *     reader — row groups whose `bin` stats miss are skipped without being
+  *     read (the blocks layout writes one bin per task, so this prunes whole
+  *     files' worth of row groups). Surviving hybrid blocks are point-decoded
+  *     through the per-row bit index (seek straight to each hit row's first
+  *     bit) instead of entropy-decoding whole blocks — the reference's
+  *     random-access path (offsets.rs:19-58) under a Spark scan.
+  *   - **Observable via DSv2 custom metrics** (`graft blocks decoded`,
+  *     `token values decoded`, `rows emitted`) in the SQL UI / plan metrics,
+  *     so "the pruning actually happened" is a queryable fact, not a claim.
+  *
+  * Pushed filters are also left in the post-scan residual (we return every
+  * filter from `pushFilters`), so Catalyst re-checks them above the scan;
+  * the pushdown is a pure pruning optimization and can never change results.
+  *
+  * Write path: deliberately NOT a DSv2 `SupportsWrite`. Encoding is a
+  * two-pass job with a global barrier (corpus histograms → shared symbol
+  * tables → encode), which does not fit the single-pass, per-task
+  * `BatchWrite` contract; writes go through [[graft.pipeline.EncodeJob]]
+  * (the spark-submit surface), which also owns resume/lineage.
+  *
+  * Scale notes: planning lists the block files only (no footer reads on the
+  * driver); all parquet footer/row-group work happens in the executors'
+  * readers. One input partition per block file keeps task granularity at the
+  * writer's bin granularity (~32M tokens per bin by default), and the
+  * symbol-table header rides to executors once per task in the serialized
+  * reader factory (a few KB).
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftDataSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]
+  ): Table = {
+    val path = Option(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException("graft source requires .load(<encode outDir>)"))
+    new GraftTable(path)
+  }
+}
+
+object GraftDataSource {
+  /** The input_hint row shape — what EncodeJob consumed and what decode returns. */
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("source", StringType, nullable = false)
+  ))
+
+  /** Driver-side twin of [[GraftPipeline.binCol]]: evaluates the identical
+    * Catalyst expression tree (xxhash64(doc_id, salt) pmod numBins) on a
+    * literal, so filter-time bin derivation can never drift from the write
+    * path (parity is pinned by GraftSourceSpec).
+    */
+  def binOf(docId: String, numBins: Int, salt: Long): Int = {
+    val h = new XxHash64(
+      Seq(
+        Literal.create(UTF8String.fromString(docId), StringType),
+        Literal.create(salt, LongType)
+      )
+    ).eval(null).asInstanceOf[Long]
+    (((h % numBins) + numBins) % numBins).toInt
+  }
+}
+
+/** Job-level metadata read once at planning from `_tables/`: the shared
+  * symbol tables (self-describing header bytes) and the recorded bin layout.
+  */
+private[sources] final case class GraftMeta(
+    headerBytes: Array[Byte],
+    maxBits: Int,
+    numContexts: Int,
+    contextModel: String,
+    numBins: Int,
+    salt: Long
+)
+
+private[sources] object GraftMeta {
+  def load(outDir: String, conf: Configuration): GraftMeta = {
+    val fs = new Path(outDir).getFileSystem(conf)
+    def readAll(p: String): Array[Byte] = {
+      val in = fs.open(new Path(p))
+      try in.readAllBytes()
+      finally in.close()
+    }
+    val meta = new String(readAll(s"$outDir/_tables/meta.json"), java.nio.charset.StandardCharsets.UTF_8)
+    def long(name: String): Long =
+      s""""$name":(-?\\d+)""".r
+        .findFirstMatchIn(meta)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(s"$outDir/_tables/meta.json lacks $name"))
+    val model = """"context_model":"([a-z]+)"""".r
+      .findFirstMatchIn(meta)
+      .map(_.group(1))
+      .getOrElse("simple")
+    GraftMeta(
+      headerBytes = readAll(s"$outDir/_tables/header.bin"),
+      maxBits = long("max_bits").toInt,
+      numContexts = long("num_contexts").toInt,
+      contextModel = model,
+      numBins = long("num_bins").toInt,
+      salt = long("salt")
+    )
+  }
+}
+
+private[sources] class GraftTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft.`$path`"
+  override def schema(): StructType = GraftDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path)
+}
+
+private[sources] class GraftScanBuilder(path: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = GraftDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo("doc_id", _: String)                             => true
+    case In("doc_id", vs) if vs.forall(_.isInstanceOf[String])    => true
+    case EqualTo("source", _: String)                             => true
+    case In("source", vs) if vs.forall(_.isInstanceOf[String])    => true
+    case IsNotNull(c) if GraftDataSource.Schema.fieldNames.contains(c) => true
+    case _                                                        => false
+  }
+
+  /** Claim doc_id/source predicates for pruning but return EVERY filter as a
+    * post-scan residual — the scan's filtering is advisory (skip work), never
+    * authoritative, so a pruning bug can degrade performance but not results.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new GraftScan(path, required, pushed)
+}
+
+private[sources] class GraftScan(path: String, required: StructType, filters: Array[Filter])
+    extends Scan
+    with Batch
+    with SupportsReportStatistics {
+
+  private def stringValues(column: String): Option[Set[String]] = {
+    val sets = filters.collect {
+      case EqualTo(`column`, v: String) => Set(v)
+      case In(`column`, vs)             => vs.collect { case s: String => s }.toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  private val docIdFilter: Option[Set[String]] = stringValues("doc_id")
+  private val sourceFilter: Option[Set[String]] = stringValues("source")
+
+  private lazy val hadoopConf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+  private lazy val meta: GraftMeta = GraftMeta.load(path, hadoopConf)
+
+  /** doc_id predicates re-derive the writer's salted bins; None = all bins. */
+  private lazy val wantedBins: Option[Set[Int]] =
+    docIdFilter.map(_.map(GraftDataSource.binOf(_, meta.numBins, meta.salt)))
+
+  private lazy val blockFiles: Array[(String, Long)] = {
+    val fs = new Path(path).getFileSystem(hadoopConf)
+    val dir = new Path(s"$path/blocks")
+    require(fs.exists(dir), s"no blocks/ under $path — not an EncodeJob output dir")
+    fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1)
+  }
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftScan path=$path, readSchema=[${required.fieldNames.mkString(",")}], " +
+      s"pushedFilters=[${filters.mkString(", ")}]" +
+      wantedBins.map(b => s", prunedBins=[${b.toSeq.sorted.mkString(",")}]").getOrElse("")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    blockFiles.map { case (f, _) => GraftInputPartition(f) }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(
+      headerBytes = meta.headerBytes,
+      maxBits = meta.maxBits,
+      numContexts = meta.numContexts,
+      contextModel = meta.contextModel,
+      requiredFields = required.fieldNames,
+      docIdFilter = docIdFilter,
+      sourceFilter = sourceFilter,
+      wantedBins = wantedBins.map(_.toArray.sorted)
+    )
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(blockFiles.map(_._2).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new BlocksDecodedMetric, new TokenValuesDecodedMetric, new RowsEmittedMetric)
+}
+
+private[sources] final case class GraftInputPartition(file: String) extends InputPartition
+
+private[sources] class BlocksDecodedMetric extends CustomSumMetric {
+  override def name(): String = GraftMetrics.BlocksDecoded
+  override def description(): String = "graft blocks decoded"
+}
+private[sources] class TokenValuesDecodedMetric extends CustomSumMetric {
+  override def name(): String = GraftMetrics.TokenValuesDecoded
+  override def description(): String = "graft token values decoded"
+}
+private[sources] class RowsEmittedMetric extends CustomSumMetric {
+  override def name(): String = GraftMetrics.RowsEmitted
+  override def description(): String = "graft rows emitted"
+}
+
+object GraftMetrics {
+  val BlocksDecoded = "graftBlocksDecoded"
+  val TokenValuesDecoded = "graftTokenValuesDecoded"
+  val RowsEmitted = "graftRowsEmitted"
+}
+
+private[sources] final case class GraftReaderFactory(
+    headerBytes: Array[Byte],
+    maxBits: Int,
+    numContexts: Int,
+    contextModel: String,
+    requiredFields: Array[String],
+    docIdFilter: Option[Set[String]],
+    sourceFilter: Option[Set[String]],
+    wantedBins: Option[Array[Int]]
+) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftInputPartition].file,
+      this
+    )
+}
+
+/** Executor-side reader for one blocks parquet file. Projects the parquet
+  * scan down to the block columns the query needs (the entropy `payload`
+  * column is only materialized when `tokens` is required), pushes the bin
+  * predicate into parquet (row-group stats + record-level filtering), and
+  * decodes hit rows — via the per-row bit index for sparse doc_id hits on
+  * hybrid blocks, full-block decode otherwise.
+  */
+private[sources] class GraftPartitionReader(
+    file: String,
+    f: GraftReaderFactory
+) extends PartitionReader[InternalRow] {
+
+  private val needDocIds = f.requiredFields.contains("doc_id") || f.docIdFilter.isDefined
+  private val needSources = f.requiredFields.contains("source") || f.sourceFilter.isDefined
+  private val needTokens = f.requiredFields.contains("tokens")
+  private val needNToks = needTokens || f.requiredFields.contains("n_tok")
+
+  private val conf = new Configuration()
+  private lazy val tables =
+    Huffman.readHeader(new BitReader(f.headerBytes), f.maxBits, f.numContexts)
+  private lazy val model = ContextModel(f.contextModel, f.numContexts)
+  private lazy val hybrid = new HybridCodec(tables, model)
+
+  private var blocksDecoded = 0L
+  private var tokenValuesDecoded = 0L
+  private var rowsEmitted = 0L
+
+  private val reader: ParquetReader[Group] = {
+    // project the file schema down to the needed block columns (exact types
+    // from the footer, so the projection can never disagree with the writer)
+    val inputFile = HadoopInputFile.fromPath(new Path(file), conf)
+    val fileSchema: MessageType = {
+      val r = ParquetFileReader.open(inputFile)
+      try r.getFileMetaData.getSchema
+      finally r.close()
+    }
+    val wanted = scala.collection.mutable.LinkedHashSet[String]("bin", "codec", "n_rows")
+    if (needDocIds) { wanted += "doc_ids_codec"; wanted += "doc_ids_payload" }
+    if (needSources) { wanted += "sources_codec"; wanted += "sources_payload" }
+    if (needNToks) { wanted += "n_toks_codec"; wanted += "n_toks_payload" }
+    if (needTokens) {
+      wanted += "payload"; wanted += "row_bits_codec"; wanted += "row_bits_payload"
+      wanted += "embedded_tables"; wanted += "table_hash"
+    }
+    val projection = new MessageType(
+      fileSchema.getName,
+      fileSchema.getFields.asScala.filter(t => wanted.contains(t.getName)).asJava
+    )
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+
+    val builder = ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(conf)
+    f.wantedBins.foreach { bins =>
+      val pred: FilterPredicate = bins
+        .map(b => FilterApi.eq(FilterApi.intColumn("bin"), Int.box(b)))
+        .reduce[FilterPredicate](FilterApi.or)
+      builder.withFilter(FilterCompat.get(pred))
+    }
+    builder.build()
+  }
+
+  private var current: Iterator[InternalRow] = Iterator.empty
+  private var row: InternalRow = _
+  private var exhausted = false
+
+  override def next(): Boolean = {
+    while (!current.hasNext && !exhausted) {
+      val g = reader.read()
+      if (g == null) exhausted = true else current = decodeBlock(g)
+    }
+    if (current.hasNext) { row = current.next(); rowsEmitted += 1; true } else false
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = reader.close()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    GraftTaskMetric(GraftMetrics.BlocksDecoded, blocksDecoded),
+    GraftTaskMetric(GraftMetrics.TokenValuesDecoded, tokenValuesDecoded),
+    GraftTaskMetric(GraftMetrics.RowsEmitted, rowsEmitted)
+  )
+
+  private def bytesOf(g: Group, field: String): Array[Byte] =
+    g.getBinary(field, 0).getBytes
+  private def stringOf(g: Group, field: String): String =
+    g.getString(field, 0)
+
+  private def decodeBlock(g: Group): Iterator[InternalRow] = {
+    blocksDecoded += 1
+    val nRows = g.getInteger("n_rows", 0)
+    val codecName = stringOf(g, "codec")
+
+    val docIds: Array[String] =
+      if (needDocIds) StringCodecs.decode(stringOf(g, "doc_ids_codec"), bytesOf(g, "doc_ids_payload"), nRows)
+      else null
+    val sources: Array[String] =
+      if (needSources) StringCodecs.decode(stringOf(g, "sources_codec"), bytesOf(g, "sources_payload"), nRows)
+      else null
+
+    // row predicate from the pushed doc_id/source filters
+    val hits: Array[Int] = {
+      val b = Array.newBuilder[Int]
+      var r = 0
+      while (r < nRows) {
+        val ok =
+          f.docIdFilter.forall(s => s.contains(docIds(r))) &&
+            f.sourceFilter.forall(s => s.contains(sources(r)))
+        if (ok) b += r
+        r += 1
+      }
+      b.result()
+    }
+    if (hits.isEmpty) return Iterator.empty
+
+    val nToks: Array[Int] =
+      if (needNToks) CodecSelector.decodeIntColumn(stringOf(g, "n_toks_codec"), bytesOf(g, "n_toks_payload"), nRows)
+      else null
+
+    val tokensByRow: Int => Array[Int] =
+      if (!needTokens) null
+      else {
+        val payload = bytesOf(g, "payload")
+        val rowBitsCodec = stringOf(g, "row_bits_codec")
+        val embedded = g.getBoolean("embedded_tables", 0)
+        val sparse = hits.length * 4 < nRows // point-seek pays off on sparse hits
+        if (codecName == "hybrid" && rowBitsCodec != "none" && sparse) {
+          // random-access path: prefix-sum the per-row bit index, seek per hit
+          require(
+            g.getLong("table_hash", 0) == tables.tableHash,
+            s"block written with tables ${g.getLong("table_hash", 0)}, reader has ${tables.tableHash}"
+          )
+          val (codec, dataStart) =
+            if (embedded) {
+              val head = new BitReader(payload)
+              val parsed = Huffman.readHeader(head, tables.maxBits, tables.numContexts)
+              (new HybridCodec(parsed, model), head.bitPos)
+            } else (hybrid, 0L)
+          val rowBits =
+            CodecSelector.decodeIntColumn(rowBitsCodec, bytesOf(g, "row_bits_payload"), nRows)
+          val startBit = new Array[Long](nRows)
+          var acc = dataStart
+          var i = 0
+          while (i < nRows) { startBit(i) = acc; acc += rowBits(i); i += 1 }
+          (r: Int) => {
+            tokenValuesDecoded += nToks(r)
+            codec.decodeRow(new BitReader(payload, startBit(r)), nToks(r))
+          }
+        } else {
+          // full-block decode (dense hits or lightweight codec), sliced per row
+          val rowOffsets = new Array[Int](nRows + 1)
+          var off = 0
+          var i = 0
+          while (i < nRows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
+          rowOffsets(nRows) = off
+          val reader = new BitReader(payload)
+          val codec =
+            if (codecName == "hybrid") {
+              require(
+                g.getLong("table_hash", 0) == tables.tableHash,
+                s"block written with tables ${g.getLong("table_hash", 0)}, reader has ${tables.tableHash}"
+              )
+              if (embedded) {
+                val parsed = Huffman.readHeader(reader, tables.maxBits, tables.numContexts)
+                new HybridCodec(parsed, model)
+              } else hybrid
+            } else CodecSelector.decoderFor(GraftPipeline.codecId(codecName), Some(hybrid))
+          val values = codec.decode(reader, off, rowOffsets)
+          tokenValuesDecoded += off
+          (r: Int) => java.util.Arrays.copyOfRange(values, rowOffsets(r), rowOffsets(r + 1))
+        }
+      }
+
+    val fields = f.requiredFields
+    hits.iterator.map { r =>
+      val out = new GenericInternalRow(fields.length)
+      var i = 0
+      while (i < fields.length) {
+        fields(i) match {
+          case "doc_id" => out.update(i, UTF8String.fromString(docIds(r)))
+          case "tokens" => out.update(i, new GenericArrayData(tokensByRow(r)))
+          case "n_tok"  => out.setInt(i, nToks(r))
+          case "source" => out.update(i, UTF8String.fromString(sources(r)))
+          case other    => throw new IllegalArgumentException(s"unknown column $other")
+        }
+        i += 1
+      }
+      out: InternalRow
+    }
+  }
+}
+
+private[sources] final case class GraftTaskMetric(name0: String, value0: Long)
+    extends CustomTaskMetric {
+  override def name(): String = name0
+  override def value(): Long = value0
+}
