@@ -181,7 +181,28 @@ object SparkEntry {
     corpusCache.keys.filter(_._1 == id).foreach { k =>
       corpusCache.remove(k).foreach(_.release())
     }
+    graftDirCache.keys.filter(_._1 == id).foreach(graftDirCache.remove)
   }
+
+  private val graftDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Write-once EncodeJob-layout dir per (session, sfDir) for the DSv2
+    * queries: persists the SHARED encoded corpus's tables + cached blocks
+    * (no re-encode) so `spark.read.format("graft")` serves the exact bytes
+    * the oracle chain already pins.
+    */
+  private def graftScanDir(s: SparkSession, dir: String): String =
+    graftDirCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir), {
+        val ec = encodedCorpus(s, dir)
+        val out = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+        graft.pipeline.EncodeJob
+          .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
+        ec.blocks.write.mode("overwrite").parquet(s"$out/blocks")
+        out
+      }
+    )
 
   /** Full encode->decode->verify of the derived token table; the engine's
     * flagship E2E path (analyze, broadcast tables, block encode with codec
@@ -428,6 +449,48 @@ object SparkEntry {
         )
         .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
         .orderBy($"doc_id", $"pos")
+    }),
+
+    // DSv2 source (O16/O17/O18 as a Catalyst relation): point-read selected
+    // docs THROUGH spark.read.format("graft") — doc_id pushdown derives the
+    // salted bins, parquet skips non-matching row groups, hybrid blocks
+    // seek via the per-row bit index; values must match DuckDB's raw
+    // recomputation
+    "q_graft_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftScanDir(s, dir)
+      val ids = docTable(s, dir)
+        .where($"doc_id" % 997 === 0)
+        .select($"doc_id".cast("string"))
+        .collect()
+        .map(_.getString(0))
+      s.read
+        .format("graft")
+        .load(out)
+        .where($"doc_id".isin(ids.toSeq: _*))
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // DSv2 source, metadata-only path: the aggregate needs no `tokens`, so
+    // the scan never reads the entropy payload pages or runs the decoder
+    // (column pruning through the blocks parquet) — totals must still match
+    // DuckDB's recomputation of the raw derivation
+    "q_graft_meta" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .format("graft")
+        .load(graftScanDir(s, dir))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("total_toks")
+        )
+        .orderBy($"source")
     }),
 
     // Training-data ops: quality features per source (production
@@ -728,6 +791,17 @@ object SparkEntry {
       s"""$CTE
          |SELECT doc_id, pos, token FROM tok
          |WHERE doc_id % 1013 = 0 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_graft_scan" ->
+      s"""$CTE
+         |SELECT doc_id, pos, token FROM tok
+         |WHERE doc_id % 997 = 0 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_graft_meta" ->
+      s"""$CTE
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
+         |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_quality" ->
       """WITH w AS (
