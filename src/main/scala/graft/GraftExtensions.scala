@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.{HieToken, PackVarInt}
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.LongType
+
+/** The engine's SQL function surface, registered either at session build
+  * time (`--conf spark.sql.extensions=graft.GraftExtensions`, the
+  * spark-submit path) or into a live session
+  * (`GraftExtensions.register(spark)`). Both paths consume the same builder
+  * list, so testing one tests the other's builders.
+  *
+  *   - `hie_token(v)`        — the hybrid split's entropy-coded token
+  *                             (reference encode split, common.rs:38-53),
+  *                             codegen'd; argument widened to BIGINT.
+  *   - `graft_pack_varint(a)`— varint-pack an array<int> to binary (the
+  *                             exchange-compaction kernel).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (id, info, builder) => ext.injectFunction((id, info, builder)) }
+}
+
+object GraftExtensions {
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name expects exactly 1 argument, got ${args.length}")
+    args.head
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("hie_token"),
+      new ExpressionInfo(classOf[HieToken].getName, "hie_token"),
+      (args: Seq[Expression]) => HieToken(Cast(one(args, "hie_token"), LongType))
+    ),
+    (
+      FunctionIdentifier("graft_pack_varint"),
+      new ExpressionInfo(classOf[PackVarInt].getName, "graft_pack_varint"),
+      (args: Seq[Expression]) => PackVarInt(one(args, "graft_pack_varint"))
+    )
+  )
+
+  /** Register all functions into a live session's registry. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      GraftSqlBridge.registerFunction(spark, id, info, builder)
+    }
+}

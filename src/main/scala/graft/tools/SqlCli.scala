@@ -1,0 +1,59 @@
+package graft.tools
+
+import graft.GraftExtensions
+import org.apache.spark.sql.SparkSession
+
+/** One-shot SQL runner over the engine's full SQL surface — the analog of
+  * the reference's read/inspect CLIs (/root/reference/src/main.rs:686-718)
+  * lifted to SQL:
+  *
+  *   runMain graft.tools.SqlCli <sfDir> [graft:<encodeOutDir>] -e "<SQL>"
+  *
+  * Builds the session THROUGH [[GraftExtensions]] (the spark-submit
+  * `spark.sql.extensions` path), registers every parquet table under
+  * `sfDir` as a view, and — when a `graft:` dir is given — exposes the
+  * compressed corpus as view `graft_corpus` via the DSv2 source, so SQL
+  * can join raw tables against decoded rows and call `hie_token` /
+  * `graft_pack_varint` directly. Prints the result as TSV; exits non-zero
+  * on failure.
+  */
+object SqlCli {
+  def main(args: Array[String]): Unit = {
+    val eIdx = args.indexOf("-e")
+    require(
+      eIdx >= 1 && eIdx == args.length - 2,
+      "usage: SqlCli <sfDir> [graft:<encodeOutDir>] -e \"<SQL>\""
+    )
+    val sfDir = args(0)
+    val graftDir = args.slice(1, eIdx).collectFirst {
+      case a if a.startsWith("graft:") => a.stripPrefix("graft:")
+    }
+    val sql = args(eIdx + 1)
+
+    val spark = SparkSession
+      .builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .appName("graft-sql")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val fs = new org.apache.hadoop.fs.Path(sfDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(sfDir))
+        .map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { p =>
+          spark.read.parquet(p.toString).createOrReplaceTempView(p.getName.stripSuffix(".parquet"))
+        }
+      graftDir.foreach { d =>
+        spark.read.format("graft").load(d).createOrReplaceTempView("graft_corpus")
+      }
+      val df = spark.sql(sql)
+      println(df.schema.fieldNames.mkString("\t"))
+      df.collect().foreach(r => println(r.toSeq.map(String.valueOf).mkString("\t")))
+    } finally spark.stop()
+  }
+}
