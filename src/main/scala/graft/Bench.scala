@@ -147,6 +147,42 @@ object Bench {
       )
       require(decTokens == tokens, s"decode token count $decTokens != $tokens")
       queries("decode") = tDecode
+
+      // ---- DSv2 read surface over the same corpus: persist the blocks in
+      // EncodeJob layout once (untimed; reuses the persisted dataset), then
+      // measure the three scan shapes a user of spark.read.format("graft")
+      // actually runs — metadata-only (column pruning: payload pages never
+      // read), full decode scan, and doc_id pushdown point read
+      {
+        val encDir = s"$synthBase/graft_bench_enc_$synthRows"
+        if (!new java.io.File(encDir + "/blocks/_SUCCESS").exists()) {
+          graft.pipeline.EncodeJob
+            .saveTables(spark32, encDir, tables.value, cfg.contextModel, layout = Some(cfg))
+          blocks.write.mode("overwrite").parquet(s"$encDir/blocks")
+        }
+        // full decode first: it warms the Group-reader/JIT path, so the
+        // metadata row measures pruning, not first-touch overhead
+        val (dsvToks, tFull) = time {
+          spark32.read.format("graft").load(encDir)
+            .agg(sum(size($"tokens"))).collect()(0).getLong(0)
+        }
+        require(dsvToks == tokens, s"dsv2 decode token count $dsvToks != $tokens")
+        queries("dsv2_decode_scan") = tFull
+        val (metaToks, tMeta) = time {
+          spark32.read.format("graft").load(encDir)
+            .agg(sum($"n_tok")).collect()(0).getLong(0)
+        }
+        require(metaToks == tokens, s"dsv2 metadata token count $metaToks != $tokens")
+        queries("dsv2_meta_scan") = tMeta
+        val pointIds = input.select($"doc_id").limit(200).collect().map(_.getString(0))
+        val (nPoint, tPoint) = time {
+          spark32.read.format("graft").load(encDir)
+            .where($"doc_id".isin(pointIds.toSeq: _*))
+            .count()
+        }
+        require(nPoint == pointIds.length, s"dsv2 point read $nPoint of ${pointIds.length}")
+        queries("dsv2_point_scan") = tPoint
+      }
       blocks.unpersist()
 
       // lineitem-derived table end-to-end (the oracle-checked shape)

@@ -201,25 +201,36 @@ private[sources] class GraftScanBuilder(path: String)
 private[sources] class GraftScan(path: String, required: StructType, filters: Array[Filter])
     extends Scan
     with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
-  private def stringValues(column: String): Option[Set[String]] = {
-    val sets = filters.collect {
+  private def stringValues(fs: Array[Filter], column: String): Option[Set[String]] = {
+    val sets = fs.collect {
       case EqualTo(`column`, v: String) => Set(v)
       case In(`column`, vs)             => vs.collect { case s: String => s }.toSet
     }
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
-  private val docIdFilter: Option[Set[String]] = stringValues("doc_id")
-  private val sourceFilter: Option[Set[String]] = stringValues("source")
+  private val staticDocIds: Option[Set[String]] = stringValues(filters, "doc_id")
+  private val sourceFilter: Option[Set[String]] = stringValues(filters, "source")
+
+  /** Runtime (join-driven) doc_id restriction — set by Spark's dynamic
+    * pruning through [[filter]] before partition planning / reader creation.
+    */
+  @volatile private var runtimeDocIds: Option[Set[String]] = None
+
+  private def docIdFilter: Option[Set[String]] = (staticDocIds, runtimeDocIds) match {
+    case (Some(a), Some(b)) => Some(a intersect b)
+    case (a, b)             => a.orElse(b)
+  }
 
   private lazy val hadoopConf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
   private lazy val meta: GraftMeta = GraftMeta.load(path, hadoopConf)
 
   /** doc_id predicates re-derive the writer's salted bins; None = all bins. */
-  private lazy val wantedBins: Option[Set[Int]] =
+  private def wantedBins: Option[Set[Int]] =
     docIdFilter.map(_.map(GraftDataSource.binOf(_, meta.numBins, meta.salt)))
 
   private lazy val blockFiles: Array[(String, Long)] = {
@@ -241,8 +252,40 @@ private[sources] class GraftScan(path: String, required: StructType, filters: Ar
       s"pushedFilters=[${filters.mkString(", ")}]" +
       wantedBins.map(b => s", prunedBins=[${b.toSeq.sorted.mkString(",")}]").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    blockFiles.map { case (f, _) => GraftInputPartition(f) }
+  // ---- runtime (join-driven) filtering: a broadcast join against a small
+  // doc_id set lets Spark push the build side's keys into this scan at
+  // execution time — the 100 TB shape "join the corpus with a 1M-doc
+  // allowlist" then reads only the allowlist's bins.
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+
+  override def filter(runtimeFilters: Array[Filter]): Unit =
+    stringValues(runtimeFilters, "doc_id").foreach { ids =>
+      runtimeDocIds = Some(runtimeDocIds.fold(ids)(_ intersect ids))
+    }
+
+  private[sources] def runtimeFiltered: Boolean = runtimeDocIds.isDefined
+
+  /** Driver-side footer cap for file-level bin pruning: below it, read the
+    * per-file `bin` column stats and drop files no wanted bin can hit (a
+    * point read on a 4096-file dir plans ~1 partition instead of 4096);
+    * above it, skip the driver work — the executors' parquet row-group
+    * filter performs the same pruning distributed.
+    */
+  private val FooterPruneCap = 4096
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = wantedBins match {
+      case Some(bins) if blockFiles.length <= FooterPruneCap =>
+        val ranges = GraftScan.binRanges(blockFiles, hadoopConf)
+        blockFiles.zip(ranges).collect {
+          case ((f, _), range) if range.forall { case (lo, hi) => bins.exists(b => b >= lo && b <= hi) } =>
+            (f, 0L)
+        }
+      case _ => blockFiles
+    }
+    files.map { case (f, _) => GraftInputPartition(f) }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(
@@ -263,6 +306,63 @@ private[sources] class GraftScan(path: String, required: StructType, filters: Ar
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new BlocksDecodedMetric, new TokenValuesDecodedMetric, new RowsEmittedMetric)
+}
+
+private[sources] object GraftScan {
+  /** JVM-wide footer-range cache keyed by (path, size): block files are
+    * immutable once committed (parquet write-once), so ranges never change
+    * for a given (path, size). Entries are a few bytes per file; a driver
+    * planning 4096 files holds <1 MB.
+    */
+  private val footerCache =
+    scala.collection.concurrent.TrieMap[(String, Long), Option[(Int, Int)]]()
+
+  /** Min/max of the `bin` column per file, from parquet row-group stats.
+    * Uncached footers are read on a bounded thread pool — footer opens are
+    * latency-bound, and a cold 4096-file pass would otherwise serialize
+    * into seconds of driver time.
+    */
+  def binRanges(
+      files: Array[(String, Long)],
+      conf: Configuration
+  ): Array[Option[(Int, Int)]] = {
+    val missing = files.filterNot(f => footerCache.contains((f._1, f._2)))
+    if (missing.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, missing.length))
+      try {
+        missing
+          .map { case (f, len) =>
+            (f, len, pool.submit(new java.util.concurrent.Callable[Option[(Int, Int)]] {
+              override def call(): Option[(Int, Int)] = readBinRange(f, conf)
+            }))
+          }
+          .foreach { case (f, len, fut) => footerCache.put((f, len), fut.get()) }
+      } finally pool.shutdown()
+    }
+    files.map(f => footerCache((f._1, f._2)))
+  }
+
+  private def readBinRange(file: String, conf: Configuration): Option[(Int, Int)] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val ranges = r.getRowGroups.asScala.flatMap { rg =>
+        rg.getColumns.asScala
+          .find(_.getPath.toDotString == "bin")
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else
+              Some(
+                (
+                  st.genericGetMin.asInstanceOf[Number].intValue(),
+                  st.genericGetMax.asInstanceOf[Number].intValue()
+                )
+              )
+          }
+      }
+      if (ranges.isEmpty) None else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally r.close()
+  }
 }
 
 private[sources] final case class GraftInputPartition(file: String) extends InputPartition
@@ -332,13 +432,17 @@ private[sources] class GraftPartitionReader(
 
   private val reader: ParquetReader[Group] = {
     // project the file schema down to the needed block columns (exact types
-    // from the footer, so the projection can never disagree with the writer)
-    val inputFile = HadoopInputFile.fromPath(new Path(file), conf)
-    val fileSchema: MessageType = {
-      val r = ParquetFileReader.open(inputFile)
-      try r.getFileMetaData.getSchema
-      finally r.close()
-    }
+    // from the footer, so the projection can never disagree with the writer);
+    // the full schema is cached JVM-wide — block files are write-once, and
+    // this saves one footer open per task
+    val fileSchema: MessageType =
+      GraftPartitionReader.schemaCache.getOrElseUpdate(
+        file, {
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+          try r.getFileMetaData.getSchema
+          finally r.close()
+        }
+      )
     val wanted = scala.collection.mutable.LinkedHashSet[String]("bin", "codec", "n_rows")
     if (needDocIds) { wanted += "doc_ids_codec"; wanted += "doc_ids_payload" }
     if (needSources) { wanted += "sources_codec"; wanted += "sources_payload" }
@@ -492,6 +596,11 @@ private[sources] class GraftPartitionReader(
       out: InternalRow
     }
   }
+}
+
+private[sources] object GraftPartitionReader {
+  private[sources] val schemaCache =
+    scala.collection.concurrent.TrieMap[String, MessageType]()
 }
 
 private[sources] final case class GraftTaskMetric(name0: String, value0: Long)

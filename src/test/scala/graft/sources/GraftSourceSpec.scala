@@ -134,6 +134,66 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(n == input.count())
   }
 
+  test("runtime filter() prunes bins and input files (footer stats)") {
+    import spark.implicits._
+    // drive the SupportsRuntimeFiltering contract directly: same call Spark's
+    // dynamic pruning makes with the broadcast join's build-side keys
+    val ids = input.select($"doc_id").take(2).map(_.getString(0))
+    val table = new GraftTable(dirB)
+    val builder = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())
+    )
+    val scan = builder.build().asInstanceOf[GraftScan]
+    val before = scan.planInputPartitions().length
+    scan.filter(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("doc_id", ids.map(x => x: Any))
+      )
+    )
+    assert(scan.runtimeFiltered)
+    val after = scan.planInputPartitions().length
+    assert(after < before, s"footer pruning kept $after of $before files")
+    // the pruned partition set still yields exactly the hit rows
+    val factory = scan.toBatch.createReaderFactory()
+    val rows = scan.toBatch.planInputPartitions().iterator.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (r.next()) buf += r.get().getUTF8String(0).toString
+      r.close()
+      buf
+    }.toSeq
+    assert(rows.sorted == ids.toSeq.sorted)
+  }
+
+  test("broadcast join against a doc_id dim triggers dynamic runtime pruning") {
+    import spark.implicits._
+    // dim side: a parquet table with a SELECTIVE equality predicate on a
+    // non-join column — the shape Spark's dynamic pruning rule looks for
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dim").toString
+    val keyDoc = input.select($"doc_id").head().getString(0)
+    input
+      .select($"doc_id", $"n_tok".as("dim_ntok"))
+      .write.mode("overwrite").parquet(dimPath)
+    val prevStats = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      // predicate on a NON-join column so Catalyst cannot propagate it to
+      // the scan statically — dynamic injection is the only pruning route
+      val keyNtok = input.where($"doc_id" === keyDoc).head().n_tok
+      val dim = spark.read.parquet(dimPath).where($"dim_ntok" === keyNtok)
+      val big = spark.read.format("graft").load(dirB)
+      val joined = big.join(broadcast(dim), Seq("doc_id")).select($"doc_id", $"n_tok")
+      val rows = joined.collect()
+      val want = input.where($"n_tok" === keyNtok).select($"doc_id").collect().map(_.getString(0))
+      assert(rows.map(_.getString(0)).sorted.toSeq == want.sorted.toSeq)
+      val scan = findScan(joined.queryExecution.executedPlan)
+      val g = scan.scan.asInstanceOf[GraftScan]
+      assert(g.runtimeFiltered, "dynamic pruning did not reach the scan")
+      val totalBlocks = EncodeJob.readBlocks(spark, dirB).count()
+      assert(metric(scan, GraftMetrics.BlocksDecoded) < totalBlocks)
+    } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
+  }
+
   test("load of a non-encode dir fails loudly") {
     val bogus = Files.createTempDirectory("graft-bogus").toString
     val e = intercept[Exception] {
