@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, X
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
@@ -169,10 +170,12 @@ private[sources] class GraftTable(path: String) extends Table with SupportsRead 
 private[sources] class GraftScanBuilder(path: String)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = GraftDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Seq[String]] = None
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo("doc_id", _: String)                             => true
@@ -195,11 +198,51 @@ private[sources] class GraftScanBuilder(path: String)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new GraftScan(path, required, pushed)
+  /** COUNT/SUM(n_tok) aggregates are answered from block METADATA (every
+    * block records its row and token-value counts), so a corpus-wide count
+    * never decodes a block — partial per-partition sums, Spark combines.
+    * Spark only offers aggregates here when NO post-scan filters remain;
+    * since [[pushFilters]] keeps every filter residual, an aggregate can
+    * only be pushed on an unfiltered scan — metadata counts are then exact.
+    */
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+        case _                                               => None
+      }
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: aggregate.CountStar => Some(GraftAgg.CountRows)
+      case c: aggregate.Count
+          if !c.isDistinct && col(c.column).exists(GraftDataSource.Schema.fieldNames.contains) =>
+        Some(GraftAgg.CountRows) // no column is nullable: count(col) == count(*)
+      case s: aggregate.Sum if !s.isDistinct && col(s.column).contains("n_tok") =>
+        Some(GraftAgg.SumTokens)
+      case _ => None
+    }
+    if (kinds.forall(_.isDefined)) {
+      pushedAgg = Some(kinds.flatten)
+      true
+    } else false
+  }
+
+  override def build(): Scan = new GraftScan(path, required, pushed, pushedAgg)
 }
 
-private[sources] class GraftScan(path: String, required: StructType, filters: Array[Filter])
-    extends Scan
+/** A pushed-down aggregate the block metadata can answer. */
+private[sources] object GraftAgg {
+  val CountRows = "count_rows"
+  val SumTokens = "sum_tokens"
+}
+
+private[sources] class GraftScan(
+    path: String,
+    required: StructType,
+    filters: Array[Filter],
+    agg: Option[Seq[String]] = None
+) extends Scan
     with Batch
     with SupportsReportStatistics
     with SupportsRuntimeFiltering {
@@ -243,13 +286,21 @@ private[sources] class GraftScan(path: String, required: StructType, filters: Ar
       .sortBy(_._1)
   }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg match {
+    case Some(kinds) =>
+      StructType(kinds.zipWithIndex.map { case (k, i) =>
+        // SUM over zero rows is NULL; counts never are
+        StructField(s"${k}_$i", LongType, nullable = k == GraftAgg.SumTokens)
+      })
+    case None => required
+  }
 
   override def toBatch: Batch = this
 
   override def description(): String =
     s"GraftScan path=$path, readSchema=[${required.fieldNames.mkString(",")}], " +
       s"pushedFilters=[${filters.mkString(", ")}]" +
+      agg.map(k => s", pushedAggregates=[${k.mkString(",")}]").getOrElse("") +
       wantedBins.map(b => s", prunedBins=[${b.toSeq.sorted.mkString(",")}]").getOrElse("")
 
   // ---- runtime (join-driven) filtering: a broadcast join against a small
@@ -296,7 +347,8 @@ private[sources] class GraftScan(path: String, required: StructType, filters: Ar
       requiredFields = required.fieldNames,
       docIdFilter = docIdFilter,
       sourceFilter = sourceFilter,
-      wantedBins = wantedBins.map(_.toArray.sorted)
+      wantedBins = wantedBins.map(_.toArray.sorted),
+      aggKinds = agg.map(_.toArray)
     )
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -394,13 +446,74 @@ private[sources] final case class GraftReaderFactory(
     requiredFields: Array[String],
     docIdFilter: Option[Set[String]],
     sourceFilter: Option[Set[String]],
-    wantedBins: Option[Array[Int]]
+    wantedBins: Option[Array[Int]],
+    aggKinds: Option[Array[String]] = None
 ) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].file,
-      this
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftInputPartition].file
+    aggKinds match {
+      case Some(kinds) => new GraftAggReader(file, kinds)
+      case None        => new GraftPartitionReader(file, this)
+    }
+  }
+}
+
+/** Metadata-only reader for pushed-down COUNT/SUM(n_tok): scans just the
+  * tiny n_rows/n_values block columns of its file and emits ONE partial row
+  * (Spark's final aggregate combines the partials). Never touches payloads.
+  */
+private[sources] class GraftAggReader(file: String, kinds: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private var emitted = false
+  private var rows = 0L
+  private var values = 0L
+
+  private val reader: ParquetReader[Group] = {
+    val fileSchema = GraftPartitionReader.fileSchema(file, conf)
+    val projection = new MessageType(
+      fileSchema.getName,
+      fileSchema.getFields.asScala.filter(t => t.getName == "n_rows" || t.getName == "n_values").asJava
     )
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(conf).build()
+  }
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    var g = reader.read()
+    while (g != null) {
+      rows += g.getInteger("n_rows", 0)
+      values += g.getLong("n_values", 0)
+      g = reader.read()
+    }
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow = {
+    val out = new GenericInternalRow(kinds.length)
+    var i = 0
+    while (i < kinds.length) {
+      kinds(i) match {
+        case GraftAgg.CountRows => out.setLong(i, rows)
+        case GraftAgg.SumTokens =>
+          if (rows == 0L) out.setNullAt(i) else out.setLong(i, values)
+        case other => throw new IllegalArgumentException(s"unknown aggregate $other")
+      }
+      i += 1
+    }
+    out
+  }
+
+  override def close(): Unit = reader.close()
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    GraftTaskMetric(GraftMetrics.BlocksDecoded, 0L),
+    GraftTaskMetric(GraftMetrics.TokenValuesDecoded, 0L),
+    GraftTaskMetric(GraftMetrics.RowsEmitted, 1L)
+  )
 }
 
 /** Executor-side reader for one blocks parquet file. Projects the parquet
@@ -432,17 +545,8 @@ private[sources] class GraftPartitionReader(
 
   private val reader: ParquetReader[Group] = {
     // project the file schema down to the needed block columns (exact types
-    // from the footer, so the projection can never disagree with the writer);
-    // the full schema is cached JVM-wide — block files are write-once, and
-    // this saves one footer open per task
-    val fileSchema: MessageType =
-      GraftPartitionReader.schemaCache.getOrElseUpdate(
-        file, {
-          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
-          try r.getFileMetaData.getSchema
-          finally r.close()
-        }
-      )
+    // from the footer, so the projection can never disagree with the writer)
+    val fileSchema: MessageType = GraftPartitionReader.fileSchema(file, conf)
     val wanted = scala.collection.mutable.LinkedHashSet[String]("bin", "codec", "n_rows")
     if (needDocIds) { wanted += "doc_ids_codec"; wanted += "doc_ids_payload" }
     if (needSources) { wanted += "sources_codec"; wanted += "sources_payload" }
@@ -599,8 +703,20 @@ private[sources] class GraftPartitionReader(
 }
 
 private[sources] object GraftPartitionReader {
-  private[sources] val schemaCache =
+  private val schemaCache =
     scala.collection.concurrent.TrieMap[String, MessageType]()
+
+  /** Full parquet schema of a block file, cached JVM-wide — block files are
+    * write-once, and this saves one footer open per task.
+    */
+  def fileSchema(file: String, conf: Configuration): MessageType =
+    schemaCache.getOrElseUpdate(
+      file, {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+        try r.getFileMetaData.getSchema
+        finally r.close()
+      }
+    )
 }
 
 private[sources] final case class GraftTaskMetric(name0: String, value0: Long)

@@ -194,6 +194,33 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
   }
 
+  test("COUNT/SUM(n_tok) push down to block metadata: zero blocks decoded") {
+    import spark.implicits._
+    val df = spark.read.format("graft").load(dirA)
+      .agg(count(lit(1)).as("n"), sum($"n_tok").as("toks"), count($"doc_id").as("nd"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == input.count())
+    assert(r.getLong(1) == input.agg(sum($"n_tok")).head().getLong(0))
+    assert(r.getLong(2) == input.count())
+    val scan = findScan(df.queryExecution.executedPlan)
+    assert(scan.toString.contains("pushedAggregates="), s"aggregate not pushed:\n$scan")
+    // the metadata aggregate never opens a block, let alone decodes one
+    assert(metric(scan, GraftMetrics.BlocksDecoded) == 0L)
+    assert(metric(scan, GraftMetrics.TokenValuesDecoded) == 0L)
+  }
+
+  test("aggregate pushdown declines when a filter is present (residual-safe)") {
+    import spark.implicits._
+    val src = input.select($"source").head().getString(0)
+    val df = spark.read.format("graft").load(dirA)
+      .where($"source" === src)
+      .agg(sum($"n_tok").as("toks"))
+    val want = input.where($"source" === src).agg(sum($"n_tok")).head().getLong(0)
+    assert(df.head().getLong(0) == want)
+    val scan = findScan(df.queryExecution.executedPlan)
+    assert(!scan.toString.contains("pushedAggregates="), s"unsafe aggregate pushdown:\n$scan")
+  }
+
   test("load of a non-encode dir fails loudly") {
     val bogus = Files.createTempDirectory("graft-bogus").toString
     val e = intercept[Exception] {
