@@ -54,6 +54,19 @@ import scala.jdk.CollectionConverters._
   *     through the per-row bit index (seek straight to each hit row's first
   *     bit) instead of entropy-decoding whole blocks — the reference's
   *     random-access path (offsets.rs:19-58) under a Spark scan.
+  *   - **Runtime (join-driven) filtering.** The scan implements
+  *     `SupportsRuntimeFiltering` on doc_id: a broadcast join against a
+  *     small dim pushes the build side's keys into the scan at execution
+  *     time — the "join a 100 TB corpus with an allowlist" shape reads only
+  *     the allowlist's bins. doc_id predicates additionally prune whole
+  *     input files on the driver via parquet footer `bin` stats (capped;
+  *     beyond the cap the executors' row-group filter prunes distributed).
+  *   - **Aggregate pushdown to metadata.** Unfiltered COUNT(*) / COUNT(col)
+  *     / SUM(n_tok) are answered from each block's recorded row/value
+  *     counts — one partial row per file, no payload bytes touched.
+  *   - **Snapshot time travel.** `option("snapshot", n)` reads the corpus
+  *     as of EncodeJob snapshot n (the bins committed by its lineage —
+  *     blocks are write-once per bin, so the bin set IS the as-of state).
   *   - **Observable via DSv2 custom metrics** (`graft blocks decoded`,
   *     `token values decoded`, `rows emitted`) in the SQL UI / plan metrics,
   *     so "the pruning actually happened" is a queryable fact, not a claim.
@@ -156,6 +169,34 @@ private[sources] object GraftMeta {
       salt = long("salt")
     )
   }
+
+  /** EncodeJob's snapshot lineage: (snapshot_id, bins committed by it). */
+  def loadSnapshots(outDir: String, conf: Configuration): Seq[(Long, Seq[Int])] = {
+    val fs = new Path(outDir).getFileSystem(conf)
+    val dir = new Path(s"$outDir/_snapshots")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir)
+      .toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("snap-"))
+      .map { p =>
+        val in = fs.open(p)
+        val txt =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val id = """"snapshot_id":(\d+)""".r
+          .findFirstMatchIn(txt)
+          .getOrElse(throw new IllegalArgumentException(s"$p lacks snapshot_id"))
+          .group(1)
+          .toLong
+        val bins = """"bins_added":\[([0-9,\s]*)\]""".r
+          .findFirstMatchIn(txt)
+          .map(_.group(1).trim)
+          .getOrElse("")
+        (id, if (bins.isEmpty) Seq.empty[Int] else bins.split(",").map(_.trim.toInt).toSeq)
+      }
+      .sortBy(_._1)
+  }
 }
 
 private[sources] class GraftTable(path: String) extends Table with SupportsRead {
@@ -164,10 +205,10 @@ private[sources] class GraftTable(path: String) extends Table with SupportsRead 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path)
+    new GraftScanBuilder(path, Option(options.get("snapshot")).map(_.toLong))
 }
 
-private[sources] class GraftScanBuilder(path: String)
+private[sources] class GraftScanBuilder(path: String, snapshot: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -228,7 +269,7 @@ private[sources] class GraftScanBuilder(path: String)
     } else false
   }
 
-  override def build(): Scan = new GraftScan(path, required, pushed, pushedAgg)
+  override def build(): Scan = new GraftScan(path, required, pushed, pushedAgg, snapshot)
 }
 
 /** A pushed-down aggregate the block metadata can answer. */
@@ -241,11 +282,25 @@ private[sources] class GraftScan(
     path: String,
     required: StructType,
     filters: Array[Filter],
-    agg: Option[Seq[String]] = None
+    agg: Option[Seq[String]] = None,
+    snapshot: Option[Long] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  /** Snapshot time travel: a snapshot sees exactly the bins committed by it
+    * and its ancestors (blocks are write-once per bin, so the bin set IS the
+    * as-of state — the queryable face of EncodeJob's snapshot lineage).
+    */
+  private lazy val snapshotBins: Option[Set[Int]] = snapshot.map { id =>
+    val snaps = GraftMeta.loadSnapshots(path, hadoopConf)
+    require(
+      snaps.exists(_._1 == id),
+      s"snapshot $id not found under $path/_snapshots (have ${snaps.map(_._1).sorted.mkString(",")})"
+    )
+    snaps.filter(_._1 <= id).flatMap(_._2).toSet
+  }
 
   private def stringValues(fs: Array[Filter], column: String): Option[Set[String]] = {
     val sets = fs.collect {
@@ -273,8 +328,14 @@ private[sources] class GraftScan(
   private lazy val meta: GraftMeta = GraftMeta.load(path, hadoopConf)
 
   /** doc_id predicates re-derive the writer's salted bins; None = all bins. */
-  private def wantedBins: Option[Set[Int]] =
+  private def docIdBins: Option[Set[Int]] =
     docIdFilter.map(_.map(GraftDataSource.binOf(_, meta.numBins, meta.salt)))
+
+  /** Bins this scan may touch: doc_id-derived ∩ snapshot-visible. */
+  private def wantedBins: Option[Set[Int]] = (docIdBins, snapshotBins) match {
+    case (Some(a), Some(b)) => Some(a intersect b)
+    case (a, b)             => a.orElse(b)
+  }
 
   private lazy val blockFiles: Array[(String, Long)] = {
     val fs = new Path(path).getFileSystem(hadoopConf)
@@ -301,7 +362,8 @@ private[sources] class GraftScan(
     s"GraftScan path=$path, readSchema=[${required.fieldNames.mkString(",")}], " +
       s"pushedFilters=[${filters.mkString(", ")}]" +
       agg.map(k => s", pushedAggregates=[${k.mkString(",")}]").getOrElse("") +
-      wantedBins.map(b => s", prunedBins=[${b.toSeq.sorted.mkString(",")}]").getOrElse("")
+      snapshot.map(s => s", snapshot=$s").getOrElse("") +
+      docIdBins.map(b => s", prunedBins=[${b.toSeq.sorted.mkString(",")}]").getOrElse("")
 
   // ---- runtime (join-driven) filtering: a broadcast join against a small
   // doc_id set lets Spark push the build side's keys into this scan at
@@ -347,8 +409,11 @@ private[sources] class GraftScan(
       requiredFields = required.fieldNames,
       docIdFilter = docIdFilter,
       sourceFilter = sourceFilter,
-      wantedBins = wantedBins.map(_.toArray.sorted),
-      aggKinds = agg.map(_.toArray)
+      // parquet or-chain filter: a pruning optimization, kept small; the
+      // exact snapshot check is visibleBins in the readers
+      wantedBins = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted),
+      aggKinds = agg.map(_.toArray),
+      visibleBins = snapshotBins.map(_.toArray.sorted)
     )
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -447,12 +512,13 @@ private[sources] final case class GraftReaderFactory(
     docIdFilter: Option[Set[String]],
     sourceFilter: Option[Set[String]],
     wantedBins: Option[Array[Int]],
-    aggKinds: Option[Array[String]] = None
+    aggKinds: Option[Array[String]] = None,
+    visibleBins: Option[Array[Int]] = None
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GraftInputPartition].file
     aggKinds match {
-      case Some(kinds) => new GraftAggReader(file, kinds)
+      case Some(kinds) => new GraftAggReader(file, kinds, visibleBins.map(_.toSet))
       case None        => new GraftPartitionReader(file, this)
     }
   }
@@ -462,8 +528,11 @@ private[sources] final case class GraftReaderFactory(
   * tiny n_rows/n_values block columns of its file and emits ONE partial row
   * (Spark's final aggregate combines the partials). Never touches payloads.
   */
-private[sources] class GraftAggReader(file: String, kinds: Array[String])
-    extends PartitionReader[InternalRow] {
+private[sources] class GraftAggReader(
+    file: String,
+    kinds: Array[String],
+    visibleBins: Option[Set[Int]]
+) extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
   private var emitted = false
@@ -472,9 +541,10 @@ private[sources] class GraftAggReader(file: String, kinds: Array[String])
 
   private val reader: ParquetReader[Group] = {
     val fileSchema = GraftPartitionReader.fileSchema(file, conf)
+    val wanted = Set("bin", "n_rows", "n_values")
     val projection = new MessageType(
       fileSchema.getName,
-      fileSchema.getFields.asScala.filter(t => t.getName == "n_rows" || t.getName == "n_values").asJava
+      fileSchema.getFields.asScala.filter(t => wanted.contains(t.getName)).asJava
     )
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
     ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(conf).build()
@@ -484,8 +554,10 @@ private[sources] class GraftAggReader(file: String, kinds: Array[String])
     if (emitted) return false
     var g = reader.read()
     while (g != null) {
-      rows += g.getInteger("n_rows", 0)
-      values += g.getLong("n_values", 0)
+      if (visibleBins.forall(_.contains(g.getInteger("bin", 0)))) {
+        rows += g.getInteger("n_rows", 0)
+        values += g.getLong("n_values", 0)
+      }
       g = reader.read()
     }
     emitted = true
@@ -598,7 +670,12 @@ private[sources] class GraftPartitionReader(
   private def stringOf(g: Group, field: String): String =
     g.getString(field, 0)
 
+  private val visibleBins: Option[Set[Int]] = f.visibleBins.map(_.toSet)
+
   private def decodeBlock(g: Group): Iterator[InternalRow] = {
+    // exact snapshot visibility: only bins committed by the requested
+    // snapshot's lineage exist for this scan
+    if (!visibleBins.forall(_.contains(g.getInteger("bin", 0)))) return Iterator.empty
     blocksDecoded += 1
     val nRows = g.getInteger("n_rows", 0)
     val codecName = stringOf(g, "codec")

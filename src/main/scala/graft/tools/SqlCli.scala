@@ -49,7 +49,14 @@ object SqlCli {
           spark.read.parquet(p.toString).createOrReplaceTempView(p.getName.stripSuffix(".parquet"))
         }
       graftDir.foreach { d =>
-        spark.read.format("graft").load(d).createOrReplaceTempView("graft_corpus")
+        // graft:<dir>@<snapshot> time-travels to that snapshot's bin set
+        val (dir, snap) = d.split('@') match {
+          case Array(dir, s) => (dir, Some(s))
+          case _             => (d, None)
+        }
+        val reader = spark.read.format("graft")
+        snap.foreach(reader.option("snapshot", _))
+        reader.load(dir).createOrReplaceTempView("graft_corpus")
       }
       val df = spark.sql(sql)
       println(df.schema.fieldNames.mkString("\t"))

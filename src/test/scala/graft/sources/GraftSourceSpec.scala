@@ -221,6 +221,38 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(!scan.toString.contains("pushedAggregates="), s"unsafe aggregate pushdown:\n$scan")
   }
 
+  test("snapshot time travel reads the as-of bin set (rows and aggregates)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 64)
+    EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0, 1, 2))) // snapshot 0
+    EncodeJob.run(input, dir, cfg)                                // snapshot 1
+    val want0 = input
+      .withColumn("bin", GraftPipeline.binCol(cfg.numBins, cfg.salt))
+      .where($"bin".isin(0, 1, 2))
+      .drop("bin")
+      .as[graft.pipeline.TokenRow]
+
+    val snap0 = spark.read.format("graft").option("snapshot", "0").load(dir)
+    assert(GraftPipeline.verify(want0, snap0.as[graft.pipeline.TokenRow]) == 0L)
+    // metadata aggregate honors the snapshot too
+    val agg0 = snap0.agg(count(lit(1)), sum($"n_tok")).head()
+    assert(agg0.getLong(0) == want0.count())
+    assert(agg0.getLong(1) == want0.agg(sum($"n_tok")).head().getLong(0))
+
+    val snap1 = spark.read.format("graft").option("snapshot", "1").load(dir)
+    assert(GraftPipeline.verify(input, snap1.as[graft.pipeline.TokenRow]) == 0L)
+    // no option: latest state (all committed bins)
+    val all = spark.read.format("graft").load(dir)
+    assert(GraftPipeline.verify(input, all.as[graft.pipeline.TokenRow]) == 0L)
+
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("snapshot", "99").load(dir).collect()
+    }
+    assert(e.getMessage.contains("snapshot 99 not found")
+      || Option(e.getCause).exists(_.getMessage.contains("snapshot 99 not found")))
+  }
+
   test("load of a non-encode dir fails loudly") {
     val bogus = Files.createTempDirectory("graft-bogus").toString
     val e = intercept[Exception] {
