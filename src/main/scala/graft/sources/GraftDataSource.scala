@@ -170,6 +170,17 @@ private[sources] object GraftMeta {
     )
   }
 
+  /** Block parquet files under an encode outDir, with sizes. */
+  def listBlockFiles(outDir: String, conf: Configuration): Array[(String, Long)] = {
+    val fs = new Path(outDir).getFileSystem(conf)
+    val dir = new Path(s"$outDir/blocks")
+    require(fs.exists(dir), s"no blocks/ under $outDir — not an EncodeJob output dir")
+    fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1)
+  }
+
   /** EncodeJob's snapshot lineage: (snapshot_id, bins committed by it). */
   def loadSnapshots(outDir: String, conf: Configuration): Seq[(Long, Seq[Int])] = {
     val fs = new Path(outDir).getFileSystem(conf)
@@ -179,21 +190,19 @@ private[sources] object GraftMeta {
       .toSeq
       .map(_.getPath)
       .filter(_.getName.startsWith("snap-"))
-      .map { p =>
+      .flatMap { p =>
         val in = fs.open(p)
         val txt =
           try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
-        val id = """"snapshot_id":(\d+)""".r
-          .findFirstMatchIn(txt)
-          .getOrElse(throw new IllegalArgumentException(s"$p lacks snapshot_id"))
-          .group(1)
-          .toLong
-        val bins = """"bins_added":\[([0-9,\s]*)\]""".r
-          .findFirstMatchIn(txt)
-          .map(_.group(1).trim)
-          .getOrElse("")
-        (id, if (bins.isEmpty) Seq.empty[Int] else bins.split(",").map(_.trim.toInt).toSeq)
+        // snapshot files are the writer's commit signal and their write is
+        // not atomic: a file without both fields yet is IN-FLIGHT — skip it
+        // (the next listing sees it complete). Blocks commit before the
+        // snapshot, so a completed file's bins are always readable.
+        for {
+          id <- """"snapshot_id":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+          bins <- """"bins_added":\[([0-9,\s]*)\]""".r.findFirstMatchIn(txt).map(_.group(1).trim)
+        } yield (id, if (bins.isEmpty) Seq.empty[Int] else bins.split(",").map(_.trim.toInt).toSeq)
       }
       .sortBy(_._1)
   }
@@ -203,7 +212,7 @@ private[sources] class GraftTable(path: String) extends Table with SupportsRead 
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = GraftDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, Option(options.get("snapshot")).map(_.toLong))
 }
@@ -337,15 +346,8 @@ private[sources] class GraftScan(
     case (a, b)             => a.orElse(b)
   }
 
-  private lazy val blockFiles: Array[(String, Long)] = {
-    val fs = new Path(path).getFileSystem(hadoopConf)
-    val dir = new Path(s"$path/blocks")
-    require(fs.exists(dir), s"no blocks/ under $path — not an EncodeJob output dir")
-    fs.listStatus(dir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => (st.getPath.toString, st.getLen))
-      .sortBy(_._1)
-  }
+  private lazy val blockFiles: Array[(String, Long)] =
+    GraftMeta.listBlockFiles(path, hadoopConf)
 
   override def readSchema(): StructType = agg match {
     case Some(kinds) =>
@@ -421,6 +423,13 @@ private[sources] class GraftScan(
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
+  /** Streaming read: each EncodeJob snapshot is one micro-batch (its
+    * bins_added delta) — the Iceberg-style incremental-read pattern over
+    * the write-once bin layout.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, () => createReaderFactory())
+
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new BlocksDecodedMetric, new TokenValuesDecodedMetric, new RowsEmittedMetric)
 }
@@ -482,7 +491,14 @@ private[sources] object GraftScan {
   }
 }
 
-private[sources] final case class GraftInputPartition(file: String) extends InputPartition
+/** One block parquet file; `binsOverride` carries a micro-batch's delta bin
+  * set (streaming partitions restrict visibility per batch, batch partitions
+  * leave it to the factory).
+  */
+private[sources] final case class GraftInputPartition(
+    file: String,
+    binsOverride: Option[Array[Int]] = None
+) extends InputPartition
 
 private[sources] class BlocksDecodedMetric extends CustomSumMetric {
   override def name(): String = GraftMetrics.BlocksDecoded
@@ -516,10 +532,16 @@ private[sources] final case class GraftReaderFactory(
     visibleBins: Option[Array[Int]] = None
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftInputPartition].file
+    val p = partition.asInstanceOf[GraftInputPartition]
+    // a partition-level bin set (streaming delta) intersects the factory's
+    // (snapshot option); either alone applies as-is
+    val bins = (p.binsOverride.map(_.toSet), visibleBins.map(_.toSet)) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b)             => a.orElse(b)
+    }
     aggKinds match {
-      case Some(kinds) => new GraftAggReader(file, kinds, visibleBins.map(_.toSet))
-      case None        => new GraftPartitionReader(file, this)
+      case Some(kinds) => new GraftAggReader(p.file, kinds, bins)
+      case None        => new GraftPartitionReader(p.file, this, bins)
     }
   }
 }
@@ -597,7 +619,8 @@ private[sources] class GraftAggReader(
   */
 private[sources] class GraftPartitionReader(
     file: String,
-    f: GraftReaderFactory
+    f: GraftReaderFactory,
+    visibleBins: Option[Set[Int]]
 ) extends PartitionReader[InternalRow] {
 
   private val needDocIds = f.requiredFields.contains("doc_id") || f.docIdFilter.isDefined
@@ -669,8 +692,6 @@ private[sources] class GraftPartitionReader(
     g.getBinary(field, 0).getBytes
   private def stringOf(g: Group, field: String): String =
     g.getString(field, 0)
-
-  private val visibleBins: Option[Set[Int]] = f.visibleBins.map(_.toSet)
 
   private def decodeBlock(g: Group): Iterator[InternalRow] = {
     // exact snapshot visibility: only bins committed by the requested
@@ -777,6 +798,76 @@ private[sources] class GraftPartitionReader(
       out: InternalRow
     }
   }
+}
+
+/** Offset = highest EncodeJob snapshot id whose bins this stream has
+  * emitted; -1 = nothing yet.
+  */
+private[sources] final case class GraftOffset(snapshot: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"snapshot":$snapshot}"""
+}
+
+private[sources] object GraftOffset {
+  def fromJson(json: String): GraftOffset =
+    GraftOffset(
+      """"snapshot":(-?\d+)""".r
+        .findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(s"bad graft offset: $json"))
+        .group(1)
+        .toLong
+    )
+}
+
+/** Micro-batch stream over an encode dir: `latestOffset` is the newest
+  * committed snapshot; a batch (start, end] reads exactly the bins those
+  * snapshots added (write-once bins make the delta exact), with footer
+  * pruning dropping files that hold none of them. Commit/stop are no-ops —
+  * progress lives in the checkpoint offsets, the source is immutable.
+  */
+private[sources] class GraftMicroBatchStream(
+    path: String,
+    factory: () => PartitionReaderFactory
+) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private lazy val hadoopConf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def initialOffset(): Offset = GraftOffset(-1L)
+
+  override def latestOffset(): Offset =
+    GraftOffset(
+      GraftMeta.loadSnapshots(path, hadoopConf).map(_._1).maxOption.getOrElse(-1L)
+    )
+
+  override def deserializeOffset(json: String): Offset = GraftOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].snapshot
+    val e = end.asInstanceOf[GraftOffset].snapshot
+    if (e <= s) return Array.empty
+    val delta = GraftMeta
+      .loadSnapshots(path, hadoopConf)
+      .filter(x => x._1 > s && x._1 <= e)
+      .flatMap(_._2)
+      .toSet
+    if (delta.isEmpty) return Array.empty
+    val files = GraftMeta.listBlockFiles(path, hadoopConf)
+    val ranges = GraftScan.binRanges(files, hadoopConf)
+    val bins = delta.toArray.sorted
+    files.zip(ranges).collect {
+      case ((f, _), range)
+          if range.forall { case (lo, hi) => delta.exists(b => b >= lo && b <= hi) } =>
+        GraftInputPartition(f, Some(bins))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 private[sources] object GraftPartitionReader {

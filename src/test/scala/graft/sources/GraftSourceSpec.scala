@@ -253,6 +253,39 @@ class GraftSourceSpec extends AnyFunSuite {
       || Option(e.getCause).exists(_.getMessage.contains("snapshot 99 not found")))
   }
 
+  test("streaming read tails committed snapshots as micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 64)
+    EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0, 1, 2))) // snapshot 0
+    val q = spark.readStream
+      .format("graft")
+      .load(dir)
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val want0 = input
+        .withColumn("bin", GraftPipeline.binCol(cfg.numBins, cfg.salt))
+        .where($"bin".isin(0, 1, 2))
+        .count()
+      assert(spark.table("graft_stream").count() == want0)
+
+      EncodeJob.run(input, dir, cfg) // snapshot 1: the remaining bins
+      q.processAllAvailable()
+      assert(spark.table("graft_stream").count() == input.count())
+      // the delta batch re-read no already-emitted bin (no duplicates)
+      val distinct =
+        spark.sql("SELECT count(DISTINCT doc_id) FROM graft_stream").head().getLong(0)
+      assert(distinct == input.count())
+    } finally q.stop()
+  }
+
   test("load of a non-encode dir fails loudly") {
     val bogus = Files.createTempDirectory("graft-bogus").toString
     val e = intercept[Exception] {
