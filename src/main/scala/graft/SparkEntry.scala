@@ -181,7 +181,17 @@ object SparkEntry {
     corpusCache.keys.filter(_._1 == id).foreach { k =>
       corpusCache.remove(k).foreach(_.release())
     }
-    graftDirCache.keys.filter(_._1 == id).foreach(graftDirCache.remove)
+    graftDirCache.keys.filter(_._1 == id).foreach { k =>
+      // each entry is a full encoded-corpus copy on disk — delete it, don't
+      // just drop the mapping
+      graftDirCache.remove(k).foreach { dir =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
+    }
   }
 
   private val graftDirCache =

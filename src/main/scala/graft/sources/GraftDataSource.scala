@@ -15,7 +15,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -114,19 +114,35 @@ object GraftDataSource {
     StructField("source", StringType, nullable = false)
   ))
 
-  /** Driver-side twin of [[GraftPipeline.binCol]]: evaluates the identical
-    * Catalyst expression tree (xxhash64(doc_id, salt) pmod numBins) on a
-    * literal, so filter-time bin derivation can never drift from the write
-    * path (parity is pinned by GraftSourceSpec).
+  /** Driver-side twin of [[GraftPipeline.binCol]]: runs the same XXH64
+    * chain Spark's `xxhash64(doc_id, salt)` evaluates (utf8 bytes with
+    * seed 42, then the salt long with the running hash as seed) without
+    * building an expression tree per id — a 1M-doc runtime filter derives
+    * its bins in one tight loop. Parity with the write path's Catalyst
+    * expression is pinned by GraftSourceSpec.
     */
   def binOf(docId: String, numBins: Int, salt: Long): Int = {
-    val h = new XxHash64(
-      Seq(
-        Literal.create(UTF8String.fromString(docId), StringType),
-        Literal.create(salt, LongType)
-      )
-    ).eval(null).asInstanceOf[Long]
+    val utf8 = UTF8String.fromString(docId)
+    val h1 = XXH64.hashUnsafeBytes(utf8.getBaseObject, utf8.getBaseOffset, utf8.numBytes(), 42L)
+    val h = XXH64.hashLong(salt, h1)
     (((h % numBins) + numBins) % numBins).toInt
+  }
+}
+
+/** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper ships
+  * the driver's fs settings (spark.hadoop.*, credentials, endpoints) to the
+  * executor-side readers, which would otherwise see only classpath defaults.
+  */
+private[sources] final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -324,27 +340,41 @@ private[sources] class GraftScan(
 
   /** Runtime (join-driven) doc_id restriction — set by Spark's dynamic
     * pruning through [[filter]] before partition planning / reader creation.
+    * The combined id set and its derived bins are memoized on write, so a
+    * 1M-key runtime filter hashes once, not once per description/planning/
+    * factory call.
     */
   @volatile private var runtimeDocIds: Option[Set[String]] = None
+  @volatile private var cachedDocState: Option[(Option[Set[String]], Option[Set[Int]])] = None
 
-  private def docIdFilter: Option[Set[String]] = (staticDocIds, runtimeDocIds) match {
-    case (Some(a), Some(b)) => Some(a intersect b)
-    case (a, b)             => a.orElse(b)
-  }
+  private def intersectOpt[A](a: Option[Set[A]], b: Option[Set[A]]): Option[Set[A]] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(x intersect y)
+      case (x, y)             => x.orElse(y)
+    }
+
+  private def docState: (Option[Set[String]], Option[Set[Int]]) =
+    cachedDocState match {
+      case Some(s) => s
+      case None =>
+        val ids = intersectOpt(staticDocIds, runtimeDocIds)
+        val bins = ids.map(_.map(GraftDataSource.binOf(_, meta.numBins, meta.salt)))
+        val s = (ids, bins)
+        cachedDocState = Some(s)
+        s
+    }
+
+  private def docIdFilter: Option[Set[String]] = docState._1
 
   private lazy val hadoopConf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
   private lazy val meta: GraftMeta = GraftMeta.load(path, hadoopConf)
 
   /** doc_id predicates re-derive the writer's salted bins; None = all bins. */
-  private def docIdBins: Option[Set[Int]] =
-    docIdFilter.map(_.map(GraftDataSource.binOf(_, meta.numBins, meta.salt)))
+  private def docIdBins: Option[Set[Int]] = docState._2
 
   /** Bins this scan may touch: doc_id-derived ∩ snapshot-visible. */
-  private def wantedBins: Option[Set[Int]] = (docIdBins, snapshotBins) match {
-    case (Some(a), Some(b)) => Some(a intersect b)
-    case (a, b)             => a.orElse(b)
-  }
+  private def wantedBins: Option[Set[Int]] = intersectOpt(docIdBins, snapshotBins)
 
   private lazy val blockFiles: Array[(String, Long)] =
     GraftMeta.listBlockFiles(path, hadoopConf)
@@ -360,12 +390,20 @@ private[sources] class GraftScan(
 
   override def toBatch: Batch = this
 
+  // a 1M-value In filter (the runtime-filter shape) must not render 1M
+  // entries into every explain/UI string
+  private def brief[A](xs: Iterable[A], max: Int = 20): String = {
+    val s = xs.take(max + 1).toSeq
+    if (s.lengthCompare(max) > 0) s.take(max).mkString(",") + s",… (${xs.size} total)"
+    else s.mkString(",")
+  }
+
   override def description(): String =
     s"GraftScan path=$path, readSchema=[${required.fieldNames.mkString(",")}], " +
-      s"pushedFilters=[${filters.mkString(", ")}]" +
+      s"pushedFilters=[${brief(filters.toSeq.map(_.toString.take(200)), 8)}]" +
       agg.map(k => s", pushedAggregates=[${k.mkString(",")}]").getOrElse("") +
       snapshot.map(s => s", snapshot=$s").getOrElse("") +
-      docIdBins.map(b => s", prunedBins=[${b.toSeq.sorted.mkString(",")}]").getOrElse("")
+      docIdBins.map(b => s", prunedBins=[${brief(b.toSeq.sorted)}]").getOrElse("")
 
   // ---- runtime (join-driven) filtering: a broadcast join against a small
   // doc_id set lets Spark push the build side's keys into this scan at
@@ -377,21 +415,14 @@ private[sources] class GraftScan(
   override def filter(runtimeFilters: Array[Filter]): Unit =
     stringValues(runtimeFilters, "doc_id").foreach { ids =>
       runtimeDocIds = Some(runtimeDocIds.fold(ids)(_ intersect ids))
+      cachedDocState = None // re-derive ids ∩ bins once, lazily
     }
 
   private[sources] def runtimeFiltered: Boolean = runtimeDocIds.isDefined
 
-  /** Driver-side footer cap for file-level bin pruning: below it, read the
-    * per-file `bin` column stats and drop files no wanted bin can hit (a
-    * point read on a 4096-file dir plans ~1 partition instead of 4096);
-    * above it, skip the driver work — the executors' parquet row-group
-    * filter performs the same pruning distributed.
-    */
-  private val FooterPruneCap = 4096
-
   override def planInputPartitions(): Array[InputPartition] = {
     val files = wantedBins match {
-      case Some(bins) if blockFiles.length <= FooterPruneCap =>
+      case Some(bins) if blockFiles.length <= GraftScan.FooterPruneCap =>
         val ranges = GraftScan.binRanges(blockFiles, hadoopConf)
         blockFiles.zip(ranges).collect {
           case ((f, _), range) if range.forall { case (lo, hi) => bins.exists(b => b >= lo && b <= hi) } =>
@@ -415,7 +446,8 @@ private[sources] class GraftScan(
       // exact snapshot check is visibleBins in the readers
       wantedBins = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted),
       aggKinds = agg.map(_.toArray),
-      visibleBins = snapshotBins.map(_.toArray.sorted)
+      visibleBins = snapshotBins.map(_.toArray.sorted),
+      conf = new SerializableHadoopConf(hadoopConf)
     )
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -435,11 +467,21 @@ private[sources] class GraftScan(
 }
 
 private[sources] object GraftScan {
+  /** Driver-side footer cap for file-level bin pruning: below it, read the
+    * per-file `bin` column stats and drop files no wanted bin can hit (a
+    * point read on a 4096-file dir plans ~1 partition instead of 4096);
+    * above it, skip the driver work — the executors' parquet row-group
+    * filter / exact bin check performs the same pruning distributed.
+    */
+  val FooterPruneCap = 4096
+
   /** JVM-wide footer-range cache keyed by (path, size): block files are
     * immutable once committed (parquet write-once), so ranges never change
-    * for a given (path, size). Entries are a few bytes per file; a driver
-    * planning 4096 files holds <1 MB.
+    * for a given (path, size). Entries are a few bytes per file; bounded —
+    * a long-lived driver scanning many dirs clears it on overflow rather
+    * than growing without limit (re-reading footers is cheap and correct).
     */
+  private val CacheCap = 1 << 16
   private val footerCache =
     scala.collection.concurrent.TrieMap[(String, Long), Option[(Int, Int)]]()
 
@@ -452,6 +494,7 @@ private[sources] object GraftScan {
       files: Array[(String, Long)],
       conf: Configuration
   ): Array[Option[(Int, Int)]] = {
+    if (footerCache.size > CacheCap) footerCache.clear()
     val missing = files.filterNot(f => footerCache.contains((f._1, f._2)))
     if (missing.nonEmpty) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, missing.length))
@@ -529,7 +572,8 @@ private[sources] final case class GraftReaderFactory(
     sourceFilter: Option[Set[String]],
     wantedBins: Option[Array[Int]],
     aggKinds: Option[Array[String]] = None,
-    visibleBins: Option[Array[Int]] = None
+    visibleBins: Option[Array[Int]] = None,
+    conf: SerializableHadoopConf
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
@@ -540,7 +584,7 @@ private[sources] final case class GraftReaderFactory(
       case (a, b)             => a.orElse(b)
     }
     aggKinds match {
-      case Some(kinds) => new GraftAggReader(p.file, kinds, bins)
+      case Some(kinds) => new GraftAggReader(p.file, kinds, bins, conf)
       case None        => new GraftPartitionReader(p.file, this, bins)
     }
   }
@@ -553,10 +597,12 @@ private[sources] final case class GraftReaderFactory(
 private[sources] class GraftAggReader(
     file: String,
     kinds: Array[String],
-    visibleBins: Option[Set[Int]]
+    visibleBins: Option[Set[Int]],
+    sConf: SerializableHadoopConf
 ) extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  // own copy: the projection set below must not leak into sibling readers
+  private val conf = new Configuration(sConf.value)
   private var emitted = false
   private var rows = 0L
   private var values = 0L
@@ -628,7 +674,9 @@ private[sources] class GraftPartitionReader(
   private val needTokens = f.requiredFields.contains("tokens")
   private val needNToks = needTokens || f.requiredFields.contains("n_tok")
 
-  private val conf = new Configuration()
+  // own copy of the driver's fs settings: the projection set below must not
+  // leak into sibling readers
+  private val conf = new Configuration(f.conf.value)
   private lazy val tables =
     Huffman.readHeader(new BitReader(f.headerBytes), f.maxBits, f.numContexts)
   private lazy val model = ContextModel(f.contextModel, f.numContexts)
@@ -854,12 +902,18 @@ private[sources] class GraftMicroBatchStream(
       .toSet
     if (delta.isEmpty) return Array.empty
     val files = GraftMeta.listBlockFiles(path, hadoopConf)
-    val ranges = GraftScan.binRanges(files, hadoopConf)
     val bins = delta.toArray.sorted
-    files.zip(ranges).collect {
-      case ((f, _), range)
-          if range.forall { case (lo, hi) => delta.exists(b => b >= lo && b <= hi) } =>
-        GraftInputPartition(f, Some(bins))
+    // same footer cap as the batch path: above it, skip driver footer reads
+    // and let every partition's reader prune via the exact bin check
+    if (files.length > GraftScan.FooterPruneCap)
+      files.map { case (f, _) => GraftInputPartition(f, Some(bins)) }
+    else {
+      val ranges = GraftScan.binRanges(files, hadoopConf)
+      files.zip(ranges).collect {
+        case ((f, _), range)
+            if range.forall { case (lo, hi) => delta.exists(b => b >= lo && b <= hi) } =>
+          GraftInputPartition(f, Some(bins))
+      }
     }
   }
 
@@ -871,13 +925,16 @@ private[sources] class GraftMicroBatchStream(
 }
 
 private[sources] object GraftPartitionReader {
+  private val SchemaCacheCap = 1 << 16
   private val schemaCache =
     scala.collection.concurrent.TrieMap[String, MessageType]()
 
   /** Full parquet schema of a block file, cached JVM-wide — block files are
-    * write-once, and this saves one footer open per task.
+    * write-once, and this saves one footer open per task. Bounded: cleared
+    * on overflow instead of growing for the life of a long-lived executor.
     */
-  def fileSchema(file: String, conf: Configuration): MessageType =
+  def fileSchema(file: String, conf: Configuration): MessageType = {
+    if (schemaCache.size > SchemaCacheCap) schemaCache.clear()
     schemaCache.getOrElseUpdate(
       file, {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
@@ -885,6 +942,7 @@ private[sources] object GraftPartitionReader {
         finally r.close()
       }
     )
+  }
 }
 
 private[sources] final case class GraftTaskMetric(name0: String, value0: Long)

@@ -49,10 +49,13 @@ object SqlCli {
           spark.read.parquet(p.toString).createOrReplaceTempView(p.getName.stripSuffix(".parquet"))
         }
       graftDir.foreach { d =>
-        // graft:<dir>@<snapshot> time-travels to that snapshot's bin set
-        val (dir, snap) = d.split('@') match {
-          case Array(dir, s) => (dir, Some(s))
-          case _             => (d, None)
+        // graft:<dir>@<snapshot> time-travels to that snapshot's bin set —
+        // only an all-digit suffix after the LAST '@' counts, so URIs that
+        // legitimately contain '@' (abfss://container@account/...) pass through
+        val (dir, snap) = d.lastIndexOf('@') match {
+          case i if i > 0 && d.substring(i + 1).nonEmpty && d.substring(i + 1).forall(_.isDigit) =>
+            (d.substring(0, i), Some(d.substring(i + 1)))
+          case _ => (d, None)
         }
         val reader = spark.read.format("graft")
         snap.foreach(reader.option("snapshot", _))
