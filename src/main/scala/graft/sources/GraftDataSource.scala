@@ -450,9 +450,44 @@ private[sources] class GraftScan(
       conf = new SerializableHadoopConf(hadoopConf)
     )
 
+  /** Row count from the per-bin manifests (tiny parquet, read driver-side
+    * without a Spark job): with both size and rows reported, Catalyst can
+    * make an informed broadcast decision when a graft table joins.
+    */
+  private lazy val manifestRows: Option[Long] = {
+    val fs = new Path(path).getFileSystem(hadoopConf)
+    val dir = new Path(s"$path/_manifest")
+    if (!fs.exists(dir)) None
+    else {
+      var total = 0L
+      var seen = false
+      fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val r = ParquetReader
+            .builder(new GroupReadSupport(), st.getPath)
+            .withConf(hadoopConf)
+            .build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              total += g.getLong("n_rows", 0)
+              seen = true
+              g = r.read()
+            }
+          } finally r.close()
+        }
+      if (seen) Some(total) else None
+    }
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(blockFiles.map(_._2).sum)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    override def numRows(): OptionalLong =
+      // exact only for the full table: filters/snapshots see a subset
+      if (filters.isEmpty && snapshot.isEmpty)
+        manifestRows.fold(OptionalLong.empty())(OptionalLong.of)
+      else OptionalLong.empty()
   }
 
   /** Streaming read: each EncodeJob snapshot is one micro-batch (its

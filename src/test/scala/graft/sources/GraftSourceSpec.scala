@@ -286,6 +286,26 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scan statistics report manifest row count + on-disk size") {
+    import spark.implicits._
+    val df = spark.read.format("graft").load(dirA)
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(input.count())), s"stats: $stats")
+    assert(stats.sizeInBytes > 0)
+  }
+
+  test("SerializableHadoopConf ships custom fs settings through serialization") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.graft.test.key", "v123")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new SerializableHadoopConf(conf))
+    oos.close()
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = in.readObject().asInstanceOf[SerializableHadoopConf]
+    assert(back.value.get("fs.graft.test.key") == "v123")
+  }
+
   test("load of a non-encode dir fails loudly") {
     val bogus = Files.createTempDirectory("graft-bogus").toString
     val e = intercept[Exception] {
