@@ -237,11 +237,23 @@ private[sources] class GraftScanBuilder(path: String, snapshot: Option[Long] = N
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = GraftDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[Seq[String]] = None
+  private var limit: Option[Int] = None
+
+  /** Per-partition limit: readers stop decoding once they have emitted
+    * `n` rows (a `df.show()` over a 100 TB corpus decodes a handful of
+    * blocks). Returning false tells Spark the limit is partial — it still
+    * applies the global LIMIT above the scan.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    false
+  }
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo("doc_id", _: String)                             => true
@@ -294,7 +306,7 @@ private[sources] class GraftScanBuilder(path: String, snapshot: Option[Long] = N
     } else false
   }
 
-  override def build(): Scan = new GraftScan(path, required, pushed, pushedAgg, snapshot)
+  override def build(): Scan = new GraftScan(path, required, pushed, pushedAgg, snapshot, limit)
 }
 
 /** A pushed-down aggregate the block metadata can answer. */
@@ -308,7 +320,8 @@ private[sources] class GraftScan(
     required: StructType,
     filters: Array[Filter],
     agg: Option[Seq[String]] = None,
-    snapshot: Option[Long] = None
+    snapshot: Option[Long] = None,
+    limit: Option[Int] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -447,7 +460,8 @@ private[sources] class GraftScan(
       wantedBins = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted),
       aggKinds = agg.map(_.toArray),
       visibleBins = snapshotBins.map(_.toArray.sorted),
-      conf = new SerializableHadoopConf(hadoopConf)
+      conf = new SerializableHadoopConf(hadoopConf),
+      limit = limit
     )
 
   /** Row count from the per-bin manifests (tiny parquet, read driver-side
@@ -608,7 +622,8 @@ private[sources] final case class GraftReaderFactory(
     wantedBins: Option[Array[Int]],
     aggKinds: Option[Array[String]] = None,
     visibleBins: Option[Array[Int]] = None,
-    conf: SerializableHadoopConf
+    conf: SerializableHadoopConf,
+    limit: Option[Int] = None
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
@@ -754,6 +769,9 @@ private[sources] class GraftPartitionReader(
   private var exhausted = false
 
   override def next(): Boolean = {
+    // per-partition limit: stop opening/decoding blocks once satisfied
+    // (Spark applies the global LIMIT above the scan)
+    if (f.limit.exists(rowsEmitted >= _)) return false
     while (!current.hasNext && !exhausted) {
       val g = reader.read()
       if (g == null) exhausted = true else current = decodeBlock(g)

@@ -306,6 +306,16 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(back.value.get("fs.graft.test.key") == "v123")
   }
 
+  test("limit pushdown stops decoding after the per-partition quota") {
+    import spark.implicits._
+    val df = spark.read.format("graft").load(dirB).limit(3)
+    val rows = df.as[graft.pipeline.TokenRow].collect()
+    assert(rows.length == 3)
+    val scan = findScan(df.queryExecution.executedPlan)
+    // limit(3) over blocks of <=64 rows must not decode the whole corpus
+    assert(metric(scan, GraftMetrics.TokenValuesDecoded) < input.agg(sum($"n_tok")).head().getLong(0) / 2)
+  }
+
   test("load of a non-encode dir fails loudly") {
     val bogus = Files.createTempDirectory("graft-bogus").toString
     val e = intercept[Exception] {
