@@ -549,6 +549,21 @@ object SparkEntry {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Duplicate-cluster resolution: connected components over the minhash
+    // pairs (near-dup similarity is not transitive, so picking survivors
+    // needs the component, not the pair list). The DuckDB oracle computes
+    // the transitive closure with a recursive CTE; the engine's iterated
+    // min-label propagation must reach the identical fixpoint.
+    "q_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.ops.Dedup.minhashNearDups(docs, threshold = 0.2)
+      graft.ops.Dedup
+        .resolveClusters(pairs)
+        .select($"doc_id".cast("long").as("doc_id"), $"cluster".cast("long").as("cluster"))
+        .orderBy($"doc_id")
+    }),
+
     // SimHash near-dups (production op: 62-bit simhash, 4 salt-split
     // 16-bit band buckets, exact Hamming filter); fully oracle-recomputed.
     "q_simhash_neardups" -> ((s, dir) => {
@@ -666,6 +681,41 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (q_roundtrip_verify) → driver records a weaker rows-only check.
     */
+  /** The minhash near-dup oracle body, shared by q_minhash_neardups and
+    * (as the pair-generating CTE) q_dedup_clusters.
+    */
+  private lazy val minhashNearDupsSql: String =
+    s"""WITH $duckShinglesCte,
+           |salts AS (SELECT i, ${X.sqlMix62("(24301 + i)")} AS salt FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+           |sigv AS (SELECT s.doc_id, t.i, min(${X.sqlMix62("xor(s.shingle, t.salt)")}) AS sig
+           |         FROM shingles s, salts t GROUP BY 1, 2),
+           |alldocs AS (SELECT DISTINCT doc_id FROM documents),
+           |sigfull AS (SELECT d.doc_id, t.i, coalesce(v.sig, ${X.Mask62}) AS sig
+           |            FROM alldocs d CROSS JOIN salts t
+           |            LEFT JOIN sigv v ON v.doc_id = d.doc_id AND v.i = t.i),
+           |buckets AS (
+           |  SELECT doc_id, i // 4 AS band,
+           |         list_reduce(list_prepend(xor(CAST(${X.FoldInit} AS BIGINT), i // 4), list(sig ORDER BY i)),
+           |                     (h, v) -> ${X.sqlFoldStep("h", "v")}) AS bucket
+           |  FROM sigfull GROUP BY doc_id, band
+           |),
+           |kept AS (SELECT *, (row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) - 1) // 1024 AS salt
+           |         FROM buckets),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM kept a JOIN kept b USING (band, bucket, salt) WHERE a.doc_id < b.doc_id),
+           |inters AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |           FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |           GROUP BY 1, 2)
+           |SELECT c.doc_a, c.doc_b, CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+           |       CAST(coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0) AS BIGINT) AS uni
+           |FROM cand c
+           |LEFT JOIN inters i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+           |LEFT JOIN shsize sa ON sa.doc_id = c.doc_a
+           |LEFT JOIN shsize sb ON sb.doc_id = c.doc_b
+           |WHERE coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0) > 0
+           |  AND coalesce(i.inter, 0) >= (coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0)) * 0.2
+           |ORDER BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -875,37 +925,20 @@ object SparkEntry {
          |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 10
          |ORDER BY 1, 2""".stripMargin,
 
-    "q_minhash_neardups" ->
-      s"""WITH $duckShinglesCte,
-         |salts AS (SELECT i, ${X.sqlMix62("(24301 + i)")} AS salt FROM (SELECT unnest(generate_series(0, 63)) AS i)),
-         |sigv AS (SELECT s.doc_id, t.i, min(${X.sqlMix62("xor(s.shingle, t.salt)")}) AS sig
-         |         FROM shingles s, salts t GROUP BY 1, 2),
-         |alldocs AS (SELECT DISTINCT doc_id FROM documents),
-         |sigfull AS (SELECT d.doc_id, t.i, coalesce(v.sig, ${X.Mask62}) AS sig
-         |            FROM alldocs d CROSS JOIN salts t
-         |            LEFT JOIN sigv v ON v.doc_id = d.doc_id AND v.i = t.i),
-         |buckets AS (
-         |  SELECT doc_id, i // 4 AS band,
-         |         list_reduce(list_prepend(xor(CAST(${X.FoldInit} AS BIGINT), i // 4), list(sig ORDER BY i)),
-         |                     (h, v) -> ${X.sqlFoldStep("h", "v")}) AS bucket
-         |  FROM sigfull GROUP BY doc_id, band
-         |),
-         |kept AS (SELECT *, (row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) - 1) // 1024 AS salt
-         |         FROM buckets),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM kept a JOIN kept b USING (band, bucket, salt) WHERE a.doc_id < b.doc_id),
-         |inters AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |           FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2)
-         |SELECT c.doc_a, c.doc_b, CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
-         |       CAST(coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0) AS BIGINT) AS uni
-         |FROM cand c
-         |LEFT JOIN inters i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |LEFT JOIN shsize sa ON sa.doc_id = c.doc_a
-         |LEFT JOIN shsize sb ON sb.doc_id = c.doc_b
-         |WHERE coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0) > 0
-         |  AND coalesce(i.inter, 0) >= (coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0)) * 0.2
-         |ORDER BY 1, 2""".stripMargin,
+    "q_minhash_neardups" -> minhashNearDupsSql,
+
+    // connected components over the minhash pairs: the oracle computes the
+    // transitive closure with a recursive CTE and labels each doc with the
+    // minimum reachable doc_id — must equal the engine's iterated
+    // min-label-propagation fixpoint exactly
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashNearDupsSql),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+         |SELECT doc_id, cluster FROM lbl ORDER BY doc_id""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH qc AS (SELECT vec_id, $duckQuant AS qe FROM embeddings),

@@ -204,4 +204,61 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Resolve near-duplicate pairs into connected components — the step a
+    * dedup pipeline needs AFTER pair generation: near-dup similarity is not
+    * transitive (A~B, B~C without A~C), so keeping "one of each pair"
+    * under- or over-deletes; the component gives each doc a canonical
+    * cluster id (the smallest doc_id reachable through pair edges), and
+    * "keep cluster == doc_id" keeps exactly one doc per cluster.
+    *
+    * Iterated min-label propagation to fixpoint: labels only decrease, one
+    * shuffle round per iteration, converging in O(component diameter)
+    * rounds — pair sets from the capped LSH joins keep components small, so
+    * this is a handful of rounds at any corpus size. Fails loudly rather
+    * than returning a non-fixpoint labeling.
+    *
+    * @param pairs (doc_a, doc_b) near-dup pairs (any further columns ignored)
+    * @return (doc_id, cluster) for every doc that appears in a pair
+    */
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .cache()
+    // localCheckpoint per round: iterative self-joins otherwise nest each
+    // round's plan inside the next — exponential lineage that OOMs the
+    // driver long before the data does
+    var labels = edges
+      .select(col("a").as("doc_id"))
+      .distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("cluster").as("nl")), Seq("b"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster")
+        )
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster").as("old")), Seq("doc_id"))
+        .where(col("cluster") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"cluster resolution did not converge in $maxIters rounds")
+    labels
+  }
 }

@@ -72,6 +72,23 @@ class OpsSpec extends AnyFunSuite {
       assert(pairs.exists(p => p == ((id.toLong, 2000L + id))), s"missing exact pair at $id")
   }
 
+  test("resolveClusters labels chains transitively with the component min") {
+    import spark.implicits._
+    // A~B, B~C, D~E: two components; similarity is NOT transitive (no A~C
+    // pair) but the component label must be
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup
+      .resolveClusters(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // long chain: convergence takes O(diameter) rounds, must still fixpoint
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.ops.Dedup.resolveClusters(chain).collect()
+    assert(labels.forall(_.getLong(1) == 1L))
+  }
+
   test("quality features and subword counts are sane") {
     import spark.implicits._
     val q = TextOps.withQualityFeatures(docs)
