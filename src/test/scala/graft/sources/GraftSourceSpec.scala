@@ -316,6 +316,43 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(metric(scan, GraftMetrics.TokenValuesDecoded) < input.agg(sum($"n_tok")).head().getLong(0) / 2)
   }
 
+  test("stream restart resumes from the checkpoint offset (delta only)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 64)
+    EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0, 1))) // snapshot 0
+
+    // file sink: the one that supports checkpoint recovery
+    val out = Files.createTempDirectory("graft-restart-out").toString
+    def start() = spark.readStream
+      .format("graft")
+      .load(dir)
+      .select($"doc_id", $"n_tok")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    val first = spark.read.parquet(out).count()
+    assert(first < input.count(), "first batch should be the partial snapshot only")
+
+    EncodeJob.run(input, dir, cfg) // snapshot 1: the rest
+    // a NEW query on the SAME checkpoint resumes from the recorded offset
+    // and appends exactly the post-checkpoint delta
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    assert(spark.read.parquet(out).count() == input.count(), s"first=$first")
+    // and no duplicates: every doc_id exactly once
+    assert(spark.read.parquet(out).select($"doc_id").distinct().count() == input.count())
+  }
+
   test("load of a non-encode dir fails loudly") {
     val bogus = Files.createTempDirectory("graft-bogus").toString
     val e = intercept[Exception] {
