@@ -127,6 +127,13 @@ object GraftDataSource {
     val h = XXH64.hashLong(salt, h1)
     (((h % numBins) + numBins) % numBins).toInt
   }
+
+  /** Both-defined → intersect; one → that one; neither → None. */
+  private[sources] def intersectOpt[A](a: Option[Set[A]], b: Option[Set[A]]): Option[Set[A]] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(x intersect y)
+      case (x, y)             => x.orElse(y)
+    }
 }
 
 /** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper ships
@@ -360,11 +367,7 @@ private[sources] class GraftScan(
   @volatile private var runtimeDocIds: Option[Set[String]] = None
   @volatile private var cachedDocState: Option[(Option[Set[String]], Option[Set[Int]])] = None
 
-  private def intersectOpt[A](a: Option[Set[A]], b: Option[Set[A]]): Option[Set[A]] =
-    (a, b) match {
-      case (Some(x), Some(y)) => Some(x intersect y)
-      case (x, y)             => x.orElse(y)
-    }
+  import GraftDataSource.intersectOpt
 
   private def docState: (Option[Set[String]], Option[Set[Int]]) =
     cachedDocState match {
@@ -439,11 +442,11 @@ private[sources] class GraftScan(
         val ranges = GraftScan.binRanges(blockFiles, hadoopConf)
         blockFiles.zip(ranges).collect {
           case ((f, _), range) if range.forall { case (lo, hi) => bins.exists(b => b >= lo && b <= hi) } =>
-            (f, 0L)
+            f
         }
-      case _ => blockFiles
+      case _ => blockFiles.map(_._1)
     }
-    files.map { case (f, _) => GraftInputPartition(f) }
+    files.map(GraftInputPartition(_))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -511,8 +514,11 @@ private[sources] class GraftScan(
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, () => createReaderFactory())
 
-  override def supportedCustomMetrics(): Array[CustomMetric] =
-    Array(new BlocksDecodedMetric, new TokenValuesDecodedMetric, new RowsEmittedMetric)
+  override def supportedCustomMetrics(): Array[CustomMetric] = Array(
+    new GraftSumMetric(GraftMetrics.BlocksDecoded, "graft blocks decoded"),
+    new GraftSumMetric(GraftMetrics.TokenValuesDecoded, "graft token values decoded"),
+    new GraftSumMetric(GraftMetrics.RowsEmitted, "graft rows emitted")
+  )
 }
 
 private[sources] object GraftScan {
@@ -567,7 +573,7 @@ private[sources] object GraftScan {
         rg.getColumns.asScala
           .find(_.getPath.toDotString == "bin")
           .flatMap { c =>
-            val st = c.getStatistics
+            val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
             if (st == null || !st.hasNonNullValue) None
             else
               Some(
@@ -592,17 +598,9 @@ private[sources] final case class GraftInputPartition(
     binsOverride: Option[Array[Int]] = None
 ) extends InputPartition
 
-private[sources] class BlocksDecodedMetric extends CustomSumMetric {
-  override def name(): String = GraftMetrics.BlocksDecoded
-  override def description(): String = "graft blocks decoded"
-}
-private[sources] class TokenValuesDecodedMetric extends CustomSumMetric {
-  override def name(): String = GraftMetrics.TokenValuesDecoded
-  override def description(): String = "graft token values decoded"
-}
-private[sources] class RowsEmittedMetric extends CustomSumMetric {
-  override def name(): String = GraftMetrics.RowsEmitted
-  override def description(): String = "graft rows emitted"
+private[sources] class GraftSumMetric(name0: String, desc: String) extends CustomSumMetric {
+  override def name(): String = name0
+  override def description(): String = desc
 }
 
 object GraftMetrics {
@@ -629,10 +627,8 @@ private[sources] final case class GraftReaderFactory(
     val p = partition.asInstanceOf[GraftInputPartition]
     // a partition-level bin set (streaming delta) intersects the factory's
     // (snapshot option); either alone applies as-is
-    val bins = (p.binsOverride.map(_.toSet), visibleBins.map(_.toSet)) match {
-      case (Some(a), Some(b)) => Some(a intersect b)
-      case (a, b)             => a.orElse(b)
-    }
+    val bins =
+      GraftDataSource.intersectOpt(p.binsOverride.map(_.toSet), visibleBins.map(_.toSet))
     aggKinds match {
       case Some(kinds) => new GraftAggReader(p.file, kinds, bins, conf)
       case None        => new GraftPartitionReader(p.file, this, bins)
@@ -651,22 +647,12 @@ private[sources] class GraftAggReader(
     sConf: SerializableHadoopConf
 ) extends PartitionReader[InternalRow] {
 
-  // own copy: the projection set below must not leak into sibling readers
-  private val conf = new Configuration(sConf.value)
   private var emitted = false
   private var rows = 0L
   private var values = 0L
 
-  private val reader: ParquetReader[Group] = {
-    val fileSchema = GraftPartitionReader.fileSchema(file, conf)
-    val wanted = Set("bin", "n_rows", "n_values")
-    val projection = new MessageType(
-      fileSchema.getName,
-      fileSchema.getFields.asScala.filter(t => wanted.contains(t.getName)).asJava
-    )
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(conf).build()
-  }
+  private val reader: ParquetReader[Group] =
+    GraftPartitionReader.openProjected(file, sConf, Set("bin", "n_rows", "n_values"), None)
 
   override def next(): Boolean = {
     if (emitted) return false
@@ -724,9 +710,6 @@ private[sources] class GraftPartitionReader(
   private val needTokens = f.requiredFields.contains("tokens")
   private val needNToks = needTokens || f.requiredFields.contains("n_tok")
 
-  // own copy of the driver's fs settings: the projection set below must not
-  // leak into sibling readers
-  private val conf = new Configuration(f.conf.value)
   private lazy val tables =
     Huffman.readHeader(new BitReader(f.headerBytes), f.maxBits, f.numContexts)
   private lazy val model = ContextModel(f.contextModel, f.numContexts)
@@ -737,9 +720,7 @@ private[sources] class GraftPartitionReader(
   private var rowsEmitted = 0L
 
   private val reader: ParquetReader[Group] = {
-    // project the file schema down to the needed block columns (exact types
-    // from the footer, so the projection can never disagree with the writer)
-    val fileSchema: MessageType = GraftPartitionReader.fileSchema(file, conf)
+    // project the parquet scan down to the needed block columns
     val wanted = scala.collection.mutable.LinkedHashSet[String]("bin", "codec", "n_rows")
     if (needDocIds) { wanted += "doc_ids_codec"; wanted += "doc_ids_payload" }
     if (needSources) { wanted += "sources_codec"; wanted += "sources_payload" }
@@ -748,20 +729,7 @@ private[sources] class GraftPartitionReader(
       wanted += "payload"; wanted += "row_bits_codec"; wanted += "row_bits_payload"
       wanted += "embedded_tables"; wanted += "table_hash"
     }
-    val projection = new MessageType(
-      fileSchema.getName,
-      fileSchema.getFields.asScala.filter(t => wanted.contains(t.getName)).asJava
-    )
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-
-    val builder = ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(conf)
-    f.wantedBins.foreach { bins =>
-      val pred: FilterPredicate = bins
-        .map(b => FilterApi.eq(FilterApi.intColumn("bin"), Int.box(b)))
-        .reduce[FilterPredicate](FilterApi.or)
-      builder.withFilter(FilterCompat.get(pred))
-    }
-    builder.build()
+    GraftPartitionReader.openProjected(file, f.conf, wanted.toSet, f.wantedBins)
   }
 
   private var current: Iterator[InternalRow] = Iterator.empty
@@ -834,13 +802,14 @@ private[sources] class GraftPartitionReader(
         val payload = bytesOf(g, "payload")
         val rowBitsCodec = stringOf(g, "row_bits_codec")
         val embedded = g.getBoolean("embedded_tables", 0)
+        def checkTableHash(): Unit = require(
+          g.getLong("table_hash", 0) == tables.tableHash,
+          s"block written with tables ${g.getLong("table_hash", 0)}, reader has ${tables.tableHash}"
+        )
         val sparse = hits.length * 4 < nRows // point-seek pays off on sparse hits
         if (codecName == "hybrid" && rowBitsCodec != "none" && sparse) {
           // random-access path: prefix-sum the per-row bit index, seek per hit
-          require(
-            g.getLong("table_hash", 0) == tables.tableHash,
-            s"block written with tables ${g.getLong("table_hash", 0)}, reader has ${tables.tableHash}"
-          )
+          checkTableHash()
           val (codec, dataStart) =
             if (embedded) {
               val head = new BitReader(payload)
@@ -867,10 +836,7 @@ private[sources] class GraftPartitionReader(
           val reader = new BitReader(payload)
           val codec =
             if (codecName == "hybrid") {
-              require(
-                g.getLong("table_hash", 0) == tables.tableHash,
-                s"block written with tables ${g.getLong("table_hash", 0)}, reader has ${tables.tableHash}"
-              )
+              checkTableHash()
               if (embedded) {
                 val parsed = Huffman.readHeader(reader, tables.maxBits, tables.numContexts)
                 new HybridCodec(parsed, model)
@@ -995,6 +961,35 @@ private[sources] object GraftPartitionReader {
         finally r.close()
       }
     )
+  }
+
+  /** Open a block file projected to `wanted` columns (exact types from the
+    * cached footer schema, so the projection can never disagree with the
+    * writer), optionally with a `bin` membership filter pushed to parquet.
+    * Each call copies the serialized driver conf — the projection setting
+    * must not leak into sibling readers.
+    */
+  def openProjected(
+      file: String,
+      sConf: SerializableHadoopConf,
+      wanted: Set[String],
+      bins: Option[Array[Int]]
+  ): ParquetReader[Group] = {
+    val conf = new Configuration(sConf.value)
+    val fileSchema = GraftPartitionReader.fileSchema(file, conf)
+    val projection = new MessageType(
+      fileSchema.getName,
+      fileSchema.getFields.asScala.filter(t => wanted.contains(t.getName)).asJava
+    )
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    val builder = ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(conf)
+    bins.foreach { bs =>
+      val pred: FilterPredicate = bs
+        .map(b => FilterApi.eq(FilterApi.intColumn("bin"), Int.box(b)))
+        .reduce[FilterPredicate](FilterApi.or)
+      builder.withFilter(FilterCompat.get(pred))
+    }
+    builder.build()
   }
 }
 
