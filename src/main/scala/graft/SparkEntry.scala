@@ -503,6 +503,23 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // DSv2 source under a broadcast join (the runtime-filtering shape: the
+    // dim side's doc_ids can be pushed into the scan at execution time);
+    // per-source totals must match DuckDB's raw recomputation
+    "q_graft_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = docTable(s, dir)
+        .where($"n_tok" === 22)
+        .select($"doc_id".cast("string").as("doc_id"))
+      s.read
+        .format("graft")
+        .load(graftScanDir(s, dir))
+        .join(broadcast(dim), Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("total_toks"))
+        .orderBy($"source")
+    }),
+
     // Training-data ops: quality features per source (production
     // TextOps.withQualityFeatures, oracled by DuckDB arithmetic)
     "q_quality" -> ((s, dir) => {
@@ -861,6 +878,13 @@ object SparkEntry {
       s"""$CTE
          |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
          |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_graft_join" ->
+      s"""$CTE
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
+         |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok)
+         |WHERE n_tok = 22
          |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_quality" ->
