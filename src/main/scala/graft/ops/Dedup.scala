@@ -253,12 +253,26 @@ object Dedup {
         .join(labels.select(col("doc_id"), col("cluster").as("old")), Seq("doc_id"))
         .where(col("cluster") =!= col("old"))
         .count()
-      labels.unpersist()
+      unpersistCheckpoint(labels)
       labels = next
       iter += 1
     }
     edges.unpersist()
     require(changed == 0, s"cluster resolution did not converge in $maxIters rounds")
     labels
+  }
+
+  /** Free a `localCheckpoint(true)`'d round's storage NOW. `Dataset
+    * .unpersist` is a no-op for checkpoints (they persist the RDD directly,
+    * bypassing the cache manager, and are otherwise only reclaimed when the
+    * ContextCleaner gets to the GC'd reference) — so walk this dataset's own
+    * physical lineage to its persisted ancestor and unpersist that.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit = {
+    var r: org.apache.spark.rdd.RDD[_] = df.queryExecution.toRdd
+    while (r.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+      r.dependencies.nonEmpty) r = r.dependencies.head.rdd
+    if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      r.unpersist(blocking = false): Unit
   }
 }

@@ -232,6 +232,21 @@ object EncodeJob {
     val todo = requested -- done
     val (snapshotId, parentId) = nextSnapshotId(spark, outDir)
 
+    // self-repair: a crash between block commit (the atomic unit of
+    // progress) and manifest append leaves a done bin with no manifest row
+    // forever — resume re-derives those rows along with this run's.
+    val manifested: Set[Int] =
+      if (!exists(spark, s"$outDir/_manifest")) Set.empty
+      else
+        spark.read
+          .parquet(s"$outDir/_manifest")
+          .select("bin")
+          .distinct()
+          .as[Int]
+          .collect()
+          .toSet
+    val toManifest = todo ++ (done -- manifested)
+
     if (todo.nonEmpty) {
       // 3. encode only the missing bins: the bin predicate prunes before the
       // shuffle, so resumed runs shuffle only the remaining data.
@@ -242,12 +257,14 @@ object EncodeJob {
         .as[TokenRow]
       val blocks = GraftPipeline.encode(pending, bTables, cfg)
       blocks.write.mode(SaveMode.Append).parquet(s"$outDir/blocks")
+    }
 
+    if (toManifest.nonEmpty) {
       // 4. manifest entries derived from the committed blocks (cheap: payload
       // column pruned away).
       val manifest = spark.read
         .parquet(s"$outDir/blocks")
-        .where(col("bin").isInCollection(todo))
+        .where(col("bin").isInCollection(toManifest))
         .groupBy($"bin")
         .agg(
           count(lit(1)).as("n_blocks"),

@@ -254,8 +254,12 @@ private[sources] class GraftScanBuilder(path: String, snapshot: Option[Long] = N
 
   /** Per-partition limit: readers stop decoding once they have emitted
     * `n` rows (a `df.show()` over a 100 TB corpus decodes a handful of
-    * blocks). Returning false tells Spark the limit is partial — it still
-    * applies the global LIMIT above the scan.
+    * blocks). We return false — i.e. we do NOT claim the limit as pushed
+    * (Spark keeps the full LIMIT above the scan) — and use the recorded n
+    * purely as a reader-side early-stop. Do not "upgrade" this to
+    * `true`: claiming the push with isPartiallyPushed=false would make
+    * Spark drop its limit while we only enforce n PER PARTITION, silently
+    * truncating results.
     */
   override def pushLimit(n: Int): Boolean = {
     limit = Some(n)
@@ -469,32 +473,44 @@ private[sources] class GraftScan(
 
   /** Row count from the per-bin manifests (tiny parquet, read driver-side
     * without a Spark job): with both size and rows reported, Catalyst can
-    * make an informed broadcast decision when a graft table joins.
+    * make an informed broadcast decision when a graft table joins. Cached
+    * JVM-wide by the manifest file listing — a new GraftScan is built per
+    * query, and without the cache every unfiltered plan would re-read all
+    * manifest part files serially on the driver. EncodeJob self-repairs a
+    * manifest that lost rows to a crash between block commit and manifest
+    * append, so for a completed/resumed job the total is exact.
     */
   private lazy val manifestRows: Option[Long] = {
     val fs = new Path(path).getFileSystem(hadoopConf)
     val dir = new Path(s"$path/_manifest")
     if (!fs.exists(dir)) None
     else {
-      var total = 0L
-      var seen = false
-      fs.listStatus(dir)
+      val files = fs
+        .listStatus(dir)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .foreach { st =>
-          val r = ParquetReader
-            .builder(new GroupReadSupport(), st.getPath)
-            .withConf(hadoopConf)
-            .build()
-          try {
-            var g = r.read()
-            while (g != null) {
-              total += g.getLong("n_rows", 0)
-              seen = true
-              g = r.read()
-            }
-          } finally r.close()
+        .sortBy(_.getPath.toString)
+      val key = files.map(st => s"${st.getPath}:${st.getLen}").mkString(path, "|", "")
+      GraftScan.manifestRowsCache.getOrElseUpdate(
+        key, {
+          var total = 0L
+          var seen = false
+          files.foreach { st =>
+            val r = ParquetReader
+              .builder(new GroupReadSupport(), st.getPath)
+              .withConf(hadoopConf)
+              .build()
+            try {
+              var g = r.read()
+              while (g != null) {
+                total += g.getLong("n_rows", 0)
+                seen = true
+                g = r.read()
+              }
+            } finally r.close()
+          }
+          if (seen) Some(total) else None
         }
-      if (seen) Some(total) else None
+      )
     }
   }
 
@@ -514,11 +530,8 @@ private[sources] class GraftScan(
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, () => createReaderFactory())
 
-  override def supportedCustomMetrics(): Array[CustomMetric] = Array(
-    new GraftSumMetric(GraftMetrics.BlocksDecoded, "graft blocks decoded"),
-    new GraftSumMetric(GraftMetrics.TokenValuesDecoded, "graft token values decoded"),
-    new GraftSumMetric(GraftMetrics.RowsEmitted, "graft rows emitted")
-  )
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new BlocksDecodedMetric, new TokenValuesDecodedMetric, new RowsEmittedMetric)
 }
 
 private[sources] object GraftScan {
@@ -539,6 +552,10 @@ private[sources] object GraftScan {
   private val CacheCap = 1 << 16
   private val footerCache =
     scala.collection.concurrent.TrieMap[(String, Long), Option[(Int, Int)]]()
+
+  /** numRows per manifest-listing fingerprint (invalidated by any append). */
+  private[sources] val manifestRowsCache =
+    scala.collection.concurrent.TrieMap[String, Option[Long]]()
 
   /** Min/max of the `bin` column per file, from parquet row-group stats.
     * Uncached footers are read on a bounded thread pool — footer opens are
@@ -598,9 +615,20 @@ private[sources] final case class GraftInputPartition(
     binsOverride: Option[Array[Int]] = None
 ) extends InputPartition
 
-private[sources] class GraftSumMetric(name0: String, desc: String) extends CustomSumMetric {
-  override def name(): String = name0
-  override def description(): String = desc
+// One no-arg class per metric: Spark's SQL UI re-instantiates custom metrics
+// BY CLASS NAME via a zero-arg constructor when aggregating task values — a
+// shared parameterized class would render every metric as "N/A".
+private[sources] class BlocksDecodedMetric extends CustomSumMetric {
+  override def name(): String = GraftMetrics.BlocksDecoded
+  override def description(): String = "graft blocks decoded"
+}
+private[sources] class TokenValuesDecodedMetric extends CustomSumMetric {
+  override def name(): String = GraftMetrics.TokenValuesDecoded
+  override def description(): String = "graft token values decoded"
+}
+private[sources] class RowsEmittedMetric extends CustomSumMetric {
+  override def name(): String = GraftMetrics.RowsEmitted
+  override def description(): String = "graft rows emitted"
 }
 
 object GraftMetrics {

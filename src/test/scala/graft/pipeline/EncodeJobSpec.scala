@@ -62,6 +62,24 @@ class EncodeJobSpec extends AnyFunSuite {
     assert(again.binsSkipped == (0 until cfg.numBins))
   }
 
+  test("resume repairs a manifest lost between block commit and append") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-repair").toString
+    EncodeJob.run(input, dir, cfg)
+    // simulate the crash window: blocks committed, manifest gone
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/_manifest"))
+    val again = EncodeJob.run(input, dir, cfg) // nothing to encode...
+    assert(again.binsEncoded.isEmpty)
+    // ...but the manifest is re-derived from the committed blocks
+    val manifest = spark.read.parquet(s"$dir/_manifest")
+    assert(manifest.select($"bin").distinct().count() == cfg.numBins)
+    assert(manifest.agg(sum($"n_rows")).head().getLong(0) == input.count())
+  }
+
   test("persisted tables roundtrip through the reference header format") {
     val dir = Files.createTempDirectory("graft-tables").toString
     val tables = GraftPipeline.buildTables(GraftPipeline.analyze(input, cfg), cfg)
