@@ -39,14 +39,29 @@ object Dedup {
     banded.withColumn("__salt", ((row_number().over(w) - 1) / cap).cast("int"))
   }
 
-  /** Exact duplicate accounting by content hash (xxhash64 group-by). */
-  def exact(docs: DataFrame): DataFrame = {
+  /** Exact duplicate accounting by content hash (xxhash64 group-by).
+    *
+    * `n_copies`/`keep_doc_id` are exact at any group size; the example id
+    * list is CAPPED at the `maxExamples` smallest doc_ids. Web-scale
+    * corpora make the hot-group case the NORMAL case (an empty page or
+    * boilerplate error page duplicated 10⁸–10⁹ times), and an unbounded
+    * `collect_list` would materialize every copy's id into one aggregation
+    * buffer — a single-group executor OOM. The window rank bounds what is
+    * collected BEFORE aggregation (rows past the cap contribute null, which
+    * collect_list drops), and partitions on the same content_hash the
+    * group-by shuffles on, so the bound costs no extra exchange.
+    */
+  def exact(docs: DataFrame, maxExamples: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     docs
-      .groupBy(xxhash64(col("text")).as("content_hash"))
+      .select(xxhash64(col("text")).as("content_hash"), col("doc_id"))
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("content_hash"))
       .agg(
         count(lit(1)).as("n_copies"),
         min(col("doc_id")).as("keep_doc_id"),
-        collect_list(col("doc_id")).as("doc_ids")
+        sort_array(collect_list(when(col("__rk") <= maxExamples, col("doc_id"))))
+          .as("doc_ids")
       )
       .where(col("n_copies") > 1)
   }

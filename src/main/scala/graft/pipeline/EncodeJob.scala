@@ -1,6 +1,8 @@
 package graft.pipeline
 
 import graft.core._
+import graft.core.MiniJson.ObjOps
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -28,13 +30,15 @@ import java.nio.charset.StandardCharsets
   */
 object EncodeJob {
 
-  /** Blocks-parquet schema version. Bumped whenever [[EncodedBlock]] gains
-    * or changes fields (v2 added row_bits_codec/row_bits_payload/
-    * embedded_tables): resuming into an outDir written by a different
-    * version would fail or mix schemas silently at the parquet layer, so
-    * [[run]] rejects the mismatch explicitly instead.
+  /** Output-layout schema version. Bumped whenever [[EncodedBlock]] or the
+    * manifest gains or changes fields (v2 added row_bits_codec/
+    * row_bits_payload/embedded_tables; v3 added the manifest `files`
+    * column — the bin→block-file index the DSv2 scan prunes from at any
+    * file count): resuming into an outDir written by a different version
+    * would fail or mix schemas silently at the parquet layer, so [[run]]
+    * rejects the mismatch explicitly instead.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   final case class BinManifest(
       snapshot_id: Long,
@@ -44,7 +48,8 @@ object EncodeJob {
       n_values: Long,
       payload_bytes: Long,
       payload_bits: Long,
-      table_hash: Long
+      table_hash: Long,
+      files: String
   )
 
   final case class EncodeResult(
@@ -107,14 +112,18 @@ object EncodeJob {
     )
   }
 
+  /** Parsed `_tables/meta.json` (fails loudly, naming the file and field). */
+  def loadMeta(spark: SparkSession, outDir: String): Option[MiniJson.JObj] = {
+    val path = s"$outDir/_tables/meta.json"
+    if (!exists(spark, path)) return None
+    Some(MiniJson.parseObject(readString(spark, path), where = path))
+  }
+
   def loadTables(spark: SparkSession, outDir: String): Option[SymbolTables] = {
-    if (!exists(spark, s"$outDir/_tables/meta.json")) return None
-    val meta = readString(spark, s"$outDir/_tables/meta.json")
-    def field(name: String): Long =
-      s""""$name":(-?\\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong).get
-    val maxBits = field("max_bits").toInt
-    val numContexts = field("num_contexts").toInt
-    val expectedHash = field("table_hash")
+    val meta = loadMeta(spark, outDir).getOrElse(return None)
+    val maxBits = meta.long("max_bits").toInt
+    val numContexts = meta.long("num_contexts").toInt
+    val expectedHash = meta.long("table_hash")
     val f = fs(spark, outDir)
     val in = f.open(new Path(s"$outDir/_tables/header.bin"))
     val bytes =
@@ -152,6 +161,37 @@ object EncodeJob {
     if (ids.isEmpty) (0L, -1L) else (ids.max + 1, ids.max)
   }
 
+  /** Snapshot lineage under `outDir`: (snapshot_id, bins committed by it),
+    * sorted by id. Tolerant of in-flight files — the snapshot write is not
+    * atomic, so a file that does not yet parse to both `snapshot_id` and
+    * `bins_added` is skipped (the next listing sees it complete). Blocks
+    * commit before the snapshot, so a completed file's bins are always
+    * readable.
+    */
+  def loadSnapshots(outDir: String, conf: Configuration): Seq[(Long, Seq[Int])] = {
+    val f = new Path(outDir).getFileSystem(conf)
+    val dir = new Path(s"$outDir/_snapshots")
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir)
+      .toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("snap-"))
+      .flatMap { p =>
+        val in = f.open(p)
+        val txt =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        scala.util.Try {
+          val o = MiniJson.parseObject(txt, where = p.toString)
+          (o.long("snapshot_id"),
+            o.longArrOpt("bins_added")
+              .getOrElse(throw new IllegalArgumentException("bins_added absent"))
+              .map(_.toInt))
+        }.toOption
+      }
+      .sortBy(_._1)
+  }
+
   /** Run (or resume) the full encode into `outDir`.
     *
     * @param onlyBins  restrict this run to a subset of bins — the test hook
@@ -174,18 +214,16 @@ object EncodeJob {
           t.maxBits == cfg.maxBits && t.numContexts == cfg.numContexts,
           s"persisted tables (maxBits=${t.maxBits}, ctx=${t.numContexts}) do not match config"
         )
-        val recorded = readString(spark, s"$outDir/_tables/meta.json")
-        val recordedModel =
-          """"context_model":"([a-z]+)"""".r.findFirstMatchIn(recorded).map(_.group(1))
+        val recorded = loadMeta(spark, outDir).get
+        val recordedModel = recorded.strOpt("context_model")
         require(
           recordedModel.forall(_ == cfg.contextModel),
           s"persisted context model ${recordedModel.getOrElse("?")} != config ${cfg.contextModel}"
         )
-        // pre-v2 outDirs (no format_version recorded) hold blocks without
-        // the row_bits/embedded_tables columns — fail loudly rather than
-        // let the parquet layer mix schemas on append
-        val recordedVersion =
-          """"format_version":(\d+)""".r.findFirstMatchIn(recorded).map(_.group(1).toInt)
+        // pre-v3 outDirs (older format_version, or none recorded) hold
+        // blocks/manifests without the current columns — fail loudly rather
+        // than let the parquet layer mix schemas on append
+        val recordedVersion = recorded.longOpt("format_version").map(_.toInt)
         require(
           recordedVersion.contains(FormatVersion),
           s"outDir blocks format v${recordedVersion.getOrElse(1)} != engine v$FormatVersion — " +
@@ -194,15 +232,13 @@ object EncodeJob {
         // the recorded bin layout defines row->bin routing; resuming under
         // a different numBins/salt (e.g. auto-sized bins over GROWN input)
         // would skip "done" bins whose membership has silently changed
-        val recordedBins =
-          """"num_bins":(\d+)""".r.findFirstMatchIn(recorded).map(_.group(1).toInt)
+        val recordedBins = recorded.longOpt("num_bins").map(_.toInt)
         require(
           recordedBins.forall(_ == cfg.numBins),
           s"persisted bin layout num_bins=${recordedBins.getOrElse(-1)} != config ${cfg.numBins} — " +
             "resume requires the original layout (did auto bin sizing change with the input?)"
         )
-        val recordedSalt =
-          """"salt":(-?\d+)""".r.findFirstMatchIn(recorded).map(_.group(1).toLong)
+        val recordedSalt = recorded.longOpt("salt")
         require(
           recordedSalt.forall(_ == cfg.salt),
           s"persisted bin salt ${recordedSalt.getOrElse(-1L)} != config ${cfg.salt}"
@@ -261,10 +297,17 @@ object EncodeJob {
 
     if (toManifest.nonEmpty) {
       // 4. manifest entries derived from the committed blocks (cheap: payload
-      // column pruned away).
+      // column pruned away). `files` records which block parquet files hold
+      // each bin — the driver-side bin→file index the DSv2 scan prunes from
+      // at any file count (the file-level analog of the reference's
+      // random-access offset index, huffman_graph_decoder.rs:151-205).
+      // Bins are write-once, so a bin's file set never changes after its
+      // manifest row lands; a file whose bins crashed out of the manifest
+      // is claimed by NO row and the scan keeps it conservatively.
       val manifest = spark.read
         .parquet(s"$outDir/blocks")
         .where(col("bin").isInCollection(toManifest))
+        .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
         .groupBy($"bin")
         .agg(
           count(lit(1)).as("n_blocks"),
@@ -272,19 +315,29 @@ object EncodeJob {
           sum($"n_values").as("n_values"),
           (sum(expr("length(payload)")) + sum($"meta_bytes")).as("payload_bytes"),
           sum($"payload_bits").as("payload_bits"),
-          first($"table_hash").as("table_hash")
+          first($"table_hash").as("table_hash"),
+          concat_ws(",", sort_array(collect_set($"__file"))).as("files")
         )
         .withColumn("snapshot_id", lit(snapshotId))
         .select(
           $"snapshot_id", $"bin", $"n_blocks", $"n_rows", $"n_values",
-          $"payload_bytes", $"payload_bits", $"table_hash"
+          $"payload_bytes", $"payload_bits", $"table_hash", $"files"
         )
         .as[BinManifest]
       manifest.write.mode(SaveMode.Append).parquet(s"$outDir/_manifest")
     }
 
-    // 5. snapshot lineage record.
-    val binsJson = todo.toSeq.sorted.mkString("[", ",", "]")
+    // 5. snapshot lineage record. Self-repair mirrors the manifest's: a
+    // crash after the blocks commit but before the snapshot write leaves
+    // bins that are `done` on resume yet absent from every snapshot's
+    // bins_added — snapshot time travel and the streaming source (which
+    // union bins_added deltas) would then skip those docs forever while
+    // unfiltered batch reads include them. They are committed and readable
+    // (blocks-before-snapshot ordering), so adopt them into THIS run's
+    // bins_added.
+    val recordedInSnapshots: Set[Int] =
+      loadSnapshots(outDir, spark.sparkContext.hadoopConfiguration).flatMap(_._2).toSet
+    val binsJson = (todo ++ (done -- recordedInSnapshots)).toSeq.sorted.mkString("[", ",", "]")
     writeString(
       spark,
       s"$outDir/_snapshots/snap-$snapshotId.json",

@@ -166,6 +166,9 @@ private[sources] final case class GraftMeta(
 )
 
 private[sources] object GraftMeta {
+  import graft.core.MiniJson
+  import graft.core.MiniJson.ObjOps
+
   def load(outDir: String, conf: Configuration): GraftMeta = {
     val fs = new Path(outDir).getFileSystem(conf)
     def readAll(p: String): Array[Byte] = {
@@ -173,23 +176,18 @@ private[sources] object GraftMeta {
       try in.readAllBytes()
       finally in.close()
     }
-    val meta = new String(readAll(s"$outDir/_tables/meta.json"), java.nio.charset.StandardCharsets.UTF_8)
-    def long(name: String): Long =
-      s""""$name":(-?\\d+)""".r
-        .findFirstMatchIn(meta)
-        .map(_.group(1).toLong)
-        .getOrElse(throw new IllegalArgumentException(s"$outDir/_tables/meta.json lacks $name"))
-    val model = """"context_model":"([a-z]+)"""".r
-      .findFirstMatchIn(meta)
-      .map(_.group(1))
-      .getOrElse("simple")
+    val metaPath = s"$outDir/_tables/meta.json"
+    val meta = MiniJson.parseObject(
+      new String(readAll(metaPath), java.nio.charset.StandardCharsets.UTF_8),
+      where = metaPath
+    )
     GraftMeta(
       headerBytes = readAll(s"$outDir/_tables/header.bin"),
-      maxBits = long("max_bits").toInt,
-      numContexts = long("num_contexts").toInt,
-      contextModel = model,
-      numBins = long("num_bins").toInt,
-      salt = long("salt")
+      maxBits = meta.long("max_bits").toInt,
+      numContexts = meta.long("num_contexts").toInt,
+      contextModel = meta.strOpt("context_model").getOrElse("simple"),
+      numBins = meta.long("num_bins").toInt,
+      salt = meta.long("salt")
     )
   }
 
@@ -204,31 +202,12 @@ private[sources] object GraftMeta {
       .sortBy(_._1)
   }
 
-  /** EncodeJob's snapshot lineage: (snapshot_id, bins committed by it). */
-  def loadSnapshots(outDir: String, conf: Configuration): Seq[(Long, Seq[Int])] = {
-    val fs = new Path(outDir).getFileSystem(conf)
-    val dir = new Path(s"$outDir/_snapshots")
-    if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir)
-      .toSeq
-      .map(_.getPath)
-      .filter(_.getName.startsWith("snap-"))
-      .flatMap { p =>
-        val in = fs.open(p)
-        val txt =
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        // snapshot files are the writer's commit signal and their write is
-        // not atomic: a file without both fields yet is IN-FLIGHT — skip it
-        // (the next listing sees it complete). Blocks commit before the
-        // snapshot, so a completed file's bins are always readable.
-        for {
-          id <- """"snapshot_id":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-          bins <- """"bins_added":\[([0-9,\s]*)\]""".r.findFirstMatchIn(txt).map(_.group(1).trim)
-        } yield (id, if (bins.isEmpty) Seq.empty[Int] else bins.split(",").map(_.trim.toInt).toSeq)
-      }
-      .sortBy(_._1)
-  }
+  /** EncodeJob's snapshot lineage: (snapshot_id, bins committed by it).
+    * Delegates to the writer's own loader (one parser, one tolerance rule:
+    * in-flight snapshot files are skipped until their write completes).
+    */
+  def loadSnapshots(outDir: String, conf: Configuration): Seq[(Long, Seq[Int])] =
+    graft.pipeline.EncodeJob.loadSnapshots(outDir, conf)
 }
 
 private[sources] class GraftTable(path: String) extends Table with SupportsRead {
@@ -237,11 +216,18 @@ private[sources] class GraftTable(path: String) extends Table with SupportsRead 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, Option(options.get("snapshot")).map(_.toLong))
+    new GraftScanBuilder(
+      path,
+      Option(options.get("snapshot")).map(_.toLong),
+      Option(options.get("maxSnapshotsPerBatch")).map(_.toInt)
+    )
 }
 
-private[sources] class GraftScanBuilder(path: String, snapshot: Option[Long] = None)
-    extends ScanBuilder
+private[sources] class GraftScanBuilder(
+    path: String,
+    snapshot: Option[Long] = None,
+    maxSnapshotsPerBatch: Option[Int] = None
+) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -317,7 +303,8 @@ private[sources] class GraftScanBuilder(path: String, snapshot: Option[Long] = N
     } else false
   }
 
-  override def build(): Scan = new GraftScan(path, required, pushed, pushedAgg, snapshot, limit)
+  override def build(): Scan =
+    new GraftScan(path, required, pushed, pushedAgg, snapshot, limit, maxSnapshotsPerBatch)
 }
 
 /** A pushed-down aggregate the block metadata can answer. */
@@ -332,7 +319,8 @@ private[sources] class GraftScan(
     filters: Array[Filter],
     agg: Option[Seq[String]] = None,
     snapshot: Option[Long] = None,
-    limit: Option[Int] = None
+    limit: Option[Int] = None,
+    maxSnapshotsPerBatch: Option[Int] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -440,18 +428,20 @@ private[sources] class GraftScan(
 
   private[sources] def runtimeFiltered: Boolean = runtimeDocIds.isDefined
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = wantedBins match {
-      case Some(bins) if blockFiles.length <= GraftScan.FooterPruneCap =>
-        val ranges = GraftScan.binRanges(blockFiles, hadoopConf)
-        blockFiles.zip(ranges).collect {
-          case ((f, _), range) if range.forall { case (lo, hi) => bins.exists(b => b >= lo && b <= hi) } =>
-            f
-        }
-      case _ => blockFiles.map(_._1)
-    }
-    files.map(GraftInputPartition(_))
-  }
+  /** Driver-side footer cap, overridable via `spark.graft.footerPruneCap`
+    * (primarily a test hook; the manifest index makes the cap moot for
+    * EncodeJob-written dirs).
+    */
+  private def footerPruneCap: Int =
+    SparkSession.active.conf
+      .getOption("spark.graft.footerPruneCap")
+      .map(_.toInt)
+      .getOrElse(GraftScan.FooterPruneCap)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftScan
+      .pruneFiles(path, blockFiles, wantedBins, hadoopConf, footerPruneCap)
+      .map(GraftInputPartition(_))
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(
@@ -471,55 +461,17 @@ private[sources] class GraftScan(
       limit = limit
     )
 
-  /** Row count from the per-bin manifests (tiny parquet, read driver-side
-    * without a Spark job): with both size and rows reported, Catalyst can
-    * make an informed broadcast decision when a graft table joins. Cached
-    * JVM-wide by the manifest file listing — a new GraftScan is built per
-    * query, and without the cache every unfiltered plan would re-read all
-    * manifest part files serially on the driver. EncodeJob self-repairs a
-    * manifest that lost rows to a crash between block commit and manifest
-    * append, so for a completed/resumed job the total is exact.
-    */
-  private lazy val manifestRows: Option[Long] = {
-    val fs = new Path(path).getFileSystem(hadoopConf)
-    val dir = new Path(s"$path/_manifest")
-    if (!fs.exists(dir)) None
-    else {
-      val files = fs
-        .listStatus(dir)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.toString)
-      val key = files.map(st => s"${st.getPath}:${st.getLen}").mkString(path, "|", "")
-      GraftScan.manifestRowsCache.getOrElseUpdate(
-        key, {
-          var total = 0L
-          var seen = false
-          files.foreach { st =>
-            val r = ParquetReader
-              .builder(new GroupReadSupport(), st.getPath)
-              .withConf(hadoopConf)
-              .build()
-            try {
-              var g = r.read()
-              while (g != null) {
-                total += g.getLong("n_rows", 0)
-                seen = true
-                g = r.read()
-              }
-            } finally r.close()
-          }
-          if (seen) Some(total) else None
-        }
-      )
-    }
-  }
-
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(blockFiles.map(_._2).sum)
     override def numRows(): OptionalLong =
-      // exact only for the full table: filters/snapshots see a subset
+      // exact only for the full table: filters/snapshots see a subset.
+      // EncodeJob self-repairs a manifest that lost rows to a crash between
+      // block commit and manifest append, so for a completed/resumed job
+      // the manifest total is exact.
       if (filters.isEmpty && snapshot.isEmpty)
-        manifestRows.fold(OptionalLong.empty())(OptionalLong.of)
+        GraftScan
+          .manifestIndex(path, hadoopConf)
+          .fold(OptionalLong.empty())(ix => OptionalLong.of(ix.numRows))
       else OptionalLong.empty()
   }
 
@@ -528,7 +480,7 @@ private[sources] class GraftScan(
     * the write-once bin layout.
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(path, () => createReaderFactory())
+    new GraftMicroBatchStream(path, () => createReaderFactory(), maxSnapshotsPerBatch)
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new BlocksDecodedMetric, new TokenValuesDecodedMetric, new RowsEmittedMetric)
@@ -553,9 +505,102 @@ private[sources] object GraftScan {
   private val footerCache =
     scala.collection.concurrent.TrieMap[(String, Long), Option[(Int, Int)]]()
 
-  /** numRows per manifest-listing fingerprint (invalidated by any append). */
-  private[sources] val manifestRowsCache =
-    scala.collection.concurrent.TrieMap[String, Option[Long]]()
+  /** Driver-side index derived from the `_manifest` parquet (tiny: one row
+    * per bin), read without a Spark job and cached JVM-wide per
+    * manifest-listing fingerprint (any append invalidates). Carries the
+    * exact corpus row count (broadcast decisions) and the inverted
+    * block-file→bins claims from the per-bin `files` column — the file-level
+    * analog of the reference's random-access offset index
+    * (/root/reference/src/graphs/huffman_graph_decoder.rs:151-205), letting
+    * a point read over an 800k-file corpus plan O(hit-bins) partitions with
+    * zero footer opens. Rows written before the `files` column existed (or
+    * lost to a crash before manifest self-repair) simply claim nothing —
+    * [[pruneFiles]] keeps unclaimed files, so the index can only skip files
+    * the manifest explicitly accounts for.
+    */
+  final case class ManifestIndex(numRows: Long, fileBins: Map[String, Array[Int]])
+
+  private val manifestIndexCache =
+    scala.collection.concurrent.TrieMap[String, Option[ManifestIndex]]()
+
+  def manifestIndex(path: String, conf: Configuration): Option[ManifestIndex] = {
+    val fs = new Path(path).getFileSystem(conf)
+    val dir = new Path(s"$path/_manifest")
+    if (!fs.exists(dir)) return None
+    val files = fs
+      .listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.toString)
+    val key = files.map(st => s"${st.getPath}:${st.getLen}").mkString(path, "|", "")
+    if (manifestIndexCache.size > CacheCap) manifestIndexCache.clear()
+    manifestIndexCache.getOrElseUpdate(
+      key, {
+        var total = 0L
+        var seen = false
+        val claims =
+          scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+        files.foreach { st =>
+          val r = ParquetReader
+            .builder(new GroupReadSupport(), st.getPath)
+            .withConf(conf)
+            .build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              total += g.getLong("n_rows", 0)
+              seen = true
+              if (g.getType.containsField("files") && g.getFieldRepetitionCount("files") > 0) {
+                val bin = g.getInteger("bin", 0)
+                g.getString("files", 0).split(',').foreach { f =>
+                  if (f.nonEmpty)
+                    claims.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer[Int]()) += bin
+                }
+              }
+              g = r.read()
+            }
+          } finally r.close()
+        }
+        if (seen) Some(ManifestIndex(total, claims.view.mapValues(_.toArray).toMap)) else None
+      }
+    )
+  }
+
+  /** The block files a scan restricted to `bins` must read. Preference
+    * order: manifest claims (exact per-file bin sets, zero footer IO, works
+    * at ANY file count), then parquet footer `bin` ranges (manifest-less
+    * dirs, driver work capped at `cap` files), else every file. File-level
+    * pruning is NOT advisory — a wrongly dropped file loses rows — so both
+    * prunings rest on authoritative metadata: footer stats are parquet's
+    * own, and a manifest row claims exactly the files holding its
+    * write-once bin (a file whose bins never reached the manifest is
+    * claimed by no row and always kept).
+    */
+  def pruneFiles(
+      path: String,
+      blockFiles: Array[(String, Long)],
+      bins: Option[Set[Int]],
+      conf: Configuration,
+      cap: Int = FooterPruneCap
+  ): Array[String] = bins match {
+    case None => blockFiles.map(_._1)
+    case Some(b) =>
+      manifestIndex(path, conf).map(_.fileBins).filter(_.nonEmpty) match {
+        case Some(claims) =>
+          blockFiles.collect {
+            case (f, _) if claims.get(fileName(f)).forall(_.exists(b.contains)) => f
+          }
+        case None if blockFiles.length <= cap =>
+          val ranges = binRanges(blockFiles, conf)
+          blockFiles.zip(ranges).collect {
+            case ((f, _), range)
+                if range.forall { case (lo, hi) => b.exists(x => x >= lo && x <= hi) } =>
+              f
+          }
+        case None => blockFiles.map(_._1)
+      }
+  }
+
+  private def fileName(f: String): String = f.substring(f.lastIndexOf('/') + 1)
 
   /** Min/max of the `bin` column per file, from parquet row-group stats.
     * Uncached footers are read on a bounded thread pool — footer opens are
@@ -904,34 +949,63 @@ private[sources] final case class GraftOffset(snapshot: Long)
 }
 
 private[sources] object GraftOffset {
+  import graft.core.MiniJson.ObjOps
   def fromJson(json: String): GraftOffset =
-    GraftOffset(
-      """"snapshot":(-?\d+)""".r
-        .findFirstMatchIn(json)
-        .getOrElse(throw new IllegalArgumentException(s"bad graft offset: $json"))
-        .group(1)
-        .toLong
-    )
+    GraftOffset(graft.core.MiniJson.parseObject(json, where = "graft offset").long("snapshot"))
 }
 
-/** Micro-batch stream over an encode dir: `latestOffset` is the newest
-  * committed snapshot; a batch (start, end] reads exactly the bins those
-  * snapshots added (write-once bins make the delta exact), with footer
-  * pruning dropping files that hold none of them. Commit/stop are no-ops —
-  * progress lives in the checkpoint offsets, the source is immutable.
+/** Micro-batch stream over an encode dir: each batch (start, end] reads
+  * exactly the bins the snapshots in that range added (write-once bins make
+  * the delta exact), with manifest/footer pruning dropping files that hold
+  * none of them. Commit/stop are no-ops — progress lives in the checkpoint
+  * offsets, the source is immutable.
+  *
+  * Admission control: without it, a stream started (or restarted) against a
+  * dir with hundreds of committed snapshots would replay them all as ONE
+  * giant batch. `option("maxSnapshotsPerBatch", n)` bounds every batch to n
+  * snapshots (each snapshot = one "file" under Spark's `ReadMaxFiles`
+  * limit), so catch-up proceeds in bounded, checkpointed steps.
   */
 private[sources] class GraftMicroBatchStream(
     path: String,
-    factory: () => PartitionReaderFactory
-) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    factory: () => PartitionReaderFactory,
+    maxSnapshotsPerBatch: Option[Int] = None
+) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles, ReadMaxRows}
 
   private lazy val hadoopConf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
 
   override def initialOffset(): Offset = GraftOffset(-1L)
 
+  override def getDefaultReadLimit: ReadLimit =
+    maxSnapshotsPerBatch
+      .map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Next batch end: the furthest pending snapshot within the read limit
+    * (snapshots are the admission unit — maxFiles/maxRows both cap the
+    * snapshot count per batch).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftOffset].snapshot
+    val pending = GraftMeta.loadSnapshots(path, hadoopConf).map(_._1).filter(_ > s)
+    val capped = limit match {
+      case f: ReadMaxFiles => pending.take(f.maxFiles())
+      case r: ReadMaxRows  => pending.take(r.maxRows().toInt)
+      case _               => pending
+    }
+    GraftOffset(capped.maxOption.getOrElse(s))
+  }
+
+  // with SupportsAdmissionControl, Spark drives latestOffset(start, limit)
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method"
+    )
+
+  override def reportLatestOffset(): Offset =
     GraftOffset(
       GraftMeta.loadSnapshots(path, hadoopConf).map(_._1).maxOption.getOrElse(-1L)
     )
@@ -950,18 +1024,12 @@ private[sources] class GraftMicroBatchStream(
     if (delta.isEmpty) return Array.empty
     val files = GraftMeta.listBlockFiles(path, hadoopConf)
     val bins = delta.toArray.sorted
-    // same footer cap as the batch path: above it, skip driver footer reads
-    // and let every partition's reader prune via the exact bin check
-    if (files.length > GraftScan.FooterPruneCap)
-      files.map { case (f, _) => GraftInputPartition(f, Some(bins)) }
-    else {
-      val ranges = GraftScan.binRanges(files, hadoopConf)
-      files.zip(ranges).collect {
-        case ((f, _), range)
-            if range.forall { case (lo, hi) => delta.exists(b => b >= lo && b <= hi) } =>
-          GraftInputPartition(f, Some(bins))
-      }
-    }
+    // same pruning ladder as the batch path (manifest claims, then capped
+    // footer ranges); the readers' exact bin check keeps any kept file
+    // correct regardless
+    GraftScan
+      .pruneFiles(path, files, Some(delta), hadoopConf)
+      .map(f => GraftInputPartition(f, Some(bins)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory()

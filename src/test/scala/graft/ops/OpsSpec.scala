@@ -44,6 +44,25 @@ class OpsSpec extends AnyFunSuite {
     assert(dups.forall(_.getAs[Long]("n_copies") == 2))
   }
 
+  test("exact dedup bounds the example list on a web-scale hot key") {
+    import spark.implicits._
+    // the NORMAL degenerate case at corpus scale: one boilerplate text
+    // duplicated 100k times — the group must aggregate to ONE bounded row,
+    // not a 100k-element array in a single aggregation buffer
+    val hot = spark
+      .range(100000)
+      .select($"id".as("doc_id"), lit("error page not found").as("text"))
+      .union(spark.range(3).select(($"id" + 500000).as("doc_id"), concat(lit("unique "), $"id").as("text")))
+    val rows = Dedup.exact(hot, maxExamples = 16).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_copies") == 100000L)
+    assert(r.getAs[Long]("keep_doc_id") == 0L)
+    val examples = r.getAs[scala.collection.Seq[Long]]("doc_ids")
+    assert(examples.size == 16, s"example list not capped: ${examples.size}")
+    assert(examples.toSeq == (0L until 16L))
+  }
+
   test("minhash LSH finds every planted near-dup pair (jaccard >= 0.5)") {
     val near = Dedup.minhashNearDups(docs, threshold = 0.5).collect()
     val foundPairs = near.map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -80,6 +80,74 @@ class EncodeJobSpec extends AnyFunSuite {
     assert(manifest.agg(sum($"n_rows")).head().getLong(0) == input.count())
   }
 
+  test("resume repairs snapshot lineage lost between block commit and snapshot write") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snaprepair").toString
+    EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0, 1)))
+    // simulate the crash window: blocks + manifest committed, snapshot gone
+    new java.io.File(s"$dir/_snapshots/snap-0.json").delete()
+    new java.io.File(s"$dir/_snapshots/.snap-0.json.crc").delete()
+    val resumed = EncodeJob.run(input, dir, cfg)
+    assert(resumed.binsEncoded == (2 until cfg.numBins))
+    // the resume's snapshot ADOPTS the orphaned bins: every committed bin is
+    // reachable through the lineage again
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snaps = EncodeJob.loadSnapshots(dir, conf)
+    assert(snaps.map(_._1) == Seq(resumed.snapshotId))
+    assert(snaps.flatMap(_._2).sorted == (0 until cfg.numBins))
+    // the snapshot-scoped and unfiltered read surfaces agree again
+    val asOf = spark.read.format("graft").option("snapshot", resumed.snapshotId.toString).load(dir)
+    assert(asOf.count() == input.count())
+    val streamed = {
+      val ckpt = Files.createTempDirectory("graft-snaprepair-ckpt").toString
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream.format("memory").queryName("snaprepair_stream")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try { q.processAllAvailable(); spark.table("snaprepair_stream").count() }
+      finally q.stop()
+    }
+    assert(streamed == input.count())
+  }
+
+  test("malformed meta.json fails loudly with the offending file/field") {
+    val dir = Files.createTempDirectory("graft-badmeta").toString
+    EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0)))
+    val metaPath = java.nio.file.Paths.get(s"$dir/_tables/meta.json")
+    // a string value containing '"' and a missing field — the regex reader's
+    // silent-miss cases; the parser must name the problem instead
+    java.nio.file.Files.writeString(metaPath, """{"max_bits":8,"num_contexts":"not a number"}""")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/_tables/.meta.json.crc"))
+    val notNum = intercept[Exception](EncodeJob.loadTables(spark, dir))
+    assert(notNum.getMessage.contains("num_contexts"), notNum.getMessage)
+    java.nio.file.Files.writeString(metaPath, """{"max_bits":8,"num_contexts":16""")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/_tables/.meta.json.crc"))
+    val truncated = intercept[Exception](EncodeJob.loadTables(spark, dir))
+    assert(truncated.getMessage.contains("meta.json"), truncated.getMessage)
+  }
+
+  test("manifest records the block files holding each bin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-manfiles").toString
+    EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0, 1, 2)))
+    EncodeJob.run(input, dir, cfg) // second append: distinct files
+    val manifest = spark.read.parquet(s"$dir/_manifest").as[EncodeJob.BinManifest].collect()
+    assert(manifest.length == cfg.numBins)
+    // every claimed file exists under blocks/, and the claims agree with the
+    // blocks' actual file placement (input_file_name ground truth)
+    val actual = spark.read.parquet(s"$dir/blocks")
+      .select($"bin", element_at(split(input_file_name(), "/"), -1).as("f"))
+      .distinct()
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getString(1)).sorted.toSeq).toMap
+    manifest.foreach { m =>
+      assert(m.files.nonEmpty)
+      assert(m.files.split(',').sorted.toSeq == actual(m.bin), s"bin ${m.bin}")
+    }
+  }
+
   test("persisted tables roundtrip through the reference header format") {
     val dir = Files.createTempDirectory("graft-tables").toString
     val tables = GraftPipeline.buildTables(GraftPipeline.analyze(input, cfg), cfg)

@@ -353,6 +353,105 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).select($"doc_id").distinct().count() == input.count())
   }
 
+  test("maxSnapshotsPerBatch bounds catch-up into multiple micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-admission").toString
+    val ckpt = Files.createTempDirectory("graft-admission-ckpt").toString
+    val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 64)
+    // 5 committed snapshots before the stream ever starts
+    for (b <- 0 until 5) EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(b)))
+    val q = spark.readStream
+      .format("graft")
+      .option("maxSnapshotsPerBatch", "2")
+      .load(dir)
+      .writeStream
+      .format("memory")
+      .queryName("graft_admission")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val want = input
+        .withColumn("bin", GraftPipeline.binCol(cfg.numBins, cfg.salt))
+        .where($"bin" < 5)
+        .count()
+      assert(spark.table("graft_admission").count() == want)
+      // catch-up was emitted as ceil(5/2) = 3 bounded batches, not one
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 3, s"expected 3 data batches, saw $dataBatches")
+    } finally q.stop()
+  }
+
+  /** Partitions the graft scan plans for a doc_id-restricted read of `dir`. */
+  private def plannedPartitions(dir: String, ids: Seq[String]): Int = {
+    val builder = new GraftTable(dir).newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())
+    )
+    builder
+      .asInstanceOf[GraftScanBuilder]
+      .pushFilters(Array(org.apache.spark.sql.sources.In("doc_id", ids.map(x => x: Any).toArray)))
+    builder.build().asInstanceOf[GraftScan].planInputPartitions().length
+  }
+
+  test("manifest claims plan O(hit-bins) partitions past the footer cap") {
+    import spark.implicits._
+    // dirB has 8 bins across >2 files; capping driver footer reads at 2
+    // disables the footer path — the manifest's bin->file claims must prune
+    // instead, at ANY file count (the 100 TB point-read shape)
+    val ids = input.select($"doc_id").take(2).map(_.getString(0)).toSeq
+    val totalFiles = GraftMeta.listBlockFiles(dirB, spark.sparkContext.hadoopConfiguration).length
+    assert(totalFiles > 2, s"fixture too small: $totalFiles files")
+    spark.conf.set("spark.graft.footerPruneCap", "2")
+    try {
+      val hitBins = ids.map(GraftDataSource.binOf(_, 8, Config().salt)).toSet
+      val planned = plannedPartitions(dirB, ids)
+      // exactly the files the manifest claims for the hit bins (a bin can
+      // span >1 file when AQE splits its write partition) plus any file no
+      // row claims (empty part files are kept conservatively), nothing more
+      val ix = GraftScan.manifestIndex(dirB, spark.sparkContext.hadoopConfiguration).get
+      val hitClaimed = ix.fileBins.count { case (_, bins) => bins.exists(hitBins.contains) }
+      val unclaimed = totalFiles - ix.fileBins.size
+      assert(
+        planned == hitClaimed + unclaimed,
+        s"planned $planned != $hitClaimed hit-claimed + $unclaimed unclaimed (of $totalFiles)"
+      )
+      assert(planned < totalFiles, s"no pruning: $planned of $totalFiles")
+      // and the pruned plan still returns exactly the hit rows
+      val got = spark.read
+        .format("graft")
+        .load(dirB)
+        .where($"doc_id".isin(ids: _*))
+        .select($"doc_id")
+        .collect()
+        .map(_.getString(0))
+      assert(got.sorted.toSeq == ids.sorted)
+    } finally spark.conf.unset("spark.graft.footerPruneCap")
+  }
+
+  test("a corpus dir WITHOUT a manifest still prunes via footer stats under the cap") {
+    import spark.implicits._
+    // strip the manifest: the ladder must fall back to footer bin ranges
+    val dir = Files.createTempDirectory("graft-nomanifest").toString
+    EncodeJob.run(
+      input, dir,
+      Config(numContexts = 16, numBins = 8, maxBlockRows = 64, autoSelect = false, embedTables = true)
+    )
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }
+    rm(new java.io.File(s"$dir/_manifest"))
+    val ids = input.select($"doc_id").take(2).map(_.getString(0)).toSeq
+    val totalFiles = GraftMeta.listBlockFiles(dir, spark.sparkContext.hadoopConfiguration).length
+    assert(plannedPartitions(dir, ids) < totalFiles)
+    val got = spark.read
+      .format("graft")
+      .load(dir)
+      .where($"doc_id".isin(ids: _*))
+      .select($"doc_id")
+      .collect()
+      .map(_.getString(0))
+    assert(got.sorted.toSeq == ids.sorted)
+  }
+
   test("load of a non-encode dir fails loudly") {
     val bogus = Files.createTempDirectory("graft-bogus").toString
     val e = intercept[Exception] {
