@@ -184,14 +184,16 @@ object SparkEntry {
     graftDirCache.keys.filter(_._1 == id).foreach { k =>
       // each entry is a full encoded-corpus copy on disk — delete it, don't
       // just drop the mapping
-      graftDirCache.remove(k).foreach { dir =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(dir))
-      }
+      graftDirCache.remove(k).foreach(deleteDir)
     }
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
   }
 
   private val graftDirCache =
@@ -201,18 +203,29 @@ object SparkEntry {
     * queries: persists the SHARED encoded corpus's tables + cached blocks
     * (no re-encode) so `spark.read.format("graft")` serves the exact bytes
     * the oracle chain already pins.
+    *
+    * Build-then-`putIfAbsent` (not `getOrElseUpdate`, which is not atomic
+    * for the building step): two concurrent first queries may both write a
+    * corpus copy, but exactly one wins the map and the loser's dir is
+    * deleted immediately — at most one temp corpus dir ever persists per
+    * (session, sfDir).
     */
-  private def graftScanDir(s: SparkSession, dir: String): String =
-    graftDirCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir), {
+  private def graftScanDir(s: SparkSession, dir: String): String = {
+    val key = (System.identityHashCode(s), dir)
+    graftDirCache.get(key) match {
+      case Some(existing) => existing
+      case None =>
         val ec = encodedCorpus(s, dir)
         val out = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
         graft.pipeline.EncodeJob
           .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
         ec.blocks.write.mode("overwrite").parquet(s"$out/blocks")
-        out
-      }
-    )
+        graftDirCache.putIfAbsent(key, out) match {
+          case Some(winner) => deleteDir(out); winner
+          case None         => out
+        }
+    }
+  }
 
   /** Full encode->decode->verify of the derived token table; the engine's
     * flagship E2E path (analyze, broadcast tables, block encode with codec

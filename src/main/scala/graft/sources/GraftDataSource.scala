@@ -351,23 +351,30 @@ private[sources] class GraftScan(
   private val sourceFilter: Option[Set[String]] = stringValues(filters, "source")
 
   /** Runtime (join-driven) doc_id restriction — set by Spark's dynamic
-    * pruning through [[filter]] before partition planning / reader creation.
-    * The combined id set and its derived bins are memoized on write, so a
-    * 1M-key runtime filter hashes once, not once per description/planning/
-    * factory call.
+    * pruning through [[filter]] before partition planning. The combined id
+    * set and its bin grouping are memoized on write, so a 1M-key runtime
+    * filter hashes once, not once per description/planning/factory call.
+    *
+    * IMPORTANT: runtime ids must flow to the readers through the
+    * (re-planned) PARTITIONS, not the reader factory — Spark forces the
+    * factory during physical planning (`supportsColumnar`), BEFORE dynamic
+    * pruning delivers the join keys, so a factory snapshot of this state
+    * is stale. [[planInputPartitions]] runs after [[filter]] and attaches
+    * each file's slice of the id set to its partition.
     */
   @volatile private var runtimeDocIds: Option[Set[String]] = None
-  @volatile private var cachedDocState: Option[(Option[Set[String]], Option[Set[Int]])] = None
+  @volatile private var cachedDocState: Option[(Option[Set[String]], Option[Map[Int, Array[String]]])] = None
 
   import GraftDataSource.intersectOpt
 
-  private def docState: (Option[Set[String]], Option[Set[Int]]) =
+  private def docState: (Option[Set[String]], Option[Map[Int, Array[String]]]) =
     cachedDocState match {
       case Some(s) => s
       case None =>
         val ids = intersectOpt(staticDocIds, runtimeDocIds)
-        val bins = ids.map(_.map(GraftDataSource.binOf(_, meta.numBins, meta.salt)))
-        val s = (ids, bins)
+        val byBin =
+          ids.map(_.toArray.sorted.groupBy(GraftDataSource.binOf(_, meta.numBins, meta.salt)))
+        val s = (ids, byBin)
         cachedDocState = Some(s)
         s
     }
@@ -379,7 +386,7 @@ private[sources] class GraftScan(
   private lazy val meta: GraftMeta = GraftMeta.load(path, hadoopConf)
 
   /** doc_id predicates re-derive the writer's salted bins; None = all bins. */
-  private def docIdBins: Option[Set[Int]] = docState._2
+  private def docIdBins: Option[Set[Int]] = docState._2.map(_.keySet)
 
   /** Bins this scan may touch: doc_id-derived ∩ snapshot-visible. */
   private def wantedBins: Option[Set[Int]] = intersectOpt(docIdBins, snapshotBins)
@@ -438,10 +445,28 @@ private[sources] class GraftScan(
       .map(_.toInt)
       .getOrElse(GraftScan.FooterPruneCap)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftScan
-      .pruneFiles(path, blockFiles, wantedBins, hadoopConf, footerPruneCap)
-      .map(GraftInputPartition(_))
+  /** One partition per surviving block file. Runs AFTER runtime filtering,
+    * so each partition carries the CURRENT doc_id restriction — sliced to
+    * the ids whose bins the file can hold (manifest claims / footer range),
+    * so a 1M-id allowlist ships each task only its own handful of ids, not
+    * the whole set. Files with unknown bin membership get the full set
+    * (conservative). A small wanted-bin set also rides along for parquet
+    * row-group skipping in the reader.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = GraftScan.planFiles(path, blockFiles, wantedBins, hadoopConf, footerPruneCap)
+    val idsByBin = docState._2
+    val smallBins: Option[Array[Int]] = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted)
+    planned.map { case (f, binPred) =>
+      val fileIds: Option[Array[String]] = idsByBin.map { m =>
+        binPred match {
+          case Some(pred) => m.iterator.collect { case (b, arr) if pred(b) => arr }.flatten.toArray.sorted
+          case None       => m.valuesIterator.flatten.toArray.sorted
+        }
+      }
+      GraftInputPartition(f, binsOverride = smallBins, docIdsOverride = fileIds)
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(
@@ -581,22 +606,42 @@ private[sources] object GraftScan {
       bins: Option[Set[Int]],
       conf: Configuration,
       cap: Int = FooterPruneCap
-  ): Array[String] = bins match {
-    case None => blockFiles.map(_._1)
+  ): Array[String] = planFiles(path, blockFiles, bins, conf, cap).map(_._1)
+
+  /** [[pruneFiles]] plus what is known about each kept file's bin
+    * membership: `Some(pred)` when the manifest claims an exact bin set or
+    * a footer range bounds it, `None` for files with unknown membership
+    * (kept conservatively). The predicate lets the planner slice a doc_id
+    * restriction down to each file's own ids.
+    */
+  def planFiles(
+      path: String,
+      blockFiles: Array[(String, Long)],
+      bins: Option[Set[Int]],
+      conf: Configuration,
+      cap: Int = FooterPruneCap
+  ): Array[(String, Option[Int => Boolean])] = bins match {
+    case None => blockFiles.map(f => (f._1, None))
     case Some(b) =>
       manifestIndex(path, conf).map(_.fileBins).filter(_.nonEmpty) match {
         case Some(claims) =>
-          blockFiles.collect {
-            case (f, _) if claims.get(fileName(f)).forall(_.exists(b.contains)) => f
+          blockFiles.flatMap { case (f, _) =>
+            claims.get(fileName(f)) match {
+              case Some(fb) =>
+                if (fb.exists(b.contains)) Some((f, Some((x: Int) => fb.contains(x)))) else None
+              case None => Some((f, None))
+            }
           }
         case None if blockFiles.length <= cap =>
           val ranges = binRanges(blockFiles, conf)
-          blockFiles.zip(ranges).collect {
-            case ((f, _), range)
-                if range.forall { case (lo, hi) => b.exists(x => x >= lo && x <= hi) } =>
-              f
+          blockFiles.zip(ranges).flatMap {
+            case ((f, _), Some((lo, hi))) =>
+              if (b.exists(x => x >= lo && x <= hi))
+                Some((f, Some((x: Int) => x >= lo && x <= hi)))
+              else None
+            case ((f, _), None) => Some((f, None))
           }
-        case None => blockFiles.map(_._1)
+        case None => blockFiles.map(f => (f._1, None))
       }
   }
 
@@ -651,13 +696,16 @@ private[sources] object GraftScan {
   }
 }
 
-/** One block parquet file; `binsOverride` carries a micro-batch's delta bin
-  * set (streaming partitions restrict visibility per batch, batch partitions
-  * leave it to the factory).
+/** One block parquet file. `binsOverride` carries a micro-batch's delta bin
+  * set (streaming) or a small wanted-bin set (batch point reads);
+  * `docIdsOverride` carries THIS file's slice of the doc_id restriction —
+  * the partition is the only channel that sees post-runtime-filter state
+  * (the reader factory is forced before dynamic pruning fires).
   */
 private[sources] final case class GraftInputPartition(
     file: String,
-    binsOverride: Option[Array[Int]] = None
+    binsOverride: Option[Array[Int]] = None,
+    docIdsOverride: Option[Array[String]] = None
 ) extends InputPartition
 
 // One no-arg class per metric: Spark's SQL UI re-instantiates custom metrics
@@ -698,13 +746,18 @@ private[sources] final case class GraftReaderFactory(
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    // a partition-level bin set (streaming delta) intersects the factory's
-    // (snapshot option); either alone applies as-is
+    // a partition-level bin set (streaming delta / batch point read)
+    // intersects the factory's (snapshot option); either alone applies
+    // as-is. Same for the doc_id restriction: the partition carries the
+    // post-runtime-filter slice, the factory the planning-time snapshot —
+    // the intersection is always the most restrictive correct set.
     val bins =
       GraftDataSource.intersectOpt(p.binsOverride.map(_.toSet), visibleBins.map(_.toSet))
+    val docs =
+      GraftDataSource.intersectOpt(p.docIdsOverride.map(_.toSet), docIdFilter)
     aggKinds match {
       case Some(kinds) => new GraftAggReader(p.file, kinds, bins, conf)
-      case None        => new GraftPartitionReader(p.file, this, bins)
+      case None        => new GraftPartitionReader(p.file, this, bins, docs)
     }
   }
 }
@@ -775,10 +828,11 @@ private[sources] class GraftAggReader(
 private[sources] class GraftPartitionReader(
     file: String,
     f: GraftReaderFactory,
-    visibleBins: Option[Set[Int]]
+    visibleBins: Option[Set[Int]],
+    docFilter: Option[Set[String]]
 ) extends PartitionReader[InternalRow] {
 
-  private val needDocIds = f.requiredFields.contains("doc_id") || f.docIdFilter.isDefined
+  private val needDocIds = f.requiredFields.contains("doc_id") || docFilter.isDefined
   private val needSources = f.requiredFields.contains("source") || f.sourceFilter.isDefined
   private val needTokens = f.requiredFields.contains("tokens")
   private val needNToks = needTokens || f.requiredFields.contains("n_tok")
@@ -802,7 +856,14 @@ private[sources] class GraftPartitionReader(
       wanted += "payload"; wanted += "row_bits_codec"; wanted += "row_bits_payload"
       wanted += "embedded_tables"; wanted += "table_hash"
     }
-    GraftPartitionReader.openProjected(file, f.conf, wanted.toSet, f.wantedBins)
+    // parquet row-group bin filter: the partition-level set (fresh, incl.
+    // runtime-filter-derived bins) intersected with the factory's snapshot;
+    // advisory (exact checks follow), kept small
+    val parquetBins = GraftDataSource
+      .intersectOpt(visibleBins, f.wantedBins.map(_.toSet))
+      .filter(_.size <= 1024)
+      .map(_.toArray.sorted)
+    GraftPartitionReader.openProjected(file, f.conf, wanted.toSet, parquetBins)
   }
 
   private var current: Iterator[InternalRow] = Iterator.empty
@@ -856,7 +917,7 @@ private[sources] class GraftPartitionReader(
       var r = 0
       while (r < nRows) {
         val ok =
-          f.docIdFilter.forall(s => s.contains(docIds(r))) &&
+          docFilter.forall(s => s.contains(docIds(r))) &&
             f.sourceFilter.forall(s => s.contains(sources(r)))
         if (ok) b += r
         r += 1

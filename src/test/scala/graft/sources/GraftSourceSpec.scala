@@ -353,6 +353,32 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).select($"doc_id").distinct().count() == input.count())
   }
 
+  test("q_graft_join (the driver-corpus shape) prunes the scan via runtime filtering") {
+    // the oracle-checked q_graft_join joins the DSv2 corpus against a
+    // broadcast dim with a SELECTIVE predicate on a non-join column — the
+    // shape where Spark's dynamic pruning pushes the build side's doc_ids
+    // into the scan. This audit pins that it actually FIRES on the driver
+    // corpus, so the feature cannot silently regress to a full scan.
+    val prevStats = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val df = graft.SparkEntry.queries("q_graft_join")(spark, sfDir)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val scan = findScan(df.queryExecution.executedPlan)
+      val g = scan.scan.asInstanceOf[GraftScan]
+      assert(g.runtimeFiltered, "q_graft_join regressed to a full scan: no runtime doc_id filter")
+      // and the filter did real work: the dim's ~1/23 of docs hit every bin
+      // (so no whole block can be skipped, and the aggregate never needs
+      // `tokens`), but the runtime doc_id set must filter INSIDE the reader
+      // — rows emitted proportional to the HIT rows, not the corpus
+      val totalRows = graft.SparkEntry.encodedCorpus(spark, sfDir).rows.count()
+      val emitted = metric(scan, GraftMetrics.RowsEmitted)
+      assert(emitted > 0 && emitted < totalRows / 2, s"emitted $emitted of $totalRows rows")
+    } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
+  }
+
   test("maxSnapshotsPerBatch bounds catch-up into multiple micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-admission").toString
