@@ -677,9 +677,10 @@ object SparkEntry {
       graft.ops.Ann.cosineNearDups(emb, threshold = 0.3)
     }),
 
-    // IVF ANN: coarse-quantizer inverted lists (deterministic centroid
-    // seed), nProbe-list probe, exact icos top-5 — the partitioned-index
-    // scale path; the oracle recomputes the assign→probe→score→rank chain
+    // IVF ANN: TRAINED coarse quantizer (deterministic farthest-point
+    // seeding + 3 Lloyd rounds in the exact icos domain), nProbe-list
+    // probe, exact icos top-5 — the partitioned-index scale path; the
+    // oracle recomputes the full train→assign→probe→score→rank chain
     "q_ivf_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -745,6 +746,56 @@ object SparkEntry {
            |WHERE coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0) > 0
            |  AND coalesce(i.inter, 0) >= (coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0)) * 0.2
            |ORDER BY 1, 2""".stripMargin
+
+  /** DuckDB twin of the full IVF chain (Ann.trainIvfCentroids + Ann.ivfTopK):
+    * farthest-point seeding unrolled to `nLists` steps (running max-icos
+    * column, picks by (msim asc, vec_id asc), picked ids excluded from the
+    * remaining pool), `iters` unrolled Lloyd rounds (assignment by
+    * row_number over (s desc, cid), per-dimension floor-mean update, empty
+    * lists keep their centroid), then the assign→probe→score→rank chain —
+    * every step exact integer/icos arithmetic, so the hash compare pins the
+    * trainer itself, not just the search.
+    */
+  private def ivfOracleSql(nLists: Int, iters: Int, nProbe: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH qc AS MATERIALIZED (SELECT vec_id, $duckQuant AS qe FROM embeddings),\n"
+    sb ++= "s1 AS MATERIALIZED (SELECT vec_id AS cid, qe AS cqe FROM qc ORDER BY vec_id LIMIT 1),\n"
+    sb ++= s"ms1 AS MATERIALIZED (SELECT q.vec_id, q.qe, ${duckIcos("q.qe", "s.cqe")} AS msim FROM qc q, s1 s WHERE q.vec_id != s.cid),\n"
+    for (j <- 2 to nLists) {
+      sb ++= s"p$j AS MATERIALIZED (SELECT vec_id AS cid, qe AS cqe FROM ms${j - 1} ORDER BY msim ASC, vec_id ASC LIMIT 1),\n"
+      if (j < nLists)
+        sb ++= s"ms$j AS MATERIALIZED (SELECT m.vec_id, m.qe, greatest(m.msim, ${duckIcos("m.qe", "p.cqe")}) AS msim FROM ms${j - 1} m, p$j p WHERE m.vec_id != p.cid),\n"
+    }
+    sb ++= (Seq("SELECT cid, cqe FROM s1") ++ (2 to nLists).map(j => s"SELECT cid, cqe FROM p$j"))
+      .mkString("c0 AS MATERIALIZED (", " UNION ALL ", "),\n")
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb ++= s"a$i AS MATERIALIZED (SELECT q.vec_id, q.qe, c.cid, ${duckIcos("q.qe", "c.cqe")} AS s FROM qc q CROSS JOIN $prev c),\n"
+      sb ++= s"l$i AS MATERIALIZED (SELECT vec_id, qe, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM a$i) WHERE rn = 1),\n"
+      sb ++= s"m$i AS MATERIALIZED (SELECT cid, unnest(generate_series(1, len(qe))) AS d, qe FROM l$i),\n"
+      sb ++= s"g$i AS MATERIALIZED (SELECT cid, d, CAST(floor(CAST(sum(qe[d]) AS DOUBLE) / count(*)) AS BIGINT) AS v FROM m$i GROUP BY 1, 2),\n"
+      sb ++= s"n$i AS MATERIALIZED (SELECT cid, list(v ORDER BY d) AS cqe FROM g$i GROUP BY 1),\n"
+      sb ++= s"c$i AS MATERIALIZED (SELECT c.cid, coalesce(n$i.cqe, c.cqe) AS cqe FROM $prev c LEFT JOIN n$i ON n$i.cid = c.cid),\n"
+    }
+    sb ++= s"""ascore AS MATERIALIZED (SELECT q.vec_id, c.cid, ${duckIcos("q.qe", "c.cqe")} AS s
+              |           FROM qc q CROSS JOIN c$iters c),
+              |lists AS MATERIALIZED (SELECT vec_id, cid AS list_id FROM
+              |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ascore)
+              |  WHERE rn = 1),
+              |probes AS MATERIALIZED (SELECT vec_id AS query_id, cid AS list_id FROM
+              |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+              |   FROM ascore WHERE vec_id < 5)
+              |  WHERE rn <= $nProbe),
+              |cand AS MATERIALIZED (SELECT DISTINCT p.query_id, l.vec_id
+              |         FROM probes p JOIN lists l USING (list_id) WHERE l.vec_id != p.query_id),
+              |scored AS MATERIALIZED (SELECT c.query_id, c.vec_id, ${duckIcos("a.qe", "b.qe")} AS icos
+              |           FROM cand c JOIN qc a ON a.vec_id = c.vec_id JOIN qc b ON b.vec_id = c.query_id),
+              |ranked AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY icos DESC, vec_id) AS rank
+              |           FROM scored)
+              |SELECT query_id, vec_id AS neighbor_id, icos, CAST(rank AS BIGINT) AS rank
+              |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_lineitem_agg" ->
@@ -1000,26 +1051,7 @@ object SparkEntry {
          |FROM icosed WHERE icos >= $minIcos ORDER BY 1, 2""".stripMargin
     },
 
-    "q_ivf_topk" ->
-      s"""WITH qc AS (SELECT vec_id, $duckQuant AS qe FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, qe AS cqe FROM qc ORDER BY vec_id LIMIT 8),
-         |ascore AS (SELECT q.vec_id, c.cid, ${duckIcos("q.qe", "c.cqe")} AS s
-         |           FROM qc q CROSS JOIN cents c),
-         |lists AS (SELECT vec_id, cid AS list_id FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM ascore)
-         |  WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cid AS list_id FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |   FROM ascore WHERE vec_id < 5)
-         |  WHERE rn <= 2),
-         |cand AS (SELECT DISTINCT p.query_id, l.vec_id
-         |         FROM probes p JOIN lists l USING (list_id) WHERE l.vec_id != p.query_id),
-         |scored AS (SELECT c.query_id, c.vec_id, ${duckIcos("a.qe", "b.qe")} AS icos
-         |           FROM cand c JOIN qc a ON a.vec_id = c.vec_id JOIN qc b ON b.vec_id = c.query_id),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY icos DESC, vec_id) AS rank
-         |           FROM scored)
-         |SELECT query_id, vec_id AS neighbor_id, icos, CAST(rank AS BIGINT) AS rank
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ivf_topk" -> ivfOracleSql(nLists = 8, iters = 3, nProbe = 2, k = 5),
 
     "q_ann_lsh_recall" ->
       s"""WITH qc AS (SELECT vec_id, $duckQuant AS qe FROM embeddings),

@@ -166,21 +166,116 @@ object Ann {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Deterministic IVF coarse-quantizer trainer, fully recomputable by the
+    * DuckDB oracle (every step is exact integer/icos arithmetic with pinned
+    * tie-breaking):
+    *
+    *   1. **Seeding — greedy farthest-point (k-center).** Start from the
+    *      lowest vec_id; each subsequent centroid is the not-yet-chosen
+    *      vector MINIMIZING its max icos to the chosen set (ties: lowest
+    *      vec_id). On a clustered corpus this lands one seed per cluster —
+    *      the geometric spread a lowest-id seed cannot give — and is the
+    *      deterministic stand-in for k-means++/k-means||'s randomized
+    *      spread.
+    *   2. **`iters` Lloyd rounds.** Assign every vector to its nearest
+    *      centroid (icos desc, centroid id asc); recompute each centroid as
+    *      the per-dimension floor-mean (`floor(sum/count)` through the
+    *      identical i64→double cast in both engines) of its members; an
+    *      empty list keeps its previous centroid. Centroid ids stay the
+    *      seed vector's vec_id — stable labels across rounds.
+    *
+    * Scale shape: the running max-similarity column makes seeding one
+    * narrow map per step (k steps, localCheckpoint'd — use a modulo-sampled
+    * corpus when nLists is large); each Lloyd round is one map + one
+    * (list, dim) aggregation of nLists·dim rows. The driver holds only
+    * nLists centroids.
+    */
+  def trainIvfCentroids(corpus: DataFrame, nLists: Int, iters: Int = 3): Array[(Long, Array[Long])] = {
+    val spark = corpus.sparkSession
+    def simTo(cent: Array[Long]) = udf { qe: Seq[Long] => icos(qe.toArray, cent) }
+    val qc = corpus.select(col("vec_id").cast("long").as("vec_id"), quantizeUdf(col("embedding")).as("qe"))
+
+    // 1. farthest-point seeding with a running max-similarity column
+    val seedRow = qc.orderBy(col("vec_id")).limit(1).collect()(0)
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])](
+      (seedRow.getLong(0), seedRow.getSeq[Long](1).toArray)
+    )
+    var state = qc
+      .where(col("vec_id") =!= chosen.head._1)
+      .withColumn("msim", simTo(chosen.head._2)(col("qe")))
+      .localCheckpoint(true)
+    var step = 1
+    while (step < nLists && !state.isEmpty) {
+      val r = state.orderBy(col("msim").asc, col("vec_id").asc).limit(1).collect()(0)
+      val (cid, cqe) = (r.getLong(0), r.getSeq[Long](1).toArray)
+      chosen += ((cid, cqe))
+      val prev = state
+      state = state
+        .where(col("vec_id") =!= cid)
+        .withColumn("msim", greatest(col("msim"), simTo(cqe)(col("qe"))))
+        .localCheckpoint(true) // iterative self-reference: truncate lineage
+      unpersistCheckpoint(prev)
+      step += 1
+    }
+    unpersistCheckpoint(state)
+    var cents = chosen.toArray.sortBy(_._1)
+
+    // 2. Lloyd refinement in the icos domain
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assignU = udf { qe: Seq[Long] =>
+        val q = qe.toArray
+        var bestId = -1L
+        var best = Long.MinValue
+        bc.value.foreach { case (id, cq) =>
+          val s = icos(q, cq)
+          if (s > best) { best = s; bestId = id } // strict >: lowest cid wins ties
+        }
+        bestId
+      }
+      val sums = qc
+        .withColumn("list_id", assignU(col("qe")))
+        .select(col("list_id"), posexplode(col("qe")).as(Seq("d", "v")))
+        .groupBy(col("list_id"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows
+          .sortBy(_.getInt(1))
+          .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+      }
+      cents = cents.map { case (cid, old) => (cid, next.getOrElse(cid, old)) }
+      bc.unpersist()
+    }
+    cents
+  }
+
+  /** Free a `localCheckpoint(true)`'d round's storage now (same rationale
+    * as the dedup cluster resolver's helper).
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit = {
+    var r: org.apache.spark.rdd.RDD[_] = df.queryExecution.toRdd
+    while (r.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+      r.dependencies.nonEmpty) r = r.dependencies.head.rdd
+    if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      r.unpersist(blocking = false): Unit
+  }
+
   /** IVF (inverted-file) ANN — the partitioned-index scale path next to
     * LSH: the corpus is assigned to `nLists` inverted lists by nearest
     * coarse centroid, and a query scores only the vectors in its `nProbe`
     * closest lists — touching ~nProbe/nLists of the corpus instead of all
-    * of it. Centroids are the `nLists` lowest-vec_id vectors (a seeded,
-    * cross-engine-deterministic stand-in for a k-means trainer — the
-    * trainer is pluggable, the index/search plumbing is what scales);
+    * of it. Centroids come from [[trainIvfCentroids]] (farthest-point
+    * seeding + `trainIters` Lloyd rounds; `trainIters = -1` selects the
+    * untrained lowest-vec_id quantizer, the pre-trainer fallback);
     * assignment and scoring run in the exact icos domain with (icos desc,
     * id asc) tie-breaking, so the DuckDB oracle recomputes the whole
-    * assign→probe→score→rank chain bit-for-bit.
+    * train→assign→probe→score→rank chain bit-for-bit.
     *
     * Scale shape: centroids broadcast (bounded driver collect of nLists
     * rows); assignment is one narrow map over the corpus; candidates come
     * from an equi-join on list_id with the (small) probe set broadcast —
-    * never an all-pairs compare, and lists are size-bounded by the
+    * never an all-pairs compare, and lists are size-balanced by the trained
     * centroid spread rather than a hash-bucket cliff.
     */
   def ivfTopK(
@@ -188,17 +283,20 @@ object Ann {
       queries: DataFrame,
       k: Int,
       nLists: Int = 8,
-      nProbe: Int = 2
+      nProbe: Int = 2,
+      trainIters: Int = 3
   ): DataFrame = {
     val spark = corpus.sparkSession
-    // deterministic coarse quantizer: the nLists lowest vec_ids
-    val cents: Array[(Long, Array[Long])] = corpus
-      .orderBy(col("vec_id"))
-      .limit(nLists)
-      .select(col("vec_id"), quantizeUdf(col("embedding")).as("qe"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
+    val cents: Array[(Long, Array[Long])] =
+      if (trainIters >= 0) trainIvfCentroids(corpus, nLists, trainIters)
+      else
+        corpus // untrained fallback: the nLists lowest vec_ids
+          .orderBy(col("vec_id"))
+          .limit(nLists)
+          .select(col("vec_id"), quantizeUdf(col("embedding")).as("qe"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .sortBy(_._1)
     val bc = spark.sparkContext.broadcast(cents)
 
     // nearest centroid by (icos desc, centroid id asc)

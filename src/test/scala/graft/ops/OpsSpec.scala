@@ -243,6 +243,32 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("trained IVF centroids balance lists by geometry, not id order") {
+    import spark.implicits._
+    val cents = Ann.trainIvfCentroids(embeddings, nLists = 8, iters = 3)
+    assert(cents.length == 8)
+    // farthest-point seeding on 8 well-separated clusters lands one seed
+    // per cluster (the k-center property) — the lowest-id quantizer would
+    // have put all 8 in cluster 0
+    assert(cents.map(_._1 / 100).toSet.size == 8, s"seed clusters: ${cents.map(_._1).mkString(",")}")
+    // every list ends up with its cluster's ~30 members
+    val vecs = embeddings
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(Ann.quantize).toArray))
+    val sizes = vecs
+      .groupBy { case (_, qe) =>
+        cents.foldLeft((-1L, Long.MinValue)) { case (acc @ (_, best), (cid, cqe)) =>
+          val s = Ann.icos(qe, cqe)
+          if (s > best) (cid, s) else acc
+        }._1
+      }
+      .view
+      .mapValues(_.length)
+    assert(sizes.size == 8)
+    assert(sizes.values.max <= 2 * sizes.values.min, s"unbalanced: $sizes")
+  }
+
   test("LSH top-k recalls most of brute-force top-k") {
     import spark.implicits._
     val queries = embeddings.where($"vec_id" % 100 === 0)
