@@ -165,6 +165,12 @@ object Bench {
             .saveTables(spark32, encDir, tables.value, cfg.contextModel, layout = Some(cfg))
           blocks.write.mode("overwrite").parquet(s"$encDir/blocks")
         }
+        // manifest like a production dir (self-repairing for dirs persisted
+        // before this step existed): the point-scan row then plans through
+        // the manifest bin->file index instead of driver footer reads
+        if (!new java.io.File(encDir + "/_manifest").exists())
+          graft.pipeline.EncodeJob
+            .appendManifest(spark32, encDir, (0 until cfg.numBins).toSet, snapshotId = 0L)
         // full decode first: it warms the Group-reader/JIT path, so the
         // metadata row measures pruning, not first-touch overhead
         val (dsvToks, tFull) = time {

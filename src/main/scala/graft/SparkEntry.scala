@@ -220,6 +220,11 @@ object SparkEntry {
         graft.pipeline.EncodeJob
           .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
         ec.blocks.write.mode("overwrite").parquet(s"$out/blocks")
+        // manifest the dir like a production EncodeJob output: the DSv2
+        // queries then plan through the manifest's bin->file index (the
+        // 100 TB path); the footer fallback stays covered by sbt tests
+        graft.pipeline.EncodeJob
+          .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
         graftDirCache.putIfAbsent(key, out) match {
           case Some(winner) => deleteDir(out); winner
           case None         => out
@@ -421,6 +426,22 @@ object SparkEntry {
           (count(lit(1)) - countDistinct($"text")).as("n_dupes")
         )
         .orderBy($"source")
+    }),
+
+    // The Dedup.exact OP itself (hash group-by with the CAPPED example
+    // list) on a normalized key — first-3-words boilerplate prefix, the
+    // shape that actually duplicates at corpus scale. The oracle groups by
+    // the same normalized text (equivalent absent xxhash64 collisions) and
+    // recomputes the cap rule: the 2 smallest doc_ids per group.
+    "q_dedup_exact_op" -> ((s, dir) => {
+      import s.implicits._
+      val normalized = s.read
+        .parquet(s"$dir/documents.parquet")
+        .select($"doc_id", concat_ws(" ", slice(split($"text", " "), 1, 3)).as("text"))
+      graft.ops.Dedup
+        .exact(normalized, maxExamples = 2)
+        .select($"n_copies", $"keep_doc_id", $"doc_ids")
+        .orderBy($"keep_doc_id")
     }),
 
     // Training-data ops: text statistics per language
@@ -917,6 +938,12 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique,
         | count(*) - count(DISTINCT text) AS n_dupes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dedup_exact_op" ->
+      """SELECT count(*) AS n_copies, min(doc_id) AS keep_doc_id,
+        | (list(doc_id ORDER BY doc_id))[1:2] AS doc_ids
+        |FROM (SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS k FROM documents)
+        |GROUP BY k HAVING count(*) > 1 ORDER BY keep_doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,

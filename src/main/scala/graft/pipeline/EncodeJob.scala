@@ -296,35 +296,8 @@ object EncodeJob {
     }
 
     if (toManifest.nonEmpty) {
-      // 4. manifest entries derived from the committed blocks (cheap: payload
-      // column pruned away). `files` records which block parquet files hold
-      // each bin — the driver-side bin→file index the DSv2 scan prunes from
-      // at any file count (the file-level analog of the reference's
-      // random-access offset index, huffman_graph_decoder.rs:151-205).
-      // Bins are write-once, so a bin's file set never changes after its
-      // manifest row lands; a file whose bins crashed out of the manifest
-      // is claimed by NO row and the scan keeps it conservatively.
-      val manifest = spark.read
-        .parquet(s"$outDir/blocks")
-        .where(col("bin").isInCollection(toManifest))
-        .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
-        .groupBy($"bin")
-        .agg(
-          count(lit(1)).as("n_blocks"),
-          sum($"n_rows").cast("long").as("n_rows"),
-          sum($"n_values").as("n_values"),
-          (sum(expr("length(payload)")) + sum($"meta_bytes")).as("payload_bytes"),
-          sum($"payload_bits").as("payload_bits"),
-          first($"table_hash").as("table_hash"),
-          concat_ws(",", sort_array(collect_set($"__file"))).as("files")
-        )
-        .withColumn("snapshot_id", lit(snapshotId))
-        .select(
-          $"snapshot_id", $"bin", $"n_blocks", $"n_rows", $"n_values",
-          $"payload_bytes", $"payload_bits", $"table_hash", $"files"
-        )
-        .as[BinManifest]
-      manifest.write.mode(SaveMode.Append).parquet(s"$outDir/_manifest")
+      // 4. manifest entries derived from the committed blocks.
+      appendManifest(spark, outDir, toManifest, snapshotId)
     }
 
     // 5. snapshot lineage record. Self-repair mirrors the manifest's: a
@@ -347,6 +320,47 @@ object EncodeJob {
     )
 
     EncodeResult(snapshotId, todo.toSeq.sorted, done.toSeq.sorted, tables.tableHash)
+  }
+
+  /** Derive + append manifest rows for `bins` from the COMMITTED blocks
+    * (cheap: the payload column is pruned away). `files` records which
+    * block parquet files hold each bin — the driver-side bin→file index
+    * the DSv2 scan prunes from at any file count (the file-level analog of
+    * the reference's random-access index, huffman_graph_decoder.rs:151-205).
+    * Bins are write-once, so a bin's file set never changes after its
+    * manifest row lands; a file whose bins crashed out of the manifest is
+    * claimed by NO row and the scan keeps it conservatively. Also the
+    * manifesting step for blocks written OUTSIDE [[run]] (benchmarks, the
+    * Verify corpus dirs).
+    */
+  def appendManifest(
+      spark: SparkSession,
+      outDir: String,
+      bins: Set[Int],
+      snapshotId: Long
+  ): Unit = {
+    import spark.implicits._
+    val manifest = spark.read
+      .parquet(s"$outDir/blocks")
+      .where(col("bin").isInCollection(bins))
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum($"n_rows").cast("long").as("n_rows"),
+        sum($"n_values").as("n_values"),
+        (sum(expr("length(payload)")) + sum($"meta_bytes")).as("payload_bytes"),
+        sum($"payload_bits").as("payload_bits"),
+        first($"table_hash").as("table_hash"),
+        concat_ws(",", sort_array(collect_set($"__file"))).as("files")
+      )
+      .withColumn("snapshot_id", lit(snapshotId))
+      .select(
+        $"snapshot_id", $"bin", $"n_blocks", $"n_rows", $"n_values",
+        $"payload_bytes", $"payload_bits", $"table_hash", $"files"
+      )
+      .as[BinManifest]
+    manifest.write.mode(SaveMode.Append).parquet(s"$outDir/_manifest")
   }
 
   /** Read the encoded blocks back as a typed Dataset. */
