@@ -19,6 +19,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // jaccard doc joins
     assert(nExchanges <= 8, s"unexpected exchange count in:\n$plan")
   }
+  test("plan audit: Dedup.exact's cap window reuses the group-by exchange") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val plan = Dedup.exact(docs).queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    println("PLANAUDIT dedup_exact exchanges=" + nExchanges)
+    // the example-list cap ranks within the SAME content_hash partitioning
+    // the aggregate shuffles on — bounding the list must cost zero extra
+    // exchanges (window -> partial-free final aggregate on one shuffle)
+    assert(nExchanges == 1, s"cap added an exchange:\n$plan")
+  }
+
   test("plan audit: lookupDocs bin filter pushes to parquet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan-audit").toString
