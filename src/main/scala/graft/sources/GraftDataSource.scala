@@ -457,12 +457,18 @@ private[sources] class GraftScan(
     val planned = GraftScan.planFiles(path, blockFiles, wantedBins, hadoopConf, footerPruneCap)
     val idsByBin = docState._2
     val smallBins: Option[Array[Int]] = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted)
+    // files with UNKNOWN bin membership would each have to carry the whole
+    // id set; bounded so a 1M-id runtime filter over a manifest-less dir
+    // cannot multiply itself into every task — past the cap those readers
+    // emit unfiltered rows and the join/residual above re-checks (correct,
+    // just less pruned)
+    lazy val allIds: Option[Array[String]] =
+      idsByBin.map(_.valuesIterator.flatten.toArray.sorted).filter(_.length <= 65536)
     planned.map { case (f, binPred) =>
-      val fileIds: Option[Array[String]] = idsByBin.map { m =>
-        binPred match {
-          case Some(pred) => m.iterator.collect { case (b, arr) if pred(b) => arr }.flatten.toArray.sorted
-          case None       => m.valuesIterator.flatten.toArray.sorted
-        }
+      val fileIds: Option[Array[String]] = binPred match {
+        case Some(pred) =>
+          idsByBin.map(_.iterator.collect { case (b, arr) if pred(b) => arr }.flatten.toArray.sorted)
+        case None => allIds
       }
       GraftInputPartition(f, binsOverride = smallBins, docIdsOverride = fileIds)
     }
