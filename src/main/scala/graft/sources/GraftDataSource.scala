@@ -551,6 +551,11 @@ private[sources] object GraftScan {
     */
   final case class ManifestIndex(numRows: Long, fileBins: Map[String, Array[Int]])
 
+  /** Few entries, but each can be large (an 800k-bin corpus's index is
+    * ~100 MB of file→bins claims) — so this cache is bounded by INDEX
+    * count, not entry count like the footer cache.
+    */
+  private val ManifestCacheCap = 64
   private val manifestIndexCache =
     scala.collection.concurrent.TrieMap[String, Option[ManifestIndex]]()
 
@@ -563,7 +568,7 @@ private[sources] object GraftScan {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.toString)
     val key = files.map(st => s"${st.getPath}:${st.getLen}").mkString(path, "|", "")
-    if (manifestIndexCache.size > CacheCap) manifestIndexCache.clear()
+    if (manifestIndexCache.size > ManifestCacheCap) manifestIndexCache.clear()
     manifestIndexCache.getOrElseUpdate(
       key, {
         var total = 0L
