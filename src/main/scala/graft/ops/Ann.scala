@@ -205,16 +205,22 @@ object Ann {
       .withColumn("msim", simTo(chosen.head._2)(col("qe")))
       .localCheckpoint(true)
     var step = 1
-    while (step < nLists && !state.isEmpty) {
-      val r = state.orderBy(col("msim").asc, col("vec_id").asc).limit(1).collect()(0)
-      val (cid, cqe) = (r.getLong(0), r.getSeq[Long](1).toArray)
-      chosen += ((cid, cqe))
-      val prev = state
-      state = state
-        .where(col("vec_id") =!= cid)
-        .withColumn("msim", greatest(col("msim"), simTo(cqe)(col("qe"))))
-        .localCheckpoint(true) // iterative self-reference: truncate lineage
-      unpersistCheckpoint(prev)
+    var exhausted = false
+    while (step < nLists && !exhausted) {
+      // one job per step: the empty-corpus stop rides the same take(1)
+      val picked = state.orderBy(col("msim").asc, col("vec_id").asc).limit(1).collect()
+      if (picked.isEmpty) exhausted = true
+      else {
+        val r = picked(0)
+        val (cid, cqe) = (r.getLong(0), r.getSeq[Long](1).toArray)
+        chosen += ((cid, cqe))
+        val prev = state
+        state = state
+          .where(col("vec_id") =!= cid)
+          .withColumn("msim", greatest(col("msim"), simTo(cqe)(col("qe"))))
+          .localCheckpoint(true) // iterative self-reference: truncate lineage
+        unpersistCheckpoint(prev)
+      }
       step += 1
     }
     unpersistCheckpoint(state)

@@ -285,12 +285,17 @@ object EncodeJob {
 
     if (todo.nonEmpty) {
       // 3. encode only the missing bins: the bin predicate prunes before the
-      // shuffle, so resumed runs shuffle only the remaining data.
-      val pending = input
-        .withColumn("__bin", GraftPipeline.binCol(cfg.numBins, cfg.salt))
-        .where(col("__bin").isInCollection(todo))
-        .drop("__bin")
-        .as[TokenRow]
+      // shuffle, so resumed runs shuffle only the remaining data. A fresh
+      // run's todo is EVERY bin (800k at 100 TB) — skip the predicate
+      // rather than build a membership test over the full range.
+      val pending =
+        if (todo.size == cfg.numBins) input
+        else
+          input
+            .withColumn("__bin", GraftPipeline.binCol(cfg.numBins, cfg.salt))
+            .where(binMembership(col("__bin"), todo))
+            .drop("__bin")
+            .as[TokenRow]
       val blocks = GraftPipeline.encode(pending, bTables, cfg)
       blocks.write.mode(SaveMode.Append).parquet(s"$outDir/blocks")
     }
@@ -322,6 +327,15 @@ object EncodeJob {
     EncodeResult(snapshotId, todo.toSeq.sorted, done.toSeq.sorted, tables.tableHash)
   }
 
+  /** Bin-membership predicate that stays cheap at 100 TB bin counts: a
+    * literal IN list for small sets (codegen'd, parquet-pushable), a
+    * set-lookup UDF past that — building 800k `Literal` nodes per plan is
+    * driver work the filter itself never pays back.
+    */
+  private def binMembership(c: org.apache.spark.sql.Column, bins: Set[Int]): org.apache.spark.sql.Column =
+    if (bins.size <= 4096) c.isInCollection(bins)
+    else udf((b: Int) => bins.contains(b)).apply(c)
+
   /** Derive + append manifest rows for `bins` from the COMMITTED blocks
     * (cheap: the payload column is pruned away). `files` records which
     * block parquet files hold each bin — the driver-side bin→file index
@@ -342,7 +356,7 @@ object EncodeJob {
     import spark.implicits._
     val manifest = spark.read
       .parquet(s"$outDir/blocks")
-      .where(col("bin").isInCollection(bins))
+      .where(binMembership(col("bin"), bins))
       .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
       .groupBy($"bin")
       .agg(
