@@ -332,7 +332,7 @@ object EncodeJob {
     * set-lookup UDF past that — building 800k `Literal` nodes per plan is
     * driver work the filter itself never pays back.
     */
-  private def binMembership(c: org.apache.spark.sql.Column, bins: Set[Int]): org.apache.spark.sql.Column =
+  private[pipeline] def binMembership(c: org.apache.spark.sql.Column, bins: Set[Int]): org.apache.spark.sql.Column =
     if (bins.size <= 4096) c.isInCollection(bins)
     else udf((b: Int) => bins.contains(b)).apply(c)
 

@@ -1043,11 +1043,23 @@ private[sources] class GraftMicroBatchStream(
     factory: () => PartitionReaderFactory,
     maxSnapshotsPerBatch: Option[Int] = None
 ) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles, ReadMaxRows}
 
   private lazy val hadoopConf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** Set under Trigger.AvailableNow: the newest snapshot as of query start.
+    * Batches never read past it (snapshots committed DURING the run wait
+    * for the next start), and the query self-terminates once it's reached —
+    * still in maxSnapshotsPerBatch-bounded steps. Without this interface
+    * Spark degrades AvailableNow to Trigger.Once and ignores read limits.
+    */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd =
+      Some(GraftMeta.loadSnapshots(path, hadoopConf).map(_._1).maxOption.getOrElse(-1L))
 
   override def initialOffset(): Offset = GraftOffset(-1L)
 
@@ -1062,7 +1074,8 @@ private[sources] class GraftMicroBatchStream(
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftOffset].snapshot
-    val pending = GraftMeta.loadSnapshots(path, hadoopConf).map(_._1).filter(_ > s)
+    val all = GraftMeta.loadSnapshots(path, hadoopConf).map(_._1)
+    val pending = availableNowEnd.fold(all)(e => all.filter(_ <= e)).filter(_ > s)
     val capped = limit match {
       case f: ReadMaxFiles => pending.take(f.maxFiles())
       case r: ReadMaxRows  => pending.take(r.maxRows().toInt)

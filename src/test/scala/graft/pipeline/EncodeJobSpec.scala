@@ -217,6 +217,18 @@ class EncodeJobSpec extends AnyFunSuite {
     assert(GraftPipeline.verify(input, decoded) == 0L)
   }
 
+  test("binMembership: UDF branch (large sets) agrees with the IN branch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 200).select($"id".cast("int").as("bin"))
+    val small = Set(3, 17, 42, 199)
+    val large = small ++ (1000 until 6000) // > 4096 forces the set-lookup UDF
+    val gotSmall = df.where(EncodeJob.binMembership(col("bin"), small)).as[Int].collect().sorted
+    val gotLarge = df.where(EncodeJob.binMembership(col("bin"), large)).as[Int].collect().sorted
+    assert(gotSmall.toSeq == small.toSeq.sorted)
+    assert(gotLarge.toSeq == small.toSeq.sorted) // 1000+ don't exist in the data
+  }
+
   test("manifest totals match block totals") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-manifest").toString

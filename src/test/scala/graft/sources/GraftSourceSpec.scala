@@ -409,6 +409,35 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then stops") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-availnow").toString
+    val ckpt = Files.createTempDirectory("graft-availnow-ckpt").toString
+    val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 64)
+    for (b <- 0 until 4) EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(b)))
+    val q = spark.readStream
+      .format("graft")
+      .option("maxSnapshotsPerBatch", "2")
+      .load(dir)
+      .writeStream
+      .format("memory")
+      .queryName("graft_availnow")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // AvailableNow terminates by itself once the backlog (as of start) drains
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      val want = input
+        .withColumn("bin", GraftPipeline.binCol(cfg.numBins, cfg.salt))
+        .where($"bin" < 4)
+        .count()
+      assert(spark.table("graft_availnow").count() == want)
+      assert(q.recentProgress.count(_.numInputRows > 0) == 2) // 4 snapshots / limit 2
+    } finally q.stop()
+  }
+
   /** Partitions the graft scan plans for a doc_id-restricted read of `dir`. */
   private def plannedPartitions(dir: String, ids: Seq[String]): Int = {
     val builder = new GraftTable(dir).newScanBuilder(
