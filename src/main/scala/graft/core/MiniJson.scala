@@ -71,8 +71,13 @@ object MiniJson {
     def longArrOpt(name: String): Option[Seq[Long]] = get(name).map {
       case JArr(xs) =>
         xs.map {
-          case JNum(raw) => raw.toLong
-          case other     => throw new ParseException(s"field $name holds a non-integer element: $other")
+          case JNum(raw) =>
+            try raw.toLong
+            catch {
+              case _: NumberFormatException =>
+                throw new ParseException(s"field $name holds a non-integer element: $raw")
+            }
+          case other => throw new ParseException(s"field $name holds a non-integer element: $other")
         }
       case other => throw new ParseException(s"field $name is not an array: $other")
     }
@@ -166,7 +171,9 @@ object MiniJson {
               case 't'  => sb += '\t'
               case 'u' =>
                 if (i + 4 > s.length) fail("truncated \\u escape")
-                sb += Integer.parseInt(s.substring(i, i + 4), 16).toChar
+                val hex = s.substring(i, i + 4)
+                try sb += Integer.parseInt(hex, 16).toChar
+                catch { case _: NumberFormatException => fail(s"bad \\u escape \\u$hex") }
                 i += 4
               case other => fail(s"bad escape \\$other")
             }

@@ -193,12 +193,18 @@ object Ann {
   def trainIvfCentroids(corpus: DataFrame, nLists: Int, iters: Int = 3): Array[(Long, Array[Long])] = {
     val spark = corpus.sparkSession
     def simTo(cent: Array[Long]) = udf { qe: Seq[Long] => icos(qe.toArray, cent) }
-    val qc = corpus.select(col("vec_id").cast("long").as("vec_id"), quantizeUdf(col("embedding")).as("qe"))
+    // cached: the quantized corpus is re-read once per seeding step and
+    // once per Lloyd round — without the cache each of those re-scans the
+    // source and re-runs the quantize UDF
+    val qc = corpus
+      .select(col("vec_id").cast("long").as("vec_id"), quantizeUdf(col("embedding")).as("qe"))
+      .cache()
 
     // 1. farthest-point seeding with a running max-similarity column
-    val seedRow = qc.orderBy(col("vec_id")).limit(1).collect()(0)
+    val seed = qc.orderBy(col("vec_id")).limit(1).collect()
+    if (seed.isEmpty) { qc.unpersist(); return Array.empty } // empty corpus: no lists
     val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])](
-      (seedRow.getLong(0), seedRow.getSeq[Long](1).toArray)
+      (seed(0).getLong(0), seed(0).getSeq[Long](1).toArray)
     )
     var state = qc
       .where(col("vec_id") =!= chosen.head._1)
@@ -253,6 +259,7 @@ object Ann {
       cents = cents.map { case (cid, old) => (cid, next.getOrElse(cid, old)) }
       bc.unpersist()
     }
+    qc.unpersist()
     cents
   }
 

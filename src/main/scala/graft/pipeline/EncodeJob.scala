@@ -374,7 +374,14 @@ object EncodeJob {
         $"payload_bytes", $"payload_bits", $"table_hash", $"files"
       )
       .as[BinManifest]
-    manifest.write.mode(SaveMode.Append).parquet(s"$outDir/_manifest")
+    // ONE part file per append: the commit of a single file is atomic
+    // (rename), so an append's claims become visible all-or-none — a
+    // multi-part append could crash mid-commit and leave a block file
+    // claimed by only SOME of its bins' rows, making the scan's
+    // claims-based pruning silently drop committed data for the missing
+    // bins. The aggregation above stays distributed; only the tiny
+    // one-row-per-bin result funnels through the single write task.
+    manifest.coalesce(1).write.mode(SaveMode.Append).parquet(s"$outDir/_manifest")
   }
 
   /** Read the encoded blocks back as a typed Dataset. */

@@ -435,26 +435,18 @@ private[sources] class GraftScan(
 
   private[sources] def runtimeFiltered: Boolean = runtimeDocIds.isDefined
 
-  /** Driver-side footer cap, overridable via `spark.graft.footerPruneCap`
-    * (primarily a test hook; the manifest index makes the cap moot for
-    * EncodeJob-written dirs).
-    */
-  private def footerPruneCap: Int =
-    SparkSession.active.conf
-      .getOption("spark.graft.footerPruneCap")
-      .map(_.toInt)
-      .getOrElse(GraftScan.FooterPruneCap)
-
   /** One partition per surviving block file. Runs AFTER runtime filtering,
     * so each partition carries the CURRENT doc_id restriction — sliced to
     * the ids whose bins the file can hold (manifest claims / footer range),
     * so a 1M-id allowlist ships each task only its own handful of ids, not
-    * the whole set. Files with unknown bin membership get the full set
-    * (conservative). A small wanted-bin set also rides along for parquet
-    * row-group skipping in the reader.
+    * the whole set, and total slicing work stays O(files × bins-per-file)
+    * hash lookups. Files with unknown bin membership get the full set
+    * (conservative, bounded). A small wanted-bin set also rides along for
+    * parquet row-group skipping in the reader.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val planned = GraftScan.planFiles(path, blockFiles, wantedBins, hadoopConf, footerPruneCap)
+    val planned =
+      GraftScan.planFiles(path, blockFiles, wantedBins, hadoopConf, GraftScan.sessionFooterPruneCap)
     val idsByBin = docState._2
     val smallBins: Option[Array[Int]] = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted)
     // files with UNKNOWN bin membership would each have to carry the whole
@@ -464,11 +456,15 @@ private[sources] class GraftScan(
     // just less pruned)
     lazy val allIds: Option[Array[String]] =
       idsByBin.map(_.valuesIterator.flatten.toArray.sorted).filter(_.length <= 65536)
-    planned.map { case (f, binPred) =>
-      val fileIds: Option[Array[String]] = binPred match {
-        case Some(pred) =>
-          idsByBin.map(_.iterator.collect { case (b, arr) if pred(b) => arr }.flatten.toArray.sorted)
-        case None => allIds
+    planned.map { case (f, fileBins) =>
+      val fileIds: Option[Array[String]] = fileBins match {
+        case GraftScan.ExactBins(fb) =>
+          idsByBin.map(m => fb.iterator.flatMap(m.get).flatten.toArray.sorted)
+        case GraftScan.RangeBins(lo, hi) =>
+          // footer path only exists at <= cap files; per file this walks
+          // the id-bin keys (bounded by the id count), not the bin range
+          idsByBin.map(_.iterator.collect { case (b, arr) if b >= lo && b <= hi => arr }.flatten.toArray.sorted)
+        case GraftScan.UnknownBins => allIds
       }
       GraftInputPartition(f, binsOverride = smallBins, docIdsOverride = fileIds)
     }
@@ -611,6 +607,24 @@ private[sources] object GraftScan {
     * write-once bin (a file whose bins never reached the manifest is
     * claimed by no row and always kept).
     */
+  /** What is known about a planned file's bin membership. */
+  sealed trait FileBins
+  /** Exact claims from the manifest (small: the file's own bins). */
+  final case class ExactBins(bins: Array[Int]) extends FileBins
+  /** Footer-stat min/max bound. */
+  final case class RangeBins(lo: Int, hi: Int) extends FileBins
+  /** No information — kept conservatively. */
+  case object UnknownBins extends FileBins
+
+  /** The session-configurable driver footer cap (primarily a test hook;
+    * the manifest index makes the cap moot for EncodeJob-written dirs).
+    */
+  def sessionFooterPruneCap: Int =
+    SparkSession.active.conf
+      .getOption("spark.graft.footerPruneCap")
+      .map(_.toInt)
+      .getOrElse(FooterPruneCap)
+
   def pruneFiles(
       path: String,
       blockFiles: Array[(String, Long)],
@@ -620,10 +634,11 @@ private[sources] object GraftScan {
   ): Array[String] = planFiles(path, blockFiles, bins, conf, cap).map(_._1)
 
   /** [[pruneFiles]] plus what is known about each kept file's bin
-    * membership: `Some(pred)` when the manifest claims an exact bin set or
-    * a footer range bounds it, `None` for files with unknown membership
-    * (kept conservatively). The predicate lets the planner slice a doc_id
-    * restriction down to each file's own ids.
+    * membership — exact manifest claims, a footer min/max range, or
+    * nothing (kept conservatively). The concrete shape (not an opaque
+    * predicate) lets the planner slice a doc_id restriction per file in
+    * O(file's own bins) hash lookups instead of walking the whole id map
+    * once per file.
     */
   def planFiles(
       path: String,
@@ -631,28 +646,26 @@ private[sources] object GraftScan {
       bins: Option[Set[Int]],
       conf: Configuration,
       cap: Int = FooterPruneCap
-  ): Array[(String, Option[Int => Boolean])] = bins match {
-    case None => blockFiles.map(f => (f._1, None))
+  ): Array[(String, FileBins)] = bins match {
+    case None => blockFiles.map(f => (f._1, UnknownBins))
     case Some(b) =>
       manifestIndex(path, conf).map(_.fileBins).filter(_.nonEmpty) match {
         case Some(claims) =>
           blockFiles.flatMap { case (f, _) =>
             claims.get(fileName(f)) match {
               case Some(fb) =>
-                if (fb.exists(b.contains)) Some((f, Some((x: Int) => fb.contains(x)))) else None
-              case None => Some((f, None))
+                if (fb.exists(b.contains)) Some((f, ExactBins(fb))) else None
+              case None => Some((f, UnknownBins))
             }
           }
         case None if blockFiles.length <= cap =>
           val ranges = binRanges(blockFiles, conf)
           blockFiles.zip(ranges).flatMap {
             case ((f, _), Some((lo, hi))) =>
-              if (b.exists(x => x >= lo && x <= hi))
-                Some((f, Some((x: Int) => x >= lo && x <= hi)))
-              else None
-            case ((f, _), None) => Some((f, None))
+              if (b.exists(x => x >= lo && x <= hi)) Some((f, RangeBins(lo, hi))) else None
+            case ((f, _), None) => Some((f, UnknownBins))
           }
-        case None => blockFiles.map(f => (f._1, None))
+        case None => blockFiles.map(f => (f._1, UnknownBins))
       }
   }
 
@@ -1109,11 +1122,11 @@ private[sources] class GraftMicroBatchStream(
     if (delta.isEmpty) return Array.empty
     val files = GraftMeta.listBlockFiles(path, hadoopConf)
     val bins = delta.toArray.sorted
-    // same pruning ladder as the batch path (manifest claims, then capped
-    // footer ranges); the readers' exact bin check keeps any kept file
-    // correct regardless
+    // same pruning ladder (and session cap) as the batch path — manifest
+    // claims, then capped footer ranges; the readers' exact bin check
+    // keeps any kept file correct regardless
     GraftScan
-      .pruneFiles(path, files, Some(delta), hadoopConf)
+      .pruneFiles(path, files, Some(delta), hadoopConf, GraftScan.sessionFooterPruneCap)
       .map(f => GraftInputPartition(f, Some(bins)))
   }
 

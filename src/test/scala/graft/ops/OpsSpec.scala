@@ -269,6 +269,13 @@ class OpsSpec extends AnyFunSuite {
     assert(sizes.values.max <= 2 * sizes.values.min, s"unbalanced: $sizes")
   }
 
+  test("IVF on an empty corpus returns empty, not a crash") {
+    import spark.implicits._
+    val empty = embeddings.where(lit(false))
+    assert(Ann.trainIvfCentroids(empty, nLists = 4).isEmpty)
+    assert(Ann.ivfTopK(empty, embeddings.where($"vec_id" < 5), k = 3).collect().isEmpty)
+  }
+
   test("LSH top-k recalls most of brute-force top-k") {
     import spark.implicits._
     val queries = embeddings.where($"vec_id" % 100 === 0)
