@@ -172,8 +172,10 @@ object MiniJson {
               case 'u' =>
                 if (i + 4 > s.length) fail("truncated \\u escape")
                 val hex = s.substring(i, i + 4)
-                try sb += Integer.parseInt(hex, 16).toChar
-                catch { case _: NumberFormatException => fail(s"bad \\u escape \\u$hex") }
+                // strict hex-digit check: Integer.parseInt accepts +/- signs
+                if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                  fail(s"bad \\u escape \\u$hex")
+                sb += Integer.parseInt(hex, 16).toChar
                 i += 4
               case other => fail(s"bad escape \\$other")
             }

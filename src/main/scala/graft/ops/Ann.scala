@@ -199,10 +199,13 @@ object Ann {
     val qc = corpus
       .select(col("vec_id").cast("long").as("vec_id"), quantizeUdf(col("embedding")).as("qe"))
       .cache()
+    // finally-block: a failed job mid-training must not leak the cached
+    // quantized corpus in executor storage for the application lifetime
+    try {
 
     // 1. farthest-point seeding with a running max-similarity column
     val seed = qc.orderBy(col("vec_id")).limit(1).collect()
-    if (seed.isEmpty) { qc.unpersist(); return Array.empty } // empty corpus: no lists
+    if (seed.isEmpty) return Array.empty // empty corpus: no lists
     val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])](
       (seed(0).getLong(0), seed(0).getSeq[Long](1).toArray)
     )
@@ -259,8 +262,9 @@ object Ann {
       cents = cents.map { case (cid, old) => (cid, next.getOrElse(cid, old)) }
       bc.unpersist()
     }
-    qc.unpersist()
     cents
+
+    } finally qc.unpersist()
   }
 
   /** Free a `localCheckpoint(true)`'d round's storage now (same rationale

@@ -33,6 +33,17 @@ class MiniJsonSpec extends AnyFunSuite {
     for (bad <- Seq("{", """{"a":1""", """{"a":}""", """{"a":1} x""", """{"a":"unterminated""", "", "[1,]"))
       assert(intercept[ParseException](parse(bad)).getMessage.nonEmpty, bad)
     assert(intercept[ParseException](parseObject("[1]", where = "f")).getMessage.contains("f"))
+    // signed "hex" in \u escapes must be rejected (Integer.parseInt would
+    // accept +/-), as must non-hex. (Strings built by concat: scalac
+    // itself interprets \uXXXX even inside triple quotes.)
+    for (suffix <- Seq("-001", "+123", "ZZ12")) {
+      val bad = "{\"s\":\"\\" + "u" + suffix + "\"}"
+      assert(intercept[ParseException](parse(bad)).getMessage.contains("escape"), bad)
+    }
+    assert(
+      intercept[ParseException](parseObject("""{"bins":[1,2.5]}""", "t").longArrOpt("bins"))
+        .getMessage.contains("bins")
+    )
   }
 
   test("escapes, unicode, numbers round-trip") {
