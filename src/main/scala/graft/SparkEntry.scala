@@ -186,6 +186,9 @@ object SparkEntry {
       // just drop the mapping
       graftDirCache.remove(k).foreach(deleteDir)
     }
+    graftCompactDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftCompactDirCache.remove(k).foreach(deleteDir)
+    }
   }
 
   private def deleteDir(dir: String): Unit = {
@@ -226,6 +229,39 @@ object SparkEntry {
         graft.pipeline.EncodeJob
           .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
         graftDirCache.putIfAbsent(key, out) match {
+          case Some(winner) => deleteDir(out); winner
+          case None         => out
+        }
+    }
+  }
+
+  private val graftCompactDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Like [[graftScanDir]], but the blocks are deliberately scattered
+    * across many small parquet files and then COMPACTED + VACUUMED through
+    * the maintenance layer before any query reads them — q_compact_scan
+    * therefore pins the whole rewrite→atomic-marker-commit→reclaim path
+    * under the hard DuckDB oracle: a compaction that duplicated, dropped,
+    * or re-ordered one row would fail the hash comparison.
+    */
+  private def graftCompactDir(s: SparkSession, dir: String): String = {
+    val key = (System.identityHashCode(s), dir)
+    graftCompactDirCache.get(key) match {
+      case Some(existing) => existing
+      case None =>
+        val ec = encodedCorpus(s, dir)
+        val out = java.nio.file.Files.createTempDirectory("graft-dsv2-compact").toString
+        graft.pipeline.EncodeJob
+          .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
+        ec.blocks.repartition(6).write.mode("overwrite").parquet(s"$out/blocks")
+        graft.pipeline.EncodeJob
+          .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
+        val res = graft.pipeline.Maintenance
+          .compact(s, out, smallFileBytes = Long.MaxValue / 2, targetFileBytes = Long.MaxValue / 2)
+        require(res.exists(_.filesRemoved >= 6), s"compaction did not engage on $out")
+        graft.pipeline.Maintenance.vacuum(s, out, olderThanMs = 0L)
+        graftCompactDirCache.putIfAbsent(key, out) match {
           case Some(winner) => deleteDir(out); winner
           case None         => out
         }
@@ -552,6 +588,30 @@ object SparkEntry {
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("total_toks"))
         .orderBy($"source")
+    }),
+
+    // Maintenance layer under the oracle: the corpus is scattered across
+    // small block files, compacted (atomic marker commit) and vacuumed
+    // (originals physically deleted) BEFORE this point read — values must
+    // still match DuckDB's raw recomputation exactly
+    "q_compact_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftCompactDir(s, dir)
+      val ids = docTable(s, dir)
+        .where($"doc_id" % 991 === 0)
+        .select($"doc_id".cast("string"))
+        .collect()
+        .map(_.getString(0))
+      s.read
+        .format("graft")
+        .load(out)
+        .where($"doc_id".isin(ids.toSeq: _*))
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
     }),
 
     // Training-data ops: quality features per source (production
@@ -977,6 +1037,11 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok)
          |WHERE n_tok = 22
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_compact_scan" ->
+      s"""$CTE
+         |SELECT doc_id, pos, token FROM tok
+         |WHERE doc_id % 991 = 0 ORDER BY doc_id, pos""".stripMargin,
 
     "q_quality" ->
       """WITH w AS (

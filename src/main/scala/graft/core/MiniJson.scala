@@ -81,6 +81,41 @@ object MiniJson {
         }
       case other => throw new ParseException(s"field $name is not an array: $other")
     }
+    def strArrOpt(name: String): Option[Seq[String]] = get(name).map {
+      case JArr(xs) =>
+        xs.map {
+          case JStr(v) => v
+          case other   => throw new ParseException(s"field $name holds a non-string element: $other")
+        }
+      case other => throw new ParseException(s"field $name is not an array: $other")
+    }
+  }
+
+  /** Render a value back to compact JSON (object keys sorted for
+    * deterministic output — the maintenance ops rewrite snapshot files and
+    * tests compare them byte-wise).
+    */
+  def render(j: J): String = j match {
+    case JStr(v)   => renderString(v)
+    case JNum(raw) => raw
+    case JBool(v)  => v.toString
+    case JNull     => "null"
+    case JArr(xs)  => xs.map(render).mkString("[", ",", "]")
+    case JObj(m)   => m.toSeq.sortBy(_._1).map { case (k, v) => s"${renderString(k)}:${render(v)}" }.mkString("{", ",", "}")
+  }
+
+  private def renderString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => sb ++= "\\\""
+      case '\\'          => sb ++= "\\\\"
+      case '\n'          => sb ++= "\\n"
+      case '\r'          => sb ++= "\\r"
+      case '\t'          => sb ++= "\\t"
+      case c if c < ' '  => sb ++= f"\\u${c.toInt}%04x"
+      case c             => sb += c
+    }
+    (sb += '"').toString
   }
 
   private final class Parser(s: String) {

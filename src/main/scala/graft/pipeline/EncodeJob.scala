@@ -137,12 +137,25 @@ object EncodeJob {
     Some(t)
   }
 
+  /** The committed block rows as a DataFrame, compaction-aware: once any
+    * [[Maintenance.compact]] has committed, the live set is an explicit file
+    * list (tombstoned originals excluded, compacted replacements included) —
+    * a plain directory read would double-count rewritten rows until vacuum
+    * and miss them after. Never-compacted dirs keep the plain directory
+    * read (no extra listing round-trips on the common path).
+    */
+  private def liveBlocks(spark: SparkSession, outDir: String): org.apache.spark.sql.DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (Maintenance.hasCompactions(outDir, conf))
+      spark.read.parquet(Maintenance.liveBlockFiles(outDir, conf).map(_._1).toIndexedSeq: _*)
+    else spark.read.parquet(s"$outDir/blocks")
+  }
+
   /** Bins already committed to blocks/ (empty if no output yet). */
   def doneBins(spark: SparkSession, outDir: String): Set[Int] = {
     if (!exists(spark, s"$outDir/blocks")) return Set.empty
     import spark.implicits._
-    spark.read
-      .parquet(s"$outDir/blocks")
+    liveBlocks(spark, outDir)
       .select("bin")
       .distinct()
       .as[Int]
@@ -354,8 +367,7 @@ object EncodeJob {
       snapshotId: Long
   ): Unit = {
     import spark.implicits._
-    val manifest = spark.read
-      .parquet(s"$outDir/blocks")
+    val manifest = liveBlocks(spark, outDir)
       .where(binMembership(col("bin"), bins))
       .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
       .groupBy($"bin")
@@ -384,9 +396,9 @@ object EncodeJob {
     manifest.coalesce(1).write.mode(SaveMode.Append).parquet(s"$outDir/_manifest")
   }
 
-  /** Read the encoded blocks back as a typed Dataset. */
+  /** Read the encoded blocks back as a typed Dataset (compaction-aware). */
   def readBlocks(spark: SparkSession, outDir: String): Dataset[EncodedBlock] = {
     import spark.implicits._
-    spark.read.parquet(s"$outDir/blocks").as[EncodedBlock]
+    liveBlocks(spark, outDir).as[EncodedBlock]
   }
 }

@@ -1,0 +1,434 @@
+package graft.pipeline
+
+import graft.core.MiniJson
+import graft.core.MiniJson.ObjOps
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** Table maintenance for EncodeJob output dirs — the operations a 100 TB
+  * corpus needs after months of incremental commits, mirroring Iceberg's
+  * `rewrite_data_files` / `expire_snapshots` / `remove_orphan_files`
+  * procedures (the reference's single-file output never meets this problem;
+  * its analog is the offsets rebuild on conversion,
+  * /root/reference/src/graphs/convert.rs:784-856, which also rewrites the
+  * physical layout without changing decoded content).
+  *
+  * Why it exists: every incremental [[EncodeJob.run]] and every streaming
+  * commit appends its own parquet files under `blocks/`. At 800k bins a
+  * year of daily deltas is hundreds of thousands of small files — driver
+  * listings, manifest indexes and scan task counts all degrade linearly in
+  * file count, not data size. Compaction rewrites many small block files
+  * into few large ones WITHOUT touching the encoded payload (block rows are
+  * moved verbatim), so decoded output is bit-identical by construction.
+  *
+  * Layout additions under `outDir`:
+  * {{{
+  *   _compacted/c<cid>/c<cid>-<k>.parquet  committed compacted block files
+  *   _compacted/c<cid>.json                commit marker {cid, removed, added}
+  *   _compacted/c<cid>-tmp/                staging (invisible until committed)
+  * }}}
+  *
+  * Commit protocol (single-writer, like Iceberg maintenance): compacted
+  * files are staged OUTSIDE the readable set, then ONE atomic rename of the
+  * marker file flips visibility — the marker simultaneously publishes the
+  * compacted dir and tombstones the input files, so no reader ever sees a
+  * state where rows are duplicated or missing:
+  *
+  *   1. write compacted parquet to `_compacted/c<cid>-tmp/` (invisible:
+  *      readers only union `_compacted/c<n>/` dirs that have a marker)
+  *   2. rename staged part files to globally unique names `c<cid>-<k>.parquet`
+  *      (manifest claims are keyed by file NAME — uniqueness across blocks/
+  *      and all compactions keeps the claims unambiguous)
+  *   3. rename dir `c<cid>-tmp` -> `c<cid>` (still invisible, no marker yet)
+  *   4. write `c<cid>.json` via temp + rename — THE commit point
+  *   5. append manifest rows for the affected bins claiming the new files
+  *      (advisory: a crash before this leaves the new files unclaimed, which
+  *      the scan keeps conservatively — correctness never depends on step 5)
+  *
+  * A crash before step 4 leaves invisible garbage that [[vacuum]] removes;
+  * a crash after step 4 is a committed compaction whose dead input files
+  * [[vacuum]] removes. Tombstoned files stay on disk until vacuum so that
+  * in-flight readers planned against the old listing finish correctly.
+  */
+object Maintenance {
+
+  /** A committed compaction: id, tombstoned file names, published file names. */
+  final case class Compaction(cid: Long, removed: Seq[String], added: Seq[String])
+
+  final case class CompactionResult(
+      cid: Long,
+      filesRemoved: Int,
+      filesAdded: Int,
+      bytesRemoved: Long,
+      bytesAdded: Long,
+      binsRemapped: Int
+  )
+
+  final case class VacuumResult(dataFilesDeleted: Int, dirsDeleted: Int)
+
+  final case class RewriteManifestsResult(filesBefore: Int, filesAfter: Int, bins: Long)
+
+  final case class ExpireResult(snapshotsExpired: Seq[Long], rebasedInto: Option[Long])
+
+  /** Manifest rows written by maintenance carry snapshot ids in this epoch:
+    * far above any real data-snapshot id (snapshots are sequential from 0),
+    * monotone in compaction id — so per-bin latest-row resolution in the
+    * scan's manifest index always prefers the post-compaction claims, and a
+    * re-compacted bin's newest claims win again.
+    */
+  val MaintenanceEpochBase = 1000000000L
+
+  private def fsOf(outDir: String, conf: Configuration): FileSystem =
+    new Path(outDir).getFileSystem(conf)
+
+  private def compactRoot(outDir: String) = new Path(s"$outDir/_compacted")
+
+  /** Committed compactions (marker files that parse), sorted by id.
+    * In-flight markers are impossible (temp + rename), but a truncated file
+    * from a dying filesystem is skipped rather than trusted.
+    */
+  def committedCompactions(outDir: String, conf: Configuration): Seq[Compaction] = {
+    val fs = fsOf(outDir, conf)
+    val root = compactRoot(outDir)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root)
+      .toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches("c\\d+\\.json"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        scala.util.Try {
+          val o = MiniJson.parseObject(txt, where = st.getPath.toString)
+          Compaction(
+            o.long("cid"),
+            o.strArrOpt("removed").getOrElse(throw new IllegalArgumentException("removed absent")),
+            o.strArrOpt("added").getOrElse(throw new IllegalArgumentException("added absent"))
+          )
+        }.toOption
+      }
+      .sortBy(_.cid)
+  }
+
+  /** File names tombstoned by any committed compaction. */
+  def removedFileNames(outDir: String, conf: Configuration): Set[String] =
+    committedCompactions(outDir, conf).flatMap(_.removed).toSet
+
+  /** True iff any compaction has committed — the cheap gate that lets
+    * never-compacted dirs keep the plain `blocks/` directory read path.
+    */
+  def hasCompactions(outDir: String, conf: Configuration): Boolean =
+    committedCompactions(outDir, conf).nonEmpty
+
+  /** THE live-file resolver: every block read over an EncodeJob dir must go
+    * through this (or a listing that equals it). Live =
+    * (top-level `blocks/★.parquet` ∪ committed `_compacted/c<n>/★.parquet`)
+    * minus tombstoned names. Uncommitted staging dirs are invisible by
+    * construction; a compacted file tombstoned by a LATER compaction is
+    * excluded the same way first-generation files are.
+    */
+  def liveBlockFiles(outDir: String, conf: Configuration): Array[(String, Long)] = {
+    val fs = fsOf(outDir, conf)
+    val blocksDir = new Path(s"$outDir/blocks")
+    require(fs.exists(blocksDir), s"no blocks/ under $outDir — not an EncodeJob output dir")
+    val comps = committedCompactions(outDir, conf)
+    val removed = comps.flatMap(_.removed).toSet
+    def parquetFiles(dir: Path): Array[FileStatus] =
+      if (fs.exists(dir))
+        fs.listStatus(dir).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      else Array.empty
+    val base = parquetFiles(blocksDir)
+    val compacted = comps.toArray.flatMap(c => parquetFiles(new Path(compactRoot(outDir), s"c${c.cid}")))
+    (base ++ compacted)
+      .filter(st => !removed.contains(st.getPath.getName))
+      .map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1)
+  }
+
+  private def nextCompactionId(outDir: String, conf: Configuration): Long = {
+    val fs = fsOf(outDir, conf)
+    val root = compactRoot(outDir)
+    if (!fs.exists(root)) return 0L
+    val ids = fs.listStatus(root).flatMap { st =>
+      val n = st.getPath.getName
+      val core =
+        if (st.isFile && n.matches("c\\d+\\.json")) Some(n.stripPrefix("c").stripSuffix(".json"))
+        else if (st.isDirectory && n.matches("c\\d+(-tmp)?")) Some(n.stripPrefix("c").stripSuffix("-tmp"))
+        else None
+      core.map(_.toLong)
+    }
+    if (ids.isEmpty) 0L else ids.max + 1
+  }
+
+  private def writeAtomic(fs: FileSystem, dest: Path, content: String): Unit = {
+    val tmp = new Path(dest.getParent, s".tmp-${dest.getName}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+  }
+
+  /** Rewrite small block files into ~`targetFileBytes` ones. Selects live
+    * files under `smallFileBytes`, rewrites their rows (payload untouched —
+    * this is a parquet-layout operation, block bytes move verbatim), and
+    * commits via the marker protocol above. Rows are locally re-sorted on
+    * (bin, block_seq) so parquet row-group `bin` stats stay tight in the
+    * merged files. Returns None when fewer than `minInputFiles` qualify.
+    *
+    * Single maintainer at a time (Iceberg's assumption too): two concurrent
+    * compactions could tombstone the same input twice — harmless for reads
+    * (the union of markers is still consistent) but the second's output
+    * would duplicate rows. Run from one scheduled job.
+    */
+  def compact(
+      spark: SparkSession,
+      outDir: String,
+      smallFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20,
+      minInputFiles: Int = 2
+  ): Option[CompactionResult] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
+    val victims = liveBlockFiles(outDir, conf).filter(_._2 < smallFileBytes)
+    if (victims.length < minInputFiles) return None
+
+    val cid = nextCompactionId(outDir, conf)
+    val victimBytes = victims.map(_._2).sum
+    val nOut = math.max(1, math.ceil(victimBytes.toDouble / targetFileBytes).toInt)
+
+    // 1. stage: coalesce (no shuffle — file merge, not redistribution) and
+    // re-cluster rows locally so bin row-group stats survive the merge
+    val tmpDir = new Path(compactRoot(outDir), s"c$cid-tmp")
+    spark.read
+      .parquet(victims.map(_._1).toIndexedSeq: _*)
+      .coalesce(nOut)
+      .sortWithinPartitions(col("bin"), col("block_seq"))
+      .write
+      .mode("overwrite")
+      .parquet(tmpDir.toString)
+
+    // 2. unique, stable names for the manifest's file-name-keyed claims
+    val staged = fs
+      .listStatus(tmpDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+      .sortBy(_.getName)
+    val added = staged.zipWithIndex.map { case (p, k) =>
+      val dest = new Path(tmpDir, s"c$cid-$k.parquet")
+      require(fs.rename(p, dest), s"rename $p -> $dest failed")
+      dest.getName
+    }
+
+    // 3. publish the dir (still invisible: no marker yet)
+    val finalDir = new Path(compactRoot(outDir), s"c$cid")
+    require(fs.rename(tmpDir, finalDir), s"rename $tmpDir -> $finalDir failed")
+    val addedBytes = added.map(n => fs.getFileStatus(new Path(finalDir, n)).getLen).sum
+
+    // 4. THE commit point: one atomic marker rename flips tombstones + adds
+    val marker = MiniJson.render(
+      MiniJson.JObj(Map(
+        "cid" -> MiniJson.JNum(cid.toString),
+        "removed" -> MiniJson.JArr(victims.toVector.map(v => MiniJson.JStr(new Path(v._1).getName))),
+        "added" -> MiniJson.JArr(added.toVector.map(MiniJson.JStr)),
+        "bytes_removed" -> MiniJson.JNum(victimBytes.toString),
+        "bytes_added" -> MiniJson.JNum(addedBytes.toString)
+      ))
+    )
+    writeAtomic(fs, new Path(compactRoot(outDir), s"c$cid.json"), marker)
+
+    // 5. advisory re-manifest: fresh claims for every bin the rewrite moved,
+    // derived from the LIVE set (a bin spread across victim and surviving
+    // files gets both its new and its untouched files claimed)
+    import spark.implicits._
+    val affected = spark.read
+      .parquet(finalDir.toString)
+      .select("bin")
+      .distinct()
+      .as[Int]
+      .collect()
+      .toSet
+    EncodeJob.appendManifest(spark, outDir, affected, MaintenanceEpochBase + cid)
+
+    Some(CompactionResult(cid, victims.length, added.length, victimBytes, addedBytes, affected.size))
+  }
+
+  /** Physically delete what committed compactions tombstoned, plus crash
+    * leftovers: staging dirs (`c<n>-tmp`), markerless compaction dirs, and
+    * stale parquet `_temporary` job dirs under blocks/. `olderThanMs` is the
+    * in-flight-reader grace window — only markers/dirs at least that old are
+    * acted on (a reader planned against a pre-compaction listing must finish
+    * before its input files disappear; Iceberg's
+    * `remove_orphan_files(older_than)` makes the same trade).
+    */
+  def vacuum(spark: SparkSession, outDir: String, olderThanMs: Long = 0L): VacuumResult = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
+    val root = compactRoot(outDir)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var filesDeleted = 0
+    var dirsDeleted = 0
+
+    // tombstoned data files from old-enough markers
+    val oldRemoved: Set[String] =
+      if (!fs.exists(root)) Set.empty
+      else
+        fs.listStatus(root)
+          .filter(st => st.isFile && st.getPath.getName.matches("c\\d+\\.json") && st.getModificationTime <= cutoff)
+          .flatMap { st =>
+            val in = fs.open(st.getPath)
+            val txt =
+              try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+              finally in.close()
+            scala.util.Try(
+              MiniJson.parseObject(txt, where = st.getPath.toString).strArrOpt("removed").getOrElse(Seq.empty)
+            ).getOrElse(Seq.empty)
+          }
+          .toSet
+    if (oldRemoved.nonEmpty) {
+      val blocksDir = new Path(s"$outDir/blocks")
+      val candidateDirs =
+        (if (fs.exists(blocksDir)) Seq(blocksDir) else Seq.empty) ++
+          (if (fs.exists(root))
+             fs.listStatus(root).filter(st => st.isDirectory && st.getPath.getName.matches("c\\d+")).map(_.getPath).toSeq
+           else Seq.empty)
+      candidateDirs.foreach { d =>
+        fs.listStatus(d).foreach { st =>
+          if (st.isFile && oldRemoved.contains(st.getPath.getName)) {
+            if (fs.delete(st.getPath, false)) filesDeleted += 1
+          }
+        }
+      }
+    }
+
+    // crash leftovers: staging dirs and committed-dir-without-marker
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && st.getModificationTime <= cutoff) {
+          val orphan =
+            n.matches("c\\d+-tmp") ||
+              (n.matches("c\\d+") && !fs.exists(new Path(root, s"$n.json")))
+          if (orphan && fs.delete(st.getPath, true)) dirsDeleted += 1
+        }
+      }
+    }
+
+    // a parquet job that died mid-write leaves blocks/_temporary
+    val tmp = new Path(s"$outDir/blocks/_temporary")
+    if (fs.exists(tmp) && fs.getFileStatus(tmp).getModificationTime <= cutoff)
+      if (fs.delete(tmp, true)) dirsDeleted += 1
+
+    VacuumResult(filesDeleted, dirsDeleted)
+  }
+
+  /** Consolidate the append-only `_manifest` into ONE parquet file holding
+    * the current per-bin winners (highest snapshot_id — the same resolution
+    * rule the scan's index applies). Every commit appends a manifest file,
+    * so a year of daily deltas plus compactions is hundreds of driver-side
+    * parquet opens per index build; after consolidation it is one.
+    *
+    * Reader-safe without coordination: the consolidated file REPEATS the
+    * winning rows verbatim (same snapshot_ids), so a reader that lists old
+    * files, new file, or both resolves identical winners. Order: write the
+    * consolidated file in (atomic single-file rename), then delete the
+    * files listed BEFORE the write — a crash mid-delete leaves duplicate
+    * rows, which the resolution rule makes harmless, and the next rewrite
+    * retires them. Returns a no-op result when the manifest already is a
+    * single file.
+    */
+  def rewriteManifests(spark: SparkSession, outDir: String): RewriteManifestsResult = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
+    val dir = new Path(s"$outDir/_manifest")
+    if (!fs.exists(dir)) return RewriteManifestsResult(0, 0, 0L)
+    val before = fs
+      .listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    if (before.length <= 1) return RewriteManifestsResult(before.length, before.length, -1L)
+
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bin")
+      .orderBy($"snapshot_id".desc)
+    val winners = spark.read
+      .parquet(before.map(_.toString).toIndexedSeq: _*)
+      .withColumn("__rk", row_number().over(w))
+      .where($"__rk" === 1)
+      .drop("__rk")
+    val staging = new Path(s"$outDir/.manifest-rewrite-tmp")
+    winners.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = fs
+      .listStatus(staging)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    require(part.length == 1, s"expected one staged manifest part, got ${part.length}")
+    // unique name: never collides with spark part files or prior rewrites
+    val dest = new Path(dir, s"consolidated-${System.nanoTime()}.parquet")
+    require(fs.rename(part.head, dest), s"rename ${part.head} -> $dest failed")
+    fs.delete(staging, true): Unit
+    before.foreach(p => fs.delete(p, false): Unit)
+    val bins = spark.read.parquet(dest.toString).count()
+    RewriteManifestsResult(before.length, 1, bins)
+  }
+
+  /** Expire all but the newest `keepLast` snapshots. The oldest RETAINED
+    * snapshot is rebased: the expired prefix's `bins_added` fold into it
+    * (compaction of the lineage, not the data — block files are untouched),
+    * so reads as of any retained snapshot are unchanged and a fresh stream
+    * still replays the full corpus. Time travel to an expired id fails
+    * loudly (the id no longer exists). A RUNNING stream whose checkpoint
+    * offset predates the rebase point will re-read the rebased snapshot's
+    * merged bins on restart — at-least-once across an expiry, the same
+    * contract Iceberg/Kafka give when history is truncated under a consumer.
+    *
+    * The base-snapshot swap is delete + rename (HDFS rename cannot
+    * overwrite); [[EncodeJob.loadSnapshots]] tolerates the transient gap by
+    * skipping unreadable/in-flight files. Run from the single maintenance
+    * writer, not concurrently with encodes.
+    */
+  def expireSnapshots(spark: SparkSession, outDir: String, keepLast: Int): ExpireResult = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
+    val snaps = EncodeJob.loadSnapshots(outDir, conf)
+    if (snaps.size <= keepLast) return ExpireResult(Seq.empty, None)
+
+    val cut = snaps.size - keepLast
+    val expired = snaps.take(cut)
+    val (baseId, baseBins) = snaps(cut)
+    val mergedBins = (expired.flatMap(_._2) ++ baseBins).distinct.sorted
+
+    val basePath = new Path(s"$outDir/_snapshots/snap-$baseId.json")
+    val in = fs.open(basePath)
+    val txt =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    val orig = MiniJson.parseObject(txt, where = basePath.toString)
+    val rebased = MiniJson.JObj(
+      orig.v ++ Map(
+        "bins_added" -> MiniJson.JArr(mergedBins.toVector.map(b => MiniJson.JNum(b.toString))),
+        "parent_id" -> MiniJson.JNum("-1"),
+        "rebased_from" -> MiniJson.JNum(expired.map(_._1).min.toString)
+      )
+    )
+    // the tmp name must NOT start with "snap-": the lineage loaders parse
+    // every snap-* name's numeric id
+    val tmp = new Path(s"$outDir/_snapshots/.tmp-rebase-$baseId.json")
+    val out = fs.create(tmp, true)
+    try out.write(MiniJson.render(rebased).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.delete(basePath, false), s"delete $basePath failed")
+    require(fs.rename(tmp, basePath), s"rename $tmp -> $basePath failed")
+
+    expired.foreach { case (id, _) =>
+      fs.delete(new Path(s"$outDir/_snapshots/snap-$id.json"), false): Unit
+    }
+    ExpireResult(expired.map(_._1), Some(baseId))
+  }
+}

@@ -191,16 +191,12 @@ private[sources] object GraftMeta {
     )
   }
 
-  /** Block parquet files under an encode outDir, with sizes. */
-  def listBlockFiles(outDir: String, conf: Configuration): Array[(String, Long)] = {
-    val fs = new Path(outDir).getFileSystem(conf)
-    val dir = new Path(s"$outDir/blocks")
-    require(fs.exists(dir), s"no blocks/ under $outDir — not an EncodeJob output dir")
-    fs.listStatus(dir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => (st.getPath.toString, st.getLen))
-      .sortBy(_._1)
-  }
+  /** Block parquet files under an encode outDir, with sizes. Delegates to
+    * the maintenance layer's live-file resolver so scans over a compacted
+    * dir read the rewritten files (and never the tombstoned originals).
+    */
+  def listBlockFiles(outDir: String, conf: Configuration): Array[(String, Long)] =
+    graft.pipeline.Maintenance.liveBlockFiles(outDir, conf)
 
   /** EncodeJob's snapshot lineage: (snapshot_id, bins committed by it).
     * Delegates to the writer's own loader (one parser, one tolerance rule:
@@ -544,6 +540,12 @@ private[sources] object GraftScan {
     * lost to a crash before manifest self-repair) simply claim nothing —
     * [[pruneFiles]] keeps unclaimed files, so the index can only skip files
     * the manifest explicitly accounts for.
+    *
+    * Resolution is LATEST-ROW-PER-BIN (highest snapshot_id): bins are
+    * write-once for data snapshots, but [[graft.pipeline.Maintenance]]
+    * re-manifests a bin after compaction with fresh claims in the
+    * maintenance epoch — the newest row supersedes the stale claims on
+    * tombstoned files and keeps `numRows` exact (not double-counted).
     */
   final case class ManifestIndex(numRows: Long, fileBins: Map[String, Array[Int]])
 
@@ -567,10 +569,10 @@ private[sources] object GraftScan {
     if (manifestIndexCache.size > ManifestCacheCap) manifestIndexCache.clear()
     manifestIndexCache.getOrElseUpdate(
       key, {
-        var total = 0L
         var seen = false
-        val claims =
-          scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+        // per-bin winner: (snapshot_id, n_rows, claimed file names)
+        val perBin =
+          scala.collection.mutable.HashMap[Int, (Long, Long, Array[String])]()
         files.foreach { st =>
           val r = ParquetReader
             .builder(new GroupReadSupport(), st.getPath)
@@ -579,20 +581,34 @@ private[sources] object GraftScan {
           try {
             var g = r.read()
             while (g != null) {
-              total += g.getLong("n_rows", 0)
               seen = true
-              if (g.getType.containsField("files") && g.getFieldRepetitionCount("files") > 0) {
-                val bin = g.getInteger("bin", 0)
-                g.getString("files", 0).split(',').foreach { f =>
-                  if (f.nonEmpty)
-                    claims.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer[Int]()) += bin
-                }
+              val bin = g.getInteger("bin", 0)
+              val snap = g.getLong("snapshot_id", 0)
+              val nRows = g.getLong("n_rows", 0)
+              val claimed: Array[String] =
+                if (g.getType.containsField("files") && g.getFieldRepetitionCount("files") > 0)
+                  g.getString("files", 0).split(',').filter(_.nonEmpty)
+                else Array.empty
+              perBin.get(bin) match {
+                case Some((s, _, _)) if s >= snap => ()
+                case _                            => perBin(bin) = (snap, nRows, claimed)
               }
               g = r.read()
             }
           } finally r.close()
         }
-        if (seen) Some(ManifestIndex(total, claims.view.mapValues(_.toArray).toMap)) else None
+        if (!seen) None
+        else {
+          val total = perBin.valuesIterator.map(_._2).sum
+          val claims =
+            scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+          perBin.foreach { case (bin, (_, _, fsNames)) =>
+            fsNames.foreach { f =>
+              claims.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer[Int]()) += bin
+            }
+          }
+          Some(ManifestIndex(total, claims.view.mapValues(_.toArray).toMap))
+        }
       }
     )
   }

@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.pipeline.Maintenance
+import org.apache.spark.sql.SparkSession
+
+/** Operational table maintenance over an EncodeJob outDir — the
+  * spark-submit-able face of [[graft.pipeline.Maintenance]] (Iceberg's
+  * `rewrite_data_files` / `remove_orphan_files` / `expire_snapshots`
+  * procedures for this engine's layout).
+  *
+  * Usage:
+  *   runMain graft.tools.MaintainCli compact   <outDir> [smallFileMB] [targetFileMB]
+  *   runMain graft.tools.MaintainCli vacuum    <outDir> [graceMinutes]
+  *   runMain graft.tools.MaintainCli expire    <outDir> <keepLast>
+  *   runMain graft.tools.MaintainCli manifests <outDir>
+  *
+  * `compact` defaults: rewrite files under 32 MB into ~128 MB ones.
+  * `vacuum` defaults to a zero grace window (pass minutes in production so
+  * in-flight readers planned against the old listing can finish).
+  * Exit 0 with a one-line summary; "compact: nothing to do" is success.
+  */
+object MaintainCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: MaintainCli compact|vacuum|expire <outDir> [args]")
+    val cmd = args(0)
+    val outDir = args(1)
+    val spark = SparkSession
+      .builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-maintain")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      cmd match {
+        case "compact" =>
+          val small = (if (args.length > 2) args(2).toLong else 32L) << 20
+          val target = (if (args.length > 3) args(3).toLong else 128L) << 20
+          Maintenance.compact(spark, outDir, small, target) match {
+            case Some(r) =>
+              println(
+                s"compact: cid=${r.cid} files_removed=${r.filesRemoved} files_added=${r.filesAdded} " +
+                  s"bytes_removed=${r.bytesRemoved} bytes_added=${r.bytesAdded} bins_remapped=${r.binsRemapped}"
+              )
+            case None => println("compact: nothing to do")
+          }
+        case "vacuum" =>
+          val grace = (if (args.length > 2) args(2).toLong else 0L) * 60L * 1000L
+          val r = Maintenance.vacuum(spark, outDir, grace)
+          println(s"vacuum: data_files_deleted=${r.dataFilesDeleted} dirs_deleted=${r.dirsDeleted}")
+        case "manifests" =>
+          val r = Maintenance.rewriteManifests(spark, outDir)
+          println(
+            s"manifests: files_before=${r.filesBefore} files_after=${r.filesAfter} bins=${r.bins}"
+          )
+        case "expire" =>
+          require(args.length > 2, "expire needs <keepLast>")
+          val r = Maintenance.expireSnapshots(spark, outDir, args(2).toInt)
+          println(
+            s"expire: snapshots_expired=[${r.snapshotsExpired.mkString(",")}] " +
+              s"rebased_into=${r.rebasedInto.map(_.toString).getOrElse("none")}"
+          )
+        case other => throw new IllegalArgumentException(s"unknown command $other")
+      }
+    } finally spark.stop()
+  }
+}
