@@ -189,6 +189,9 @@ object SparkEntry {
     graftCompactDirCache.keys.filter(_._1 == id).foreach { k =>
       graftCompactDirCache.remove(k).foreach(deleteDir)
     }
+    graftAppendDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftAppendDirCache.remove(k).foreach(deleteDir)
+    }
   }
 
   private def deleteDir(dir: String): Unit = {
@@ -262,6 +265,52 @@ object SparkEntry {
         require(res.exists(_.filesRemoved >= 6), s"compaction did not engage on $out")
         graft.pipeline.Maintenance.vacuum(s, out, olderThanMs = 0L)
         graftCompactDirCache.putIfAbsent(key, out) match {
+          case Some(winner) => deleteDir(out); winner
+          case None         => out
+        }
+    }
+  }
+
+  private val graftAppendDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Like [[graftScanDir]], but AFTER the dir is laid down, a derived slice
+    * of the corpus (every doc with id % 7 == 3, re-keyed to id + 10^12) is
+    * appended through the DSv2 WRITE path — `df.write.format("graft")
+    * .mode("append")`. q_graft_append then point-reads both original and
+    * appended docs from the result, so the writer's whole chain (per-task
+    * bin routing, the shared block kernel, hand-rolled block parquet,
+    * snapshot commit with file lineage, manifest heal) sits under the hard
+    * DuckDB oracle: one mis-encoded or dropped appended row fails the hash.
+    */
+  private def graftAppendDir(s: SparkSession, dir: String): String = {
+    val key = (System.identityHashCode(s), dir)
+    graftAppendDirCache.get(key) match {
+      case Some(existing) => existing
+      case None =>
+        import s.implicits._
+        val ec = encodedCorpus(s, dir)
+        val out = java.nio.file.Files.createTempDirectory("graft-dsv2-append").toString
+        graft.pipeline.EncodeJob
+          .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
+        ec.blocks.write.mode("overwrite").parquet(s"$out/blocks")
+        // the snapshot lineage EncodeJob.run would have recorded (the append
+        // builder requires a fully-encoded dir: every bin committed)
+        val snapDir = java.nio.file.Paths.get(out, "_snapshots")
+        java.nio.file.Files.createDirectories(snapDir)
+        java.nio.file.Files.write(
+          snapDir.resolve("snap-0.json"),
+          s"""{"snapshot_id":0,"parent_id":-1,"bins_added":[${(0 until pipelineCfg.numBins).mkString(",")}]}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        )
+        graft.pipeline.EncodeJob
+          .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
+        // THE append under test
+        ec.rows
+          .where($"doc_id".cast("long") % 7 === 3)
+          .withColumn("doc_id", ($"doc_id".cast("long") + 1000000000000L).cast("string"))
+          .write.format("graft").mode("append").save(out)
+        graftAppendDirCache.putIfAbsent(key, out) match {
           case Some(winner) => deleteDir(out); winner
           case None         => out
         }
@@ -602,6 +651,32 @@ object SparkEntry {
         .select($"doc_id".cast("string"))
         .collect()
         .map(_.getString(0))
+      s.read
+        .format("graft")
+        .load(out)
+        .where($"doc_id".isin(ids.toSeq: _*))
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // DSv2 WRITE path under the oracle: a derived corpus slice is appended
+    // through df.write.format("graft").mode("append") (see graftAppendDir),
+    // then original AND appended docs are point-read back — the appended
+    // blocks must decode to DuckDB's recomputation of the same derivation
+    "q_graft_append" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftAppendDir(s, dir)
+      val baseIds = docTable(s, dir)
+        .where($"doc_id" % 997 === 0)
+        .select($"doc_id".cast("string"))
+      val appendedIds = docTable(s, dir)
+        .where($"doc_id" % 7 === 3 && $"doc_id" % 997 === 3)
+        .select(($"doc_id" + 1000000000000L).cast("string"))
+      val ids = baseIds.union(appendedIds).collect().map(_.getString(0))
       s.read
         .format("graft")
         .load(out)
@@ -1042,6 +1117,16 @@ object SparkEntry {
       s"""$CTE
          |SELECT doc_id, pos, token FROM tok
          |WHERE doc_id % 991 = 0 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_graft_append" ->
+      s"""$CTE
+         |, uni AS (
+         |  SELECT doc_id, pos, token FROM tok WHERE doc_id % 997 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000000 AS doc_id, pos, token FROM tok
+         |  WHERE doc_id % 7 = 3 AND doc_id % 997 = 3
+         |)
+         |SELECT doc_id, pos, token FROM uni ORDER BY doc_id, pos""".stripMargin,
 
     "q_quality" ->
       """WITH w AS (

@@ -163,7 +163,7 @@ object EncodeJob {
       .toSet
   }
 
-  private def nextSnapshotId(spark: SparkSession, outDir: String): (Long, Long) = {
+  private[graft] def nextSnapshotId(spark: SparkSession, outDir: String): (Long, Long) = {
     val dir = s"$outDir/_snapshots"
     val f = fs(spark, outDir)
     if (!f.exists(new Path(dir))) return (0L, -1L)
@@ -174,14 +174,28 @@ object EncodeJob {
     if (ids.isEmpty) (0L, -1L) else (ids.max + 1, ids.max)
   }
 
-  /** Snapshot lineage under `outDir`: (snapshot_id, bins committed by it),
-    * sorted by id. Tolerant of in-flight files — the snapshot write is not
-    * atomic, so a file that does not yet parse to both `snapshot_id` and
-    * `bins_added` is skipped (the next listing sees it complete). Blocks
-    * commit before the snapshot, so a completed file's bins are always
-    * readable.
+  /** One committed snapshot's lineage entry. EncodeJob snapshots carry only
+    * `binsAdded` (bins are write-once for the batch encoder, so the bin set
+    * IS the delta); DSv2 append snapshots ([[graft.sources]] write path) add
+    * rows to EXISTING bins and therefore carry their exact `filesAdded`
+    * (file names, the same key the manifest claims use) plus the writer
+    * identity used for streaming-epoch idempotence.
     */
-  def loadSnapshots(outDir: String, conf: Configuration): Seq[(Long, Seq[Int])] = {
+  final case class SnapshotRecord(
+      id: Long,
+      binsAdded: Seq[Int],
+      filesAdded: Seq[String],
+      writerId: Option[String],
+      writerEpoch: Option[Long]
+  )
+
+  /** Snapshot lineage under `outDir`, sorted by id. Tolerant of in-flight
+    * files — the snapshot write is not atomic, so a file that does not yet
+    * parse to both `snapshot_id` and `bins_added` is skipped (the next
+    * listing sees it complete). Blocks commit before the snapshot, so a
+    * completed file's bins/files are always readable.
+    */
+  def loadSnapshotRecords(outDir: String, conf: Configuration): Seq[SnapshotRecord] = {
     val f = new Path(outDir).getFileSystem(conf)
     val dir = new Path(s"$outDir/_snapshots")
     if (!f.exists(dir)) return Seq.empty
@@ -196,14 +210,23 @@ object EncodeJob {
           finally in.close()
         scala.util.Try {
           val o = MiniJson.parseObject(txt, where = p.toString)
-          (o.long("snapshot_id"),
+          SnapshotRecord(
+            o.long("snapshot_id"),
             o.longArrOpt("bins_added")
               .getOrElse(throw new IllegalArgumentException("bins_added absent"))
-              .map(_.toInt))
+              .map(_.toInt),
+            o.strArrOpt("files_added").getOrElse(Seq.empty),
+            o.strOpt("writer_id"),
+            o.longOpt("writer_epoch")
+          )
         }.toOption
       }
-      .sortBy(_._1)
+      .sortBy(_.id)
   }
+
+  /** The (snapshot_id, bins committed) view of [[loadSnapshotRecords]]. */
+  def loadSnapshots(outDir: String, conf: Configuration): Seq[(Long, Seq[Int])] =
+    loadSnapshotRecords(outDir, conf).map(r => (r.id, r.binsAdded))
 
   /** Run (or resume) the full encode into `outDir`.
     *

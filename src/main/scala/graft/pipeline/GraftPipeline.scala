@@ -493,10 +493,12 @@ object GraftPipeline {
   }
 
   /** Greedy block builder over bin-contiguous sorted rows — the shared
-    * kernel of the packed-shuffle path ([[encode]]) and the staged
-    * no-shuffle path ([[encodeStaged]]).
+    * kernel of the packed-shuffle path ([[encode]]), the staged no-shuffle
+    * path ([[encodeStaged]]), and the DSv2 append writer (which feeds it one
+    * fully-buffered bin at a time, so the bin-contiguity precondition holds
+    * trivially).
     */
-  private def blockIterator(
+  private[graft] def blockIterator(
       rows: Iterator[(String, Array[Int], Int, String, Int)],
       symbolTables: SymbolTables,
       cfg: Config

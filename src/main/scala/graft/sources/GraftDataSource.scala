@@ -204,19 +204,43 @@ private[sources] object GraftMeta {
     */
   def loadSnapshots(outDir: String, conf: Configuration): Seq[(Long, Seq[Int])] =
     graft.pipeline.EncodeJob.loadSnapshots(outDir, conf)
+
+  /** Full snapshot records, including DSv2-append `files_added` lineage. */
+  def loadSnapshotRecords(
+      outDir: String,
+      conf: Configuration
+  ): Seq[graft.pipeline.EncodeJob.SnapshotRecord] =
+    graft.pipeline.EncodeJob.loadSnapshotRecords(outDir, conf)
 }
 
-private[sources] class GraftTable(path: String) extends Table with SupportsRead {
+private[sources] class GraftTable(path: String)
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = GraftDataSource.Schema
+  // ACCEPT_ANY_SCHEMA: Spark's byName append check would reject the common
+  // nullable-column DataFrame against this non-null schema; the write
+  // builder validates names/types itself and the writers enforce non-null
+  // per row with a named error
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA
+    )
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(
       path,
       Option(options.get("snapshot")).map(_.toLong),
       Option(options.get("maxSnapshotsPerBatch")).map(_.toInt)
     )
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo
+  ): org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(path, info)
 }
 
 private[sources] class GraftScanBuilder(
@@ -390,6 +414,37 @@ private[sources] class GraftScan(
   private lazy val blockFiles: Array[(String, Long)] =
     GraftMeta.listBlockFiles(path, hadoopConf)
 
+  /** As-of file exclusion for DSv2 appends: bins are write-once for
+    * EncodeJob snapshots (bin visibility covers them) but appends add files
+    * to EXISTING bins, so a time-travel read must drop the files committed
+    * AFTER the requested snapshot. Exclusion is only sound while those
+    * later files are still live — once maintenance compacts an appended
+    * file, its rows are mixed into rewritten files that cannot be excluded
+    * at file granularity, so the read fails loudly instead of silently
+    * including future rows (Iceberg's stance: maintenance coarsens
+    * reachable history).
+    */
+  private lazy val excludedAppendFiles: Set[String] = snapshot match {
+    case None => Set.empty
+    case Some(s) =>
+      val later = GraftMeta
+        .loadSnapshotRecords(path, hadoopConf)
+        .filter(_.id > s)
+        .flatMap(_.filesAdded)
+        .toSet
+      if (later.nonEmpty) {
+        val live = blockFiles.map(f => GraftScan.nameOf(f._1)).toSet
+        val folded = later -- live
+        require(
+          folded.isEmpty,
+          s"snapshot $s cannot be reconstructed: files appended after it " +
+            s"(${folded.toSeq.sorted.take(4).mkString(", ")}${if (folded.size > 4) ", …" else ""}) " +
+            "were compacted or vacuumed — maintenance coarsened the reachable history"
+        )
+      }
+      later
+  }
+
   override def readSchema(): StructType = agg match {
     case Some(kinds) =>
       StructType(kinds.zipWithIndex.map { case (k, i) =>
@@ -442,7 +497,9 @@ private[sources] class GraftScan(
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val planned =
-      GraftScan.planFiles(path, blockFiles, wantedBins, hadoopConf, GraftScan.sessionFooterPruneCap)
+      GraftScan
+        .planFiles(path, blockFiles, wantedBins, hadoopConf, GraftScan.sessionFooterPruneCap)
+        .filter { case (f, _) => !excludedAppendFiles.contains(GraftScan.nameOf(f)) }
     val idsByBin = docState._2
     val smallBins: Option[Array[Int]] = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted)
     // files with UNKNOWN bin membership would each have to carry the whole
@@ -668,7 +725,7 @@ private[sources] object GraftScan {
       manifestIndex(path, conf).map(_.fileBins).filter(_.nonEmpty) match {
         case Some(claims) =>
           blockFiles.flatMap { case (f, _) =>
-            claims.get(fileName(f)) match {
+            claims.get(nameOf(f)) match {
               case Some(fb) =>
                 if (fb.exists(b.contains)) Some((f, ExactBins(fb))) else None
               case None => Some((f, UnknownBins))
@@ -685,7 +742,7 @@ private[sources] object GraftScan {
       }
   }
 
-  private def fileName(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+  private[sources] def nameOf(f: String): String = f.substring(f.lastIndexOf('/') + 1)
 
   /** Min/max of the `bin` column per file, from parquet row-group stats.
     * Uncached footers are read on a bounded thread pool — footer opens are
@@ -1130,20 +1187,49 @@ private[sources] class GraftMicroBatchStream(
     val s = start.asInstanceOf[GraftOffset].snapshot
     val e = end.asInstanceOf[GraftOffset].snapshot
     if (e <= s) return Array.empty
-    val delta = GraftMeta
-      .loadSnapshots(path, hadoopConf)
-      .filter(x => x._1 > s && x._1 <= e)
-      .flatMap(_._2)
-      .toSet
-    if (delta.isEmpty) return Array.empty
+    val recs = GraftMeta.loadSnapshotRecords(path, hadoopConf)
+    val inRange = recs.filter(x => x.id > s && x.id <= e)
+    // two delta granularities: EncodeJob snapshots commit whole write-once
+    // BINS; DSv2 append snapshots add FILES to existing bins. A bin-delta
+    // batch must therefore exclude every file carried by file-level lineage
+    // (any snapshot's files_added) — those rows belong to exactly the batch
+    // that spans their own append snapshot, never to a bin replay.
+    val deltaBins = inRange.flatMap(_.binsAdded).toSet
+    val deltaFiles = inRange.flatMap(_.filesAdded).toSet
+    val allAppendFiles = recs.flatMap(_.filesAdded).toSet
+    if (deltaBins.isEmpty && deltaFiles.isEmpty) return Array.empty
     val files = GraftMeta.listBlockFiles(path, hadoopConf)
-    val bins = delta.toArray.sorted
+    val liveNames = files.map(f => GraftScan.nameOf(f._1)).toSet
+    // an appended file compacted away before this batch read it cannot be
+    // reconstructed at file granularity — fail loudly rather than silently
+    // dropping (or double-reading via the rewritten files) its rows; same
+    // stance as the batch as-of read (maintenance coarsens history)
+    val gone = deltaFiles -- liveNames
+    require(
+      gone.isEmpty,
+      s"stream batch ($s, $e] cannot be planned: appended files " +
+        s"(${gone.toSeq.sorted.take(4).mkString(", ")}${if (gone.size > 4) ", …" else ""}) " +
+        "were compacted or vacuumed before the stream read them — expire the checkpoint " +
+        "or disable compaction while streams are catching up"
+    )
+    val fileParts: Array[InputPartition] = files.collect {
+      case (f, _) if deltaFiles.contains(GraftScan.nameOf(f)) => GraftInputPartition(f)
+    }
+    if (deltaBins.isEmpty) return fileParts
+    val bins = deltaBins.toArray.sorted
     // same pruning ladder (and session cap) as the batch path — manifest
     // claims, then capped footer ranges; the readers' exact bin check
     // keeps any kept file correct regardless
-    GraftScan
-      .pruneFiles(path, files, Some(delta), hadoopConf, GraftScan.sessionFooterPruneCap)
+    val binParts: Array[InputPartition] = GraftScan
+      .pruneFiles(
+        path,
+        files.filterNot(f => allAppendFiles.contains(GraftScan.nameOf(f._1))),
+        Some(deltaBins),
+        hadoopConf,
+        GraftScan.sessionFooterPruneCap
+      )
       .map(f => GraftInputPartition(f, Some(bins)))
+    binParts ++ fileParts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory()

@@ -1,0 +1,560 @@
+package graft.sources
+
+import graft.core.{BitReader, Huffman, MiniJson}
+import graft.pipeline.{EncodeJob, EncodedBlock, GraftPipeline}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** `df.write.format("graft").mode("append").save(outDir)` — the DSv2 WRITE
+  * path over an [[graft.pipeline.EncodeJob]] output directory, plus the
+  * matching Structured Streaming sink
+  * (`ds.writeStream.format("graft").option("path", outDir)`).
+  *
+  * Scope: APPEND to an already-encoded dir. The initial encode is a two-pass
+  * job with a global barrier (corpus histograms → shared symbol tables →
+  * encode), which does not fit the single-pass per-task `BatchWrite`
+  * contract — that bootstrap stays with [[graft.pipeline.EncodeJob]].
+  * Appends are the single-pass case: the dir's persisted symbol tables are
+  * shipped to every writer task (a few KB, the same header bytes the read
+  * path ships), each task routes its rows to their deterministic salted
+  * bins, runs the SAME block kernel as the batch encoder
+  * ([[GraftPipeline.blockIterator]]), and writes the blocks as one parquet
+  * file in the dir's block layout. This is the Iceberg-style incremental
+  * append the north star asks for: new training sequences land in an
+  * existing compressed table without re-encoding it.
+  *
+  * Commit protocol (driver, after every task committed):
+  *   1. staged task files are renamed into `blocks/` (same visibility
+  *      semantics as EncodeJob's blocks-before-snapshot ordering);
+  *   2. THE commit point: one atomic snapshot write recording the appended
+  *      file names as `files_added` (bins are NOT write-once for appends, so
+  *      the file set — not the bin set — is the lineage delta; snapshot
+  *      time travel and the streaming read source consume it);
+  *   3. advisory re-manifest of the touched bins (fresh claims derived from
+  *      the live block set — heals stale claims, keeps file-level pruning
+  *      and `numRows` exact). A crash between 2 and 3 leaves the new files
+  *      unclaimed: scans keep unclaimed files conservatively, so results
+  *      stay correct and the next append's re-manifest heals the claims.
+  *
+  * Crash/abort safety: a failure before the snapshot write rolls back the
+  * renames (the driver deletes the renamed files and rethrows, then Spark's
+  * abort removes the staging dir), so a failed append leaves the dir exactly
+  * as it was. Streaming epochs are exactly-once: each epoch's snapshot
+  * records (writer_id, writer_epoch), and a retried `commit(epoch)` that
+  * finds its snapshot already present cleans its staging and returns.
+  *
+  * Single-writer assumption (same as EncodeJob resume and
+  * [[graft.pipeline.Maintenance]]): concurrent appends to one dir race on
+  * the snapshot id. Run appends from one job at a time.
+  */
+private[sources] final class GraftWriteBuilder(
+    path: String,
+    info: LogicalWriteInfo
+) extends WriteBuilder {
+
+  override def build(): Write = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // --- dir validation (driver, at planning time: fail before any task) ---
+    val meta = EncodeJob
+      .loadMeta(spark, path)
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"$path is not an encoded graft dir (no _tables/meta.json) — bootstrap it with " +
+            "EncodeJob.run first; the DSv2 writer appends to existing tables"
+        )
+      )
+    import MiniJson.ObjOps
+    val version = meta.longOpt("format_version").map(_.toInt)
+    require(
+      version.contains(EncodeJob.FormatVersion),
+      s"$path blocks format v${version.getOrElse(1)} != engine v${EncodeJob.FormatVersion} — " +
+        "cross-version append is not supported"
+    )
+    val numBins = meta
+      .longOpt("num_bins")
+      .map(_.toInt)
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"$path records no bin layout (pre-layout tables) — append requires the recorded " +
+            "num_bins/salt that define row->bin routing"
+        )
+      )
+    val salt = meta.long("salt")
+    val tables = EncodeJob
+      .loadTables(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"$path: _tables/header.bin missing"))
+
+    // Appends add rows to EXISTING bins, which EncodeJob's bin-level resume
+    // bookkeeping would misread on a partially-encoded dir (an appended bin
+    // looks `done`, so a resumed run would skip the original data for it).
+    // Only a fully-encoded dir (every bin committed by the snapshot lineage)
+    // accepts appends.
+    val covered = EncodeJob.loadSnapshots(path, conf).flatMap(_._2).toSet
+    require(
+      (0 until numBins).forall(covered.contains),
+      s"$path is not fully encoded (${numBins - covered.count((0 until numBins).contains)} of " +
+        s"$numBins bins missing from snapshot lineage) — finish EncodeJob.run before appending"
+    )
+
+    // --- schema validation: ACCEPT_ANY_SCHEMA skips Spark's check, so the
+    // builder owns it (by NAME; nullability is enforced per-row at write) ---
+    val schema = info.schema()
+    def ord(name: String, ok: DataType => Boolean, want: String): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0, s"graft append: input is missing required column `$name` $want")
+      require(
+        ok(schema.fields(i).dataType),
+        s"graft append: column `$name` is ${schema.fields(i).dataType.simpleString}, expected $want"
+      )
+      i
+    }
+    val docOrd = ord("doc_id", _ == StringType, "string")
+    val tokOrd = ord(
+      "tokens",
+      { case ArrayType(IntegerType, _) => true; case _ => false },
+      "array<int>"
+    )
+    val ntokOrd = ord("n_tok", _ == IntegerType, "int")
+    val srcOrd = ord("source", _ == StringType, "string")
+    val extra = schema.fieldNames.toSet -- Set("doc_id", "tokens", "n_tok", "source")
+    require(
+      extra.isEmpty,
+      s"graft append: unexpected columns ${extra.toSeq.sorted.mkString(", ")} — the block " +
+        "layout stores exactly (doc_id, tokens, n_tok, source); drop the extras explicitly"
+    )
+
+    val opts = info.options()
+    def boolOpt(k: String, dflt: Boolean) = Option(opts.get(k)).map(_.toBoolean).getOrElse(dflt)
+    def intOpt(k: String, dflt: Int) = Option(opts.get(k)).map(_.toInt).getOrElse(dflt)
+    def longOpt(k: String, dflt: Long) = Option(opts.get(k)).map(_.toLong).getOrElse(dflt)
+    val dfltCfg = GraftPipeline.Config()
+    val cfg = GraftPipeline.Config(
+      numContexts = tables.numContexts,
+      maxBits = tables.maxBits,
+      numBins = numBins,
+      maxBlockRows = intOpt("maxBlockRows", dfltCfg.maxBlockRows),
+      maxBlockValues = intOpt("maxBlockValues", dfltCfg.maxBlockValues),
+      salt = salt,
+      autoSelect = boolOpt("autoSelect", dfltCfg.autoSelect),
+      contextModel = meta.strOpt("context_model").getOrElse("simple"),
+      embedTables = boolOpt("embedTables", dfltCfg.embedTables)
+    )
+
+    val headerBytes = {
+      val w = new graft.core.BitWriter(4096)
+      Huffman.writeHeader(tables, w)
+      w.toBytes
+    }
+
+    new GraftWrite(
+      path = path,
+      queryId = info.queryId(),
+      cfg = cfg,
+      headerBytes = headerBytes,
+      colOrds = Array(docOrd, tokOrd, ntokOrd, srcOrd),
+      maxBufferedValues = longOpt("maxBufferedValues", 32L * 1024 * 1024),
+      conf = new SerializableHadoopConf(conf)
+    )
+  }
+}
+
+private[sources] final class GraftWrite(
+    path: String,
+    queryId: String,
+    cfg: GraftPipeline.Config,
+    headerBytes: Array[Byte],
+    colOrds: Array[Int],
+    maxBufferedValues: Long,
+    conf: SerializableHadoopConf
+) extends Write {
+
+  private def stagingDir = s"$path/_write_staging/$queryId"
+
+  private def factory = GraftWriterFactory(
+    stagingDir = stagingDir,
+    headerBytes = headerBytes,
+    maxBits = cfg.maxBits,
+    numContexts = cfg.numContexts,
+    contextModel = cfg.contextModel,
+    numBins = cfg.numBins,
+    salt = cfg.salt,
+    autoSelect = cfg.autoSelect,
+    embedTables = cfg.embedTables,
+    maxBlockRows = cfg.maxBlockRows,
+    maxBlockValues = cfg.maxBlockValues,
+    maxBufferedValues = maxBufferedValues,
+    colOrds = colOrds,
+    conf = conf
+  )
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = factory
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      GraftAppendCommit.commit(path, stagingDir, messages, queryId, epoch = None)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      GraftAppendCommit.cleanStaging(path, stagingDir, epoch = None)
+  }
+
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo): StreamingDataWriterFactory =
+      factory
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      GraftAppendCommit.commit(path, stagingDir, messages, queryId, epoch = Some(epochId))
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      GraftAppendCommit.cleanStaging(path, stagingDir, epoch = Some(epochId))
+  }
+}
+
+/** The driver-side append commit shared by the batch and streaming writes. */
+private[sources] object GraftAppendCommit {
+
+  /** Delete staged (uncommitted) task files: the whole staging dir for a
+    * batch write, only this epoch's files for a streaming write (the next
+    * epoch may already be staging into the shared dir).
+    */
+  def cleanStaging(path: String, stagingDir: String, epoch: Option[Long]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val dir = new Path(stagingDir)
+    if (!fs.exists(dir)) return
+    epoch match {
+      case None => fs.delete(dir, true): Unit
+      case Some(e) =>
+        val tag = s"-e$e-"
+        fs.listStatus(dir)
+          .filter(st => st.isFile && st.getPath.getName.contains(tag))
+          .foreach(st => fs.delete(st.getPath, false): Unit)
+    }
+  }
+
+  def commit(
+      path: String,
+      stagingDir: String,
+      messages: Array[WriterCommitMessage],
+      writerId: String,
+      epoch: Option[Long]
+  ): Unit = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+
+    // streaming exactly-once: a retried epoch whose snapshot already
+    // committed must not append its rows again
+    val alreadyCommitted = epoch.exists { e =>
+      EncodeJob
+        .loadSnapshotRecords(path, conf)
+        .exists(r => r.writerId.contains(writerId) && r.writerEpoch.contains(e))
+    }
+    if (alreadyCommitted) { cleanStaging(path, stagingDir, epoch); return }
+
+    val msgs = messages.collect { case m: GraftCommitMessage if m.nRows > 0 => m }
+    if (msgs.isEmpty) { cleanStaging(path, stagingDir, epoch); return }
+
+    val (snapshotId, parentId) = EncodeJob.nextSnapshotId(spark, path)
+    val renamed = mutable.ArrayBuffer[String]()
+    try {
+      // 1. publish the task files (visible to full scans from here, exactly
+      // like EncodeJob's blocks-parquet commit before its snapshot write)
+      msgs.foreach { m =>
+        val src = new Path(stagingDir, m.fileName)
+        val dst = new Path(s"$path/blocks", m.fileName)
+        require(fs.rename(src, dst), s"rename $src -> $dst failed")
+        renamed += m.fileName
+      }
+
+      // 2. THE commit point: atomic snapshot with the exact file delta.
+      // bins_added stays empty — appended bins are already visible in the
+      // lineage (the builder required a fully-encoded dir), and recording
+      // them again would make the streaming source replay whole bins.
+      val filesJson =
+        renamed.sorted.map(n => MiniJson.render(MiniJson.JStr(n))).mkString("[", ",", "]")
+      val epochFields = epoch.map(e => s""","writer_epoch":$e""").getOrElse("")
+      val content =
+        s"""{"snapshot_id":$snapshotId,"parent_id":$parentId,"bins_added":[],
+           |"files_added":$filesJson,"writer_id":${MiniJson.render(MiniJson.JStr(writerId))}$epochFields,
+           |"n_rows_added":${msgs.map(_.nRows).sum},"n_values_added":${msgs.map(_.nValues).sum}}""".stripMargin
+      val dest = new Path(s"$path/_snapshots/snap-$snapshotId.json")
+      val tmp = new Path(dest.getParent, s".tmp-${dest.getName}")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+    } catch {
+      case e: Throwable =>
+        // pre-snapshot failure: roll the published files back so the dir is
+        // untouched; Spark's abort then removes the staging leftovers
+        renamed.foreach(n => fs.delete(new Path(s"$path/blocks", n), false): Unit)
+        throw e
+    }
+
+    // 3. advisory claims for the touched bins (file-level pruning + exact
+    // numRows). Committed already — a failure here degrades stats until the
+    // next append re-manifests these bins, it must not fail the write.
+    try EncodeJob.appendManifest(spark, path, msgs.flatMap(_.bins).toSet, snapshotId)
+    catch {
+      case e: Exception =>
+        System.err.println(
+          s"graft append: snapshot $snapshotId committed but re-manifest failed (${e.getMessage}) — " +
+            "claims for the appended files stay pending until the next append heals them"
+        )
+    }
+    cleanStaging(path, stagingDir, epoch)
+  }
+}
+
+private[sources] final case class GraftCommitMessage(
+    fileName: String,
+    bins: Array[Int],
+    nRows: Long,
+    nValues: Long
+) extends WriterCommitMessage
+
+private[sources] final case class GraftWriterFactory(
+    stagingDir: String,
+    headerBytes: Array[Byte],
+    maxBits: Int,
+    numContexts: Int,
+    contextModel: String,
+    numBins: Int,
+    salt: Long,
+    autoSelect: Boolean,
+    embedTables: Boolean,
+    maxBlockRows: Int,
+    maxBlockValues: Int,
+    maxBufferedValues: Long,
+    colOrds: Array[Int],
+    conf: SerializableHadoopConf
+) extends DataWriterFactory
+    with StreamingDataWriterFactory {
+
+  private def cfg = GraftPipeline.Config(
+    numContexts = numContexts,
+    maxBits = maxBits,
+    numBins = numBins,
+    maxBlockRows = maxBlockRows,
+    maxBlockValues = maxBlockValues,
+    salt = salt,
+    autoSelect = autoSelect,
+    contextModel = contextModel,
+    embedTables = embedTables
+  )
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(
+      stagingDir,
+      f"w-p$partitionId%05d-t$taskId.parquet",
+      headerBytes,
+      cfg,
+      colOrds,
+      maxBufferedValues,
+      conf
+    )
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(
+      stagingDir,
+      f"w-e$epochId-p$partitionId%05d-t$taskId.parquet",
+      headerBytes,
+      cfg,
+      colOrds,
+      maxBufferedValues,
+      conf
+    )
+}
+
+/** One writer task: routes rows to their salted bins, buffers per bin, and
+  * flushes full bins through the shared block kernel into one staged parquet
+  * file in the block layout.
+  *
+  * Memory: a bin flushes as soon as it holds `maxBlockValues` token values
+  * (a full block — identical fill to the batch encoder), and if many bins
+  * are partially full the LARGEST ones flush early once total buffered
+  * values exceed `maxBufferedValues` (bounded memory at any bin count, at
+  * the cost of undersized blocks — [[graft.pipeline.Maintenance.compact]]
+  * is the repair for chronic small-append fragmentation). Input clustered by
+  * doc_id hash fills blocks best; random input at high bin counts degrades
+  * to smaller blocks, never to more memory.
+  */
+private[sources] final class GraftDataWriter(
+    stagingDir: String,
+    fileName: String,
+    headerBytes: Array[Byte],
+    cfg: GraftPipeline.Config,
+    colOrds: Array[Int],
+    maxBufferedValues: Long,
+    sConf: SerializableHadoopConf
+) extends DataWriter[InternalRow] {
+
+  private val tables =
+    Huffman.readHeader(new BitReader(headerBytes), cfg.maxBits, cfg.numContexts)
+
+  private final class BinBuf {
+    val rows = mutable.ArrayBuffer[(String, Array[Int], Int, String)]()
+    var values: Long = 0L
+  }
+  private val buffers = mutable.HashMap[Int, BinBuf]()
+  private var buffered = 0L
+
+  private var writer: ParquetWriter[Group] = _
+  private val groups = new SimpleGroupFactory(BlockParquet.Schema)
+  private val binsTouched = mutable.SortedSet[Int]()
+  private var nRows = 0L
+  private var nValues = 0L
+
+  private val Array(docOrd, tokOrd, ntokOrd, srcOrd) = colOrds
+
+  override def write(row: InternalRow): Unit = {
+    def nonNull(ord: Int, name: String): Unit =
+      if (row.isNullAt(ord))
+        throw new IllegalArgumentException(s"graft append: null `$name` (the layout is non-null)")
+    nonNull(docOrd, "doc_id"); nonNull(tokOrd, "tokens")
+    nonNull(ntokOrd, "n_tok"); nonNull(srcOrd, "source")
+    val docId = row.getUTF8String(docOrd).toString
+    val arr = row.getArray(tokOrd)
+    val n = arr.numElements()
+    val toks = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      if (arr.isNullAt(k))
+        throw new IllegalArgumentException(s"graft append: doc $docId has a null token at $k")
+      toks(k) = arr.getInt(k)
+      k += 1
+    }
+    val nTok = row.getInt(ntokOrd)
+    require(nTok == n, s"graft append: doc $docId has n_tok=$nTok but ${n} tokens")
+    val source = row.getString(srcOrd)
+
+    val bin = GraftDataSource.binOf(docId, cfg.numBins, cfg.salt)
+    val buf = buffers.getOrElseUpdate(bin, new BinBuf)
+    buf.rows += ((docId, toks, nTok, source))
+    buf.values += n
+    buffered += n
+    if (buf.values >= cfg.maxBlockValues) flush(bin)
+    else if (buffered > maxBufferedValues) flushLargestHalf()
+  }
+
+  private def flush(bin: Int): Unit = {
+    val buf = buffers.remove(bin).getOrElse(return)
+    buffered -= buf.values
+    if (buf.rows.isEmpty) return
+    // the batch encoder's within-bin order: source-homogeneous blocks so
+    // per-block codec selection sees one source's distribution
+    val sorted = buf.rows.sortBy(r => (r._4, r._1))
+    val it = GraftPipeline.blockIterator(
+      sorted.iterator.map { case (d, t, nt, s) => (d, t, nt, s, bin) },
+      tables,
+      cfg
+    )
+    it.foreach { b =>
+      if (writer == null) writer = BlockParquet.open(new Path(stagingDir, fileName), sConf.value)
+      writer.write(BlockParquet.toGroup(b, groups))
+      binsTouched += bin
+      nRows += b.n_rows
+      nValues += b.n_values
+    }
+  }
+
+  private def flushLargestHalf(): Unit = {
+    val target = maxBufferedValues / 2
+    while (buffered > target && buffers.nonEmpty)
+      flush(buffers.maxBy(_._2.values)._1)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    buffers.keys.toArray.sorted.foreach(flush)
+    if (writer != null) writer.close()
+    GraftCommitMessage(fileName, binsTouched.toArray, nRows, nValues)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      writer.close()
+      val fs = new Path(stagingDir).getFileSystem(sConf.value)
+      fs.delete(new Path(stagingDir, fileName), false): Unit
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Hand-rolled parquet IO for block files: the writer tasks run without a
+  * SparkSession, so blocks are written through parquet-hadoop directly, in
+  * EXACTLY the schema Spark's own parquet writer produces for
+  * [[graft.pipeline.EncodedBlock]] — appended files and EncodeJob files are
+  * indistinguishable to every reader (Spark scans, the DSv2 readers'
+  * projected GroupReadSupport, footer bin-stat pruning, compaction).
+  */
+private[sources] object BlockParquet {
+  val Schema: MessageType = MessageTypeParser.parseMessageType(
+    """message spark_schema {
+      |  required int32 bin;
+      |  required int32 block_seq;
+      |  optional binary doc_ids_codec (UTF8);
+      |  optional binary doc_ids_payload;
+      |  optional binary sources_codec (UTF8);
+      |  optional binary sources_payload;
+      |  optional binary n_toks_codec (UTF8);
+      |  optional binary n_toks_payload;
+      |  optional binary row_bits_codec (UTF8);
+      |  optional binary row_bits_payload;
+      |  required boolean embedded_tables;
+      |  optional binary codec (UTF8);
+      |  required int32 n_rows;
+      |  required int64 n_values;
+      |  optional binary payload;
+      |  required int64 payload_bits;
+      |  required int64 meta_bytes;
+      |  required int64 table_hash;
+      |}""".stripMargin
+  )
+
+  def open(file: Path, conf: Configuration): ParquetWriter[Group] =
+    ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(file, conf))
+      .withType(Schema)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+
+  def toGroup(b: EncodedBlock, f: SimpleGroupFactory): Group = {
+    val g = f.newGroup()
+    g.add("bin", b.bin)
+    g.add("block_seq", b.block_seq)
+    g.add("doc_ids_codec", b.doc_ids_codec)
+    g.add("doc_ids_payload", Binary.fromConstantByteArray(b.doc_ids_payload))
+    g.add("sources_codec", b.sources_codec)
+    g.add("sources_payload", Binary.fromConstantByteArray(b.sources_payload))
+    g.add("n_toks_codec", b.n_toks_codec)
+    g.add("n_toks_payload", Binary.fromConstantByteArray(b.n_toks_payload))
+    g.add("row_bits_codec", b.row_bits_codec)
+    g.add("row_bits_payload", Binary.fromConstantByteArray(b.row_bits_payload))
+    g.add("embedded_tables", b.embedded_tables)
+    g.add("codec", b.codec)
+    g.add("n_rows", b.n_rows)
+    g.add("n_values", b.n_values)
+    g.add("payload", Binary.fromConstantByteArray(b.payload))
+    g.add("payload_bits", b.payload_bits)
+    g.add("meta_bytes", b.meta_bytes)
+    g.add("table_hash", b.table_hash)
+    g
+  }
+}

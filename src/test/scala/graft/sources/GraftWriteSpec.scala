@@ -1,0 +1,227 @@
+package graft.sources
+
+import graft.pipeline.GraftPipeline.Config
+import graft.pipeline.{EncodeJob, GraftPipeline, Maintenance, SparkTestBase, TokenRow, TokenTables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The DSv2 WRITE surface: `df.write.format("graft").mode("append")` and the
+  * streaming sink over an existing EncodeJob dir — append visibility, snapshot
+  * file-lineage (time travel + streaming deltas), schema validation, epoch
+  * idempotence, and the maintenance interplay (compaction coarsens history).
+  */
+class GraftWriteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 64)
+
+  // one deterministic corpus split into the bootstrap set and the append set
+  // (two synthetic() calls with different seeds could collide on doc_id)
+  lazy val all = TokenTables.synthetic(spark, 640L, seed = 21L).cache()
+  private def idx = expr("cast(substring(doc_id, -10, 10) as long)")
+  lazy val base = all.where(idx < 500)
+  lazy val extra = all.where(idx >= 500)
+
+  private def freshEncodedDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft-write-$tag").toString
+    EncodeJob.run(base, d, cfg)
+    d
+  }
+
+  test("batch append: union is exact, time travel reads the pre-append state") {
+    import spark.implicits._
+    val dir = freshEncodedDir("batch")
+    // reordered columns: the builder resolves by NAME (ACCEPT_ANY_SCHEMA
+    // skips Spark's check, so this is the builder's own resolution)
+    extra.toDF().select($"source", $"doc_id", $"n_tok", $"tokens")
+      .write.format("graft").mode("append").save(dir)
+
+    val decoded = spark.read.format("graft").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(all, decoded) == 0L)
+
+    // snapshot 0 = the EncodeJob state; the appended files are excluded
+    val snap0 = spark.read.format("graft").option("snapshot", "0").load(dir)
+    assert(GraftPipeline.verify(base, snap0.as[TokenRow]) == 0L)
+
+    // metadata aggregate counts the appended rows (and respects time travel)
+    val agg = spark.read.format("graft").load(dir).agg(count(lit(1)), sum($"n_tok")).head()
+    assert(agg.getLong(0) == all.count())
+    assert(agg.getLong(1) == all.agg(sum($"n_tok")).head().getLong(0))
+    val agg0 = snap0.agg(count(lit(1))).head()
+    assert(agg0.getLong(0) == base.count())
+
+    // point read of an appended doc goes through doc_id pushdown + bin claims
+    val doc = extra.select($"doc_id").orderBy($"doc_id").head().getString(0)
+    val hit = spark.read.format("graft").load(dir).where($"doc_id" === doc).as[TokenRow]
+    assert(GraftPipeline.verify(extra.where($"doc_id" === doc), hit) == 0L)
+
+    // the append's snapshot carries file-level lineage
+    val recs = EncodeJob.loadSnapshotRecords(dir, spark.sparkContext.hadoopConfiguration)
+    assert(recs.map(_.id) == Seq(0L, 1L))
+    assert(recs(1).binsAdded.isEmpty && recs(1).filesAdded.nonEmpty)
+  }
+
+  test("append under memory pressure (tiny maxBufferedValues) stays lossless") {
+    import spark.implicits._
+    val dir = freshEncodedDir("smallbuf")
+    extra.toDF().write.format("graft").mode("append")
+      .option("maxBufferedValues", "2000") // forces flushLargestHalf constantly
+      .save(dir)
+    val decoded = spark.read.format("graft").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(all, decoded) == 0L)
+  }
+
+  test("append validation fails loudly before any task runs") {
+    import spark.implicits._
+    val dir = freshEncodedDir("valid")
+    def msgOf(t: Throwable): String = {
+      var cur = t; var m = Option(cur.getMessage).getOrElse("")
+      while (cur.getCause != null) { cur = cur.getCause; m += " | " + Option(cur.getMessage).getOrElse("") }
+      m
+    }
+    val missing = intercept[Exception] {
+      extra.toDF().drop("source").write.format("graft").mode("append").save(dir)
+    }
+    assert(msgOf(missing).contains("missing required column `source`"))
+    val badType = intercept[Exception] {
+      extra.toDF().withColumn("n_tok", $"n_tok".cast("long"))
+        .write.format("graft").mode("append").save(dir)
+    }
+    assert(msgOf(badType).contains("expected int"))
+    val extraCol = intercept[Exception] {
+      extra.toDF().withColumn("junk", lit(1)).write.format("graft").mode("append").save(dir)
+    }
+    assert(msgOf(extraCol).contains("unexpected columns junk"))
+    val notEncoded = intercept[Exception] {
+      val empty = Files.createTempDirectory("graft-write-notdir").toString
+      extra.toDF().write.format("graft").mode("append").save(empty)
+    }
+    assert(msgOf(notEncoded).contains("not an encoded graft dir"))
+    // nothing above may have mutated the dir
+    assert(GraftPipeline.verify(base, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+  }
+
+  test("streaming read plans an append as its own file-level delta batch") {
+    import spark.implicits._
+    val dir = freshEncodedDir("stream-read")
+    val ckpt = Files.createTempDirectory("graft-write-sr-ckpt").toString
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_append_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_append_stream").count() == base.count())
+
+      extra.toDF().write.format("graft").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("graft_append_stream").count() == all.count())
+      val distinct = spark
+        .sql("SELECT count(DISTINCT doc_id) FROM graft_append_stream").head().getLong(0)
+      assert(distinct == all.count()) // bin replay excluded the appended files
+    } finally q.stop()
+
+    // a FRESH stream spans both snapshots in one batch — still no duplicates
+    val ckpt2 = Files.createTempDirectory("graft-write-sr-ckpt2").toString
+    val q2 = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_append_stream2")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graft_append_stream2").count() == all.count())
+      assert(spark.sql("SELECT count(DISTINCT doc_id) FROM graft_append_stream2")
+        .head().getLong(0) == all.count())
+    } finally q2.stop()
+  }
+
+  test("streaming write sink appends one snapshot per epoch, exactly-once") {
+    import spark.implicits._
+    val dir = freshEncodedDir("stream-write")
+    val ckpt = Files.createTempDirectory("graft-write-sw-ckpt").toString
+    val ex = extra.orderBy($"doc_id").collect()
+    val (e1, e2) = ex.splitAt(ex.length / 2)
+
+    val ms = MemoryStream[TokenRow](spark)
+    val q = ms.toDS().writeStream.format("graft")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      ms.addData(e1.toIndexedSeq); q.processAllAvailable()
+      ms.addData(e2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val decoded = spark.read.format("graft").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(all, decoded) == 0L)
+
+    val recs = EncodeJob.loadSnapshotRecords(dir, spark.sparkContext.hadoopConfiguration)
+    val appends = recs.filter(_.filesAdded.nonEmpty)
+    assert(appends.size == 2)
+    assert(appends.forall(r => r.writerId.isDefined && r.writerEpoch.isDefined))
+    assert(appends.map(_.writerEpoch.get).distinct.size == 2)
+  }
+
+  test("a retried streaming epoch commit is a no-op (idempotent by writer/epoch)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val scratch = Files.createTempDirectory("graft-write-idem").toString
+    val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$scratch/blocks"))
+    val staging = s"$scratch/_write_staging/q1"
+
+    def stage(name: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, name), true)
+      try out.write(Array[Byte](1, 2, 3))
+      finally out.close()
+    }
+    def snapCount =
+      EncodeJob.loadSnapshotRecords(scratch, conf).count(r => r.writerEpoch.contains(5L))
+    def blockCount =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$scratch/blocks")).count(_.isFile)
+
+    stage("w-e5-p00000-t0.parquet")
+    val msg = GraftCommitMessage("w-e5-p00000-t0.parquet", Array(0), 1L, 3L)
+    GraftAppendCommit.commit(scratch, staging, Array(msg), "writer-x", Some(5L))
+    assert(snapCount == 1 && blockCount == 1)
+
+    // the retry: same (writer, epoch), freshly staged file — must clean and return
+    stage("w-e5-p00000-t1.parquet")
+    val retry = GraftCommitMessage("w-e5-p00000-t1.parquet", Array(0), 1L, 3L)
+    GraftAppendCommit.commit(scratch, staging, Array(retry), "writer-x", Some(5L))
+    assert(snapCount == 1, "retried epoch must not commit a second snapshot")
+    assert(blockCount == 1, "retried epoch must not publish its staged files")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging, "w-e5-p00000-t1.parquet")))
+  }
+
+  test("compaction folds appended files: reads stay exact, as-of past it fails loudly") {
+    import spark.implicits._
+    val dir = freshEncodedDir("compact")
+    extra.toDF().write.format("graft").mode("append").save(dir)
+    val res = Maintenance.compact(spark, dir, smallFileBytes = Long.MaxValue)
+    assert(res.nonEmpty, "everything qualified — compaction must run")
+
+    // the current state survives the rewrite exactly
+    val decoded = spark.read.format("graft").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(all, decoded) == 0L)
+
+    // but file-granularity history is gone: as-of 0 cannot exclude the
+    // appended rows any more, so it must refuse rather than lie
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("snapshot", "0").load(dir).collect()
+    }
+    def chain(t: Throwable): String = {
+      var cur = t; var m = Option(cur.getMessage).getOrElse("")
+      while (cur.getCause != null) { cur = cur.getCause; m += " | " + Option(cur.getMessage).getOrElse("") }
+      m
+    }
+    assert(chain(e).contains("compacted or vacuumed"))
+
+    // same stance for a fresh stream whose delta includes the folded files
+    val ckpt = Files.createTempDirectory("graft-write-cmp-ckpt").toString
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_compacted_stream")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val se = intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    assert(chain(se).contains("compacted or vacuumed"))
+  }
+}
