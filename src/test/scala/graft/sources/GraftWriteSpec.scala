@@ -193,6 +193,30 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(staging, "w-e5-p00000-t1.parquet")))
   }
 
+  test("vacuum reclaims crashed append staging dirs, spares in-grace ones") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = freshEncodedDir("vacuum")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def mkStaging(q: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_write_staging/$q")
+      fs.mkdirs(p)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, "w-p00000-t0.parquet"), true)
+      try out.write(Array[Byte](1))
+      finally out.close()
+      p
+    }
+    val dead = mkStaging("crashed-query")
+    val live = mkStaging("live-query")
+    fs.setTimes(dead, System.currentTimeMillis() - 120000L, -1)
+
+    val res = Maintenance.vacuum(spark, dir, olderThanMs = 60000L)
+    assert(res.dirsDeleted >= 1)
+    assert(!fs.exists(dead), "crashed staging past the grace window must be reclaimed")
+    assert(fs.exists(live), "a staging dir inside the grace window must survive")
+    assert(GraftPipeline.verify(base, spark.read.format("graft").load(dir).as(
+      org.apache.spark.sql.Encoders.product[TokenRow])) == 0L)
+  }
+
   test("compaction folds appended files: reads stay exact, as-of past it fails loudly") {
     import spark.implicits._
     val dir = freshEncodedDir("compact")
