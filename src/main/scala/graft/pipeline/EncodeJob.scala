@@ -186,7 +186,8 @@ object EncodeJob {
       binsAdded: Seq[Int],
       filesAdded: Seq[String],
       writerId: Option[String],
-      writerEpoch: Option[Long]
+      writerEpoch: Option[Long],
+      writerMarks: Seq[(String, Long)] = Seq.empty
   )
 
   /** Snapshot lineage under `outDir`, sorted by id. Tolerant of in-flight
@@ -194,15 +195,30 @@ object EncodeJob {
     * parse to both `snapshot_id` and `bins_added` is skipped (the next
     * listing sees it complete). Blocks commit before the snapshot, so a
     * completed file's bins/files are always readable.
+    *
+    * `onlyIds` bounds the read to specific snapshot ids (parsed from the
+    * file names, so unwanted histories are never opened) — the streaming
+    * sink's idempotence check uses it to keep per-epoch commit cost
+    * independent of table age.
     */
-  def loadSnapshotRecords(outDir: String, conf: Configuration): Seq[SnapshotRecord] = {
+  def loadSnapshotRecords(
+      outDir: String,
+      conf: Configuration,
+      onlyIds: Option[Long => Boolean] = None
+  ): Seq[SnapshotRecord] = {
     val f = new Path(outDir).getFileSystem(conf)
     val dir = new Path(s"$outDir/_snapshots")
     if (!f.exists(dir)) return Seq.empty
     f.listStatus(dir)
       .toSeq
       .map(_.getPath)
-      .filter(_.getName.startsWith("snap-"))
+      .filter { p =>
+        p.getName.startsWith("snap-") && (onlyIds match {
+          case None => true
+          case Some(keep) =>
+            p.getName.stripPrefix("snap-").stripSuffix(".json").toLongOption.exists(keep)
+        })
+      }
       .flatMap { p =>
         val in = f.open(p)
         val txt =
@@ -210,6 +226,14 @@ object EncodeJob {
           finally in.close()
         scala.util.Try {
           val o = MiniJson.parseObject(txt, where = p.toString)
+          // writer marks: (writer, max committed epoch) pairs carried
+          // forward by snapshot expiry so a retried epoch stays a no-op
+          // after its own snapshot was expired (parallel arrays — the
+          // flat shape MiniJson reads without nested-object support)
+          val marks = (o.strArrOpt("marked_writers"), o.longArrOpt("marked_epochs")) match {
+            case (Some(w), Some(e)) if w.length == e.length => w.zip(e)
+            case _                                          => Seq.empty[(String, Long)]
+          }
           SnapshotRecord(
             o.long("snapshot_id"),
             o.longArrOpt("bins_added")
@@ -217,11 +241,25 @@ object EncodeJob {
               .map(_.toInt),
             o.strArrOpt("files_added").getOrElse(Seq.empty),
             o.strOpt("writer_id"),
-            o.longOpt("writer_epoch")
+            o.longOpt("writer_epoch"),
+            marks
           )
         }.toOption
       }
       .sortBy(_.id)
+  }
+
+  /** List committed snapshot ids without opening any file. */
+  def listSnapshotIds(outDir: String, conf: Configuration): Seq[Long] = {
+    val f = new Path(outDir).getFileSystem(conf)
+    val dir = new Path(s"$outDir/_snapshots")
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir)
+      .toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("snap-"))
+      .flatMap(_.stripPrefix("snap-").stripSuffix(".json").toLongOption)
+      .sorted
   }
 
   /** The (snapshot_id, bins committed) view of [[loadSnapshotRecords]]. */

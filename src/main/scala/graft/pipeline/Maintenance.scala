@@ -335,6 +335,30 @@ object Maintenance {
       }
     }
 
+    // a driver killed BETWEEN publishing appended files into blocks/ and
+    // the snapshot write leaves orphans: visible to scans (kept
+    // conservatively) but in no snapshot's files_added, so a retried epoch
+    // or job re-appends their rows — duplicates until reclaimed. Appended
+    // files are the only "w-"-named ones in blocks/, so lineage membership
+    // identifies orphans exactly (snapshot expiry folds files_added into
+    // the rebased base, which keeps committed files out of this set). The
+    // grace window protects the publish→snapshot commit in flight.
+    val blocksDir = new Path(s"$outDir/blocks")
+    if (fs.exists(blocksDir)) {
+      val lineage = EncodeJob
+        .loadSnapshotRecords(outDir, conf)
+        .flatMap(_.filesAdded)
+        .toSet
+      fs.listStatus(blocksDir).foreach { st =>
+        val n = st.getPath.getName
+        if (
+          st.isFile && n.startsWith("w-") && n.endsWith(".parquet") &&
+          !lineage.contains(n) && st.getModificationTime <= cutoff
+        )
+          if (fs.delete(st.getPath, false)) filesDeleted += 1
+      }
+    }
+
     VacuumResult(filesDeleted, dirsDeleted)
   }
 
@@ -416,6 +440,28 @@ object Maintenance {
     val (baseId, baseBins) = snaps(cut)
     val mergedBins = (expired.flatMap(_._2) ++ baseBins).distinct.sorted
 
+    // append snapshots carry more than bins: their files_added keep the
+    // committed files distinguishable from orphans (vacuum would otherwise
+    // reclaim live data), and their (writer_id, writer_epoch) is the
+    // streaming sink's exactly-once key — a retried epoch whose snapshot
+    // was expired must still see proof of its commit. Fold both into the
+    // rebased base: files merge into files_added, writer identities become
+    // (marked_writers, marked_epochs) pairs keeping the MAX epoch per
+    // writer (epochs are monotonic per writer, so >= compares suffice).
+    val records = EncodeJob.loadSnapshotRecords(outDir, conf)
+    val expiredIds = expired.map(_._1).toSet
+    val expiredRecs = records.filter(r => expiredIds.contains(r.id))
+    val baseRec = records
+      .find(_.id == baseId)
+      .getOrElse(throw new IllegalStateException(s"snap-$baseId.json vanished during expiry"))
+    val mergedFiles =
+      (expiredRecs.flatMap(_.filesAdded) ++ baseRec.filesAdded).distinct.sorted
+    val mergedMarks = (expiredRecs ++ Seq(baseRec))
+      .flatMap(r => r.writerMarks ++ r.writerId.zip(r.writerEpoch))
+      .groupMapReduce(_._1)(_._2)(math.max)
+      .toSeq
+      .sortBy(_._1)
+
     val basePath = new Path(s"$outDir/_snapshots/snap-$baseId.json")
     val in = fs.open(basePath)
     val txt =
@@ -425,6 +471,9 @@ object Maintenance {
     val rebased = MiniJson.JObj(
       orig.v ++ Map(
         "bins_added" -> MiniJson.JArr(mergedBins.toVector.map(b => MiniJson.JNum(b.toString))),
+        "files_added" -> MiniJson.JArr(mergedFiles.toVector.map(MiniJson.JStr)),
+        "marked_writers" -> MiniJson.JArr(mergedMarks.toVector.map(m => MiniJson.JStr(m._1))),
+        "marked_epochs" -> MiniJson.JArr(mergedMarks.toVector.map(m => MiniJson.JNum(m._2.toString))),
         "parent_id" -> MiniJson.JNum("-1"),
         "rebased_from" -> MiniJson.JNum(expired.map(_._1).min.toString)
       )

@@ -1200,18 +1200,29 @@ private[sources] class GraftMicroBatchStream(
     if (deltaBins.isEmpty && deltaFiles.isEmpty) return Array.empty
     val files = GraftMeta.listBlockFiles(path, hadoopConf)
     val liveNames = files.map(f => GraftScan.nameOf(f._1)).toSet
-    // an appended file compacted away before this batch read it cannot be
-    // reconstructed at file granularity — fail loudly rather than silently
-    // dropping (or double-reading via the rewritten files) its rows; same
-    // stance as the batch as-of read (maintenance coarsens history)
-    val gone = deltaFiles -- liveNames
-    require(
-      gone.isEmpty,
-      s"stream batch ($s, $e] cannot be planned: appended files " +
-        s"(${gone.toSeq.sorted.take(4).mkString(", ")}${if (gone.size > 4) ", …" else ""}) " +
-        "were compacted or vacuumed before the stream read them — expire the checkpoint " +
-        "or disable compaction while streams are catching up"
-    )
+    // Compaction folds appended files into rewritten files whose rows a
+    // bin replay cannot tell apart from EncodeJob rows. A folded file not
+    // yet emitted by this stream (snapshot > s) is recoverable in exactly
+    // one case: the FULL from-scratch batch (s == -1 with every snapshot
+    // in range), where the bin replay covers every bin and so emits the
+    // folded rows itself. Any other range must refuse rather than drop
+    // (folded in range, bins not replayed) or double-read (folded beyond
+    // e, rows ride the replay early) those rows.
+    val foldedPending = recs
+      .filter(r => r.id > s && r.filesAdded.exists(f => !liveNames.contains(f)))
+    if (foldedPending.nonEmpty) {
+      val fullReplay = s == -1L && foldedPending.forall(_.id <= e)
+      require(
+        fullReplay,
+        s"stream batch ($s, $e] cannot be planned: appended files of snapshots " +
+          s"${foldedPending.map(_.id).mkString(", ")} were compacted into rewritten files " +
+          "that a partial replay can neither exclude nor reach — restart the stream from a " +
+          "fresh checkpoint (a full replay is exact), or disable compaction while streams " +
+          "are catching up"
+      )
+      // full replay: folded rows arrive via the bin route; only still-live
+      // append files are planned as file deltas (collected below)
+    }
     val fileParts: Array[InputPartition] = files.collect {
       case (f, _) if deltaFiles.contains(GraftScan.nameOf(f)) => GraftInputPartition(f)
     }

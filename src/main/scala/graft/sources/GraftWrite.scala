@@ -191,16 +191,9 @@ private[sources] final class GraftWrite(
 
   private def factory = GraftWriterFactory(
     stagingDir = stagingDir,
+    queryId = queryId,
     headerBytes = headerBytes,
-    maxBits = cfg.maxBits,
-    numContexts = cfg.numContexts,
-    contextModel = cfg.contextModel,
-    numBins = cfg.numBins,
-    salt = cfg.salt,
-    autoSelect = cfg.autoSelect,
-    embedTables = cfg.embedTables,
-    maxBlockRows = cfg.maxBlockRows,
-    maxBlockValues = cfg.maxBlockValues,
+    cfg = cfg,
     maxBufferedValues = maxBufferedValues,
     colOrds = colOrds,
     conf = conf
@@ -258,13 +251,38 @@ private[sources] object GraftAppendCommit {
     val fs = new Path(path).getFileSystem(conf)
 
     // streaming exactly-once: a retried epoch whose snapshot already
-    // committed must not append its rows again
+    // committed must not append its rows again. Epochs are monotonic per
+    // writer, so ANY record (or expiry-carried mark) for this writer with
+    // epoch >= e proves e committed. Bounded read: only the newest 64
+    // snapshots (the retried epoch is at the tail under the single-writer
+    // assumption) plus the oldest one (expiry folds marks into it) — commit
+    // cost stays independent of table age.
     val alreadyCommitted = epoch.exists { e =>
+      val ids = EncodeJob.listSnapshotIds(path, conf)
+      val wanted = (ids.takeRight(64) ++ ids.headOption).toSet
       EncodeJob
-        .loadSnapshotRecords(path, conf)
-        .exists(r => r.writerId.contains(writerId) && r.writerEpoch.contains(e))
+        .loadSnapshotRecords(path, conf, onlyIds = Some(wanted.contains))
+        .exists { r =>
+          (r.writerId.contains(writerId) && r.writerEpoch.exists(_ >= e)) ||
+          r.writerMarks.exists { case (w, me) => w == writerId && me >= e }
+        }
     }
     if (alreadyCommitted) { cleanStaging(path, stagingDir, epoch); return }
+
+    // self-heal a crashed prior attempt of THIS epoch: a driver killed
+    // between publishing task files and the snapshot write leaves orphans
+    // in blocks/ (visible but in no lineage). The retry owns the epoch —
+    // its name prefix (queryId + epoch tag) identifies exactly those files,
+    // and alreadyCommitted above proved no snapshot claims them.
+    epoch.foreach { e =>
+      val blocksDir = new Path(s"$path/blocks")
+      if (fs.exists(blocksDir)) {
+        val prefix = s"w-$writerId-e$e-"
+        fs.listStatus(blocksDir)
+          .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+          .foreach(st => fs.delete(st.getPath, false): Unit)
+      }
+    }
 
     val msgs = messages.collect { case m: GraftCommitMessage if m.nRows > 0 => m }
     if (msgs.isEmpty) { cleanStaging(path, stagingDir, epoch); return }
@@ -309,13 +327,19 @@ private[sources] object GraftAppendCommit {
     // 3. advisory claims for the touched bins (file-level pruning + exact
     // numRows). Committed already — a failure here degrades stats until the
     // next append re-manifests these bins, it must not fail the write.
-    try EncodeJob.appendManifest(spark, path, msgs.flatMap(_.bins).toSet, snapshotId)
-    catch {
-      case e: Exception =>
-        System.err.println(
-          s"graft append: snapshot $snapshotId committed but re-manifest failed (${e.getMessage}) — " +
-            "claims for the appended files stay pending until the next append heals them"
-        )
+    // Streaming epochs SKIP it: a per-epoch metadata scan + manifest part
+    // file would grow commit latency and manifest size with stream age;
+    // unclaimed appended files are kept conservatively by every scan, and
+    // the next batch append or compaction re-manifests them.
+    if (epoch.isEmpty) {
+      try EncodeJob.appendManifest(spark, path, msgs.flatMap(_.bins).toSet, snapshotId)
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"graft append: snapshot $snapshotId committed but re-manifest failed (${e.getMessage}) — " +
+              "claims for the appended files stay pending until the next append heals them"
+          )
+      }
     }
     cleanStaging(path, stagingDir, epoch)
   }
@@ -330,38 +354,25 @@ private[sources] final case class GraftCommitMessage(
 
 private[sources] final case class GraftWriterFactory(
     stagingDir: String,
+    queryId: String,
     headerBytes: Array[Byte],
-    maxBits: Int,
-    numContexts: Int,
-    contextModel: String,
-    numBins: Int,
-    salt: Long,
-    autoSelect: Boolean,
-    embedTables: Boolean,
-    maxBlockRows: Int,
-    maxBlockValues: Int,
+    cfg: GraftPipeline.Config,
     maxBufferedValues: Long,
     colOrds: Array[Int],
     conf: SerializableHadoopConf
 ) extends DataWriterFactory
     with StreamingDataWriterFactory {
 
-  private def cfg = GraftPipeline.Config(
-    numContexts = numContexts,
-    maxBits = maxBits,
-    numBins = numBins,
-    maxBlockRows = maxBlockRows,
-    maxBlockValues = maxBlockValues,
-    salt = salt,
-    autoSelect = autoSelect,
-    contextModel = contextModel,
-    embedTables = embedTables
-  )
-
+  // file names carry the queryId: (partitionId, taskId) restart per Spark
+  // application, so without it a later append job could rename onto (and on
+  // a posix rename silently DESTROY) a previously committed append's block
+  // file of the same name. The queryId is a UUID, so names are globally
+  // unique; the epoch tag "-e<id>-" cannot occur inside a UUID's hex groups
+  // (they are 4+ chars), so cleanStaging's per-epoch match stays exact.
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       stagingDir,
-      f"w-p$partitionId%05d-t$taskId.parquet",
+      f"w-$queryId%s-p$partitionId%05d-t$taskId.parquet",
       headerBytes,
       cfg,
       colOrds,
@@ -372,7 +383,7 @@ private[sources] final case class GraftWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       stagingDir,
-      f"w-e$epochId-p$partitionId%05d-t$taskId.parquet",
+      f"w-$queryId%s-e$epochId%d-p$partitionId%05d-t$taskId.parquet",
       headerBytes,
       cfg,
       colOrds,

@@ -217,9 +217,28 @@ class GraftWriteSpec extends AnyFunSuite {
       org.apache.spark.sql.Encoders.product[TokenRow])) == 0L)
   }
 
-  test("compaction folds appended files: reads stay exact, as-of past it fails loudly") {
+  private def chain(t: Throwable): String = {
+    var cur = t; var m = Option(cur.getMessage).getOrElse("")
+    while (cur.getCause != null) { cur = cur.getCause; m += " | " + Option(cur.getMessage).getOrElse("") }
+    m
+  }
+
+  test("compaction folds appended files: full replays stay exact, partial ones fail loudly") {
     import spark.implicits._
     val dir = freshEncodedDir("compact")
+
+    // a stream that only saw the pre-append state, then stops (file sink:
+    // the one that supports checkpoint recovery)
+    val ckpt = Files.createTempDirectory("graft-write-cmp-ckpt").toString
+    val sink = Files.createTempDirectory("graft-write-cmp-sink").toString
+    def startStream() = spark.readStream.format("graft").load(dir)
+      .select($"doc_id", $"n_tok")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q0 = startStream()
+    try { q0.processAllAvailable() } finally q0.stop()
+    assert(spark.read.parquet(sink).count() == base.count())
+
     extra.toDF().write.format("graft").mode("append").save(dir)
     val res = Maintenance.compact(spark, dir, smallFileBytes = Long.MaxValue)
     assert(res.nonEmpty, "everything qualified — compaction must run")
@@ -228,24 +247,89 @@ class GraftWriteSpec extends AnyFunSuite {
     val decoded = spark.read.format("graft").load(dir).as[TokenRow]
     assert(GraftPipeline.verify(all, decoded) == 0L)
 
-    // but file-granularity history is gone: as-of 0 cannot exclude the
+    // file-granularity history is gone: as-of 0 cannot exclude the
     // appended rows any more, so it must refuse rather than lie
     val e = intercept[Exception] {
       spark.read.format("graft").option("snapshot", "0").load(dir).collect()
     }
-    def chain(t: Throwable): String = {
-      var cur = t; var m = Option(cur.getMessage).getOrElse("")
-      while (cur.getCause != null) { cur = cur.getCause; m += " | " + Option(cur.getMessage).getOrElse("") }
-      m
-    }
     assert(chain(e).contains("compacted or vacuumed"))
 
-    // same stance for a fresh stream whose delta includes the folded files
-    val ckpt = Files.createTempDirectory("graft-write-cmp-ckpt").toString
-    val q = spark.readStream.format("graft").load(dir)
-      .writeStream.format("memory").queryName("graft_compacted_stream")
-      .option("checkpointLocation", ckpt).outputMode("append").start()
-    val se = intercept[Exception] { try q.processAllAvailable() finally q.stop() }
-    assert(chain(se).contains("compacted or vacuumed"))
+    // the checkpointed stream resumes mid-history: its delta can neither
+    // exclude nor reach the folded rows — loud refusal
+    val q1 = startStream()
+    val se = intercept[Exception] { try q1.processAllAvailable() finally q1.stop() }
+    assert(chain(se).contains("compacted into rewritten files"))
+
+    // a FRESH stream is a full replay — the folded rows ride the bin
+    // replay, so it reads the exact post-compaction state
+    val ckpt2 = Files.createTempDirectory("graft-write-cmp-ckpt2").toString
+    val q2 = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("graft_compacted_fresh")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(spark.table("graft_compacted_fresh").count() == all.count())
+    assert(spark.sql("SELECT count(DISTINCT doc_id) FROM graft_compacted_fresh")
+      .head().getLong(0) == all.count())
+  }
+
+  test("vacuum reclaims orphaned append block files (publish-then-crash debris)") {
+    import spark.implicits._
+    val dir = freshEncodedDir("orphan")
+    extra.toDF().write.format("graft").mode("append").save(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+
+    // simulate a crash between publish and snapshot: a REAL appended block
+    // file, present in blocks/ but in no snapshot's files_added
+    val committed = EncodeJob.loadSnapshotRecords(dir, conf).flatMap(_.filesAdded).head
+    val orphanName = "w-deadbeef-dead-dead-dead-deaddeadbeef-p00000-t9.parquet"
+    val src = new org.apache.hadoop.fs.Path(s"$dir/blocks", committed)
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/blocks", orphanName)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, orphan, false, conf)
+    fs.setTimes(orphan, System.currentTimeMillis() - 120000L, -1)
+
+    // the orphan double-counts until reclaimed (that's the bug being healed)
+    assert(spark.read.format("graft").load(dir).count() > all.count())
+
+    val res = Maintenance.vacuum(spark, dir, olderThanMs = 60000L)
+    assert(res.dataFilesDeleted >= 1)
+    assert(!fs.exists(orphan), "orphan append file must be reclaimed")
+    assert(fs.exists(src), "committed append file must survive")
+    assert(GraftPipeline.verify(all, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+  }
+
+  test("writer/epoch idempotence survives snapshot expiry (marks on the rebased base)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val scratch = Files.createTempDirectory("graft-write-expire").toString
+    val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$scratch/blocks"))
+    val staging = s"$scratch/_write_staging/q2"
+    def stage(name: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, name), true)
+      try out.write(Array[Byte](1))
+      finally out.close()
+    }
+    def commitEpoch(e: Long): Unit = {
+      val name = s"w-q2-e$e-p00000-t$e.parquet"
+      stage(name)
+      GraftAppendCommit.commit(
+        scratch, staging, Array(GraftCommitMessage(name, Array(0), 1L, 1L)), "writer-y", Some(e))
+    }
+    commitEpoch(5L) // snap 0
+    commitEpoch(6L) // snap 1
+    Maintenance.expireSnapshots(spark, scratch, keepLast = 1)
+    val recs = EncodeJob.loadSnapshotRecords(scratch, conf)
+    assert(recs.size == 1)
+    assert(recs.head.writerMarks.contains(("writer-y", 5L)) || recs.head.writerEpoch.contains(6L))
+    // epoch 5's snapshot is gone, but the retry must STILL be a no-op
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(s"$scratch/blocks")).length
+    commitEpoch(5L)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(s"$scratch/blocks")).length
+    assert(after == before, "retried epoch after expiry must not re-append")
+    assert(EncodeJob.loadSnapshotRecords(scratch, conf).size == 1)
+    // expiry also folded the expired snapshot's files into the base, so
+    // vacuum cannot mistake the committed file for an orphan
+    assert(EncodeJob.loadSnapshotRecords(scratch, conf).head.filesAdded
+      .contains("w-q2-e5-p00000-t5.parquet"))
   }
 }
