@@ -195,30 +195,15 @@ object EncodeJob {
     * parse to both `snapshot_id` and `bins_added` is skipped (the next
     * listing sees it complete). Blocks commit before the snapshot, so a
     * completed file's bins/files are always readable.
-    *
-    * `onlyIds` bounds the read to specific snapshot ids (parsed from the
-    * file names, so unwanted histories are never opened) — the streaming
-    * sink's idempotence check uses it to keep per-epoch commit cost
-    * independent of table age.
     */
-  def loadSnapshotRecords(
-      outDir: String,
-      conf: Configuration,
-      onlyIds: Option[Long => Boolean] = None
-  ): Seq[SnapshotRecord] = {
+  def loadSnapshotRecords(outDir: String, conf: Configuration): Seq[SnapshotRecord] = {
     val f = new Path(outDir).getFileSystem(conf)
     val dir = new Path(s"$outDir/_snapshots")
     if (!f.exists(dir)) return Seq.empty
     f.listStatus(dir)
       .toSeq
       .map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("snap-") && (onlyIds match {
-          case None => true
-          case Some(keep) =>
-            p.getName.stripPrefix("snap-").stripSuffix(".json").toLongOption.exists(keep)
-        })
-      }
+      .filter(_.getName.startsWith("snap-"))
       .flatMap { p =>
         val in = f.open(p)
         val txt =
@@ -249,7 +234,10 @@ object EncodeJob {
       .sortBy(_.id)
   }
 
-  /** List committed snapshot ids without opening any file. */
+  /** List committed snapshot ids without opening any file — lets vacuum
+    * detect that [[loadSnapshotRecords]]'s read-tolerant parse silently
+    * skipped a snapshot before it deletes anything based on the lineage.
+    */
   def listSnapshotIds(outDir: String, conf: Configuration): Seq[Long] = {
     val f = new Path(outDir).getFileSystem(conf)
     val dir = new Path(s"$outDir/_snapshots")

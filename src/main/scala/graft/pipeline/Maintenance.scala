@@ -343,19 +343,29 @@ object Maintenance {
     // identifies orphans exactly (snapshot expiry folds files_added into
     // the rebased base, which keeps committed files out of this set). The
     // grace window protects the publish→snapshot commit in flight.
+    //
+    // This sweep DELETES data based on what the lineage claims, so it must
+    // not run off a partial read: first complete any interrupted expiry
+    // base swap, then require every snapshot file to have parsed — if one
+    // is unreadable (corrupt, or a concurrent in-flight write) its
+    // files_added would silently read as empty and its committed appends
+    // as orphans. Skipping the sweep is always safe; orphans only cost
+    // duplicate rows until a later vacuum reclaims them.
     val blocksDir = new Path(s"$outDir/blocks")
     if (fs.exists(blocksDir)) {
-      val lineage = EncodeJob
-        .loadSnapshotRecords(outDir, conf)
-        .flatMap(_.filesAdded)
-        .toSet
-      fs.listStatus(blocksDir).foreach { st =>
-        val n = st.getPath.getName
-        if (
-          st.isFile && n.startsWith("w-") && n.endsWith(".parquet") &&
-          !lineage.contains(n) && st.getModificationTime <= cutoff
-        )
-          if (fs.delete(st.getPath, false)) filesDeleted += 1
+      repairRebase(fs, outDir)
+      val snapIds = EncodeJob.listSnapshotIds(outDir, conf)
+      val records = EncodeJob.loadSnapshotRecords(outDir, conf)
+      if (records.size == snapIds.size) {
+        val lineage = records.flatMap(_.filesAdded).toSet
+        fs.listStatus(blocksDir).foreach { st =>
+          val n = st.getPath.getName
+          if (
+            st.isFile && n.startsWith("w-") && n.endsWith(".parquet") &&
+            !lineage.contains(n) && st.getModificationTime <= cutoff
+          )
+            if (fs.delete(st.getPath, false)) filesDeleted += 1
+        }
       }
     }
 
@@ -432,7 +442,9 @@ object Maintenance {
     require(keepLast >= 1, "keepLast must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = fsOf(outDir, conf)
-    val snaps = EncodeJob.loadSnapshots(outDir, conf)
+    repairRebase(fs, outDir)
+    val records = EncodeJob.loadSnapshotRecords(outDir, conf)
+    val snaps = records.map(r => (r.id, r.binsAdded))
     if (snaps.size <= keepLast) return ExpireResult(Seq.empty, None)
 
     val cut = snaps.size - keepLast
@@ -448,7 +460,6 @@ object Maintenance {
     // rebased base: files merge into files_added, writer identities become
     // (marked_writers, marked_epochs) pairs keeping the MAX epoch per
     // writer (epochs are monotonic per writer, so >= compares suffice).
-    val records = EncodeJob.loadSnapshotRecords(outDir, conf)
     val expiredIds = expired.map(_._1).toSet
     val expiredRecs = records.filter(r => expiredIds.contains(r.id))
     val baseRec = records
@@ -491,5 +502,28 @@ object Maintenance {
       fs.delete(new Path(s"$outDir/_snapshots/snap-$id.json"), false): Unit
     }
     ExpireResult(expired.map(_._1), Some(baseId))
+  }
+
+  /** Complete (or discard) an interrupted [[expireSnapshots]] base swap.
+    * The swap is create-tmp → delete-base → rename; a crash between the
+    * last two leaves the base snapshot missing and its merged content only
+    * in `.tmp-rebase-*`. Lineage READERS tolerate the gap (the table stays
+    * scannable), but vacuum's orphan sweep must not — the missing
+    * files_added would make it read committed append files as orphans and
+    * delete them. If the snap file exists the tmp is pre-delete debris and
+    * is discarded instead.
+    */
+  private def repairRebase(fs: FileSystem, outDir: String): Unit = {
+    val snapsDir = new Path(s"$outDir/_snapshots")
+    if (!fs.exists(snapsDir)) return
+    fs.listStatus(snapsDir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith(".tmp-rebase-") && n.endsWith(".json")) {
+        val snap = new Path(snapsDir, "snap-" + n.stripPrefix(".tmp-rebase-"))
+        if (!fs.exists(snap))
+          require(fs.rename(st.getPath, snap), s"completing interrupted rebase failed: $n")
+        else fs.delete(st.getPath, false): Unit
+      }
+    }
   }
 }

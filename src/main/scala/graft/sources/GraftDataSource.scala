@@ -1201,21 +1201,27 @@ private[sources] class GraftMicroBatchStream(
     val files = GraftMeta.listBlockFiles(path, hadoopConf)
     val liveNames = files.map(f => GraftScan.nameOf(f._1)).toSet
     // Compaction folds appended files into rewritten files whose rows a
-    // bin replay cannot tell apart from EncodeJob rows. A folded file not
-    // yet emitted by this stream (snapshot > s) is recoverable in exactly
-    // one case: the FULL from-scratch batch (s == -1 with every snapshot
-    // in range), where the bin replay covers every bin and so emits the
-    // folded rows itself. Any other range must refuse rather than drop
-    // (folded in range, bins not replayed) or double-read (folded beyond
-    // e, rows ride the replay early) those rows.
-    val foldedPending = recs
-      .filter(r => r.id > s && r.filesAdded.exists(f => !liveNames.contains(f)))
-    if (foldedPending.nonEmpty) {
-      val fullReplay = s == -1L && foldedPending.forall(_.id <= e)
+    // bin replay cannot tell apart from EncodeJob rows. Two distinct
+    // hazards: a folded file IN range (s, e] means rows this batch owes
+    // that no live file carries (drop), and a folded file BEYOND e means
+    // rows a bin replay in THIS batch would emit early (double-read later)
+    // — but only if this batch replays bins at all; a pure file-delta
+    // catch-up batch never touches rewritten files, so a later folded
+    // snapshot is that later batch's problem, not a reason to refuse
+    // deliverable rows now. The one recoverable in-range case is the FULL
+    // from-scratch batch (s == -1, nothing folded beyond e), where the
+    // all-bins replay emits the folded rows itself.
+    val folded = (r: graft.pipeline.EncodeJob.SnapshotRecord) =>
+      r.filesAdded.exists(f => !liveNames.contains(f))
+    val foldedInRange = inRange.filter(folded)
+    val foldedBeyond = recs.filter(r => r.id > e && folded(r))
+    val hazards = foldedInRange ++ (if (deltaBins.nonEmpty) foldedBeyond else Seq.empty)
+    if (hazards.nonEmpty) {
+      val fullReplay = s == -1L && foldedBeyond.isEmpty
       require(
         fullReplay,
         s"stream batch ($s, $e] cannot be planned: appended files of snapshots " +
-          s"${foldedPending.map(_.id).mkString(", ")} were compacted into rewritten files " +
+          s"${hazards.map(_.id).mkString(", ")} were compacted into rewritten files " +
           "that a partial replay can neither exclude nor reach — restart the stream from a " +
           "fresh checkpoint (a full replay is exact), or disable compaction while streams " +
           "are catching up"

@@ -220,6 +220,22 @@ private[sources] final class GraftWrite(
 /** The driver-side append commit shared by the batch and streaming writes. */
 private[sources] object GraftAppendCommit {
 
+  /** Max committed epoch per (table path, writer), cached on the driver.
+    * Populated by ONE full lineage scan on the writer's first epoch commit
+    * after (re)start and kept current in memory afterwards, so steady-state
+    * epoch commits read no snapshot files at all AND the idempotence answer
+    * is always exact — a bounded "recent snapshots" window could miss an old
+    * commit (e.g. other writers appended 64+ snapshots while this one was
+    * down) and turn the orphan sweep below into deletion of committed files.
+    * Entries are a (String, String) key and a Long — negligible even across
+    * thousands of streams in one driver.
+    */
+  private val maxCommittedEpoch =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  /** Forget cached writer state so tests can exercise the cold-start scan. */
+  private[sources] def resetWriterCacheForTesting(): Unit = maxCommittedEpoch.clear()
+
   /** Delete staged (uncommitted) task files: the whole staging dir for a
     * batch write, only this epoch's files for a streaming write (the next
     * epoch may already be staging into the shared dir).
@@ -232,9 +248,14 @@ private[sources] object GraftAppendCommit {
     epoch match {
       case None => fs.delete(dir, true): Unit
       case Some(e) =>
-        val tag = s"-e$e-"
+        // staged names are w-<queryId>-e<epoch>-p…, and the staging dir is
+        // per-query, so its own name IS the queryId. Match the full prefix:
+        // a bare "-e<id>-" tag can also occur inside the query UUID itself
+        // (a 4-hex group like "e427" yields "-e427-"), which would delete
+        // the next epoch's in-flight staged files
+        val prefix = s"w-${dir.getName}-e$e-"
         fs.listStatus(dir)
-          .filter(st => st.isFile && st.getPath.getName.contains(tag))
+          .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
           .foreach(st => fs.delete(st.getPath, false): Unit)
     }
   }
@@ -253,36 +274,44 @@ private[sources] object GraftAppendCommit {
     // streaming exactly-once: a retried epoch whose snapshot already
     // committed must not append its rows again. Epochs are monotonic per
     // writer, so ANY record (or expiry-carried mark) for this writer with
-    // epoch >= e proves e committed. Bounded read: only the newest 64
-    // snapshots (the retried epoch is at the tail under the single-writer
-    // assumption) plus the oldest one (expiry folds marks into it) — commit
-    // cost stays independent of table age.
-    val alreadyCommitted = epoch.exists { e =>
-      val ids = EncodeJob.listSnapshotIds(path, conf)
-      val wanted = (ids.takeRight(64) ++ ids.headOption).toSet
-      EncodeJob
-        .loadSnapshotRecords(path, conf, onlyIds = Some(wanted.contains))
-        .exists { r =>
-          (r.writerId.contains(writerId) && r.writerEpoch.exists(_ >= e)) ||
-          r.writerMarks.exists { case (w, me) => w == writerId && me >= e }
-        }
-    }
-    if (alreadyCommitted) { cleanStaging(path, stagingDir, epoch); return }
-
-    // self-heal a crashed prior attempt of THIS epoch: a driver killed
-    // between publishing task files and the snapshot write leaves orphans
-    // in blocks/ (visible but in no lineage). The retry owns the epoch —
-    // its name prefix (queryId + epoch tag) identifies exactly those files,
-    // and alreadyCommitted above proved no snapshot claims them.
+    // epoch >= e proves e committed. The writer's max committed epoch is
+    // cached on the driver: the FIRST epoch commit after (re)start pays one
+    // full lineage scan (exact — snapshot expiry folds marks forward so the
+    // proof survives truncation), every later commit answers from memory,
+    // so steady-state commit cost is independent of table age.
+    val cacheKey = (path, writerId)
     epoch.foreach { e =>
-      val blocksDir = new Path(s"$path/blocks")
-      if (fs.exists(blocksDir)) {
-        val prefix = s"w-$writerId-e$e-"
-        fs.listStatus(blocksDir)
-          .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
-          .foreach(st => fs.delete(st.getPath, false): Unit)
+      if (!maxCommittedEpoch.contains(cacheKey)) {
+        val recs = EncodeJob.loadSnapshotRecords(path, conf)
+        val max = recs.iterator.flatMap { r =>
+          r.writerEpoch.filter(_ => r.writerId.contains(writerId)) ++
+            r.writerMarks.collect { case (w, me) if w == writerId => me }
+        }.maxOption.getOrElse(-1L)
+        // self-heal a crashed prior attempt of THIS epoch: a driver killed
+        // between publishing task files and the snapshot write leaves
+        // orphans in blocks/ (visible but in no lineage). Only possible
+        // across a process death — in-JVM commit failures roll their
+        // published files back — so sweep exactly once, here on the cold
+        // start. The lineage-membership guard makes the delete provably
+        // safe even if the scan above were ever wrong about `max`.
+        if (max < e) {
+          val blocksDir = new Path(s"$path/blocks")
+          if (fs.exists(blocksDir)) {
+            val lineageFiles = recs.flatMap(_.filesAdded).toSet
+            val prefix = s"w-$writerId-e$e-"
+            fs.listStatus(blocksDir)
+              .filter { st =>
+                st.isFile && st.getPath.getName.startsWith(prefix) &&
+                !lineageFiles.contains(st.getPath.getName)
+              }
+              .foreach(st => fs.delete(st.getPath, false): Unit)
+          }
+        }
+        maxCommittedEpoch.putIfAbsent(cacheKey, max): Unit
       }
     }
+    val alreadyCommitted = epoch.exists(e => maxCommittedEpoch(cacheKey) >= e)
+    if (alreadyCommitted) { cleanStaging(path, stagingDir, epoch); return }
 
     val msgs = messages.collect { case m: GraftCommitMessage if m.nRows > 0 => m }
     if (msgs.isEmpty) { cleanStaging(path, stagingDir, epoch); return }
@@ -316,6 +345,7 @@ private[sources] object GraftAppendCommit {
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+      epoch.foreach(e => maxCommittedEpoch(cacheKey) = e)
     } catch {
       case e: Throwable =>
         // pre-snapshot failure: roll the published files back so the dir is
@@ -367,8 +397,8 @@ private[sources] final case class GraftWriterFactory(
   // application, so without it a later append job could rename onto (and on
   // a posix rename silently DESTROY) a previously committed append's block
   // file of the same name. The queryId is a UUID, so names are globally
-  // unique; the epoch tag "-e<id>-" cannot occur inside a UUID's hex groups
-  // (they are 4+ chars), so cleanStaging's per-epoch match stays exact.
+  // unique; cleanStaging matches the full w-<queryId>-e<epoch>- prefix (a
+  // bare "-e<id>-" tag can occur inside the UUID's own hex groups).
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(
       stagingDir,

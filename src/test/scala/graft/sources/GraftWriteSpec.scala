@@ -179,18 +179,21 @@ class GraftWriteSpec extends AnyFunSuite {
     def blockCount =
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$scratch/blocks")).count(_.isFile)
 
-    stage("w-e5-p00000-t0.parquet")
-    val msg = GraftCommitMessage("w-e5-p00000-t0.parquet", Array(0), 1L, 3L)
-    GraftAppendCommit.commit(scratch, staging, Array(msg), "writer-x", Some(5L))
+    stage("w-q1-e5-p00000-t0.parquet")
+    val msg = GraftCommitMessage("w-q1-e5-p00000-t0.parquet", Array(0), 1L, 3L)
+    GraftAppendCommit.commit(scratch, staging, Array(msg), "q1", Some(5L))
     assert(snapCount == 1 && blockCount == 1)
 
-    // the retry: same (writer, epoch), freshly staged file — must clean and return
-    stage("w-e5-p00000-t1.parquet")
-    val retry = GraftCommitMessage("w-e5-p00000-t1.parquet", Array(0), 1L, 3L)
-    GraftAppendCommit.commit(scratch, staging, Array(retry), "writer-x", Some(5L))
+    // the retry: same (writer, epoch), freshly staged file — must clean and
+    // return. Clear the driver cache so the no-op decision rides the
+    // cold-start lineage scan (the cross-restart path), not warm memory.
+    GraftAppendCommit.resetWriterCacheForTesting()
+    stage("w-q1-e5-p00000-t1.parquet")
+    val retry = GraftCommitMessage("w-q1-e5-p00000-t1.parquet", Array(0), 1L, 3L)
+    GraftAppendCommit.commit(scratch, staging, Array(retry), "q1", Some(5L))
     assert(snapCount == 1, "retried epoch must not commit a second snapshot")
     assert(blockCount == 1, "retried epoch must not publish its staged files")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging, "w-e5-p00000-t1.parquet")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging, "w-q1-e5-p00000-t1.parquet")))
   }
 
   test("vacuum reclaims crashed append staging dirs, spares in-grace ones") {
@@ -321,7 +324,10 @@ class GraftWriteSpec extends AnyFunSuite {
     val recs = EncodeJob.loadSnapshotRecords(scratch, conf)
     assert(recs.size == 1)
     assert(recs.head.writerMarks.contains(("writer-y", 5L)) || recs.head.writerEpoch.contains(6L))
-    // epoch 5's snapshot is gone, but the retry must STILL be a no-op
+    // epoch 5's snapshot is gone, but the retry must STILL be a no-op —
+    // clear the driver cache so this exercises the cold-start lineage scan
+    // (the restart path), where only the expiry-carried mark proves epoch 5
+    GraftAppendCommit.resetWriterCacheForTesting()
     val before = fs.listStatus(new org.apache.hadoop.fs.Path(s"$scratch/blocks")).length
     commitEpoch(5L)
     val after = fs.listStatus(new org.apache.hadoop.fs.Path(s"$scratch/blocks")).length
@@ -331,5 +337,65 @@ class GraftWriteSpec extends AnyFunSuite {
     // vacuum cannot mistake the committed file for an orphan
     assert(EncodeJob.loadSnapshotRecords(scratch, conf).head.filesAdded
       .contains("w-q2-e5-p00000-t5.parquet"))
+  }
+
+  test("cleanStaging epoch match survives an -e<digits>- group inside the query UUID") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val scratch = Files.createTempDirectory("graft-write-uuid").toString
+    val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
+    // a legal UUID whose 2nd group is e427 — every staged name of this
+    // query contains the literal "-e427-" independent of its epoch
+    val qid = "1f3a0c2e-e427-4b9a-9c51-2d7f03b8a661"
+    val staging = s"$scratch/_write_staging/$qid"
+    def stage(name: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, name), true)
+      try out.write(Array[Byte](1))
+      finally out.close()
+    }
+    stage(s"w-$qid-e427-p00000-t1.parquet") // epoch 427, being cleaned
+    stage(s"w-$qid-e428-p00000-t2.parquet") // next epoch, already staging
+    GraftAppendCommit.cleanStaging(scratch, staging, Some(427L))
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(staging)).map(_.getPath.getName)
+    assert(left.toSeq == Seq(s"w-$qid-e428-p00000-t2.parquet"),
+      "cleaning epoch 427 must not touch epoch 428's in-flight staged file")
+  }
+
+  test("vacuum refuses the orphan sweep on unreadable lineage; repairs an interrupted rebase") {
+    import spark.implicits._
+    val dir = freshEncodedDir("strict")
+    extra.toDF().write.format("graft").mode("append").save(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val committed = EncodeJob.loadSnapshotRecords(dir, conf).flatMap(_.filesAdded).head
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/blocks", "w-feedface-p00000-t3.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$dir/blocks", committed), fs, orphan, false, conf)
+    fs.setTimes(orphan, System.currentTimeMillis() - 120000L, -1)
+
+    // an unreadable snapshot hides its files_added — deleting "orphans"
+    // off that partial view could reclaim committed data, so the sweep
+    // must not run at all
+    val corrupt = new org.apache.hadoop.fs.Path(s"$dir/_snapshots/snap-99.json")
+    val out = fs.create(corrupt, true)
+    try out.write("{not json".getBytes("UTF-8"))
+    finally out.close()
+    Maintenance.vacuum(spark, dir, olderThanMs = 60000L)
+    assert(fs.exists(orphan), "sweep must be skipped while a snapshot is unreadable")
+    fs.delete(corrupt, false)
+
+    // a crash between expiry's delete-base and rename leaves the lineage
+    // content only in .tmp-rebase-* — vacuum completes the swap before
+    // trusting the lineage, so the sweep still runs and stays exact
+    val snaps = EncodeJob.listSnapshotIds(dir, conf)
+    val baseId = snaps.max
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/_snapshots/snap-$baseId.json")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/_snapshots/.tmp-rebase-$baseId.json")
+    require(fs.rename(basePath, tmpPath))
+    val res = Maintenance.vacuum(spark, dir, olderThanMs = 60000L)
+    assert(fs.exists(basePath), "interrupted rebase must be completed")
+    assert(!fs.exists(tmpPath))
+    assert(res.dataFilesDeleted >= 1 && !fs.exists(orphan), "sweep runs after repair")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/blocks", committed)))
+    assert(GraftPipeline.verify(all, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
   }
 }
