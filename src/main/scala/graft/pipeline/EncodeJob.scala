@@ -167,12 +167,27 @@ object EncodeJob {
     val dir = s"$outDir/_snapshots"
     val f = fs(spark, outDir)
     if (!f.exists(new Path(dir))) return (0L, -1L)
+    // an id held only by an interrupted expiry base swap (.tmp-rebase-N —
+    // snap-N deleted, rename not yet done) is still TAKEN: allocating it to
+    // a new snapshot would make the later repair discard the rebased
+    // content as stale debris, losing that lineage entry for good
     val ids = f
       .listStatus(new Path(dir))
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("snap-") => s.stripPrefix("snap-").stripSuffix(".json").toLong }
+      .collect {
+        case SnapNameRe(n)      => n.toLong
+        case TmpRebaseNameRe(n) => n.toLong
+      }
     if (ids.isEmpty) (0L, -1L) else (ids.max + 1, ids.max)
   }
+
+  /** Canonical snapshot / interrupted-rebase file names. Derived copies like
+    * `snap-7.json.orig` must match NEITHER: the id listing and the record
+    * load have to agree on the same file set, or vacuum's completeness guard
+    * (records vs ids) could be fooled into sweeping off a partial lineage.
+    */
+  private[graft] val SnapNameRe = raw"snap-(\d+)\.json".r
+  private[graft] val TmpRebaseNameRe = raw"\.tmp-rebase-(\d+)\.json".r
 
   /** One committed snapshot's lineage entry. EncodeJob snapshots carry only
     * `binsAdded` (bins are write-once for the batch encoder, so the bin set
@@ -203,7 +218,7 @@ object EncodeJob {
     f.listStatus(dir)
       .toSeq
       .map(_.getPath)
-      .filter(_.getName.startsWith("snap-"))
+      .filter(p => SnapNameRe.matches(p.getName))
       .flatMap { p =>
         val in = f.open(p)
         val txt =
@@ -245,8 +260,7 @@ object EncodeJob {
     f.listStatus(dir)
       .toSeq
       .map(_.getPath.getName)
-      .filter(_.startsWith("snap-"))
-      .flatMap(_.stripPrefix("snap-").stripSuffix(".json").toLongOption)
+      .collect { case SnapNameRe(n) => n.toLong }
       .sorted
   }
 

@@ -356,7 +356,10 @@ object Maintenance {
       repairRebase(fs, outDir)
       val snapIds = EncodeJob.listSnapshotIds(outDir, conf)
       val records = EncodeJob.loadSnapshotRecords(outDir, conf)
-      if (records.size == snapIds.size) {
+      // compare the id SEQUENCES, not counts: a name-unparseable extra file
+      // could otherwise mask an unreadable snapshot (and a record whose
+      // content id disagrees with its file name is equally untrustworthy)
+      if (records.map(_.id).sorted == snapIds) {
         val lineage = records.flatMap(_.filesAdded).toSet
         fs.listStatus(blocksDir).foreach { st =>
           val n = st.getPath.getName
@@ -513,16 +516,21 @@ object Maintenance {
     * delete them. If the snap file exists the tmp is pre-delete debris and
     * is discarded instead.
     */
-  private def repairRebase(fs: FileSystem, outDir: String): Unit = {
+  private[graft] def repairRebase(fs: FileSystem, outDir: String): Unit = {
     val snapsDir = new Path(s"$outDir/_snapshots")
     if (!fs.exists(snapsDir)) return
     fs.listStatus(snapsDir).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isFile && n.startsWith(".tmp-rebase-") && n.endsWith(".json")) {
-        val snap = new Path(snapsDir, "snap-" + n.stripPrefix(".tmp-rebase-"))
-        if (!fs.exists(snap))
-          require(fs.rename(st.getPath, snap), s"completing interrupted rebase failed: $n")
-        else fs.delete(st.getPath, false): Unit
+      st.getPath.getName match {
+        case n @ EncodeJob.TmpRebaseNameRe(id) if st.isFile =>
+          // snap-<id> present means the crash happened BEFORE the delete
+          // (the tmp is pre-delete debris) — id reuse is impossible because
+          // nextSnapshotId counts tmp-rebase ids as taken, so an existing
+          // snap-<id> can only be the original, never a later allocation
+          val snap = new Path(snapsDir, s"snap-$id.json")
+          if (!fs.exists(snap))
+            require(fs.rename(st.getPath, snap), s"completing interrupted rebase failed: $n")
+          else fs.delete(st.getPath, false): Unit
+        case _ =>
       }
     }
   }

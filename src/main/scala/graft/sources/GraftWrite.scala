@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.core.{BitReader, Huffman, MiniJson}
-import graft.pipeline.{EncodeJob, EncodedBlock, GraftPipeline}
+import graft.pipeline.{EncodeJob, EncodedBlock, GraftPipeline, Maintenance}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -227,11 +227,15 @@ private[sources] object GraftAppendCommit {
     * is always exact — a bounded "recent snapshots" window could miss an old
     * commit (e.g. other writers appended 64+ snapshots while this one was
     * down) and turn the orphan sweep below into deletion of committed files.
-    * Entries are a (String, String) key and a Long — negligible even across
-    * thousands of streams in one driver.
+    * The value carries the table INCARNATION (mtime of `_tables/meta.json`,
+    * written once at bootstrap) next to the epoch: a dir wiped and
+    * re-encoded under a still-live driver must not inherit the old table's
+    * epoch proof, or retried epochs would be silently swallowed as
+    * already-committed. Entries are tiny — negligible even across thousands
+    * of streams in one driver.
     */
   private val maxCommittedEpoch =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Long)]
 
   /** Forget cached writer state so tests can exercise the cold-start scan. */
   private[sources] def resetWriterCacheForTesting(): Unit = maxCommittedEpoch.clear()
@@ -280,20 +284,42 @@ private[sources] object GraftAppendCommit {
     // proof survives truncation), every later commit answers from memory,
     // so steady-state commit cost is independent of table age.
     val cacheKey = (path, writerId)
+    // one O(1) stat per epoch commit: detect a wiped-and-rebootstrapped dir
+    // so a warm cache entry from the PREVIOUS table never answers for this
+    // one (missing meta.json only occurs in synthetic test dirs → 0L)
+    val incarnation = epoch.map { _ =>
+      scala.util
+        .Try(fs.getFileStatus(new Path(s"$path/_tables/meta.json")).getModificationTime)
+        .getOrElse(0L)
+    }
     epoch.foreach { e =>
+      maxCommittedEpoch.get(cacheKey).foreach { case (inc, _) =>
+        if (!incarnation.contains(inc)) maxCommittedEpoch.remove(cacheKey): Unit
+      }
       if (!maxCommittedEpoch.contains(cacheKey)) {
+        // the lineage this scan trusts must be COMPLETE — a silently
+        // skipped snapshot could both hide the committed proof and
+        // unprotect its files from the sweep below. Finish any interrupted
+        // expiry base swap first (its content may hold this writer's
+        // marks), then require every snapshot file to have parsed.
+        Maintenance.repairRebase(fs, path)
         val recs = EncodeJob.loadSnapshotRecords(path, conf)
+        require(
+          recs.map(_.id).sorted == EncodeJob.listSnapshotIds(path, conf),
+          s"graft append: unreadable snapshot lineage under $path/_snapshots — cannot " +
+            "decide epoch idempotence; repair or remove the corrupt snapshot file"
+        )
         val max = recs.iterator.flatMap { r =>
           r.writerEpoch.filter(_ => r.writerId.contains(writerId)) ++
             r.writerMarks.collect { case (w, me) if w == writerId => me }
         }.maxOption.getOrElse(-1L)
         // self-heal a crashed prior attempt of THIS epoch: a driver killed
         // between publishing task files and the snapshot write leaves
-        // orphans in blocks/ (visible but in no lineage). Only possible
-        // across a process death — in-JVM commit failures roll their
-        // published files back — so sweep exactly once, here on the cold
-        // start. The lineage-membership guard makes the delete provably
-        // safe even if the scan above were ever wrong about `max`.
+        // orphans in blocks/ (visible but in no lineage). In-JVM commit
+        // failures roll their published files back (and drop the cache
+        // entry, so a rollback that itself failed lands here too) — sweep
+        // once, on the cold start. The lineage-membership guard makes the
+        // delete provably safe even if the scan were ever wrong about max.
         if (max < e) {
           val blocksDir = new Path(s"$path/blocks")
           if (fs.exists(blocksDir)) {
@@ -307,10 +333,10 @@ private[sources] object GraftAppendCommit {
               .foreach(st => fs.delete(st.getPath, false): Unit)
           }
         }
-        maxCommittedEpoch.putIfAbsent(cacheKey, max): Unit
+        maxCommittedEpoch.putIfAbsent(cacheKey, (incarnation.get, max)): Unit
       }
     }
-    val alreadyCommitted = epoch.exists(e => maxCommittedEpoch(cacheKey) >= e)
+    val alreadyCommitted = epoch.exists(e => maxCommittedEpoch(cacheKey)._2 >= e)
     if (alreadyCommitted) { cleanStaging(path, stagingDir, epoch); return }
 
     val msgs = messages.collect { case m: GraftCommitMessage if m.nRows > 0 => m }
@@ -345,13 +371,17 @@ private[sources] object GraftAppendCommit {
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
-      epoch.foreach(e => maxCommittedEpoch(cacheKey) = e)
+      epoch.foreach(e => maxCommittedEpoch(cacheKey) = (incarnation.get, e))
     } catch {
-      case e: Throwable =>
+      case err: Throwable =>
         // pre-snapshot failure: roll the published files back so the dir is
-        // untouched; Spark's abort then removes the staging leftovers
-        renamed.foreach(n => fs.delete(new Path(s"$path/blocks", n), false): Unit)
-        throw e
+        // untouched; Spark's abort then removes the staging leftovers. The
+        // rollback is best-effort (the FS fault that failed the commit may
+        // fail deletes too) — dropping the cache entry forces the retry
+        // through the cold-start sweep, which reclaims any leftover debris.
+        renamed.foreach(n => scala.util.Try(fs.delete(new Path(s"$path/blocks", n), false)))
+        epoch.foreach(_ => maxCommittedEpoch.remove(cacheKey): Unit)
+        throw err
     }
 
     // 3. advisory claims for the touched bins (file-level pruning + exact

@@ -290,6 +290,9 @@ class GraftWriteSpec extends AnyFunSuite {
     val orphan = new org.apache.hadoop.fs.Path(s"$dir/blocks", orphanName)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, orphan, false, conf)
     fs.setTimes(orphan, System.currentTimeMillis() - 120000L, -1)
+    // the committed file is aged past the cutoff too, so surviving the
+    // sweep proves lineage membership (not just freshness)
+    fs.setTimes(src, System.currentTimeMillis() - 120000L, -1)
 
     // the orphan double-counts until reclaimed (that's the bug being healed)
     assert(spark.read.format("graft").load(dir).count() > all.count())
@@ -339,6 +342,39 @@ class GraftWriteSpec extends AnyFunSuite {
       .contains("w-q2-e5-p00000-t5.parquet"))
   }
 
+  test("an id held by an interrupted rebase is never reallocated to a new append") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val scratch = Files.createTempDirectory("graft-write-reuse").toString
+    val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$scratch/blocks"))
+    def put(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$scratch/_snapshots", name), true)
+      try out.write(content.getBytes("UTF-8"))
+      finally out.close()
+    }
+    // crash window of expireSnapshots: snap-1 deleted, merged content only
+    // in the tmp — snapshot id 1 is still TAKEN
+    put("snap-0.json", """{"snapshot_id":0,"parent_id":-1,"bins_added":[0]}""")
+    put(
+      ".tmp-rebase-1.json",
+      """{"snapshot_id":1,"parent_id":-1,"bins_added":[0],"files_added":["w-held.parquet"]}"""
+    )
+    val staging = s"$scratch/_write_staging/qx"
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, "w-qx-p00000-t0.parquet"), true)
+    try out.write(Array[Byte](1))
+    finally out.close()
+    GraftAppendCommit.commit(
+      scratch, staging,
+      Array(GraftCommitMessage("w-qx-p00000-t0.parquet", Array(0), 1L, 1L)), "qx", None)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/_snapshots/snap-1.json")),
+      "the new append must not claim the in-flight rebase's id")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$scratch/_snapshots/snap-2.json")))
+    // completing the swap restores the original lineage entry intact
+    Maintenance.repairRebase(fs, scratch)
+    val rec1 = EncodeJob.loadSnapshotRecords(scratch, conf).find(_.id == 1L)
+    assert(rec1.exists(_.filesAdded == Seq("w-held.parquet")))
+  }
+
   test("cleanStaging epoch match survives an -e<digits>- group inside the query UUID") {
     val conf = spark.sparkContext.hadoopConfiguration
     val scratch = Files.createTempDirectory("graft-write-uuid").toString
@@ -367,10 +403,13 @@ class GraftWriteSpec extends AnyFunSuite {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     val committed = EncodeJob.loadSnapshotRecords(dir, conf).flatMap(_.filesAdded).head
+    val committedPath = new org.apache.hadoop.fs.Path(s"$dir/blocks", committed)
     val orphan = new org.apache.hadoop.fs.Path(s"$dir/blocks", "w-feedface-p00000-t3.parquet")
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(s"$dir/blocks", committed), fs, orphan, false, conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, committedPath, fs, orphan, false, conf)
     fs.setTimes(orphan, System.currentTimeMillis() - 120000L, -1)
+    // age the committed file PAST the grace cutoff too: its survival below
+    // must be earned by lineage membership, not by being too fresh to sweep
+    fs.setTimes(committedPath, System.currentTimeMillis() - 120000L, -1)
 
     // an unreadable snapshot hides its files_added — deleting "orphans"
     // off that partial view could reclaim committed data, so the sweep
