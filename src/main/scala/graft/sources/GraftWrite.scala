@@ -202,7 +202,7 @@ private[sources] final class GraftWrite(
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = factory
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      GraftAppendCommit.commit(path, stagingDir, messages, queryId, epoch = None)
+      GraftAppendCommit.commit(path, stagingDir, messages, queryId, cfg.numBins, epoch = None)
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       GraftAppendCommit.cleanStaging(path, stagingDir, epoch = None)
   }
@@ -211,7 +211,7 @@ private[sources] final class GraftWrite(
     override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo): StreamingDataWriterFactory =
       factory
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-      GraftAppendCommit.commit(path, stagingDir, messages, queryId, epoch = Some(epochId))
+      GraftAppendCommit.commit(path, stagingDir, messages, queryId, cfg.numBins, epoch = Some(epochId))
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       GraftAppendCommit.cleanStaging(path, stagingDir, epoch = Some(epochId))
   }
@@ -269,6 +269,7 @@ private[sources] object GraftAppendCommit {
       stagingDir: String,
       messages: Array[WriterCommitMessage],
       writerId: String,
+      numBins: Int,
       epoch: Option[Long]
   ): Unit = {
     val spark = SparkSession.active
@@ -392,7 +393,13 @@ private[sources] object GraftAppendCommit {
     // unclaimed appended files are kept conservatively by every scan, and
     // the next batch append or compaction re-manifests them.
     if (epoch.isEmpty) {
-      try EncodeJob.appendManifest(spark, path, msgs.flatMap(_.bins).toSet, snapshotId)
+      // a task that overflowed its inline bin list reports allBins — the
+      // union is then table-scale anyway, so re-manifest every bin (the
+      // claims derivation is one distributed metadata scan either way)
+      val touched: Set[Int] =
+        if (msgs.exists(_.allBins)) (0 until numBins).toSet
+        else msgs.iterator.flatMap(_.bins).toSet
+      try EncodeJob.appendManifest(spark, path, touched, snapshotId)
       catch {
         case e: Exception =>
           System.err.println(
@@ -405,9 +412,19 @@ private[sources] object GraftAppendCommit {
   }
 }
 
+/** Per-task commit message. `bins` is inlined only while small: a big
+  * append task with random doc_ids touches most of the table's bins
+  * (~800k at 100 TB), and shipping that list from thousands of tasks
+  * would put gigabytes of advisory metadata through the driver. Past
+  * [[GraftDataWriter.BinsInlineCap]] the task sends `allBins = true`
+  * instead and the driver re-manifests every bin — the claims derivation
+  * is a distributed metadata scan either way, and a task that exceeded
+  * the cap genuinely touched table-scale bin counts.
+  */
 private[sources] final case class GraftCommitMessage(
     fileName: String,
     bins: Array[Int],
+    allBins: Boolean,
     nRows: Long,
     nValues: Long
 ) extends WriterCommitMessage
@@ -545,15 +562,26 @@ private[sources] final class GraftDataWriter(
   }
 
   private def flushLargestHalf(): Unit = {
+    // one O(B log B) sort per spill episode, not a repeated O(B) maxBy per
+    // flushed bin: with random doc_ids a task can hold a buffer for every
+    // bin (~800k at 100 TB corpus bin counts), and the repeated-maxBy form
+    // is O(B^2) per episode — minutes of driver-invisible CPU per spill
     val target = maxBufferedValues / 2
-    while (buffered > target && buffers.nonEmpty)
-      flush(buffers.maxBy(_._2.values)._1)
+    val bySize = buffers.toArray.sortBy(-_._2.values)
+    var i = 0
+    while (buffered > target && i < bySize.length) {
+      flush(bySize(i)._1)
+      i += 1
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     buffers.keys.toArray.sorted.foreach(flush)
     if (writer != null) writer.close()
-    GraftCommitMessage(fileName, binsTouched.toArray, nRows, nValues)
+    if (binsTouched.size > GraftDataWriter.BinsInlineCap)
+      GraftCommitMessage(fileName, Array.emptyIntArray, allBins = true, nRows, nValues)
+    else
+      GraftCommitMessage(fileName, binsTouched.toArray, allBins = false, nRows, nValues)
   }
 
   override def abort(): Unit = {
@@ -565,6 +593,13 @@ private[sources] final class GraftDataWriter(
   }
 
   override def close(): Unit = ()
+}
+
+private[sources] object GraftDataWriter {
+  /** Largest bin list a commit message inlines (64 KB of ids). Tasks over
+    * the cap report `allBins` instead — see [[GraftCommitMessage]].
+    */
+  val BinsInlineCap: Int = 16384
 }
 
 /** Hand-rolled parquet IO for block files: the writer tasks run without a
