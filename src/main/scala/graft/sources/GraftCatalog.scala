@@ -1,0 +1,192 @@
+package graft.sources
+
+import graft.pipeline.Maintenance
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.Collections
+
+/** SQL-callable maintenance over encode dirs — the Iceberg-procedure-shaped
+  * surface (`CALL graft.system.compact(...)`) on top of
+  * [[graft.pipeline.Maintenance]], registered as a Spark catalog:
+  *
+  * {{{
+  *   spark.sql.catalog.graft = graft.sources.GraftCatalog   // config, or:
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *
+  *   CALL graft.system.compact(path => '/data/corpus')
+  *   CALL graft.system.vacuum(path => '/data/corpus', older_than_ms => 3600000)
+  *   CALL graft.system.expire_snapshots(path => '/data/corpus', keep_last => 7)
+  *   CALL graft.system.rewrite_manifests(path => '/data/corpus')
+  * }}}
+  *
+  * Each procedure returns its result as one row (the same fields the
+  * programmatic API returns), so scheduled SQL-only maintenance jobs can
+  * assert on what happened. All operations assume the single-maintainer
+  * contract documented on [[graft.pipeline.Maintenance]].
+  *
+  * The reference engine's single-file output never needs this surface; its
+  * closest analog is the offsets rebuild on conversion
+  * (/root/reference/src/graphs/convert.rs:784-856). At 100 TB the catalog is
+  * what keeps maintenance schedulable from plain SQL warehouses instead of
+  * bespoke driver programs.
+  */
+final class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val ns = ident.namespace()
+    require(
+      ns.isEmpty || (ns.length == 1 && ns(0).equalsIgnoreCase("system")),
+      s"unknown namespace ${ns.mkString(".")} — graft procedures live under `system`"
+    )
+    GraftCatalog.procedures.getOrElse(
+      ident.name().toLowerCase,
+      throw new RuntimeException(
+        s"unknown procedure $catalogName.system.${ident.name()} — available: " +
+          GraftCatalog.procedures.keys.toSeq.sorted.mkString(", ")
+      )
+    )
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || (namespace.length == 1 && namespace(0).equalsIgnoreCase("system")))
+      GraftCatalog.procedures.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+    else Array.empty
+}
+
+private object GraftCatalog {
+
+  /** One self-binding procedure: parameters are fixed (no overloads), so
+    * `bind` validates nothing beyond what the analyzer already coerced.
+    */
+  private abstract class MaintenanceProcedure(
+      procName: String,
+      val parameters: Array[ProcedureParameter],
+      resultSchema: StructType
+  ) extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    def run(spark: SparkSession, input: InternalRow): InternalRow
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = run(SparkSession.active, input)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = resultSchema
+        override def description(): String = s"graft.system.$procName result"
+      }
+      Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+  private def inDflt(n: String, t: DataType, sql: String) =
+    ProcedureParameter.in(n, t).defaultValue(sql).build()
+
+  private def pathOf(input: InternalRow): String = {
+    require(!input.isNullAt(0), "path must not be null")
+    input.getUTF8String(0).toString
+  }
+
+  private val compact = new MaintenanceProcedure(
+    "compact",
+    Array(
+      in("path", StringType),
+      inDflt("small_file_bytes", LongType, (32L << 20).toString),
+      inDflt("target_file_bytes", LongType, (128L << 20).toString),
+      inDflt("min_input_files", IntegerType, "2")
+    ),
+    StructType(Seq(
+      StructField("compaction_id", LongType, nullable = true),
+      StructField("files_removed", IntegerType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false),
+      StructField("bytes_removed", LongType, nullable = false),
+      StructField("bytes_added", LongType, nullable = false),
+      StructField("bins_remapped", IntegerType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "rewrite small block files into large ones (decoded content unchanged)"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      Maintenance.compact(spark, pathOf(input), input.getLong(1), input.getLong(2), input.getInt(3)) match {
+        case Some(r) =>
+          InternalRow(r.cid, r.filesRemoved, r.filesAdded, r.bytesRemoved, r.bytesAdded, r.binsRemapped)
+        case None => InternalRow(null, 0, 0, 0L, 0L, 0)
+      }
+  }
+
+  private val vacuum = new MaintenanceProcedure(
+    "vacuum",
+    Array(in("path", StringType), inDflt("older_than_ms", LongType, "0")),
+    StructType(Seq(
+      StructField("data_files_deleted", IntegerType, nullable = false),
+      StructField("dirs_deleted", IntegerType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "delete tombstoned files, crash staging debris, and lineage-orphaned appends"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val r = Maintenance.vacuum(spark, pathOf(input), input.getLong(1))
+      InternalRow(r.dataFilesDeleted, r.dirsDeleted)
+    }
+  }
+
+  private val expireSnapshots = new MaintenanceProcedure(
+    "expire_snapshots",
+    Array(in("path", StringType), in("keep_last", IntegerType)),
+    StructType(Seq(
+      StructField("snapshots_expired", IntegerType, nullable = false),
+      StructField("oldest_expired", LongType, nullable = true),
+      StructField("rebased_into", LongType, nullable = true)
+    ))
+  ) {
+    override def description(): String =
+      "drop old snapshots, folding their lineage into the oldest retained one"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val r = Maintenance.expireSnapshots(spark, pathOf(input), input.getInt(1))
+      InternalRow(
+        r.snapshotsExpired.size,
+        r.snapshotsExpired.minOption.map(Long.box).orNull,
+        r.rebasedInto.map(Long.box).orNull
+      )
+    }
+  }
+
+  private val rewriteManifests = new MaintenanceProcedure(
+    "rewrite_manifests",
+    Array(in("path", StringType)),
+    StructType(Seq(
+      StructField("files_before", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false),
+      StructField("bins", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "consolidate the append-only manifest into one file of current winners"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val r = Maintenance.rewriteManifests(spark, pathOf(input))
+      InternalRow(r.filesBefore, r.filesAfter, r.bins)
+    }
+  }
+
+  private val procedures: Map[String, UnboundProcedure] = Map(
+    "compact" -> compact,
+    "vacuum" -> vacuum,
+    "expire_snapshots" -> expireSnapshots,
+    "rewrite_manifests" -> rewriteManifests
+  )
+}

@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
   * `sfDir` as a view, and — when a `graft:` dir is given — exposes the
   * compressed corpus as view `graft_corpus` via the DSv2 source, so SQL
   * can join raw tables against decoded rows and call `hie_token` /
-  * `graft_pack_varint` directly. Prints the result as TSV; exits non-zero
-  * on failure.
+  * `graft_pack_varint` directly. The `graft` catalog is registered too, so
+  * maintenance runs from SQL: `CALL graft.system.compact(path => '<dir>')`
+  * (also vacuum / expire_snapshots / rewrite_manifests). Prints the result
+  * as TSV; exits non-zero on failure.
   */
 object SqlCli {
   def main(args: Array[String]): Unit = {
@@ -36,6 +38,9 @@ object SqlCli {
       .appName("graft-sql")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
+      // maintenance procedures: CALL graft.system.compact/vacuum/
+      // expire_snapshots/rewrite_manifests(path => '<encodeOutDir>')
+      .config("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
