@@ -69,6 +69,62 @@ object EncodeJob {
     finally out.close()
   }
 
+  /** Atomically claim and write `snap-<id>.json`, retrying with a fresh id
+    * when a concurrent writer claims the same one first. The claim
+    * primitive is `create(dest, overwrite = false)` — atomic-exclusive on
+    * HDFS and the local filesystem alike — NOT rename: HDFS rejects a
+    * rename onto an existing destination, but posix rename silently
+    * REPLACES it (measured on Hadoop's RawLocalFileSystem), so two racing
+    * writers would overwrite each other's committed snapshot, and the lost
+    * snapshot's `files_added` would later read as orphans — vacuum would
+    * delete committed data over an operator mistake.
+    *
+    * A writer that dies between the claim and the content close leaves a
+    * zero-length snap file: logically uncommitted (its writer never
+    * returned success), skipped by lineage readers, refused by the strict
+    * destructive paths (vacuum orphan sweep, append cold-start), and
+    * reclaimed by [[Maintenance.vacuum]] after the grace window. The
+    * content is one small buffered write, so a torn non-empty file takes a
+    * mid-close crash — strict readers refuse destructive action on it and
+    * it is left for manual inspection.
+    *
+    * `nextId` is re-evaluated per attempt (it must re-list the snapshot
+    * dir); `maxAttempts = 1` turns the CAS into a loud single-shot claim
+    * for callers whose content is already bound to one precomputed id.
+    * Returns the committed (snapshotId, parentId).
+    */
+  private[graft] def casWriteSnapshot(
+      spark: SparkSession,
+      outDir: String,
+      nextId: () => (Long, Long),
+      content: (Long, Long) => String,
+      maxAttempts: Int = 10
+  ): (Long, Long) = {
+    val f = fs(spark, outDir)
+    f.mkdirs(new Path(s"$outDir/_snapshots"))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val (id, parent) = nextId()
+      val dest = new Path(s"$outDir/_snapshots/snap-$id.json")
+      val claimed =
+        try Some(f.create(dest, false))
+        catch {
+          case e: java.io.IOException => if (f.exists(dest)) None else throw e
+        }
+      claimed match {
+        case Some(out) =>
+          try out.write(content(id, parent).getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          return (id, parent)
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"lost the snapshot-commit race $maxAttempts times under $outDir — " +
+        "another writer is committing concurrently"
+    )
+  }
+
   private def readString(spark: SparkSession, path: String): String = {
     val f = fs(spark, path)
     val in = f.open(new Path(path))
@@ -392,13 +448,19 @@ object EncodeJob {
     val recordedInSnapshots: Set[Int] =
       loadSnapshots(outDir, spark.sparkContext.hadoopConfiguration).flatMap(_._2).toSet
     val binsJson = (todo ++ (done -- recordedInSnapshots)).toSeq.sorted.mkString("[", ",", "]")
-    writeString(
+    // single-shot claim (maxAttempts = 1): the manifest rows above already
+    // carry THIS id, so a collision must fail loudly, not retry under a new
+    // one — it means a concurrent encode is running against the contract
+    casWriteSnapshot(
       spark,
-      s"$outDir/_snapshots/snap-$snapshotId.json",
-      s"""{"snapshot_id":$snapshotId,"parent_id":$parentId,"table_hash":${tables.tableHash},
-         |"num_bins":${cfg.numBins},"num_contexts":${cfg.numContexts},"max_bits":${cfg.maxBits},"rounds":${cfg.rounds},
-         |"context_model":"${cfg.contextModel}","salt":${cfg.salt},"bins_added":$binsJson,"bins_skipped":${done.size}}""".stripMargin
-    )
+      outDir,
+      () => (snapshotId, parentId),
+      (id, parent) =>
+        s"""{"snapshot_id":$id,"parent_id":$parent,"table_hash":${tables.tableHash},
+           |"num_bins":${cfg.numBins},"num_contexts":${cfg.numContexts},"max_bits":${cfg.maxBits},"rounds":${cfg.rounds},
+           |"context_model":"${cfg.contextModel}","salt":${cfg.salt},"bins_added":$binsJson,"bins_skipped":${done.size}}""".stripMargin,
+      maxAttempts = 1
+    ): Unit
 
     EncodeResult(snapshotId, todo.toSeq.sorted, done.toSeq.sorted, tables.tableHash)
   }

@@ -351,6 +351,24 @@ object Maintenance {
     // files_added would silently read as empty and its committed appends
     // as orphans. Skipping the sweep is always safe; orphans only cost
     // duplicate rows until a later vacuum reclaims them.
+    // a writer that died between claiming its snapshot id (atomic exclusive
+    // create — see EncodeJob.casWriteSnapshot) and writing the content
+    // leaves a zero-length snap file: logically uncommitted, skipped by
+    // lineage readers, but it blocks the strict all-snapshots-parse gates
+    // (the orphan sweep below, append cold-start) forever. Reclaim it after
+    // the grace window; its id becomes reusable, which is clean — the dead
+    // claim never carried lineage.
+    val snapsDir = new Path(s"$outDir/_snapshots")
+    if (fs.exists(snapsDir)) {
+      fs.listStatus(snapsDir).foreach { st =>
+        if (
+          st.isFile && st.getLen == 0 && st.getPath.getName.matches("snap-\\d+\\.json") &&
+          st.getModificationTime <= cutoff
+        )
+          if (fs.delete(st.getPath, false)) filesDeleted += 1
+      }
+    }
+
     val blocksDir = new Path(s"$outDir/blocks")
     if (fs.exists(blocksDir)) {
       repairRebase(fs, outDir)
@@ -527,9 +545,13 @@ object Maintenance {
           // nextSnapshotId counts tmp-rebase ids as taken, so an existing
           // snap-<id> can only be the original, never a later allocation
           val snap = new Path(snapsDir, s"snap-$id.json")
-          if (!fs.exists(snap))
-            require(fs.rename(st.getPath, snap), s"completing interrupted rebase failed: $n")
-          else fs.delete(st.getPath, false): Unit
+          if (!fs.exists(snap)) {
+            // two concurrent cold-start commits can both reach this repair:
+            // the first rename consumes the tmp, the second sees rename
+            // fail with the snap now present — success-by-other, not error
+            val renamed = scala.util.Try(fs.rename(st.getPath, snap)).getOrElse(false)
+            require(renamed || fs.exists(snap), s"completing interrupted rebase failed: $n")
+          } else fs.delete(st.getPath, false): Unit
         case _ =>
       }
     }

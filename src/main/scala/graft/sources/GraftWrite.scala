@@ -19,7 +19,6 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 
-import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 
 /** `df.write.format("graft").mode("append").save(outDir)` — the DSv2 WRITE
@@ -60,9 +59,12 @@ import scala.collection.mutable
   * records (writer_id, writer_epoch), and a retried `commit(epoch)` that
   * finds its snapshot already present cleans its staging and returns.
   *
-  * Single-writer assumption (same as EncodeJob resume and
-  * [[graft.pipeline.Maintenance]]): concurrent appends to one dir race on
-  * the snapshot id. Run appends from one job at a time.
+  * Concurrency: snapshot ids are claimed with an atomic exclusive create
+  * ([[graft.pipeline.EncodeJob.casWriteSnapshot]]), so appends racing on
+  * one dir each commit under their own id — no lineage is silently
+  * overwritten (posix rename would have replaced the loser's snapshot;
+  * see the CAS scaladoc). The initial encode and
+  * [[graft.pipeline.Maintenance]] keep the single-writer contract.
   */
 private[sources] final class GraftWriteBuilder(
     path: String,
@@ -304,7 +306,18 @@ private[sources] object GraftAppendCommit {
         // expiry base swap first (its content may hold this writer's
         // marks), then require every snapshot file to have parsed.
         Maintenance.repairRebase(fs, path)
-        val recs = EncodeJob.loadSnapshotRecords(path, conf)
+        // a CONCURRENT writer's snapshot may be claimed but mid-content for
+        // a few ms (casWriteSnapshot's claim→write window): re-scan with
+        // backoff before declaring the lineage unreadable. A claim that
+        // never fills in (crashed writer) keeps failing here until vacuum
+        // reclaims it — refusing is the safe direction for the sweep below.
+        var recs = EncodeJob.loadSnapshotRecords(path, conf)
+        var tries = 0
+        while (recs.map(_.id).sorted != EncodeJob.listSnapshotIds(path, conf) && tries < 5) {
+          Thread.sleep(100L << tries)
+          recs = EncodeJob.loadSnapshotRecords(path, conf)
+          tries += 1
+        }
         require(
           recs.map(_.id).sorted == EncodeJob.listSnapshotIds(path, conf),
           s"graft append: unreadable snapshot lineage under $path/_snapshots — cannot " +
@@ -343,8 +356,8 @@ private[sources] object GraftAppendCommit {
     val msgs = messages.collect { case m: GraftCommitMessage if m.nRows > 0 => m }
     if (msgs.isEmpty) { cleanStaging(path, stagingDir, epoch); return }
 
-    val (snapshotId, parentId) = EncodeJob.nextSnapshotId(spark, path)
     val renamed = mutable.ArrayBuffer[String]()
+    var snapshotId = -1L
     try {
       // 1. publish the task files (visible to full scans from here, exactly
       // like EncodeJob's blocks-parquet commit before its snapshot write)
@@ -355,23 +368,29 @@ private[sources] object GraftAppendCommit {
         renamed += m.fileName
       }
 
-      // 2. THE commit point: atomic snapshot with the exact file delta.
-      // bins_added stays empty — appended bins are already visible in the
-      // lineage (the builder required a fully-encoded dir), and recording
-      // them again would make the streaming source replay whole bins.
+      // 2. THE commit point: CAS-claimed snapshot with the exact file
+      // delta. The id is claimed with an atomic exclusive create and
+      // re-allocated on collision (see EncodeJob.casWriteSnapshot), so two
+      // appends racing on one dir both commit, under distinct ids — the
+      // loser of each claim retries, never silently overwriting the
+      // winner's lineage. bins_added stays empty — appended bins are
+      // already visible in the lineage (the builder required a
+      // fully-encoded dir), and recording them again would make the
+      // streaming source replay whole bins.
       val filesJson =
         renamed.sorted.map(n => MiniJson.render(MiniJson.JStr(n))).mkString("[", ",", "]")
       val epochFields = epoch.map(e => s""","writer_epoch":$e""").getOrElse("")
-      val content =
-        s"""{"snapshot_id":$snapshotId,"parent_id":$parentId,"bins_added":[],
-           |"files_added":$filesJson,"writer_id":${MiniJson.render(MiniJson.JStr(writerId))}$epochFields,
-           |"n_rows_added":${msgs.map(_.nRows).sum},"n_values_added":${msgs.map(_.nValues).sum}}""".stripMargin
-      val dest = new Path(s"$path/_snapshots/snap-$snapshotId.json")
-      val tmp = new Path(dest.getParent, s".tmp-${dest.getName}")
-      val out = fs.create(tmp, true)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+      snapshotId = EncodeJob
+        .casWriteSnapshot(
+          spark,
+          path,
+          () => EncodeJob.nextSnapshotId(spark, path),
+          (id, parent) =>
+            s"""{"snapshot_id":$id,"parent_id":$parent,"bins_added":[],
+               |"files_added":$filesJson,"writer_id":${MiniJson.render(MiniJson.JStr(writerId))}$epochFields,
+               |"n_rows_added":${msgs.map(_.nRows).sum},"n_values_added":${msgs.map(_.nValues).sum}}""".stripMargin
+        )
+        ._1
       epoch.foreach(e => maxCommittedEpoch(cacheKey) = (incarnation.get, e))
     } catch {
       case err: Throwable =>

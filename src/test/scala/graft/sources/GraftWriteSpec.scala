@@ -74,6 +74,67 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(GraftPipeline.verify(all, decoded) == 0L)
   }
 
+  test("snapshot id claim is exclusive: a taken id is skipped, never overwritten") {
+    val scratch = Files.createTempDirectory("graft-cas").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
+    val taken = new org.apache.hadoop.fs.Path(s"$scratch/_snapshots/snap-7.json")
+    fs.mkdirs(taken.getParent)
+    val out = fs.create(taken, true)
+    out.write("""{"snapshot_id":7}""".getBytes("UTF-8")); out.close()
+    // a racing writer with a stale id source proposes the taken id first
+    val ids = Iterator((7L, 6L), (8L, 7L))
+    val (id, _) = EncodeJob.casWriteSnapshot(
+      spark, scratch, () => ids.next(), (i, p) => s"""{"snapshot_id":$i,"parent_id":$p}""")
+    assert(id == 8L)
+    // the original claimant's content is untouched (posix rename would have replaced it)
+    val in = fs.open(taken)
+    assert(new String(in.readAllBytes(), "UTF-8").contains("\"snapshot_id\":7"))
+    in.close()
+    // a single-shot claim (precomputed-id callers) fails loudly on collision
+    val ids2 = Iterator((8L, 7L))
+    intercept[IllegalStateException] {
+      EncodeJob.casWriteSnapshot(spark, scratch, () => ids2.next(), (_, _) => "{}", maxAttempts = 1)
+    }
+  }
+
+  test("two concurrent batch appends both commit, under distinct snapshot ids") {
+    import spark.implicits._
+    val dir = freshEncodedDir("race")
+    val halves = Seq(extra.where(idx % 2 === 0), extra.where(idx % 2 === 1))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = halves.map { df =>
+      val t = new Thread(() =>
+        try { gate.await(); df.toDF().write.format("graft").mode("append").save(dir) }
+        catch { case e: Throwable => errs.add(e): Unit }
+      )
+      t.start(); t
+    }
+    gate.countDown()
+    threads.foreach(_.join(600000))
+    assert(errs.isEmpty, s"a concurrent append failed: ${Option(errs.peek()).map(_.toString)}")
+    val recs = EncodeJob.loadSnapshotRecords(dir, spark.sparkContext.hadoopConfiguration)
+    assert(recs.map(_.id) == Seq(0L, 1L, 2L), "both appends must commit under distinct ids")
+    assert(recs(1).filesAdded.toSet.intersect(recs(2).filesAdded.toSet).isEmpty)
+    val decoded = spark.read.format("graft").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(all, decoded) == 0L)
+  }
+
+  test("vacuum reclaims a dead zero-length snapshot claim after the grace window") {
+    val dir = freshEncodedDir("deadclaim")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val dead = new org.apache.hadoop.fs.Path(s"$dir/_snapshots/snap-9.json")
+    fs.create(dead, true).close() // claim with no content: a crashed writer
+    Maintenance.vacuum(spark, dir, olderThanMs = 0L)
+    assert(!fs.exists(dead), "out-of-grace dead claim must be reclaimed")
+    fs.create(dead, true).close()
+    Maintenance.vacuum(spark, dir, olderThanMs = 3600000L)
+    assert(fs.exists(dead), "in-grace claim must be spared (its writer may be mid-commit)")
+    fs.delete(dead, false)
+  }
+
   test("a task over the inline bin cap reports allBins; driver re-manifests every bin") {
     import spark.implicits._
     val dir = freshEncodedDir("allbins")
