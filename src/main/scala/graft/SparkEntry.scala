@@ -192,6 +192,12 @@ object SparkEntry {
     graftAppendDirCache.keys.filter(_._1 == id).foreach { k =>
       graftAppendDirCache.remove(k).foreach(deleteDir)
     }
+    graftDeleteDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftDeleteDirCache.remove(k).foreach(deleteDir)
+    }
+    graftPurgeDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftPurgeDirCache.remove(k).foreach(deleteDir)
+    }
   }
 
   private def deleteDir(dir: String): Unit = {
@@ -311,6 +317,60 @@ object SparkEntry {
           .withColumn("doc_id", ($"doc_id".cast("long") + 1000000000000L).cast("string"))
           .write.format("graft").mode("append").save(out)
         graftAppendDirCache.putIfAbsent(key, out) match {
+          case Some(winner) => deleteDir(out); winner
+          case None         => out
+        }
+    }
+  }
+
+  private val graftDeleteDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+  private val graftPurgeDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** EncodeJob-layout dir with snapshot lineage, shared by the delete
+    * queries: lays the corpus down, then commits an equality DELETE of
+    * every doc with id % 13 == 5 through [[graft.pipeline.Deletes]]. The
+    * delete stays merge-on-read (`purge = false`) or is additionally
+    * purged physically + vacuumed (`purge = true`) — the two dirs put both
+    * halves of the delete lifecycle under the hard DuckDB oracle.
+    */
+  private def graftDeletedDir(s: SparkSession, dir: String, purge: Boolean): String = {
+    val cache = if (purge) graftPurgeDirCache else graftDeleteDirCache
+    val key = (System.identityHashCode(s), dir)
+    cache.get(key) match {
+      case Some(existing) => existing
+      case None =>
+        import s.implicits._
+        val ec = encodedCorpus(s, dir)
+        val out = java.nio.file.Files
+          .createTempDirectory(if (purge) "graft-dsv2-purge" else "graft-dsv2-delete")
+          .toString
+        graft.pipeline.EncodeJob
+          .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
+        ec.blocks.write.mode("overwrite").parquet(s"$out/blocks")
+        val snapDir = java.nio.file.Paths.get(out, "_snapshots")
+        java.nio.file.Files.createDirectories(snapDir)
+        java.nio.file.Files.write(
+          snapDir.resolve("snap-0.json"),
+          s"""{"snapshot_id":0,"parent_id":-1,"bins_added":[${(0 until pipelineCfg.numBins).mkString(",")}]}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        )
+        graft.pipeline.EncodeJob
+          .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
+        // THE delete under test (same rule the DuckDB oracles re-apply)
+        val ids = docTable(s, dir)
+          .where($"doc_id" % 13 === 5)
+          .select($"doc_id".cast("string"))
+          .as[String]
+        val res = graft.pipeline.Deletes.deleteDocs(s, out, ids)
+        require(res.exists(_.idsRecorded > 0), s"delete under test recorded no ids on $out")
+        if (purge) {
+          val pr = graft.pipeline.Maintenance.purgeDeletes(s, out)
+          require(pr.exists(_.idsApplied > 0), s"purge under test applied nothing on $out")
+          graft.pipeline.Maintenance.vacuum(s, out, olderThanMs = 0L)
+        }
+        cache.putIfAbsent(key, out) match {
           case Some(winner) => deleteDir(out); winner
           case None         => out
         }
@@ -677,6 +737,68 @@ object SparkEntry {
         .where($"doc_id" % 7 === 3 && $"doc_id" % 997 === 3)
         .select(($"doc_id" + 1000000000000L).cast("string"))
       val ids = baseIds.union(appendedIds).collect().map(_.getString(0))
+      s.read
+        .format("graft")
+        .load(out)
+        .where($"doc_id".isin(ids.toSeq: _*))
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // Equality deletes, merge-on-read half: docs with id % 13 == 5 are
+    // DELETED (Deletes.deleteDocs — one (bin,doc_id) parquet + one
+    // snapshot, no data file moves), then a point read asks for ids
+    // INCLUDING deleted ones — the scan's delete filter must hide exactly
+    // the rows DuckDB's WHERE excludes, token-for-token
+    "q_delete_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftDeletedDir(s, dir, purge = false)
+      val ids = docTable(s, dir)
+        .where($"doc_id" % 397 === 0)
+        .select($"doc_id".cast("string"))
+        .collect()
+        .map(_.getString(0))
+      s.read
+        .format("graft")
+        .load(out)
+        .where($"doc_id".isin(ids.toSeq: _*))
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // Equality deletes, full-scan + metadata-trap half: an UNFILTERED
+    // count/sum over the deleted dir. The block-metadata aggregate pushdown
+    // must disable itself (it would over-count the hidden rows) and the
+    // full decode scan must drop exactly the deleted docs
+    "q_delete_meta" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .format("graft")
+        .load(graftDeletedDir(s, dir, purge = false))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("total_toks"))
+    }),
+
+    // Equality deletes, physical half: the SAME delete is PURGED
+    // (Maintenance.purgeDeletes rewrites every affected file through
+    // decode->filter->re-encode, retires the delete file, vacuum reclaims
+    // the originals) — the rewritten blocks must still decode to DuckDB's
+    // filtered recomputation exactly
+    "q_purge_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftDeletedDir(s, dir, purge = true)
+      val ids = docTable(s, dir)
+        .where($"doc_id" % 397 === 0)
+        .select($"doc_id".cast("string"))
+        .collect()
+        .map(_.getString(0))
       s.read
         .format("graft")
         .load(out)
@@ -1127,6 +1249,22 @@ object SparkEntry {
          |  WHERE doc_id % 7 = 3 AND doc_id % 997 = 3
          |)
          |SELECT doc_id, pos, token FROM uni ORDER BY doc_id, pos""".stripMargin,
+
+    "q_delete_scan" ->
+      s"""$CTE
+         |SELECT doc_id, pos, token FROM tok
+         |WHERE doc_id % 397 = 0 AND doc_id % 13 <> 5 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_delete_meta" ->
+      s"""$CTE
+         |SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
+         |FROM (SELECT DISTINCT doc_id, n_tok FROM tok)
+         |WHERE doc_id % 13 <> 5""".stripMargin,
+
+    "q_purge_scan" ->
+      s"""$CTE
+         |SELECT doc_id, pos, token FROM tok
+         |WHERE doc_id % 397 = 0 AND doc_id % 13 <> 5 ORDER BY doc_id, pos""".stripMargin,
 
     "q_quality" ->
       """WITH w AS (

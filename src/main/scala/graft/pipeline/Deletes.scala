@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import graft.core.MiniJson
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level deletes over encode dirs — Iceberg-style equality-delete files,
+  * merged at read (merge-on-read) and applied physically by
+  * [[Maintenance.purgeDeletes]]. This closes the training-data loop the
+  * north star implies: dedup/quality ops identify doc_ids to drop, and the
+  * corpus sheds them WITHOUT re-encoding 100 TB — a delete commit writes one
+  * tiny (bin, doc_id) parquet plus one snapshot, nothing else moves. The
+  * reference's single-file bitstream has no analog (removal means full
+  * re-conversion, /root/reference/src/graphs/convert.rs:617-888); the
+  * design here follows Iceberg v2 equality deletes from the public spec.
+  *
+  * Layout under `outDir`:
+  * {{{
+  *   _deletes/del-<uuid>.parquet   committed delete files: (bin int, doc_id string)
+  *   _deletes/.tmp-<uuid>/         staging (invisible until renamed)
+  * }}}
+  *
+  * Commit protocol (same shape as the DSv2 append): stage the parquet,
+  * rename the single part to its final unique name, then ONE CAS-claimed
+  * snapshot records it as `deletes_added` (with per-file id counts in the
+  * parallel `deletes_counts` array) — THE commit point. A crash between
+  * rename and snapshot leaves an orphan `del-*` file that is in no lineage:
+  * readers never apply it and [[Maintenance.vacuum]] reclaims it after the
+  * grace window.
+  *
+  * Semantics — doc_id is the corpus identity key:
+  *   - a LIVE delete (committed, not yet purged) hides every row of that
+  *     doc_id from reads, including rows appended after the delete;
+  *   - [[Maintenance.purgeDeletes]] materializes live deletes physically
+  *     (rewrites every live file in the deleted bins, dropping the rows) and
+  *     RETIRES the applied delete files — appends made after the purge
+  *     resurrect the doc_id. "Purge, then append" is the supported re-add.
+  *   - snapshot time travel to S applies exactly the deletes committed at
+  *     ids ≤ S. Travel to a snapshot OLDER than a purged delete fails loudly
+  *     (the rows are physically gone — maintenance coarsened reachable
+  *     history, the same stance compaction takes with appended files).
+  *
+  * Scale: the delete files are the only per-delete state; the read-side
+  * cost is bounded by [[graft.sources]]' two-tier application (driver
+  * inlines per-partition slices for small live sets, executors stream the
+  * delete files with bin row-group skipping past that). Chronic unpurged
+  * deletes degrade scan throughput linearly in delete bytes — purge is the
+  * repair, exactly like Iceberg's rewrite_position_delete_files.
+  */
+object Deletes {
+
+  /** One committed, still-live delete file. */
+  final case class DeleteFile(name: String, snapshotId: Long, count: Long)
+
+  /** The live (visible, unretired) delete set for a read. */
+  final case class DeleteState(live: Seq[DeleteFile]) {
+    def isEmpty: Boolean = live.isEmpty
+    def totalIds: Long = live.map(_.count).sum
+    def paths(outDir: String): Seq[String] = live.map(d => s"$outDir/_deletes/${d.name}")
+  }
+
+  final case class DeleteResult(snapshotId: Long, idsRecorded: Long, fileName: String)
+
+  private def fsOf(outDir: String, conf: Configuration): FileSystem =
+    new Path(outDir).getFileSystem(conf)
+
+  /** Commit a delete of `docIds` (distinct-ed here; unknown ids are legal —
+    * equality deletes need no existence check, matching Iceberg). Returns
+    * None for an empty id set (no snapshot is committed).
+    *
+    * The delete file is sorted by bin and written as ONE part so parquet
+    * row-group `bin` stats let executor-side readers skip the ids of bins
+    * their file cannot hold.
+    */
+  def deleteDocs(
+      spark: SparkSession,
+      outDir: String,
+      docIds: Dataset[String]
+  ): Option[DeleteResult] = {
+    import spark.implicits._
+    import MiniJson.ObjOps
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
+
+    val meta = EncodeJob
+      .loadMeta(spark, outDir)
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"$outDir is not an encoded graft dir (no _tables/meta.json)"
+        )
+      )
+    val numBins = meta
+      .longOpt("num_bins")
+      .map(_.toInt)
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"$outDir records no bin layout — deletes require the recorded num_bins/salt"
+        )
+      )
+    val salt = meta.long("salt")
+
+    val rows = docIds
+      .toDF("doc_id")
+      .where($"doc_id".isNotNull)
+      .distinct()
+      .withColumn("bin", GraftPipeline.binCol(numBins, salt))
+      .select($"bin", $"doc_id")
+
+    val uuid = java.util.UUID.randomUUID().toString
+    val staging = new Path(s"$outDir/_deletes/.tmp-$uuid")
+    rows.coalesce(1).sortWithinPartitions($"bin", $"doc_id").write.parquet(staging.toString)
+    val parts = fs
+      .listStatus(staging)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(parts.length == 1, s"expected one staged delete part, got ${parts.length}")
+    val n = spark.read.parquet(parts.head.getPath.toString).count()
+    if (n == 0L) {
+      fs.delete(staging, true): Unit
+      return None
+    }
+    val name = s"del-$uuid.parquet"
+    val dest = new Path(s"$outDir/_deletes/$name")
+    require(fs.rename(parts.head.getPath, dest), s"rename ${parts.head.getPath} -> $dest failed")
+    fs.delete(staging, true): Unit
+
+    // THE commit point: CAS-claimed snapshot carrying the delete delta.
+    // bins_added stays empty — no data files changed.
+    val (snapId, _) = EncodeJob.casWriteSnapshot(
+      spark,
+      outDir,
+      () => EncodeJob.nextSnapshotId(spark, outDir),
+      (id, parent) =>
+        s"""{"snapshot_id":$id,"parent_id":$parent,"bins_added":[],
+           |"deletes_added":[${MiniJson.render(MiniJson.JStr(name))}],"deletes_counts":[$n]}""".stripMargin
+    )
+    Some(DeleteResult(snapId, n, name))
+  }
+
+  /** One stat that spares the hot no-deletes path the per-planning lineage
+    * read below: `_deletes/` is created by the first deleteDocs and never
+    * removed (vacuum deletes files inside it), so a missing dir proves no
+    * delete was ever committed.
+    */
+  private def everDeleted(outDir: String, conf: Configuration): Boolean =
+    fsOf(outDir, conf).exists(new Path(s"$outDir/_deletes"))
+
+  /** Every delete file the lineage records (purged or not), with its commit
+    * snapshot id and id count.
+    */
+  def allDeletes(outDir: String, conf: Configuration): Seq[DeleteFile] = {
+    if (!everDeleted(outDir, conf)) return Seq.empty
+    EncodeJob
+      .loadSnapshotRecords(outDir, conf)
+      .flatMap(r => r.deletesAdded.map { case (name, count) => DeleteFile(name, r.id, count) })
+  }
+
+  /** The delete files a read as of `asOf` (None = current) must apply:
+    * committed at ids ≤ asOf, minus files a committed purge already applied
+    * physically. Fails loudly when `asOf` predates a PURGED delete — those
+    * rows are physically gone, so the requested history is unreachable
+    * (maintenance coarsened it; same contract as compaction vs time travel).
+    */
+  def liveDeletes(outDir: String, conf: Configuration, asOf: Option[Long]): DeleteState = {
+    val all = allDeletes(outDir, conf)
+    if (all.isEmpty) return DeleteState(Nil)
+    val retired = Maintenance.appliedDeleteNames(outDir, conf)
+    asOf.foreach { s =>
+      val unreachable = all.filter(d => retired.contains(d.name) && d.snapshotId > s)
+      require(
+        unreachable.isEmpty,
+        s"snapshot $s cannot be reconstructed: deletes committed after it " +
+          s"(${unreachable.map(_.name).mkString(", ")}) were physically purged — " +
+          "maintenance coarsened the reachable history"
+      )
+    }
+    val visible = asOf.fold(all)(s => all.filter(_.snapshotId <= s))
+    DeleteState(visible.filterNot(d => retired.contains(d.name)))
+  }
+
+  /** Non-throwing existence check (planning-time gates: aggregate pushdown,
+    * numRows exactness). True iff any visible delete is unretired; the asOf
+    * reachability guard is left to [[liveDeletes]] at scan time.
+    */
+  def hasLive(outDir: String, conf: Configuration, asOf: Option[Long]): Boolean = {
+    val all = allDeletes(outDir, conf)
+    if (all.isEmpty) return false
+    val retired = Maintenance.appliedDeleteNames(outDir, conf)
+    asOf.fold(all)(s => all.filter(_.snapshotId <= s)).exists(d => !retired.contains(d.name))
+  }
+}

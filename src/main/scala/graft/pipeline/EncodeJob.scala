@@ -258,7 +258,13 @@ object EncodeJob {
       filesAdded: Seq[String],
       writerId: Option[String],
       writerEpoch: Option[Long],
-      writerMarks: Seq[(String, Long)] = Seq.empty
+      writerMarks: Seq[(String, Long)] = Seq.empty,
+      /** Equality-delete files this snapshot committed ([[Deletes]]): (file
+        * name under `_deletes/`, id count) — the count rides in the lineage
+        * so readers can size their application strategy without opening the
+        * files.
+        */
+      deletesAdded: Seq[(String, Long)] = Seq.empty
   )
 
   /** Snapshot lineage under `outDir`, sorted by id. Tolerant of in-flight
@@ -290,6 +296,16 @@ object EncodeJob {
             case (Some(w), Some(e)) if w.length == e.length => w.zip(e)
             case _                                          => Seq.empty[(String, Long)]
           }
+          // delete lineage: parallel name/count arrays (the flat shape
+          // MiniJson reads). Mismatched lengths = a malformed commit —
+          // fail the parse (the record is then treated as in-flight and the
+          // strict destructive paths refuse), never half-read a delete set.
+          val deletes = (o.strArrOpt("deletes_added"), o.longArrOpt("deletes_counts")) match {
+            case (Some(n), Some(c)) if n.length == c.length => n.zip(c)
+            case (None, None)                               => Seq.empty[(String, Long)]
+            case _ =>
+              throw new IllegalArgumentException("deletes_added/deletes_counts length mismatch")
+          }
           SnapshotRecord(
             o.long("snapshot_id"),
             o.longArrOpt("bins_added")
@@ -298,7 +314,8 @@ object EncodeJob {
             o.strArrOpt("files_added").getOrElse(Seq.empty),
             o.strOpt("writer_id"),
             o.longOpt("writer_epoch"),
-            marks
+            marks,
+            deletes
           )
         }.toOption
       }

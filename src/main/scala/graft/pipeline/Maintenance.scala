@@ -56,8 +56,17 @@ import java.nio.charset.StandardCharsets
   */
 object Maintenance {
 
-  /** A committed compaction: id, tombstoned file names, published file names. */
-  final case class Compaction(cid: Long, removed: Seq[String], added: Seq[String])
+  /** A committed compaction: id, tombstoned file names, published file names,
+    * and (for [[purgeDeletes]] commits) the delete files it applied
+    * physically — those are RETIRED: reads stop applying them, vacuum
+    * reclaims them after the grace window.
+    */
+  final case class Compaction(
+      cid: Long,
+      removed: Seq[String],
+      added: Seq[String],
+      appliedDeletes: Seq[String] = Seq.empty
+  )
 
   final case class CompactionResult(
       cid: Long,
@@ -108,7 +117,8 @@ object Maintenance {
           Compaction(
             o.long("cid"),
             o.strArrOpt("removed").getOrElse(throw new IllegalArgumentException("removed absent")),
-            o.strArrOpt("added").getOrElse(throw new IllegalArgumentException("added absent"))
+            o.strArrOpt("added").getOrElse(throw new IllegalArgumentException("added absent")),
+            o.strArrOpt("applied_deletes").getOrElse(Seq.empty)
           )
         }.toOption
       }
@@ -118,6 +128,12 @@ object Maintenance {
   /** File names tombstoned by any committed compaction. */
   def removedFileNames(outDir: String, conf: Configuration): Set[String] =
     committedCompactions(outDir, conf).flatMap(_.removed).toSet
+
+  /** Delete files already applied physically by a committed purge —
+    * retired from every read.
+    */
+  def appliedDeleteNames(outDir: String, conf: Configuration): Set[String] =
+    committedCompactions(outDir, conf).flatMap(_.appliedDeletes).toSet
 
   /** True iff any compaction has committed — the cheap gate that lets
     * never-compacted dirs keep the plain `blocks/` directory read path.
@@ -212,6 +228,40 @@ object Maintenance {
       .mode("overwrite")
       .parquet(tmpDir.toString)
 
+    val (added, addedBytes) =
+      commitRewrite(fs, outDir, cid, tmpDir, victims, victimBytes, extraMarkerFields = Map.empty)
+
+    // 5. advisory re-manifest: fresh claims for every bin the rewrite moved,
+    // derived from the LIVE set (a bin spread across victim and surviving
+    // files gets both its new and its untouched files claimed)
+    import spark.implicits._
+    val affected = spark.read
+      .parquet(new Path(compactRoot(outDir), s"c$cid").toString)
+      .select("bin")
+      .distinct()
+      .as[Int]
+      .collect()
+      .toSet
+    EncodeJob.appendManifest(spark, outDir, affected, MaintenanceEpochBase + cid)
+
+    Some(CompactionResult(cid, victims.length, added.length, victimBytes, addedBytes, affected.size))
+  }
+
+  /** Steps 2–4 of the marker commit protocol, shared by [[compact]] and
+    * [[purgeDeletes]]: rename staged parts to globally unique names, publish
+    * the dir, then flip visibility with ONE atomic marker write (tombstoning
+    * `victims`, publishing the renamed parts, plus any operation-specific
+    * marker fields). Returns (published names, their total bytes).
+    */
+  private def commitRewrite(
+      fs: FileSystem,
+      outDir: String,
+      cid: Long,
+      tmpDir: Path,
+      victims: Array[(String, Long)],
+      victimBytes: Long,
+      extraMarkerFields: Map[String, MiniJson.J]
+  ): (Seq[String], Long) = {
     // 2. unique, stable names for the manifest's file-name-keyed claims
     val staged = fs
       .listStatus(tmpDir)
@@ -231,30 +281,194 @@ object Maintenance {
 
     // 4. THE commit point: one atomic marker rename flips tombstones + adds
     val marker = MiniJson.render(
-      MiniJson.JObj(Map(
-        "cid" -> MiniJson.JNum(cid.toString),
-        "removed" -> MiniJson.JArr(victims.toVector.map(v => MiniJson.JStr(new Path(v._1).getName))),
-        "added" -> MiniJson.JArr(added.toVector.map(MiniJson.JStr)),
-        "bytes_removed" -> MiniJson.JNum(victimBytes.toString),
-        "bytes_added" -> MiniJson.JNum(addedBytes.toString)
-      ))
+      MiniJson.JObj(
+        Map(
+          "cid" -> MiniJson.JNum(cid.toString),
+          "removed" -> MiniJson.JArr(victims.toVector.map(v => MiniJson.JStr(new Path(v._1).getName))),
+          "added" -> MiniJson.JArr(added.toVector.map(MiniJson.JStr)),
+          "bytes_removed" -> MiniJson.JNum(victimBytes.toString),
+          "bytes_added" -> MiniJson.JNum(addedBytes.toString)
+        ) ++ extraMarkerFields
+      )
     )
     writeAtomic(fs, new Path(compactRoot(outDir), s"c$cid.json"), marker)
+    (added.toSeq, addedBytes)
+  }
 
-    // 5. advisory re-manifest: fresh claims for every bin the rewrite moved,
-    // derived from the LIVE set (a bin spread across victim and surviving
-    // files gets both its new and its untouched files claimed)
+  final case class PurgeResult(
+      cid: Long,
+      filesRewritten: Int,
+      filesAdded: Int,
+      deleteFilesApplied: Int,
+      idsApplied: Long,
+      binsRewritten: Int
+  )
+
+  /** Materialize the live equality deletes physically ([[Deletes]]): every
+    * live block file holding a deleted bin is decoded (with the dir's
+    * persisted symbol tables), its deleted rows dropped, and the survivors
+    * re-encoded through the SAME block kernel — then committed through the
+    * compaction marker protocol with the applied delete files recorded as
+    * `applied_deletes` (retiring them from every read; vacuum reclaims them
+    * after the grace window). Returns None when no live deletes exist.
+    *
+    * This is Iceberg's rewrite_data_files(delete-targeted) — after a purge,
+    * scans pay zero merge-on-read overhead again and a doc_id can be
+    * re-appended. Work scales with the DELETED BINS' data, not the corpus:
+    * at 800k bins, dropping 1k docs rewrites ≤1k bins' files.
+    *
+    * Single-maintainer contract, like [[compact]] — and for purge that
+    * includes NOT racing appends: an append that commits between the
+    * victim listing and the marker would land rows in a deleted bin that
+    * the rewrite never saw, and retiring the delete file would then unhide
+    * them. (Compact tolerates that race because it moves rows verbatim;
+    * purge changes content.) Schedule purges in the maintenance window,
+    * not under live writers. Unlike compact, the rewrite CHANGES decoded
+    * content (by design) — so snapshot time travel to ids older than an
+    * applied delete fails loudly afterwards ([[Deletes.liveDeletes]]'s
+    * reachability guard).
+    */
+  def purgeDeletes(spark: SparkSession, outDir: String): Option[PurgeResult] = {
     import spark.implicits._
-    val affected = spark.read
-      .parquet(finalDir.toString)
-      .select("bin")
-      .distinct()
-      .as[Int]
-      .collect()
-      .toSet
-    EncodeJob.appendManifest(spark, outDir, affected, MaintenanceEpochBase + cid)
+    import graft.core.MiniJson.ObjOps
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
+    val state = Deletes.liveDeletes(outDir, conf, asOf = None)
+    if (state.isEmpty) return None
 
-    Some(CompactionResult(cid, victims.length, added.length, victimBytes, addedBytes, affected.size))
+    val delDf = spark.read.parquet(state.paths(outDir): _*)
+    val deletedBins = delDf.select("bin").distinct().as[Int].collect().toSet
+
+    // victims: every live file holding any deleted bin — one distributed
+    // bin-column scan (column-pruned; parquet row-group stats prune inside)
+    val live = liveBlockFiles(outDir, conf)
+    val victimSet = spark.read
+      .parquet(live.map(_._1).toIndexedSeq: _*)
+      .select(col("bin"), input_file_name().as("__f"))
+      .where(EncodeJob.binMembership(col("bin"), deletedBins))
+      .select("__f")
+      .distinct()
+      .as[String]
+      .collect()
+      .map(f => f.substring(f.lastIndexOf('/') + 1))
+      .toSet
+    val victims = live.filter(f => victimSet.contains(f._1.substring(f._1.lastIndexOf('/') + 1)))
+
+    val cid = nextCompactionId(outDir, conf)
+    val meta = EncodeJob
+      .loadMeta(spark, outDir)
+      .getOrElse(throw new IllegalArgumentException(s"$outDir: _tables/meta.json missing"))
+    val tables = EncodeJob
+      .loadTables(spark, outDir)
+      .getOrElse(throw new IllegalArgumentException(s"$outDir: _tables/header.bin missing"))
+    val numBins = meta.long("num_bins").toInt
+
+    var added = Seq.empty[String]
+    var affected = Set.empty[Int]
+    if (victims.nonEmpty) {
+      // preserve the dir's self-describing convention: if any victim block
+      // embeds its tables, the rewritten blocks do too
+      val victimBlocks = spark.read.parquet(victims.map(_._1).toIndexedSeq: _*)
+      val embed = victimBlocks
+        .agg(max(col("embedded_tables")))
+        .head()
+        .getBoolean(0)
+      val cfg = GraftPipeline.Config(
+        numContexts = tables.numContexts,
+        maxBits = tables.maxBits,
+        numBins = numBins,
+        salt = meta.long("salt"),
+        contextModel = meta.strOpt("context_model").getOrElse("simple"),
+        embedTables = embed
+      )
+      val bTables = spark.sparkContext.broadcast(tables)
+      val rows = GraftPipeline.decode(victimBlocks.as[EncodedBlock], bTables, cfg)
+      val kept = rows
+        .join(delDf.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"tokens", $"n_tok", $"source")
+        .as[TokenRow]
+
+      // 1. stage the re-encoded survivors (same kernel as the batch encoder)
+      val tmpDir = new Path(compactRoot(outDir), s"c$cid-tmp")
+      GraftPipeline
+        .encode(kept, bTables, cfg)
+        .write
+        .mode("overwrite")
+        .parquet(tmpDir.toString)
+
+      val (addedNames, _) = commitRewrite(
+        fs,
+        outDir,
+        cid,
+        tmpDir,
+        victims,
+        victims.map(_._2).sum,
+        extraMarkerFields = Map(
+          "applied_deletes" -> MiniJson.JArr(state.live.toVector.map(d => MiniJson.JStr(d.name)))
+        )
+      )
+      added = addedNames
+      affected = victimBlocks.select("bin").distinct().as[Int].collect().toSet
+    } else {
+      // deleted ids hit no live bins (already-purged dirs, unknown ids):
+      // commit an empty rewrite so the delete files still retire
+      val tmpDir = new Path(compactRoot(outDir), s"c$cid-tmp")
+      fs.mkdirs(tmpDir)
+      commitRewrite(
+        fs,
+        outDir,
+        cid,
+        tmpDir,
+        Array.empty,
+        0L,
+        extraMarkerFields = Map(
+          "applied_deletes" -> MiniJson.JArr(state.live.toVector.map(d => MiniJson.JStr(d.name)))
+        )
+      ): Unit
+    }
+
+    // 5. advisory re-manifest: fresh claims for every rewritten bin, PLUS
+    // explicit zero rows for bins the purge emptied entirely — the manifest
+    // index's numRows must stop counting their stale winners
+    if (affected.nonEmpty)
+      EncodeJob.appendManifest(spark, outDir, affected, MaintenanceEpochBase + cid)
+    val remaining: Set[Int] =
+      if (affected.isEmpty) Set.empty
+      else
+        spark.read
+          .parquet(liveBlockFiles(outDir, conf).map(_._1).toIndexedSeq: _*)
+          .where(EncodeJob.binMembership(col("bin"), affected))
+          .select("bin")
+          .distinct()
+          .as[Int]
+          .collect()
+          .toSet
+    val emptied = affected -- remaining
+    if (emptied.nonEmpty) {
+      val zeroRows = emptied.toSeq.sorted.map { b =>
+        EncodeJob.BinManifest(
+          snapshot_id = MaintenanceEpochBase + cid,
+          bin = b,
+          n_blocks = 0L,
+          n_rows = 0L,
+          n_values = 0L,
+          payload_bytes = 0L,
+          payload_bits = 0L,
+          table_hash = tables.tableHash,
+          files = ""
+        )
+      }
+      zeroRows
+        .toDS()
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$outDir/_manifest")
+    }
+
+    Some(
+      PurgeResult(cid, victims.length, added.length, state.live.size, state.totalIds, affected.size)
+    )
   }
 
   /** Physically delete what committed compactions tombstoned, plus crash
@@ -273,22 +487,28 @@ object Maintenance {
     var filesDeleted = 0
     var dirsDeleted = 0
 
-    // tombstoned data files from old-enough markers
-    val oldRemoved: Set[String] =
-      if (!fs.exists(root)) Set.empty
-      else
-        fs.listStatus(root)
+    // tombstoned data files + retired (purge-applied) delete files, from
+    // old-enough markers
+    val (oldRemoved: Set[String], oldRetiredDeletes: Set[String]) =
+      if (!fs.exists(root)) (Set.empty[String], Set.empty[String])
+      else {
+        val parsed = fs
+          .listStatus(root)
           .filter(st => st.isFile && st.getPath.getName.matches("c\\d+\\.json") && st.getModificationTime <= cutoff)
-          .flatMap { st =>
+          .map { st =>
             val in = fs.open(st.getPath)
             val txt =
               try new String(in.readAllBytes(), StandardCharsets.UTF_8)
               finally in.close()
-            scala.util.Try(
-              MiniJson.parseObject(txt, where = st.getPath.toString).strArrOpt("removed").getOrElse(Seq.empty)
-            ).getOrElse(Seq.empty)
+            scala.util
+              .Try {
+                val o = MiniJson.parseObject(txt, where = st.getPath.toString)
+                (o.strArrOpt("removed").getOrElse(Seq.empty), o.strArrOpt("applied_deletes").getOrElse(Seq.empty))
+              }
+              .getOrElse((Seq.empty[String], Seq.empty[String]))
           }
-          .toSet
+        (parsed.flatMap(_._1).toSet, parsed.flatMap(_._2).toSet)
+      }
     if (oldRemoved.nonEmpty) {
       val blocksDir = new Path(s"$outDir/blocks")
       val candidateDirs =
@@ -332,6 +552,22 @@ object Maintenance {
       fs.listStatus(wstage).foreach { st =>
         if (st.isDirectory && st.getModificationTime <= cutoff)
           if (fs.delete(st.getPath, true)) dirsDeleted += 1
+      }
+    }
+
+    // delete-file debris under _deletes/: retired files a committed purge
+    // already applied (readers stopped consulting them at the marker
+    // commit — the grace window protects reads planned before it), plus
+    // crashed deleteDocs staging dirs
+    val delDir = new Path(s"$outDir/_deletes")
+    if (fs.exists(delDir)) {
+      fs.listStatus(delDir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && oldRetiredDeletes.contains(n) && st.getModificationTime <= cutoff) {
+          if (fs.delete(st.getPath, false)) filesDeleted += 1
+        } else if (st.isDirectory && n.startsWith(".tmp-") && st.getModificationTime <= cutoff) {
+          if (fs.delete(st.getPath, true)) dirsDeleted += 1
+        }
       }
     }
 
@@ -386,6 +622,23 @@ object Maintenance {
             !lineage.contains(n) && st.getModificationTime <= cutoff
           )
             if (fs.delete(st.getPath, false)) filesDeleted += 1
+        }
+        // same sweep for delete files: a deleteDocs driver killed between
+        // the rename and the snapshot write leaves a del-* file in no
+        // lineage — inert (readers only apply lineage-recorded deletes) but
+        // disk debris. The same strict all-snapshots-parse gate applies: an
+        // unreadable snapshot could hide the deletes_added that proves a
+        // file committed.
+        if (fs.exists(delDir)) {
+          val delLineage = records.flatMap(_.deletesAdded.map(_._1)).toSet
+          fs.listStatus(delDir).foreach { st =>
+            val n = st.getPath.getName
+            if (
+              st.isFile && n.startsWith("del-") && n.endsWith(".parquet") &&
+              !delLineage.contains(n) && st.getModificationTime <= cutoff
+            )
+              if (fs.delete(st.getPath, false)) filesDeleted += 1
+          }
         }
       }
     }
@@ -493,6 +746,16 @@ object Maintenance {
       .groupMapReduce(_._1)(_._2)(math.max)
       .toSeq
       .sortBy(_._1)
+    // delete lineage folds forward too: a live delete committed in the
+    // expired prefix must keep applying to reads (and stay distinguishable
+    // from orphan del-* files for vacuum). Names are unique, so distinct
+    // suffices. NOTE: folding moves the delete's effective snapshot id UP
+    // to the rebased base — exact time travel inside the expired prefix was
+    // already impossible (those ids are gone), and at any retained id the
+    // folded delete applies exactly as before.
+    val mergedDeletes = (expiredRecs.flatMap(_.deletesAdded) ++ baseRec.deletesAdded)
+      .distinctBy(_._1)
+      .sortBy(_._1)
 
     val basePath = new Path(s"$outDir/_snapshots/snap-$baseId.json")
     val in = fs.open(basePath)
@@ -506,6 +769,8 @@ object Maintenance {
         "files_added" -> MiniJson.JArr(mergedFiles.toVector.map(MiniJson.JStr)),
         "marked_writers" -> MiniJson.JArr(mergedMarks.toVector.map(m => MiniJson.JStr(m._1))),
         "marked_epochs" -> MiniJson.JArr(mergedMarks.toVector.map(m => MiniJson.JNum(m._2.toString))),
+        "deletes_added" -> MiniJson.JArr(mergedDeletes.toVector.map(d => MiniJson.JStr(d._1))),
+        "deletes_counts" -> MiniJson.JArr(mergedDeletes.toVector.map(d => MiniJson.JNum(d._2.toString))),
         "parent_id" -> MiniJson.JNum("-1"),
         "rebased_from" -> MiniJson.JNum(expired.map(_._1).min.toString)
       )

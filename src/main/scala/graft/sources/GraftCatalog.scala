@@ -24,6 +24,8 @@ import java.util.Collections
   *   CALL graft.system.vacuum(path => '/data/corpus', older_than_ms => 3600000)
   *   CALL graft.system.expire_snapshots(path => '/data/corpus', keep_last => 7)
   *   CALL graft.system.rewrite_manifests(path => '/data/corpus')
+  *   CALL graft.system.delete_docs(path => '/data/corpus', doc_ids => array('d1','d2'))
+  *   CALL graft.system.purge_deletes(path => '/data/corpus')
   * }}}
   *
   * Each procedure returns its result as one row (the same fields the
@@ -183,10 +185,59 @@ private object GraftCatalog {
     }
   }
 
+  private val deleteDocs = new MaintenanceProcedure(
+    "delete_docs",
+    Array(in("path", StringType), in("doc_ids", ArrayType(StringType))),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = true),
+      StructField("ids_recorded", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "commit an equality delete of the given doc_ids (merge-on-read; purge applies it physically)"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      require(!input.isNullAt(1), "doc_ids must not be null")
+      val ids = input.getArray(1)
+      val strs = (0 until ids.numElements()).map { i =>
+        require(!ids.isNullAt(i), s"doc_ids[$i] is null")
+        ids.getUTF8String(i).toString
+      }
+      import spark.implicits._
+      graft.pipeline.Deletes.deleteDocs(spark, pathOf(input), strs.toDS()) match {
+        case Some(r) => InternalRow(r.snapshotId, r.idsRecorded)
+        case None    => InternalRow(null, 0L)
+      }
+    }
+  }
+
+  private val purgeDeletes = new MaintenanceProcedure(
+    "purge_deletes",
+    Array(in("path", StringType)),
+    StructType(Seq(
+      StructField("compaction_id", LongType, nullable = true),
+      StructField("files_rewritten", IntegerType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false),
+      StructField("delete_files_applied", IntegerType, nullable = false),
+      StructField("ids_applied", LongType, nullable = false),
+      StructField("bins_rewritten", IntegerType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "physically apply the live equality deletes (rewrite affected files, retire the delete files)"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      Maintenance.purgeDeletes(spark, pathOf(input)) match {
+        case Some(r) =>
+          InternalRow(r.cid, r.filesRewritten, r.filesAdded, r.deleteFilesApplied, r.idsApplied, r.binsRewritten)
+        case None => InternalRow(null, 0, 0, 0, 0L, 0)
+      }
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
     "vacuum" -> vacuum,
     "expire_snapshots" -> expireSnapshots,
-    "rewrite_manifests" -> rewriteManifests
+    "rewrite_manifests" -> rewriteManifests,
+    "delete_docs" -> deleteDocs,
+    "purge_deletes" -> purgeDeletes
   )
 }

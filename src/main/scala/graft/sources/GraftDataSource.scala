@@ -293,12 +293,22 @@ private[sources] class GraftScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
+  /** Live equality deletes ([[graft.pipeline.Deletes]]) make block metadata
+    * OVER-count: a pushed COUNT would include rows the merge-on-read filter
+    * hides. One lineage read at planning gates the pushdown off (Iceberg
+    * makes the same trade: metadata-only answers only without deletes).
+    */
+  private lazy val hasLiveDeletes: Boolean =
+    graft.pipeline.Deletes
+      .hasLive(path, SparkSession.active.sparkContext.hadoopConfiguration, snapshot)
+
   /** COUNT/SUM(n_tok) aggregates are answered from block METADATA (every
     * block records its row and token-value counts), so a corpus-wide count
     * never decodes a block — partial per-partition sums, Spark combines.
     * Spark only offers aggregates here when NO post-scan filters remain;
     * since [[pushFilters]] keeps every filter residual, an aggregate can
-    * only be pushed on an unfiltered scan — metadata counts are then exact.
+    * only be pushed on an unfiltered scan — metadata counts are then exact
+    * (unless live deletes exist; see [[hasLiveDeletes]]).
     */
   override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
@@ -307,7 +317,7 @@ private[sources] class GraftScanBuilder(
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
         case _                                               => None
       }
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty || hasLiveDeletes) return false
     val kinds = agg.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(GraftAgg.CountRows)
       case c: aggregate.Count
@@ -414,6 +424,24 @@ private[sources] class GraftScan(
   private lazy val blockFiles: Array[(String, Long)] =
     GraftMeta.listBlockFiles(path, hadoopConf)
 
+  /** The equality deletes this scan must merge at read
+    * ([[graft.pipeline.Deletes]]): delete files committed at ids ≤ the
+    * requested snapshot, minus files a committed purge already applied
+    * physically. Evaluating this also enforces the reachability guard
+    * (time travel older than a purged delete fails loudly).
+    */
+  private lazy val deleteState: graft.pipeline.Deletes.DeleteState =
+    graft.pipeline.Deletes.liveDeletes(path, hadoopConf, snapshot)
+
+  /** Small live delete sets are read ONCE on the driver and sliced per
+    * partition (a point read then ships a handful of ids, not file paths
+    * every reader re-opens); past the cap, readers stream the delete files
+    * themselves with bin row-group skipping. None = not inlined.
+    */
+  private lazy val inlineDeletesByBin: Option[Map[Int, Array[String]]] =
+    if (deleteState.isEmpty || deleteState.totalIds > GraftScan.sessionDeleteInlineCap) None
+    else Some(GraftScan.readDeleteIdsByBin(deleteState.paths(path), hadoopConf))
+
   /** As-of file exclusion for DSv2 appends: bins are write-once for
     * EncodeJob snapshots (bin visibility covers them) but appends add files
     * to EXISTING bins, so a time-travel read must drop the files committed
@@ -469,7 +497,9 @@ private[sources] class GraftScan(
       s"pushedFilters=[${brief(filters.toSeq.map(_.toString.take(200)), 8)}]" +
       agg.map(k => s", pushedAggregates=[${k.mkString(",")}]").getOrElse("") +
       snapshot.map(s => s", snapshot=$s").getOrElse("") +
-      docIdBins.map(b => s", prunedBins=[${brief(b.toSeq.sorted)}]").getOrElse("")
+      docIdBins.map(b => s", prunedBins=[${brief(b.toSeq.sorted)}]").getOrElse("") +
+      (if (deleteState.isEmpty) ""
+       else s", liveDeletes=${deleteState.live.size} files/${deleteState.totalIds} ids")
 
   // ---- runtime (join-driven) filtering: a broadcast join against a small
   // doc_id set lets Spark push the build side's keys into this scan at
@@ -509,17 +539,28 @@ private[sources] class GraftScan(
     // just less pruned)
     lazy val allIds: Option[Array[String]] =
       idsByBin.map(_.valuesIterator.flatten.toArray.sorted).filter(_.length <= 65536)
+    // inlined delete slices follow the same per-file bin slicing as the
+    // doc_id restriction; inline sets are ≤ DeleteInlineCap by construction,
+    // so the UnknownBins fallback ships at most that many ids
+    lazy val allDeleted: Option[Array[String]] =
+      inlineDeletesByBin.map(_.valuesIterator.flatten.toArray.sorted)
     planned.map { case (f, fileBins) =>
-      val fileIds: Option[Array[String]] = fileBins match {
-        case GraftScan.ExactBins(fb) =>
-          idsByBin.map(m => fb.iterator.flatMap(m.get).flatten.toArray.sorted)
-        case GraftScan.RangeBins(lo, hi) =>
-          // footer path only exists at <= cap files; per file this walks
-          // the id-bin keys (bounded by the id count), not the bin range
-          idsByBin.map(_.iterator.collect { case (b, arr) if b >= lo && b <= hi => arr }.flatten.toArray.sorted)
-        case GraftScan.UnknownBins => allIds
-      }
-      GraftInputPartition(f, binsOverride = smallBins, docIdsOverride = fileIds)
+      def slice(m: Option[Map[Int, Array[String]]], all: Option[Array[String]]): Option[Array[String]] =
+        fileBins match {
+          case GraftScan.ExactBins(fb) =>
+            m.map(x => fb.iterator.flatMap(x.get).flatten.toArray.sorted)
+          case GraftScan.RangeBins(lo, hi) =>
+            // footer path only exists at <= cap files; per file this walks
+            // the id-bin keys (bounded by the id count), not the bin range
+            m.map(_.iterator.collect { case (b, arr) if b >= lo && b <= hi => arr }.flatten.toArray.sorted)
+          case GraftScan.UnknownBins => all
+        }
+      GraftInputPartition(
+        f,
+        binsOverride = smallBins,
+        docIdsOverride = slice(idsByBin, allIds),
+        deletedIdsOverride = slice(inlineDeletesByBin, allDeleted)
+      )
     }
   }
 
@@ -538,17 +579,22 @@ private[sources] class GraftScan(
       aggKinds = agg.map(_.toArray),
       visibleBins = snapshotBins.map(_.toArray.sorted),
       conf = new SerializableHadoopConf(hadoopConf),
-      limit = limit
+      limit = limit,
+      // always ship the live delete file paths when deletes exist — batch
+      // partitions short-circuit via their inlined slice, but streaming
+      // partitions are planned without overrides and fall back to these
+      deleteFiles = if (deleteState.isEmpty) Array.empty else deleteState.paths(path).toArray
     )
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(blockFiles.map(_._2).sum)
     override def numRows(): OptionalLong =
-      // exact only for the full table: filters/snapshots see a subset.
+      // exact only for the full table: filters/snapshots see a subset, and
+      // live deletes hide rows the manifest still counts.
       // EncodeJob self-repairs a manifest that lost rows to a crash between
       // block commit and manifest append, so for a completed/resumed job
       // the manifest total is exact.
-      if (filters.isEmpty && snapshot.isEmpty)
+      if (filters.isEmpty && snapshot.isEmpty && deleteState.isEmpty)
         GraftScan
           .manifestIndex(path, hadoopConf)
           .fold(OptionalLong.empty())(ix => OptionalLong.of(ix.numRows))
@@ -744,6 +790,41 @@ private[sources] object GraftScan {
 
   private[sources] def nameOf(f: String): String = f.substring(f.lastIndexOf('/') + 1)
 
+  /** Live delete sets at or under this many ids are read once on the driver
+    * and sliced per partition; larger sets are streamed executor-side.
+    * Matches the runtime-filter id-slice cap: the same "ship ids, not
+    * files" trade at the same size.
+    */
+  val DeleteInlineCap = 65536L
+
+  /** Session-configurable inline cap (primarily the test hook that forces
+    * the executor-side delete-file streaming path at tiny sizes).
+    */
+  def sessionDeleteInlineCap: Long =
+    SparkSession.active.conf
+      .getOption("spark.graft.deleteInlineCap")
+      .map(_.toLong)
+      .getOrElse(DeleteInlineCap)
+
+  /** Driver-side read of small delete files: (bin → deleted doc_ids).
+    * Called only under [[DeleteInlineCap]], so the result is bounded.
+    */
+  def readDeleteIdsByBin(paths: Seq[String], conf: Configuration): Map[Int, Array[String]] = {
+    val byBin = scala.collection.mutable.HashMap[Int, scala.collection.mutable.ArrayBuffer[String]]()
+    paths.foreach { p =>
+      val r = ParquetReader.builder(new GroupReadSupport(), new Path(p)).withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          byBin.getOrElseUpdate(g.getInteger("bin", 0), scala.collection.mutable.ArrayBuffer[String]()) +=
+            g.getString("doc_id", 0)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    byBin.view.mapValues(_.toArray.sorted).toMap
+  }
+
   /** Min/max of the `bin` column per file, from parquet row-group stats.
     * Uncached footers are read on a bounded thread pool — footer opens are
     * latency-bound, and a cold 4096-file pass would otherwise serialize
@@ -802,7 +883,12 @@ private[sources] object GraftScan {
 private[sources] final case class GraftInputPartition(
     file: String,
     binsOverride: Option[Array[Int]] = None,
-    docIdsOverride: Option[Array[String]] = None
+    docIdsOverride: Option[Array[String]] = None,
+    /** This file's slice of an INLINED live delete set (Some(empty) = no
+      * deleted id can live in this file's bins). None = not inlined — the
+      * reader streams the factory's delete files instead.
+      */
+    deletedIdsOverride: Option[Array[String]] = None
 ) extends InputPartition
 
 // One no-arg class per metric: Spark's SQL UI re-instantiates custom metrics
@@ -839,7 +925,8 @@ private[sources] final case class GraftReaderFactory(
     aggKinds: Option[Array[String]] = None,
     visibleBins: Option[Array[Int]] = None,
     conf: SerializableHadoopConf,
-    limit: Option[Int] = None
+    limit: Option[Int] = None,
+    deleteFiles: Array[String] = Array.empty
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
@@ -853,8 +940,15 @@ private[sources] final case class GraftReaderFactory(
     val docs =
       GraftDataSource.intersectOpt(p.docIdsOverride.map(_.toSet), docIdFilter)
     aggKinds match {
-      case Some(kinds) => new GraftAggReader(p.file, kinds, bins, conf)
-      case None        => new GraftPartitionReader(p.file, this, bins, docs)
+      case Some(kinds) =>
+        // tripwire: the builder disables aggregate pushdown under live
+        // deletes (metadata counts would include hidden rows)
+        require(
+          deleteFiles.isEmpty,
+          "internal error: metadata aggregate planned over a table with live deletes"
+        )
+        new GraftAggReader(p.file, kinds, bins, conf)
+      case None => new GraftPartitionReader(p.file, this, bins, docs, p.deletedIdsOverride)
     }
   }
 }
@@ -926,10 +1020,39 @@ private[sources] class GraftPartitionReader(
     file: String,
     f: GraftReaderFactory,
     visibleBins: Option[Set[Int]],
-    docFilter: Option[Set[String]]
+    docFilter: Option[Set[String]],
+    inlineDeleted: Option[Array[String]] = None
 ) extends PartitionReader[InternalRow] {
 
-  private val needDocIds = f.requiredFields.contains("doc_id") || docFilter.isDefined
+  /** Can a deleted doc_id reach this partition? Some(empty) from the
+    * planner is a proof of absence; None with factory delete files means
+    * "load and check".
+    */
+  private val deletesPossible =
+    inlineDeleted.map(_.nonEmpty).getOrElse(f.deleteFiles.nonEmpty)
+
+  /** The deleted ids this partition must hide: the planner's inlined slice
+    * when present, else the factory's delete files streamed with the
+    * partition's bin filter pushed to parquet row groups (delete files are
+    * written bin-sorted, so a single-bin point read touches one row group).
+    */
+  private lazy val deletedSet: Set[String] =
+    inlineDeleted match {
+      case Some(arr) => arr.toSet
+      case None if f.deleteFiles.nonEmpty =>
+        GraftPartitionReader.deletedIds(
+          f.deleteFiles,
+          f.conf,
+          GraftDataSource
+            .intersectOpt(visibleBins, f.wantedBins.map(_.toSet))
+            .filter(_.size <= 1024)
+            .map(_.toArray.sorted)
+        )
+      case None => Set.empty
+    }
+
+  private val needDocIds =
+    f.requiredFields.contains("doc_id") || docFilter.isDefined || deletesPossible
   private val needSources = f.requiredFields.contains("source") || f.sourceFilter.isDefined
   private val needTokens = f.requiredFields.contains("tokens")
   private val needNToks = needTokens || f.requiredFields.contains("n_tok")
@@ -1008,14 +1131,17 @@ private[sources] class GraftPartitionReader(
       if (needSources) StringCodecs.decode(stringOf(g, "sources_codec"), bytesOf(g, "sources_payload"), nRows)
       else null
 
-    // row predicate from the pushed doc_id/source filters
+    // row predicate from the pushed doc_id/source filters + the
+    // merge-on-read equality-delete set
     val hits: Array[Int] = {
+      val del = if (deletesPossible) deletedSet else null
       val b = Array.newBuilder[Int]
       var r = 0
       while (r < nRows) {
         val ok =
           docFilter.forall(s => s.contains(docIds(r))) &&
-            f.sourceFilter.forall(s => s.contains(sources(r)))
+            f.sourceFilter.forall(s => s.contains(sources(r))) &&
+            (del == null || !del.contains(docIds(r)))
         if (ok) b += r
         r += 1
       }
@@ -1123,6 +1249,13 @@ private[sources] object GraftOffset {
   * giant batch. `option("maxSnapshotsPerBatch", n)` bounds every batch to n
   * snapshots (each snapshot = one "file" under Spark's `ReadMaxFiles`
   * limit), so catch-up proceeds in bounded, checkpointed steps.
+  *
+  * Equality deletes: every emitted batch applies the delete set that was
+  * LIVE when the enclosing scan was built (the reader factory carries it) —
+  * a fresh stream over a table with deletes never emits deleted docs, and a
+  * purge mid-stream is picked up on restart. Rows emitted BEFORE their
+  * delete committed are not retracted (append-only source semantics, the
+  * Iceberg incremental-read contract).
   */
 private[sources] class GraftMicroBatchStream(
     path: String,
@@ -1260,6 +1393,48 @@ private[sources] object GraftPartitionReader {
   private val SchemaCacheCap = 1 << 16
   private val schemaCache =
     scala.collection.concurrent.TrieMap[String, MessageType]()
+
+  /** JVM-wide cache for FULL delete-set loads (no bin filter): many
+    * partitions per executor would otherwise each re-stream the same delete
+    * files. Sound because delete files are write-once under unique names.
+    * Bounded by entry COUNT at a small cap — each entry can be large (a
+    * full live delete set), which is exactly why it must be shared.
+    */
+  private val DeleteSetCacheCap = 4
+  private val deleteSetCache =
+    scala.collection.concurrent.TrieMap[String, Set[String]]()
+
+  /** The deleted doc_ids a partition must hide. With a small bin set, the
+    * parquet bin filter skips foreign row groups (delete files are written
+    * bin-sorted) and the filtered result is NOT cached (it is proportional
+    * to the partition's own bins); a full load is cached JVM-wide.
+    */
+  def deletedIds(
+      files: Array[String],
+      conf: SerializableHadoopConf,
+      bins: Option[Array[Int]]
+  ): Set[String] = {
+    def load(): Set[String] = {
+      val out = scala.collection.mutable.HashSet[String]()
+      files.foreach { p =>
+        val r = openProjected(p, conf, Set("bin", "doc_id"), bins)
+        try {
+          var g = r.read()
+          while (g != null) {
+            out += g.getString("doc_id", 0)
+            g = r.read()
+          }
+        } finally r.close()
+      }
+      out.toSet
+    }
+    bins match {
+      case Some(_) => load()
+      case None =>
+        if (deleteSetCache.size > DeleteSetCacheCap) deleteSetCache.clear()
+        deleteSetCache.getOrElseUpdate(files.mkString("|"), load())
+    }
+  }
 
   /** Full parquet schema of a block file, cached JVM-wide — block files are
     * write-once, and this saves one footer open per task. Bounded: cleared

@@ -1,0 +1,231 @@
+package graft.sources
+
+import graft.pipeline.GraftPipeline.Config
+import graft.pipeline.{Deletes, EncodeJob, GraftPipeline, Maintenance, SparkTestBase, TokenRow, TokenTables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Row-level equality deletes ([[graft.pipeline.Deletes]]): merge-on-read
+  * application in the DSv2 scan (inline and executor-streamed), metadata
+  * aggregate gating, snapshot time travel, the physical purge + retirement
+  * lifecycle, vacuum reclamation, lineage folding through expiry, and the
+  * streaming read.
+  */
+class DeleteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 64)
+
+  lazy val all = TokenTables.synthetic(spark, 640L, seed = 33L).cache()
+  private def idx = expr("cast(substring(doc_id, -10, 10) as long)")
+  lazy val doomed = all.where(idx % 5 === 2)
+  lazy val kept = all.where(idx % 5 =!= 2)
+
+  private def freshDeletedDir(tag: String): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory(s"graft-del-$tag").toString
+    EncodeJob.run(all, d, cfg) // snapshot 0
+    val res = Deletes.deleteDocs(spark, d, doomed.select($"doc_id").as[String]) // snapshot 1
+    assert(res.exists(r => r.idsRecorded == doomed.count() && r.snapshotId == 1L))
+    d
+  }
+
+  test("merge-on-read: batch scan, point reads, and counts hide exactly the deleted docs") {
+    import spark.implicits._
+    val dir = freshDeletedDir("mor")
+
+    val decoded = spark.read.format("graft").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(kept, decoded) == 0L)
+
+    // point read of a deleted doc: bins are planned, rows are hidden
+    val dead = doomed.select($"doc_id").orderBy($"doc_id").head().getString(0)
+    assert(spark.read.format("graft").load(dir).where($"doc_id" === dead).count() == 0L)
+    val live = kept.select($"doc_id").orderBy($"doc_id").head().getString(0)
+    val hit = spark.read.format("graft").load(dir).where($"doc_id" === live).as[TokenRow]
+    assert(GraftPipeline.verify(kept.where($"doc_id" === live), hit) == 0L)
+
+    // the metadata aggregate pushdown must disable itself: counts are the
+    // FILTERED totals, and the plan carries a real Aggregate (not a pushed
+    // one over block metadata)
+    val agg = spark.read.format("graft").load(dir).agg(count(lit(1)), sum($"n_tok")).head()
+    assert(agg.getLong(0) == kept.count())
+    assert(agg.getLong(1) == kept.agg(sum($"n_tok")).head().getLong(0))
+    val plan = spark.read.format("graft").load(dir).agg(count(lit(1))).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("pushedAggregates=["), s"aggregate was pushed under live deletes:\n$plan")
+
+    // identity semantics: re-appending a deleted doc_id while the delete is
+    // live keeps it hidden (purge-then-append is the supported re-add)
+    doomed.limit(1).toDF().write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).where($"doc_id" === dead).count() == 0L)
+  }
+
+  test("executor-streamed delete files (inline cap 0) apply identically") {
+    import spark.implicits._
+    val dir = freshDeletedDir("stream-ids")
+    spark.conf.set("spark.graft.deleteInlineCap", "0")
+    try {
+      val decoded = spark.read.format("graft").load(dir).as[TokenRow]
+      assert(GraftPipeline.verify(kept, decoded) == 0L)
+      val dead = doomed.select($"doc_id").head().getString(0)
+      assert(spark.read.format("graft").load(dir).where($"doc_id" === dead).count() == 0L)
+    } finally spark.conf.unset("spark.graft.deleteInlineCap")
+  }
+
+  test("time travel: deletes apply only at snapshots >= their commit; purge coarsens history") {
+    import spark.implicits._
+    val dir = freshDeletedDir("travel")
+
+    // snapshot 0 predates the delete — the full corpus is visible
+    val snap0 = spark.read.format("graft").option("snapshot", "0").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(all, snap0) == 0L)
+    // snapshot 1 is the delete commit — filtered
+    val snap1 = spark.read.format("graft").option("snapshot", "1").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(kept, snap1) == 0L)
+
+    assert(Maintenance.purgeDeletes(spark, dir).exists(_.idsApplied == doomed.count()))
+    // current read: unchanged
+    assert(GraftPipeline.verify(kept, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+    // pre-delete history is physically gone — loud failure, not silent rows
+    val err = intercept[Exception] {
+      spark.read.format("graft").option("snapshot", "0").load(dir).count()
+    }
+    assert(err.getMessage.contains("coarsened"), err.getMessage)
+  }
+
+  test("purge rewrites physically, retires the delete, vacuum reclaims, re-append resurrects") {
+    import spark.implicits._
+    val dir = freshDeletedDir("purge")
+    val delName = Deletes.allDeletes(dir, conf).head.name
+
+    val pr = Maintenance.purgeDeletes(spark, dir).get
+    assert(pr.deleteFilesApplied == 1 && pr.idsApplied == doomed.count())
+    assert(Maintenance.appliedDeleteNames(dir, conf) == Set(delName))
+    assert(Deletes.liveDeletes(dir, conf, None).isEmpty)
+
+    // decoded content is the filtered corpus, now with ZERO merge overhead
+    assert(GraftPipeline.verify(kept, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+
+    // metadata aggregate pushdown is legal again and counts the purged state
+    val df = spark.read.format("graft").load(dir).agg(count(lit(1)))
+    assert(df.queryExecution.executedPlan.toString.contains("pushedAggregates=["))
+    assert(df.head().getLong(0) == kept.count())
+
+    // vacuum reclaims the tombstoned originals AND the retired delete file
+    Maintenance.vacuum(spark, dir, olderThanMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_deletes/$delName")))
+
+    // purge-then-append: the doc_id is live again
+    val doc = doomed.orderBy($"doc_id").limit(1)
+    doc.toDF().write.format("graft").mode("append").save(dir)
+    val id = doc.head().doc_id
+    val back = spark.read.format("graft").load(dir).where($"doc_id" === id).as[TokenRow]
+    assert(GraftPipeline.verify(doomed.where($"doc_id" === id), back) == 0L)
+  }
+
+  test("purging every doc of a bin zero-fills its manifest row (numRows stays exact)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-del-empty").toString
+    EncodeJob.run(all, dir, cfg)
+    val binDocs = all
+      .withColumn("bin", GraftPipeline.binCol(cfg.numBins, cfg.salt))
+      .where($"bin" === 3)
+      .select($"doc_id".as[String])
+    val nBin = binDocs.count()
+    assert(nBin > 0)
+    assert(Deletes.deleteDocs(spark, dir, binDocs).isDefined)
+    Maintenance.purgeDeletes(spark, dir)
+
+    val survivors = all
+      .withColumn("bin", GraftPipeline.binCol(cfg.numBins, cfg.salt))
+      .where($"bin" =!= 3)
+      .drop("bin")
+      .as[TokenRow]
+    assert(GraftPipeline.verify(survivors, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+    // the manifest index must stop counting the emptied bin's stale winner
+    val ix = GraftScan.manifestIndex(dir, conf).get
+    assert(ix.numRows == all.count() - nBin, s"manifest numRows ${ix.numRows}")
+  }
+
+  test("an orphan delete file (no lineage) is inert and vacuumed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-del-orphan").toString
+    EncodeJob.run(all, dir, cfg)
+    // a crashed deleteDocs: file renamed, snapshot never written
+    val stray = doomed
+      .limit(5)
+      .select(GraftPipeline.binCol(cfg.numBins, cfg.salt).as("bin"), $"doc_id")
+    val tmp = Files.createTempDirectory("graft-del-stray").toString
+    stray.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .head
+      .getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_deletes"))
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/_deletes/del-orphan.parquet")
+    assert(fs.rename(part, orphan))
+
+    // readers never apply it (not in any snapshot's deletes_added)
+    assert(GraftPipeline.verify(all, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+    // vacuum's strict-gated sweep reclaims it
+    Maintenance.vacuum(spark, dir, olderThanMs = 0L)
+    assert(!fs.exists(orphan))
+  }
+
+  test("an empty delete set commits nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-del-none").toString
+    EncodeJob.run(all, dir, cfg)
+    val before = EncodeJob.listSnapshotIds(dir, conf)
+    assert(Deletes.deleteDocs(spark, dir, spark.emptyDataset[String]).isEmpty)
+    assert(EncodeJob.listSnapshotIds(dir, conf) == before)
+  }
+
+  test("snapshot expiry folds delete lineage forward; vacuum keeps the folded file") {
+    import spark.implicits._
+    val dir = freshDeletedDir("expire")
+    // snapshot 2: an unrelated append so the delete snapshot can expire
+    val extra = TokenTables.synthetic(spark, 8L, seed = 77L)
+      .withColumn("doc_id", concat(lit("x-"), $"doc_id"))
+      .as[TokenRow]
+    extra.toDF().write.format("graft").mode("append").save(dir)
+
+    val r = Maintenance.expireSnapshots(spark, dir, keepLast = 1)
+    assert(r.snapshotsExpired == Seq(0L, 1L))
+    // the folded lineage still applies the delete
+    assert(Deletes.allDeletes(dir, conf).size == 1)
+    val want = kept.union(extra)
+    assert(GraftPipeline.verify(want, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+    // vacuum must NOT reclaim a folded (still-live) delete file
+    val delName = Deletes.allDeletes(dir, conf).head.name
+    Maintenance.vacuum(spark, dir, olderThanMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_deletes/$delName")))
+  }
+
+  test("a fresh stream over a deleted table emits only surviving docs") {
+    import spark.implicits._
+    val dir = freshDeletedDir("stream")
+    val ckpt = Files.createTempDirectory("graft-del-ckpt").toString
+    val q = spark.readStream
+      .format("graft")
+      .load(dir)
+      .writeStream
+      .format("memory")
+      .queryName("graft_del_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_del_stream").count()
+      assert(got == kept.count(), s"stream emitted $got rows, want ${kept.count()}")
+    } finally q.stop()
+  }
+}

@@ -78,13 +78,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     lossless(dir)
   }
 
+  test("CALL delete_docs + purge_deletes: SQL-only delete lifecycle, content filtered") {
+    import spark.implicits._
+    val dir = freshDir()
+    val victims = input.limit(7).select($"doc_id").as[String].collect()
+    val idsSql = victims.map(v => s"'$v'").mkString("array(", ", ", ")")
+
+    val del = spark
+      .sql(s"CALL graft.system.delete_docs(path => '$dir', doc_ids => $idsSql)")
+      .head()
+    assert(del.getAs[Long]("ids_recorded") == victims.length.toLong)
+    val want = input.where(!$"doc_id".isin(victims.toSeq: _*))
+    assert(GraftPipeline.verify(want, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+
+    val purge = spark.sql(s"CALL graft.system.purge_deletes(path => '$dir')").head()
+    assert(purge.getAs[Long]("ids_applied") == victims.length.toLong)
+    assert(purge.getAs[Int]("delete_files_applied") == 1)
+    assert(GraftPipeline.verify(want, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+
+    // nothing left to purge: null compaction id
+    val noop = spark.sql(s"CALL graft.system.purge_deletes(path => '$dir')").head()
+    assert(noop.isNullAt(noop.fieldIndex("compaction_id")))
+  }
+
   test("listProcedures enumerates the system namespace (no SHOW PROCEDURES in this Spark)") {
     spark.sql("SELECT 1").collect() // force catalog registration path
     val cat = spark.sessionState.catalogManager
       .catalog("graft")
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("compact", "expire_snapshots", "rewrite_manifests", "vacuum"))
+      Seq("compact", "delete_docs", "expire_snapshots", "purge_deletes", "rewrite_manifests", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
 
