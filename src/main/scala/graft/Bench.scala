@@ -171,6 +171,18 @@ object Bench {
         if (!new java.io.File(encDir + "/_manifest").exists())
           graft.pipeline.EncodeJob
             .appendManifest(spark32, encDir, (0 until cfg.numBins).toSet, snapshotId = 0L)
+        // a prior run that crashed between the delete-bench commit below
+        // and its rollback leaves that delete live in the persisted dir —
+        // heal before measuring (this process owns the dir)
+        locally {
+          val dels = new java.io.File(s"$encDir/_deletes")
+          if (dels.exists()) {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+            }
+            rm(dels); rm(new java.io.File(s"$encDir/_snapshots"))
+          }
+        }
         // full decode first: it warms the Group-reader/JIT path, so the
         // metadata row measures pruning, not first-touch overhead
         val (dsvToks, tFull) = time {
@@ -193,6 +205,44 @@ object Bench {
         }
         require(nPoint == pointIds.length, s"dsv2 point read $nPoint of ${pointIds.length}")
         queries("dsv2_point_scan") = tPoint
+
+        // ---- merge-on-read delete overhead: commit a real equality delete
+        // of ~0.5% of docs, measure the full decode scan through BOTH
+        // application tiers (driver-inlined per-partition slices; executor-
+        // streamed delete files via the cap-0 hook), then roll the bench's
+        // own snapshot back (this process owns the persisted dir) so next
+        // run's rows measure the undeleted corpus again. Both rows are
+        // verified against the exact surviving token count.
+        {
+          val delRows = input
+            .select($"doc_id", size($"tokens").cast("long").as("nt"))
+            .limit(math.max(64, (synthRows / 200).toInt))
+            .collect()
+          val delIds = delRows.map(_.getString(0)).toSeq
+          val expect = tokens - delRows.map(_.getLong(1)).sum
+          import spark32.implicits._
+          val res = graft.pipeline.Deletes.deleteDocs(spark32, encDir, delIds.toDS()).get
+          def morScan(): Long =
+            spark32.read.format("graft").load(encDir)
+              .agg(sum(size($"tokens"))).collect()(0).getLong(0)
+          val (mToks, tInline) = time(morScan())
+          require(mToks == expect, s"merge-on-read inline scan $mToks != $expect")
+          queries("dsv2_delete_scan_inline") = tInline
+          spark32.conf.set("spark.graft.deleteInlineCap", "0")
+          try {
+            val (sToks, tStreamed) = time(morScan())
+            require(sToks == expect, s"merge-on-read streamed scan $sToks != $expect")
+            queries("dsv2_delete_scan_streamed") = tStreamed
+          } finally spark32.conf.unset("spark.graft.deleteInlineCap")
+          // rollback: the delete snapshot + file were committed by THIS
+          // process into a dir nothing else reads — removing them restores
+          // the prior state exactly (deleteDocs touched nothing else)
+          val fsEnc = new org.apache.hadoop.fs.Path(encDir)
+            .getFileSystem(spark32.sparkContext.hadoopConfiguration)
+          fsEnc.delete(
+            new org.apache.hadoop.fs.Path(s"$encDir/_snapshots/snap-${res.snapshotId}.json"), false): Unit
+          fsEnc.delete(new org.apache.hadoop.fs.Path(s"$encDir/_deletes"), true): Unit
+        }
       }
       blocks.unpersist()
 

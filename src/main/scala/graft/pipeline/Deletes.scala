@@ -48,6 +48,12 @@ import org.apache.spark.sql.functions._
   * delete files with bin row-group skipping past that). Chronic unpurged
   * deletes degrade scan throughput linearly in delete bytes — purge is the
   * repair, exactly like Iceberg's rewrite_position_delete_files.
+  *
+  * Surface boundary: merge-on-read applies at the LOGICAL read surface —
+  * the DSv2 relation (batch and streaming). The block-level pipeline APIs
+  * ([[EncodeJob.readBlocks]], [[GraftPipeline.decode]]) are physical and
+  * return stored rows verbatim; purge first, or filter explicitly, when
+  * using them on a table with live deletes.
   */
 object Deletes {
 

@@ -202,9 +202,17 @@ object EncodeJob {
     */
   private def liveBlocks(spark: SparkSession, outDir: String): org.apache.spark.sql.DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    if (Maintenance.hasCompactions(outDir, conf))
-      spark.read.parquet(Maintenance.liveBlockFiles(outDir, conf).map(_._1).toIndexedSeq: _*)
-    else spark.read.parquet(s"$outDir/blocks")
+    if (Maintenance.hasCompactions(outDir, conf)) {
+      val files = Maintenance.liveBlockFiles(outDir, conf).map(_._1)
+      // a purge that deleted every doc can tombstone ALL files —
+      // spark.read.parquet of an empty path list cannot infer a schema, so
+      // answer with an empty typed frame instead of crashing callers
+      // (appendManifest's zero-fill is how numRows then stays exact)
+      if (files.isEmpty) {
+        import spark.implicits._
+        spark.emptyDataset[EncodedBlock].toDF()
+      } else spark.read.parquet(files.toIndexedSeq: _*)
+    } else spark.read.parquet(s"$outDir/blocks")
   }
 
   /** Bins already committed to blocks/ (empty if no output yet). */
@@ -538,7 +546,16 @@ object EncodeJob {
     manifest.coalesce(1).write.mode(SaveMode.Append).parquet(s"$outDir/_manifest")
   }
 
-  /** Read the encoded blocks back as a typed Dataset (compaction-aware). */
+  /** Read the encoded blocks back as a typed Dataset (compaction-aware).
+    *
+    * PHYSICAL surface: blocks decode to exactly what is stored, which
+    * includes rows hidden by live merge-on-read deletes ([[Deletes]]).
+    * The logical read of a table with deletes is the DSv2 relation
+    * (`spark.read.format("graft")`), which merges the delete set; callers
+    * of this block-level API that need delete semantics should purge first
+    * ([[Maintenance.purgeDeletes]]) or filter against
+    * [[Deletes.liveDeletes]] themselves.
+    */
   def readBlocks(spark: SparkSession, outDir: String): Dataset[EncodedBlock] = {
     import spark.implicits._
     liveBlocks(spark, outDir).as[EncodedBlock]

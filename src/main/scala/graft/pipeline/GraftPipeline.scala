@@ -404,10 +404,19 @@ object GraftPipeline {
     * scaling compute path. The kernel sees the identical Array[Int], so
     * block bytes are unchanged (bin-keyed determinism intact).
     */
+  /** @param shufflePartitions override for the routing exchange's partition
+    *   count (default: one partition per bin). The kernel only needs bins
+    *   CONTIGUOUS within a partition (repartition on bin + within-partition
+    *   sort gives that at any count), so small inputs over a table-scale bin
+    *   layout — e.g. [[Maintenance.purgeDeletes]] rewriting a few bins of an
+    *   800k-bin corpus — can shuffle into proportionally few partitions
+    *   instead of launching one near-empty task per bin.
+    */
   def encode(
       ds: Dataset[TokenRow],
       tables: Broadcast[SymbolTables],
-      cfg: Config
+      cfg: Config,
+      shufflePartitions: Option[Int] = None
   ): Dataset[EncodedBlock] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -419,7 +428,7 @@ object GraftPipeline {
     val binned = ds
       .withColumn("packed", graft.functions.PackVarInt.pack_varint($"tokens"))
       .withColumn("bin", binCol(cfg.numBins, cfg.salt))
-      .repartition(cfg.numBins, $"bin")
+      .repartition(shufflePartitions.getOrElse(cfg.numBins), $"bin")
       .sortWithinPartitions($"bin", $"source", $"doc_id")
       .select($"doc_id", $"packed", $"n_tok", $"source", $"bin")
       .as[(String, Array[Byte], Int, String, Int)]

@@ -339,20 +339,31 @@ object Maintenance {
     val delDf = spark.read.parquet(state.paths(outDir): _*)
     val deletedBins = delDf.select("bin").distinct().as[Int].collect().toSet
 
-    // victims: every live file holding any deleted bin — one distributed
-    // bin-column scan (column-pruned; parquet row-group stats prune inside)
+    // ONE distributed metadata scan over the live files' tiny bin/
+    // embedded_tables columns answers everything the rewrite plan needs:
+    // which files hold a deleted bin (victims), the FULL bin set of those
+    // files (the re-manifest targets, derived BEFORE the commit point so
+    // the advisory repair never depends on re-reading tombstoned files),
+    // and whether any victim block embeds its tables (the rewrite then
+    // preserves the dir's self-describing convention). Driver memory is
+    // one row per live file — the manifest-index scale.
     val live = liveBlockFiles(outDir, conf)
-    val victimSet = spark.read
-      .parquet(live.map(_._1).toIndexedSeq: _*)
-      .select(col("bin"), input_file_name().as("__f"))
-      .where(EncodeJob.binMembership(col("bin"), deletedBins))
-      .select("__f")
-      .distinct()
-      .as[String]
-      .collect()
-      .map(f => f.substring(f.lastIndexOf('/') + 1))
-      .toSet
-    val victims = live.filter(f => victimSet.contains(f._1.substring(f._1.lastIndexOf('/') + 1)))
+    val fileMeta: Array[(String, Set[Int], Boolean)] =
+      if (live.isEmpty) Array.empty
+      else
+        spark.read
+          .parquet(live.map(_._1).toIndexedSeq: _*)
+          .select(input_file_name().as("f"), col("bin"), col("embedded_tables"))
+          .groupBy($"f")
+          .agg(collect_set($"bin").as("bins"), max($"embedded_tables").as("embed"))
+          .as[(String, Seq[Int], Boolean)]
+          .collect()
+          .map { case (f, bins, e) => (f.substring(f.lastIndexOf('/') + 1), bins.toSet, e) }
+    val victimNames = fileMeta.filter(_._2.exists(deletedBins.contains)).map(_._1).toSet
+    val victims = live.filter(f => victimNames.contains(f._1.substring(f._1.lastIndexOf('/') + 1)))
+    val affected: Set[Int] =
+      fileMeta.iterator.filter(m => victimNames.contains(m._1)).flatMap(_._2).toSet
+    val embed = fileMeta.exists(m => victimNames.contains(m._1) && m._3)
 
     val cid = nextCompactionId(outDir, conf)
     val meta = EncodeJob
@@ -362,17 +373,12 @@ object Maintenance {
       .loadTables(spark, outDir)
       .getOrElse(throw new IllegalArgumentException(s"$outDir: _tables/header.bin missing"))
     val numBins = meta.long("num_bins").toInt
+    val appliedField = Map(
+      "applied_deletes" -> MiniJson.JArr(state.live.toVector.map(d => MiniJson.JStr(d.name)))
+    )
 
     var added = Seq.empty[String]
-    var affected = Set.empty[Int]
     if (victims.nonEmpty) {
-      // preserve the dir's self-describing convention: if any victim block
-      // embeds its tables, the rewritten blocks do too
-      val victimBlocks = spark.read.parquet(victims.map(_._1).toIndexedSeq: _*)
-      val embed = victimBlocks
-        .agg(max(col("embedded_tables")))
-        .head()
-        .getBoolean(0)
       val cfg = GraftPipeline.Config(
         numContexts = tables.numContexts,
         maxBits = tables.maxBits,
@@ -382,49 +388,34 @@ object Maintenance {
         embedTables = embed
       )
       val bTables = spark.sparkContext.broadcast(tables)
+      val victimBlocks = spark.read.parquet(victims.map(_._1).toIndexedSeq: _*)
       val rows = GraftPipeline.decode(victimBlocks.as[EncodedBlock], bTables, cfg)
       val kept = rows
         .join(delDf.select($"doc_id"), Seq("doc_id"), "left_anti")
         .select($"doc_id", $"tokens", $"n_tok", $"source")
         .as[TokenRow]
 
-      // 1. stage the re-encoded survivors (same kernel as the batch encoder)
+      // 1. stage the re-encoded survivors (same kernel as the batch
+      // encoder). The routing exchange is sized to the AFFECTED bins, not
+      // the table's bin count — purging 1k docs of an 800k-bin corpus must
+      // not launch 800k near-empty shuffle tasks.
       val tmpDir = new Path(compactRoot(outDir), s"c$cid-tmp")
       GraftPipeline
-        .encode(kept, bTables, cfg)
+        .encode(kept, bTables, cfg, shufflePartitions = Some(math.min(numBins, math.max(32, affected.size))))
         .write
         .mode("overwrite")
         .parquet(tmpDir.toString)
 
       val (addedNames, _) = commitRewrite(
-        fs,
-        outDir,
-        cid,
-        tmpDir,
-        victims,
-        victims.map(_._2).sum,
-        extraMarkerFields = Map(
-          "applied_deletes" -> MiniJson.JArr(state.live.toVector.map(d => MiniJson.JStr(d.name)))
-        )
+        fs, outDir, cid, tmpDir, victims, victims.map(_._2).sum, extraMarkerFields = appliedField
       )
       added = addedNames
-      affected = victimBlocks.select("bin").distinct().as[Int].collect().toSet
     } else {
       // deleted ids hit no live bins (already-purged dirs, unknown ids):
       // commit an empty rewrite so the delete files still retire
       val tmpDir = new Path(compactRoot(outDir), s"c$cid-tmp")
       fs.mkdirs(tmpDir)
-      commitRewrite(
-        fs,
-        outDir,
-        cid,
-        tmpDir,
-        Array.empty,
-        0L,
-        extraMarkerFields = Map(
-          "applied_deletes" -> MiniJson.JArr(state.live.toVector.map(d => MiniJson.JStr(d.name)))
-        )
-      ): Unit
+      commitRewrite(fs, outDir, cid, tmpDir, Array.empty, 0L, extraMarkerFields = appliedField): Unit
     }
 
     // 5. advisory re-manifest: fresh claims for every rewritten bin, PLUS
@@ -432,11 +423,12 @@ object Maintenance {
     // index's numRows must stop counting their stale winners
     if (affected.nonEmpty)
       EncodeJob.appendManifest(spark, outDir, affected, MaintenanceEpochBase + cid)
+    val postLive = liveBlockFiles(outDir, conf)
     val remaining: Set[Int] =
-      if (affected.isEmpty) Set.empty
+      if (affected.isEmpty || postLive.isEmpty) Set.empty
       else
         spark.read
-          .parquet(liveBlockFiles(outDir, conf).map(_._1).toIndexedSeq: _*)
+          .parquet(postLive.map(_._1).toIndexedSeq: _*)
           .where(EncodeJob.binMembership(col("bin"), affected))
           .select("bin")
           .distinct()

@@ -421,14 +421,24 @@ private[sources] class GraftScan(
   /** Bins this scan may touch: doc_id-derived ∩ snapshot-visible. */
   private def wantedBins: Option[Set[Int]] = intersectOpt(docIdBins, snapshotBins)
 
-  private lazy val blockFiles: Array[(String, Long)] =
+  private lazy val blockFiles: Array[(String, Long)] = {
+    // ORDER MATTERS vs a concurrent purge commit: resolve the delete state
+    // BEFORE listing files. Then a purge landing in between only makes the
+    // scan apply an already-materialized delete to already-purged files —
+    // harmless. The reverse interleaving (list pre-purge victims, read
+    // post-purge retirement) would silently resurrect deleted rows, since
+    // the delete filter is authoritative (no residual above the scan
+    // re-applies it).
+    deleteState: Unit
     GraftMeta.listBlockFiles(path, hadoopConf)
+  }
 
   /** The equality deletes this scan must merge at read
     * ([[graft.pipeline.Deletes]]): delete files committed at ids ≤ the
     * requested snapshot, minus files a committed purge already applied
     * physically. Evaluating this also enforces the reachability guard
-    * (time travel older than a purged delete fails loudly).
+    * (time travel older than a purged delete fails loudly). Always resolved
+    * before [[blockFiles]] — see the ordering note there.
     */
   private lazy val deleteState: graft.pipeline.Deletes.DeleteState =
     graft.pipeline.Deletes.liveDeletes(path, hadoopConf, snapshot)

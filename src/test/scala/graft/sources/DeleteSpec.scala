@@ -151,6 +151,23 @@ class DeleteSpec extends AnyFunSuite {
     assert(ix.numRows == all.count() - nBin, s"manifest numRows ${ix.numRows}")
   }
 
+  test("purging a delete of EVERY doc empties the table with counts and reads intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-del-all").toString
+    EncodeJob.run(all, dir, cfg)
+    assert(Deletes.deleteDocs(spark, dir, all.select($"doc_id".as[String])).isDefined)
+    val pr = Maintenance.purgeDeletes(spark, dir).get
+    assert(pr.idsApplied == all.count())
+
+    // every live file was tombstoned; reads, counts, and the manifest index
+    // must all see an EMPTY table, not crash on the empty live set
+    assert(spark.read.format("graft").load(dir).count() == 0L)
+    assert(GraftScan.manifestIndex(dir, conf).get.numRows == 0L)
+    // a fresh append into the emptied table works (tables are still there)
+    all.limit(3).toDF().write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 3L)
+  }
+
   test("an orphan delete file (no lineage) is inert and vacuumed") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-del-orphan").toString
