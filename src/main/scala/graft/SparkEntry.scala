@@ -198,6 +198,9 @@ object SparkEntry {
     graftPurgeDirCache.keys.filter(_._1 == id).foreach { k =>
       graftPurgeDirCache.remove(k).foreach(deleteDir)
     }
+    graftReplaceDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftReplaceDirCache.remove(k).foreach(deleteDir)
+    }
   }
 
   private def deleteDir(dir: String): Unit = {
@@ -371,6 +374,53 @@ object SparkEntry {
           graft.pipeline.Maintenance.vacuum(s, out, olderThanMs = 0L)
         }
         cache.putIfAbsent(key, out) match {
+          case Some(winner) => deleteDir(out); winner
+          case None         => out
+        }
+    }
+  }
+
+  private val graftReplaceDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Like [[graftDeletedDir]], but the docs with id % 17 == 4 are REPLACED
+    * (atomic upsert: equality delete + re-encoded new blocks in one
+    * snapshot, [[graft.pipeline.Deletes.replaceDocs]]) with a deterministic
+    * token transform the DuckDB oracle recomputes — sequence-scoped delete
+    * application sits under the hard oracle: the replaced docs must decode
+    * to the NEW tokens, everything else to the originals.
+    */
+  private def graftReplaceDir(s: SparkSession, dir: String): String = {
+    val key = (System.identityHashCode(s), dir)
+    graftReplaceDirCache.get(key) match {
+      case Some(existing) => existing
+      case None =>
+        import s.implicits._
+        val ec = encodedCorpus(s, dir)
+        val out = java.nio.file.Files.createTempDirectory("graft-dsv2-replace").toString
+        graft.pipeline.EncodeJob
+          .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
+        ec.blocks.write.mode("overwrite").parquet(s"$out/blocks")
+        val snapDir = java.nio.file.Paths.get(out, "_snapshots")
+        java.nio.file.Files.createDirectories(snapDir)
+        java.nio.file.Files.write(
+          snapDir.resolve("snap-0.json"),
+          s"""{"snapshot_id":0,"parent_id":-1,"bins_added":[${(0 until pipelineCfg.numBins).mkString(",")}]}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        )
+        graft.pipeline.EncodeJob
+          .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
+        // THE upsert under test (the oracle re-applies the same transform)
+        val replacements = ec.rows
+          .where($"doc_id".cast("long") % 17 === 4)
+          .withColumn(
+            "tokens",
+            expr("transform(tokens, t -> cast((cast(t as bigint) * 3) % 65536 as int))")
+          )
+          .as[graft.pipeline.TokenRow]
+        val res = graft.pipeline.Deletes.replaceDocs(s, out, replacements)
+        require(res.exists(_.nDocs > 0), s"replace under test touched no docs on $out")
+        graftReplaceDirCache.putIfAbsent(key, out) match {
           case Some(winner) => deleteDir(out); winner
           case None         => out
         }
@@ -794,6 +844,30 @@ object SparkEntry {
     "q_purge_scan" -> ((s, dir) => {
       import s.implicits._
       val out = graftDeletedDir(s, dir, purge = true)
+      val ids = docTable(s, dir)
+        .where($"doc_id" % 397 === 0)
+        .select($"doc_id".cast("string"))
+        .collect()
+        .map(_.getString(0))
+      s.read
+        .format("graft")
+        .load(out)
+        .where($"doc_id".isin(ids.toSeq: _*))
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // Atomic upsert (replaceDocs): docs % 17 == 4 carry transformed tokens
+    // committed as ONE delete+append snapshot — the point read must return
+    // the NEW tokens for replaced docs and the originals for the rest,
+    // exactly as DuckDB's CASE recomputation says
+    "q_replace_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftReplaceDir(s, dir)
       val ids = docTable(s, dir)
         .where($"doc_id" % 397 === 0)
         .select($"doc_id".cast("string"))
@@ -1265,6 +1339,12 @@ object SparkEntry {
       s"""$CTE
          |SELECT doc_id, pos, token FROM tok
          |WHERE doc_id % 397 = 0 AND doc_id % 13 <> 5 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_replace_scan" ->
+      s"""$CTE
+         |SELECT doc_id, pos,
+         |       CASE WHEN doc_id % 17 = 4 THEN (token * 3) % 65536 ELSE token END AS token
+         |FROM tok WHERE doc_id % 397 = 0 ORDER BY doc_id, pos""".stripMargin,
 
     "q_quality" ->
       """WITH w AS (

@@ -30,13 +30,20 @@ import org.apache.spark.sql.functions._
   * readers never apply it and [[Maintenance.vacuum]] reclaims it after the
   * grace window.
   *
-  * Semantics — doc_id is the corpus identity key:
-  *   - a LIVE delete (committed, not yet purged) hides every row of that
-  *     doc_id from reads, including rows appended after the delete;
-  *   - [[Maintenance.purgeDeletes]] materializes live deletes physically
-  *     (rewrites every live file in the deleted bins, dropping the rows) and
-  *     RETIRES the applied delete files — appends made after the purge
-  *     resurrect the doc_id. "Purge, then append" is the supported re-add.
+  * Semantics — SEQUENCE-SCOPED, Iceberg's equality-delete rule: a delete
+  * committed at snapshot S hides a doc_id's rows only in data files
+  * committed BEFORE S.
+  *   - re-appending a deleted doc_id later makes it visible again (the new
+  *     file postdates the delete); [[replaceDocs]] does delete+append in
+  *     ONE snapshot — the atomic upsert.
+  *   - file→snapshot attribution comes from the `files_added` lineage;
+  *     EncodeJob bootstrap blocks and compacted rewrites have none and are
+  *     subject to every delete (sound: snapshot ids are monotonic in wall
+  *     time and [[Maintenance.compact]] refuses to run while deletes are
+  *     live, so a compacted file can never fold rows that postdate one).
+  *   - [[Maintenance.purgeDeletes]] materializes live deletes physically —
+  *     each affected file is rewritten dropping exactly the rows ITS
+  *     applicable deletes hide — and RETIRES the applied delete files.
   *   - snapshot time travel to S applies exactly the deletes committed at
   *     ids ≤ S. Travel to a snapshot OLDER than a purged delete fails loudly
   *     (the rows are physically gone — maintenance coarsened reachable
@@ -80,16 +87,9 @@ object Deletes {
     * row-group `bin` stats let executor-side readers skip the ids of bins
     * their file cannot hold.
     */
-  def deleteDocs(
-      spark: SparkSession,
-      outDir: String,
-      docIds: Dataset[String]
-  ): Option[DeleteResult] = {
-    import spark.implicits._
+  /** Recorded bin layout of an encoded dir, validated. */
+  private def binLayout(spark: SparkSession, outDir: String): (Int, Long) = {
     import MiniJson.ObjOps
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = fsOf(outDir, conf)
-
     val meta = EncodeJob
       .loadMeta(spark, outDir)
       .getOrElse(
@@ -105,8 +105,22 @@ object Deletes {
           s"$outDir records no bin layout — deletes require the recorded num_bins/salt"
         )
       )
-    val salt = meta.long("salt")
+    (numBins, meta.long("salt"))
+  }
 
+  /** Stage + publish one bin-sorted delete parquet; returns (name, id
+    * count), or None for an empty set. NOT yet committed — the published
+    * file is inert (in no lineage) until a snapshot records it.
+    */
+  private def writeDeleteFile(
+      spark: SparkSession,
+      outDir: String,
+      docIds: Dataset[String],
+      numBins: Int,
+      salt: Long
+  ): Option[(String, Long)] = {
+    import spark.implicits._
+    val fs = fsOf(outDir, spark.sparkContext.hadoopConfiguration)
     val rows = docIds
       .toDF("doc_id")
       .where($"doc_id".isNotNull)
@@ -130,6 +144,16 @@ object Deletes {
     val dest = new Path(s"$outDir/_deletes/$name")
     require(fs.rename(parts.head.getPath, dest), s"rename ${parts.head.getPath} -> $dest failed")
     fs.delete(staging, true): Unit
+    Some((name, n))
+  }
+
+  def deleteDocs(
+      spark: SparkSession,
+      outDir: String,
+      docIds: Dataset[String]
+  ): Option[DeleteResult] = {
+    val (numBins, salt) = binLayout(spark, outDir)
+    val (name, n) = writeDeleteFile(spark, outDir, docIds, numBins, salt).getOrElse(return None)
 
     // THE commit point: CAS-claimed snapshot carrying the delete delta.
     // bins_added stays empty — no data files changed.
@@ -151,6 +175,137 @@ object Deletes {
     */
   private def everDeleted(outDir: String, conf: Configuration): Boolean =
     fsOf(outDir, conf).exists(new Path(s"$outDir/_deletes"))
+
+  final case class ReplaceResult(
+      snapshotId: Long,
+      nDocs: Long,
+      filesAdded: Seq[String],
+      deleteFile: String
+  )
+
+  /** Atomic UPSERT: replace each doc_id in `rows` with its new content in
+    * ONE snapshot — an equality delete of the ids plus the re-encoded new
+    * rows as appended block files, committed together. Sequence scoping
+    * makes it sound: the delete (snapshot S) hides the ids only in files
+    * committed BEFORE S, and the new blocks are committed AT S — readers at
+    * S or later see exactly the new content, readers at earlier snapshots
+    * the old. This is the re-crawl shape of a training corpus: refreshed
+    * documents land under their existing doc_id without re-encoding
+    * anything else.
+    *
+    * Requires a fully-encoded dir (same contract as the DSv2 append
+    * writer). Crash between block publish and the snapshot leaves `w-`
+    * orphans in no lineage — visible to scans until vacuum reclaims them
+    * (the append path's documented window); an in-JVM failure rolls the
+    * published files back. Returns None for an empty batch.
+    */
+  def replaceDocs(
+      spark: SparkSession,
+      outDir: String,
+      rows: Dataset[TokenRow]
+  ): Option[ReplaceResult] = {
+    import spark.implicits._
+    import MiniJson.ObjOps
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
+    val (numBins, salt) = binLayout(spark, outDir)
+    val meta = EncodeJob.loadMeta(spark, outDir).get
+    val version = meta.longOpt("format_version").map(_.toInt)
+    require(
+      version.contains(EncodeJob.FormatVersion),
+      s"$outDir blocks format v${version.getOrElse(1)} != engine v${EncodeJob.FormatVersion}"
+    )
+    val covered = EncodeJob.loadSnapshots(outDir, conf).flatMap(_._2).toSet
+    require(
+      (0 until numBins).forall(covered.contains),
+      s"$outDir is not fully encoded — finish EncodeJob.run before replacing docs"
+    )
+    val tables = EncodeJob
+      .loadTables(spark, outDir)
+      .getOrElse(throw new IllegalArgumentException(s"$outDir: _tables/header.bin missing"))
+
+    val cached = rows.cache()
+    try {
+      val nDocs = cached.count()
+      if (nDocs == 0L) return None
+      val nDistinct = cached.select($"doc_id").distinct().count()
+      require(
+        nDistinct == nDocs,
+        s"replace batch carries duplicate doc_ids ($nDocs rows, $nDistinct distinct) — " +
+          "one replacement row per id"
+      )
+      val binsTouched = cached
+        .select(GraftPipeline.binCol(numBins, salt).as("b"))
+        .distinct()
+        .as[Int]
+        .collect()
+
+      val cfg = GraftPipeline.Config(
+        numContexts = tables.numContexts,
+        maxBits = tables.maxBits,
+        numBins = numBins,
+        salt = salt,
+        contextModel = meta.strOpt("context_model").getOrElse("simple")
+      )
+      val bTables = spark.sparkContext.broadcast(tables)
+      val uuid = java.util.UUID.randomUUID().toString
+      val staging = new Path(s"$outDir/_write_staging/replace-$uuid")
+      GraftPipeline
+        .encode(cached, bTables, cfg, shufflePartitions = Some(math.min(numBins, math.max(32, binsTouched.length))))
+        .write
+        .parquet(staging.toString)
+      val parts = fs
+        .listStatus(staging)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+
+      val renamed = scala.collection.mutable.ArrayBuffer[String]()
+      try {
+        parts.zipWithIndex.foreach { case (st, k) =>
+          val name = s"w-replace-$uuid-$k.parquet"
+          val dest = new Path(s"$outDir/blocks/$name")
+          require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
+          renamed += name
+        }
+        val (delName, nIds) = writeDeleteFile(
+          spark, outDir, cached.select($"doc_id").as[String], numBins, salt
+        ).get // nDocs > 0, so the id set is non-empty
+        try {
+          val filesJson =
+            renamed.sorted.map(n => MiniJson.render(MiniJson.JStr(n))).mkString("[", ",", "]")
+          // THE commit point: one snapshot carries BOTH halves of the upsert
+          val (snapId, _) = EncodeJob.casWriteSnapshot(
+            spark,
+            outDir,
+            () => EncodeJob.nextSnapshotId(spark, outDir),
+            (id, parent) =>
+              s"""{"snapshot_id":$id,"parent_id":$parent,"bins_added":[],"files_added":$filesJson,
+                 |"deletes_added":[${MiniJson.render(MiniJson.JStr(delName))}],"deletes_counts":[$nIds],
+                 |"n_rows_added":$nDocs}""".stripMargin
+          )
+          // advisory claims (committed already — must not fail the replace)
+          try EncodeJob.appendManifest(spark, outDir, binsTouched.toSet, snapId)
+          catch {
+            case e: Exception =>
+              System.err.println(
+                s"graft replace: snapshot $snapId committed but re-manifest failed (${e.getMessage})"
+              )
+          }
+          fs.delete(staging, true): Unit
+          Some(ReplaceResult(snapId, nDocs, renamed.toSeq.sorted, delName))
+        } catch {
+          case err: Throwable =>
+            scala.util.Try(fs.delete(new Path(s"$outDir/_deletes/$delName"), false))
+            throw err
+        }
+      } catch {
+        case err: Throwable =>
+          renamed.foreach(n => scala.util.Try(fs.delete(new Path(s"$outDir/blocks/$n"), false)))
+          scala.util.Try(fs.delete(staging, true))
+          throw err
+      }
+    } finally cached.unpersist(): Unit
+  }
 
   /** Every delete file the lineage records (purged or not), with its commit
     * snapshot id and id count.

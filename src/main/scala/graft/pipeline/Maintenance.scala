@@ -210,6 +210,15 @@ object Maintenance {
   ): Option[CompactionResult] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = fsOf(outDir, conf)
+    // sequence-scoped deletes apply per FILE (committed before/after the
+    // delete); compacting files from both sides of a live delete into one
+    // rewrite would lose that attribution and mis-apply the delete. Iceberg
+    // imposes the same order (rewrite deletes before data files).
+    require(
+      Deletes.liveDeletes(outDir, conf, asOf = None).isEmpty,
+      s"$outDir has live equality deletes — run purgeDeletes before compact " +
+        "(compaction cannot preserve per-file delete scoping)"
+    )
     val victims = liveBlockFiles(outDir, conf).filter(_._2 < smallFileBytes)
     if (victims.length < minInputFiles) return None
 
@@ -336,17 +345,28 @@ object Maintenance {
     val state = Deletes.liveDeletes(outDir, conf, asOf = None)
     if (state.isEmpty) return None
 
-    val delDf = spark.read.parquet(state.paths(outDir): _*)
-    val deletedBins = delDf.select("bin").distinct().as[Int].collect().toSet
+    // per delete file: its bin set — victim selection is sequence-scoped
+    // PER FILE, so each data file is matched only against the delete files
+    // that actually apply to it (committed after it) and share a bin
+    val delBinsByName: Map[String, Set[Int]] = spark.read
+      .parquet(state.paths(outDir): _*)
+      .select(input_file_name().as("df"), $"bin")
+      .distinct()
+      .as[(String, Int)]
+      .collect()
+      .groupBy(t => t._1.substring(t._1.lastIndexOf('/') + 1))
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
 
     // ONE distributed metadata scan over the live files' tiny bin/
     // embedded_tables columns answers everything the rewrite plan needs:
-    // which files hold a deleted bin (victims), the FULL bin set of those
-    // files (the re-manifest targets, derived BEFORE the commit point so
-    // the advisory repair never depends on re-reading tombstoned files),
-    // and whether any victim block embeds its tables (the rewrite then
-    // preserves the dir's self-describing convention). Driver memory is
-    // one row per live file — the manifest-index scale.
+    // each file's FULL bin set (victim matching + the re-manifest targets,
+    // derived BEFORE the commit point so the advisory repair never depends
+    // on re-reading tombstoned files) and whether any victim block embeds
+    // its tables (the rewrite then preserves the dir's self-describing
+    // convention). Driver memory is one row per live file — the
+    // manifest-index scale.
     val live = liveBlockFiles(outDir, conf)
     val fileMeta: Array[(String, Set[Int], Boolean)] =
       if (live.isEmpty) Array.empty
@@ -359,11 +379,28 @@ object Maintenance {
           .as[(String, Seq[Int], Boolean)]
           .collect()
           .map { case (f, bins, e) => (f.substring(f.lastIndexOf('/') + 1), bins.toSet, e) }
-    val victimNames = fileMeta.filter(_._2.exists(deletedBins.contains)).map(_._1).toSet
+    val fileSnaps: Map[String, Long] = EncodeJob
+      .loadSnapshotRecords(outDir, conf)
+      .flatMap(r => r.filesAdded.map(_ -> r.id))
+      .toMap
+    // victims grouped by their APPLICABLE delete set: a file committed
+    // after a delete (e.g. a replace's new blocks) is not rewritten for it,
+    // and each rewrite group anti-joins exactly its own deletes' ids
+    val victimsMeta: Array[(String, Set[Int], Boolean, Seq[String])] =
+      fileMeta.flatMap { case (name, bins, emb) =>
+        val snap = fileSnaps.getOrElse(name, -1L)
+        val appl = state.live.collect {
+          case d
+              if d.snapshotId > snap &&
+                delBinsByName.getOrElse(d.name, Set.empty).exists(bins.contains) =>
+            d.name
+        }.sorted
+        if (appl.nonEmpty) Some((name, bins, emb, appl)) else None
+      }
+    val victimNames = victimsMeta.map(_._1).toSet
     val victims = live.filter(f => victimNames.contains(f._1.substring(f._1.lastIndexOf('/') + 1)))
-    val affected: Set[Int] =
-      fileMeta.iterator.filter(m => victimNames.contains(m._1)).flatMap(_._2).toSet
-    val embed = fileMeta.exists(m => victimNames.contains(m._1) && m._3)
+    val affected: Set[Int] = victimsMeta.iterator.flatMap(_._2).toSet
+    val embed = victimsMeta.exists(_._3)
 
     val cid = nextCompactionId(outDir, conf)
     val meta = EncodeJob
@@ -388,23 +425,34 @@ object Maintenance {
         embedTables = embed
       )
       val bTables = spark.sparkContext.broadcast(tables)
-      val victimBlocks = spark.read.parquet(victims.map(_._1).toIndexedSeq: _*)
-      val rows = GraftPipeline.decode(victimBlocks.as[EncodedBlock], bTables, cfg)
-      val kept = rows
-        .join(delDf.select($"doc_id"), Seq("doc_id"), "left_anti")
-        .select($"doc_id", $"tokens", $"n_tok", $"source")
-        .as[TokenRow]
+      val liveByName = live.map(f => (f._1.substring(f._1.lastIndexOf('/') + 1), f._1)).toMap
 
       // 1. stage the re-encoded survivors (same kernel as the batch
-      // encoder). The routing exchange is sized to the AFFECTED bins, not
-      // the table's bin count — purging 1k docs of an 800k-bin corpus must
-      // not launch 800k near-empty shuffle tasks.
+      // encoder), one rewrite per applicable-delete-set group so each file
+      // loses exactly the rows its OWN deletes hide. The routing exchange
+      // is sized to the AFFECTED bins, not the table's bin count — purging
+      // 1k docs of an 800k-bin corpus must not launch 800k near-empty
+      // shuffle tasks.
       val tmpDir = new Path(compactRoot(outDir), s"c$cid-tmp")
-      GraftPipeline
-        .encode(kept, bTables, cfg, shufflePartitions = Some(math.min(numBins, math.max(32, affected.size))))
-        .write
-        .mode("overwrite")
-        .parquet(tmpDir.toString)
+      fs.mkdirs(tmpDir)
+      victimsMeta.groupBy(_._4).foreach { case (delNames, members) =>
+        val groupFiles = members.map(m => liveByName(m._1)).toIndexedSeq
+        val groupBins = members.iterator.flatMap(_._2).toSet
+        val blocksDf = spark.read.parquet(groupFiles: _*)
+        val rows = GraftPipeline.decode(blocksDf.as[EncodedBlock], bTables, cfg)
+        val ids = spark.read
+          .parquet(delNames.map(n => s"$outDir/_deletes/$n"): _*)
+          .select($"doc_id")
+        val kept = rows
+          .join(ids, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"tokens", $"n_tok", $"source")
+          .as[TokenRow]
+        GraftPipeline
+          .encode(kept, bTables, cfg, shufflePartitions = Some(math.min(numBins, math.max(32, groupBins.size))))
+          .write
+          .mode("append")
+          .parquet(tmpDir.toString)
+      }
 
       val (addedNames, _) = commitRewrite(
         fs, outDir, cid, tmpDir, victims, victims.map(_._2).sum, extraMarkerFields = appliedField

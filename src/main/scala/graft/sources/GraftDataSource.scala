@@ -443,14 +443,43 @@ private[sources] class GraftScan(
   private lazy val deleteState: graft.pipeline.Deletes.DeleteState =
     graft.pipeline.Deletes.liveDeletes(path, hadoopConf, snapshot)
 
+  /** Which snapshot committed each block file, from the `files_added`
+    * lineage (DSv2 appends and replaces). Files in no snapshot's file
+    * lineage (EncodeJob bootstrap blocks, compacted rewrites) map to -1:
+    * every delete applies to them — sound, because snapshot ids are
+    * monotonic in wall time, so any file a compaction folded was committed
+    * before every later delete, and compaction refuses to run under LIVE
+    * deletes ([[graft.pipeline.Maintenance.compact]]).
+    */
+  private lazy val fileCommitSnaps: Map[String, Long] =
+    GraftMeta
+      .loadSnapshotRecords(path, hadoopConf)
+      .flatMap(r => r.filesAdded.map(_ -> r.id))
+      .toMap
+
+  /** Sequence scoping (Iceberg's equality-delete rule): delete file D
+    * committed at snapshot Sd hides rows only in data files committed at
+    * snapshots < Sd. A doc_id re-appended AFTER its delete is therefore
+    * visible — replace = delete + append, atomically via
+    * [[graft.pipeline.Deletes.replaceDocs]].
+    */
+  private def applicableDeletes(fileName: String): Seq[graft.pipeline.Deletes.DeleteFile] = {
+    val snap = fileCommitSnaps.getOrElse(fileName, -1L)
+    deleteState.live.filter(_.snapshotId > snap)
+  }
+
   /** Small live delete sets are read ONCE on the driver and sliced per
     * partition (a point read then ships a handful of ids, not file paths
     * every reader re-opens); past the cap, readers stream the delete files
-    * themselves with bin row-group skipping. None = not inlined.
+    * themselves with bin row-group skipping. None = not inlined. Keyed per
+    * DELETE FILE so the per-partition slice can honor sequence scoping.
     */
-  private lazy val inlineDeletesByBin: Option[Map[Int, Array[String]]] =
+  private lazy val inlineDeletesByFile: Option[Map[String, Map[Int, Array[String]]]] =
     if (deleteState.isEmpty || deleteState.totalIds > GraftScan.sessionDeleteInlineCap) None
-    else Some(GraftScan.readDeleteIdsByBin(deleteState.paths(path), hadoopConf))
+    else
+      Some(deleteState.live.map { d =>
+        d.name -> GraftScan.readDeleteIdsByBin(Seq(s"$path/_deletes/${d.name}"), hadoopConf)
+      }.toMap)
 
   /** As-of file exclusion for DSv2 appends: bins are write-once for
     * EncodeJob snapshots (bin visibility covers them) but appends add files
@@ -549,27 +578,41 @@ private[sources] class GraftScan(
     // just less pruned)
     lazy val allIds: Option[Array[String]] =
       idsByBin.map(_.valuesIterator.flatten.toArray.sorted).filter(_.length <= 65536)
-    // inlined delete slices follow the same per-file bin slicing as the
-    // doc_id restriction; inline sets are ≤ DeleteInlineCap by construction,
-    // so the UnknownBins fallback ships at most that many ids
-    lazy val allDeleted: Option[Array[String]] =
-      inlineDeletesByBin.map(_.valuesIterator.flatten.toArray.sorted)
     planned.map { case (f, fileBins) =>
-      def slice(m: Option[Map[Int, Array[String]]], all: Option[Array[String]]): Option[Array[String]] =
+      // slice a (bin -> ids) map down to this file's possible bins; None =
+      // bins unknown (the caller picks its own conservative fallback)
+      def sliceBins(m: Map[Int, Array[String]]): Option[Array[String]] =
         fileBins match {
           case GraftScan.ExactBins(fb) =>
-            m.map(x => fb.iterator.flatMap(x.get).flatten.toArray.sorted)
+            Some(fb.iterator.flatMap(m.get).flatten.toArray.sorted)
           case GraftScan.RangeBins(lo, hi) =>
             // footer path only exists at <= cap files; per file this walks
             // the id-bin keys (bounded by the id count), not the bin range
-            m.map(_.iterator.collect { case (b, arr) if b >= lo && b <= hi => arr }.flatten.toArray.sorted)
-          case GraftScan.UnknownBins => all
+            Some(m.iterator.collect { case (b, arr) if b >= lo && b <= hi => arr }.flatten.toArray.sorted)
+          case GraftScan.UnknownBins => None
         }
+      val name = GraftScan.nameOf(f)
+      // inlined delete slice: only the delete files that APPLY to this data
+      // file (sequence scoping), each sliced to the file's bins; unknown
+      // bins fall back to the delete file's full id set, which the inline
+      // cap bounds
+      val fileDeletes: Option[Array[String]] = inlineDeletesByFile.map { byFile =>
+        applicableDeletes(name).iterator
+          .flatMap { d =>
+            byFile
+              .get(d.name)
+              .toSeq
+              .flatMap(m => sliceBins(m).getOrElse(m.valuesIterator.flatten.toArray))
+          }
+          .toArray
+          .sorted
+      }
       GraftInputPartition(
         f,
         binsOverride = smallBins,
-        docIdsOverride = slice(idsByBin, allIds),
-        deletedIdsOverride = slice(inlineDeletesByBin, allDeleted)
+        docIdsOverride = idsByBin.flatMap(m => sliceBins(m).orElse(allIds)),
+        deletedIdsOverride = fileDeletes,
+        fileCommitSnap = fileCommitSnaps.getOrElse(name, -1L)
       )
     }
   }
@@ -590,10 +633,13 @@ private[sources] class GraftScan(
       visibleBins = snapshotBins.map(_.toArray.sorted),
       conf = new SerializableHadoopConf(hadoopConf),
       limit = limit,
-      // always ship the live delete file paths when deletes exist — batch
-      // partitions short-circuit via their inlined slice, but streaming
-      // partitions are planned without overrides and fall back to these
-      deleteFiles = if (deleteState.isEmpty) Array.empty else deleteState.paths(path).toArray
+      // always ship the live delete files (with their commit snapshots for
+      // sequence scoping) when deletes exist — batch partitions short-
+      // circuit via their inlined slice, but streaming partitions are
+      // planned without overrides and fall back to these
+      deleteFiles =
+        if (deleteState.isEmpty) Array.empty
+        else deleteState.live.map(d => (s"$path/_deletes/${d.name}", d.snapshotId)).toArray
     )
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -895,10 +941,14 @@ private[sources] final case class GraftInputPartition(
     binsOverride: Option[Array[Int]] = None,
     docIdsOverride: Option[Array[String]] = None,
     /** This file's slice of an INLINED live delete set (Some(empty) = no
-      * deleted id can live in this file's bins). None = not inlined — the
-      * reader streams the factory's delete files instead.
+      * applicable deleted id can live in this file's bins). None = not
+      * inlined — the reader streams the factory's delete files instead.
       */
-    deletedIdsOverride: Option[Array[String]] = None
+    deletedIdsOverride: Option[Array[String]] = None,
+    /** Snapshot that committed this file via file lineage; -1 = bootstrap/
+      * compacted (every delete applies). Scopes the reader's delete load.
+      */
+    fileCommitSnap: Long = -1L
 ) extends InputPartition
 
 // One no-arg class per metric: Spark's SQL UI re-instantiates custom metrics
@@ -936,7 +986,10 @@ private[sources] final case class GraftReaderFactory(
     visibleBins: Option[Array[Int]] = None,
     conf: SerializableHadoopConf,
     limit: Option[Int] = None,
-    deleteFiles: Array[String] = Array.empty
+    /** Live delete files as (path, commit snapshot id) — the snapshot
+      * drives per-partition sequence scoping in the readers.
+      */
+    deleteFiles: Array[(String, Long)] = Array.empty
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
@@ -958,7 +1011,8 @@ private[sources] final case class GraftReaderFactory(
           "internal error: metadata aggregate planned over a table with live deletes"
         )
         new GraftAggReader(p.file, kinds, bins, conf)
-      case None => new GraftPartitionReader(p.file, this, bins, docs, p.deletedIdsOverride)
+      case None =>
+        new GraftPartitionReader(p.file, this, bins, docs, p.deletedIdsOverride, p.fileCommitSnap)
     }
   }
 }
@@ -1031,34 +1085,43 @@ private[sources] class GraftPartitionReader(
     f: GraftReaderFactory,
     visibleBins: Option[Set[Int]],
     docFilter: Option[Set[String]],
-    inlineDeleted: Option[Array[String]] = None
+    inlineDeleted: Option[Array[String]] = None,
+    fileCommitSnap: Long = -1L
 ) extends PartitionReader[InternalRow] {
 
+  /** Delete files that APPLY to this partition's data file under sequence
+    * scoping: only those committed after the file itself.
+    */
+  private def applicableDeleteFiles: Array[String] =
+    f.deleteFiles.collect { case (p, snap) if snap > fileCommitSnap => p }
+
   /** Can a deleted doc_id reach this partition? Some(empty) from the
-    * planner is a proof of absence; None with factory delete files means
-    * "load and check".
+    * planner is a proof of absence; None with applicable factory delete
+    * files means "load and check".
     */
   private val deletesPossible =
-    inlineDeleted.map(_.nonEmpty).getOrElse(f.deleteFiles.nonEmpty)
+    inlineDeleted.map(_.nonEmpty).getOrElse(applicableDeleteFiles.nonEmpty)
 
   /** The deleted ids this partition must hide: the planner's inlined slice
-    * when present, else the factory's delete files streamed with the
+    * when present, else the applicable delete files streamed with the
     * partition's bin filter pushed to parquet row groups (delete files are
     * written bin-sorted, so a single-bin point read touches one row group).
     */
   private lazy val deletedSet: Set[String] =
     inlineDeleted match {
       case Some(arr) => arr.toSet
-      case None if f.deleteFiles.nonEmpty =>
-        GraftPartitionReader.deletedIds(
-          f.deleteFiles,
-          f.conf,
-          GraftDataSource
-            .intersectOpt(visibleBins, f.wantedBins.map(_.toSet))
-            .filter(_.size <= 1024)
-            .map(_.toArray.sorted)
-        )
-      case None => Set.empty
+      case None =>
+        val files = applicableDeleteFiles
+        if (files.isEmpty) Set.empty
+        else
+          GraftPartitionReader.deletedIds(
+            files,
+            f.conf,
+            GraftDataSource
+              .intersectOpt(visibleBins, f.wantedBins.map(_.toSet))
+              .filter(_.size <= 1024)
+              .map(_.toArray.sorted)
+          )
     }
 
   private val needDocIds =
@@ -1372,8 +1435,13 @@ private[sources] class GraftMicroBatchStream(
       // full replay: folded rows arrive via the bin route; only still-live
       // append files are planned as file deltas (collected below)
     }
+    // file-delta partitions carry their commit snapshot so the readers'
+    // delete application stays sequence-scoped (a replace's own files must
+    // not be hidden by the delete committed in the same snapshot)
+    val fileSnapOf: Map[String, Long] = recs.flatMap(r => r.filesAdded.map(_ -> r.id)).toMap
     val fileParts: Array[InputPartition] = files.collect {
-      case (f, _) if deltaFiles.contains(GraftScan.nameOf(f)) => GraftInputPartition(f)
+      case (f, _) if deltaFiles.contains(GraftScan.nameOf(f)) =>
+        GraftInputPartition(f, fileCommitSnap = fileSnapOf.getOrElse(GraftScan.nameOf(f), -1L))
     }
     if (deltaBins.isEmpty) return fileParts
     val bins = deltaBins.toArray.sorted

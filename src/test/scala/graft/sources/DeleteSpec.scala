@@ -57,10 +57,11 @@ class DeleteSpec extends AnyFunSuite {
       .executedPlan.toString
     assert(!plan.contains("pushedAggregates=["), s"aggregate was pushed under live deletes:\n$plan")
 
-    // identity semantics: re-appending a deleted doc_id while the delete is
-    // live keeps it hidden (purge-then-append is the supported re-add)
-    doomed.limit(1).toDF().write.format("graft").mode("append").save(dir)
-    assert(spark.read.format("graft").load(dir).where($"doc_id" === dead).count() == 0L)
+    // sequence scoping: a re-append AFTER the delete postdates it, so the
+    // doc_id is visible again with the new row (Iceberg's equality-delete
+    // rule — replace = delete + append)
+    doomed.where($"doc_id" === dead).toDF().write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).where($"doc_id" === dead).count() == 1L)
   }
 
   test("executor-streamed delete files (inline cap 0) apply identically") {
@@ -151,6 +152,53 @@ class DeleteSpec extends AnyFunSuite {
     assert(ix.numRows == all.count() - nBin, s"manifest numRows ${ix.numRows}")
   }
 
+  test("replaceDocs: atomic upsert — one snapshot, new content current, old content at earlier snapshots") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-replace").toString
+    EncodeJob.run(all, dir, cfg) // snapshot 0
+    val newRows = doomed
+      .map(r => TokenRow(r.doc_id, r.tokens.map(t => (t * 3) & 0x7fff), r.n_tok, r.source))
+    val res = Deletes.replaceDocs(spark, dir, newRows).get // snapshot 1
+    assert(res.nDocs == doomed.count() && res.filesAdded.nonEmpty)
+
+    // ONE snapshot carries both the delete and the new files
+    val recs = EncodeJob.loadSnapshotRecords(dir, conf)
+    assert(recs.map(_.id) == Seq(0L, 1L))
+    assert(recs(1).filesAdded.nonEmpty && recs(1).deletesAdded.nonEmpty)
+
+    // current read: originals for untouched docs, NEW content for replaced
+    val want = kept.union(newRows)
+    assert(GraftPipeline.verify(want, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+    // executor-streamed tier applies the same sequence scoping
+    spark.conf.set("spark.graft.deleteInlineCap", "0")
+    try
+      assert(GraftPipeline.verify(want, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+    finally spark.conf.unset("spark.graft.deleteInlineCap")
+
+    // time travel to snapshot 0: the pre-replace originals
+    val snap0 = spark.read.format("graft").option("snapshot", "0").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(all, snap0) == 0L)
+
+    // purge materializes the delete (only pre-replace files rewritten; the
+    // replace's own blocks are untouched), then compaction is legal again
+    assert(Maintenance.purgeDeletes(spark, dir).exists(_.idsApplied == doomed.count()))
+    assert(GraftPipeline.verify(want, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+    assert(
+      Maintenance
+        .compact(spark, dir, smallFileBytes = Long.MaxValue / 2, targetFileBytes = Long.MaxValue / 2)
+        .isDefined
+    )
+    assert(GraftPipeline.verify(want, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+  }
+
+  test("compact refuses while deletes are live (per-file scoping cannot survive a merge)") {
+    val dir = freshDeletedDir("compactgate")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, dir, smallFileBytes = Long.MaxValue / 2, targetFileBytes = Long.MaxValue / 2)
+    }
+    assert(e.getMessage.contains("purge"), e.getMessage)
+  }
+
   test("purging a delete of EVERY doc empties the table with counts and reads intact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-del-all").toString
@@ -224,6 +272,32 @@ class DeleteSpec extends AnyFunSuite {
     Maintenance.vacuum(spark, dir, olderThanMs = 0L)
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_deletes/$delName")))
+  }
+
+  test("plan audit: point read over a deleted dir keeps O(hit-bins) planning, delete set sliced per file") {
+    import spark.implicits._
+    val dir = freshDeletedDir("plan")
+    val id = kept.select($"doc_id").orderBy($"doc_id").head().getString(0)
+    val builder = new GraftTable(dir).newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())
+    )
+    builder
+      .asInstanceOf[GraftScanBuilder]
+      .pushFilters(Array(org.apache.spark.sql.sources.EqualTo("doc_id", id)))
+    val parts = builder.build().asInstanceOf[GraftScan].planInputPartitions()
+    val total = GraftMeta.listBlockFiles(dir, conf).length
+    assert(parts.length < total, s"deletes broke pruning: planned ${parts.length} of $total files")
+    // the inlined delete set is SLICED per planned file (its own bins' ids):
+    // every partition carries a slice, and bin-claimed files get a proper
+    // subset (a file with UNKNOWN bins is legitimately shipped the full set
+    // — conservative, bounded by the inline cap)
+    val nDel = doomed.count()
+    val slices = parts.map(_.asInstanceOf[GraftInputPartition].deletedIdsOverride)
+    assert(slices.forall(_.isDefined), "inline slice missing on a planned partition")
+    assert(
+      slices.exists(_.get.length < nDel),
+      s"no partition got a sliced subset (sizes ${slices.map(_.get.length).mkString(",")} vs $nDel)"
+    )
   }
 
   test("a fresh stream over a deleted table emits only surviving docs") {
