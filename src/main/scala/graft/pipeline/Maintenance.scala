@@ -764,6 +764,28 @@ object Maintenance {
     val cut = snaps.size - keepLast
     val expired = snaps.take(cut)
     val (baseId, baseBins) = snaps(cut)
+
+    // Sequence scoping survives the fold ONLY if no ordering information it
+    // depends on is erased: folding maps every expired id to the base id,
+    // so a LIVE delete and a file-lineage append that both fold lose their
+    // relative order — a delete that postdated the append would silently
+    // stop applying (deleted rows resurrect). Refuse that case; purging the
+    // delete first (which retires it) makes the expiry legal. Retired
+    // deletes and appends-after-deletes fold safely (their relative order
+    // never mattered or is preserved against RETAINED ids).
+    val foldRange = records.filter(_.id <= baseId)
+    val liveFoldingDeletes = {
+      val retired = appliedDeleteNames(outDir, conf)
+      foldRange.flatMap(r => r.deletesAdded.collect { case (n, _) if !retired.contains(n) => r.id })
+    }
+    val fileCommitIds = foldRange.filter(_.filesAdded.nonEmpty).map(_.id)
+    val broken = liveFoldingDeletes.exists(sd => fileCommitIds.exists(_ < sd))
+    require(
+      !broken,
+      s"$outDir: expiring past a live equality delete would fold away the file/delete " +
+        "ordering its scoping depends on — run purgeDeletes first, then expire"
+    )
+
     val mergedBins = (expired.flatMap(_._2) ++ baseBins).distinct.sorted
 
     // append snapshots carry more than bins: their files_added keep the

@@ -300,6 +300,34 @@ class DeleteSpec extends AnyFunSuite {
     )
   }
 
+  test("expiry refuses to fold away delete/file ordering; purge-then-expire works") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-del-expire-order").toString
+    EncodeJob.run(all, dir, cfg) // snapshot 0
+    // snapshot 1: appended docs (file lineage)
+    val extra = TokenTables.synthetic(spark, 10L, seed = 91L)
+      .withColumn("doc_id", concat(lit("y-"), $"doc_id"))
+      .as[TokenRow]
+      .cache()
+    extra.toDF().write.format("graft").mode("append").save(dir)
+    // snapshot 2: delete ONE appended doc — the delete postdates the file
+    val dead = extra.select($"doc_id").orderBy($"doc_id").head().getString(0)
+    assert(Deletes.deleteDocs(spark, dir, Seq(dead).toDS()).isDefined)
+    assert(spark.read.format("graft").load(dir).where($"doc_id" === dead).count() == 0L)
+
+    // folding snap 1 and snap 2 into one id would erase the ordering the
+    // delete's scoping depends on — the deleted doc would resurrect
+    val e = intercept[IllegalArgumentException](Maintenance.expireSnapshots(spark, dir, keepLast = 1))
+    assert(e.getMessage.contains("purge"), e.getMessage)
+
+    // purge retires the delete; expiry is then legal and the doc stays gone
+    assert(Maintenance.purgeDeletes(spark, dir).isDefined)
+    assert(Maintenance.expireSnapshots(spark, dir, keepLast = 1).rebasedInto.isDefined)
+    assert(spark.read.format("graft").load(dir).where($"doc_id" === dead).count() == 0L)
+    val want = all.union(extra.where($"doc_id" =!= dead))
+    assert(GraftPipeline.verify(want, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+  }
+
   test("a fresh stream over a deleted table emits only surviving docs") {
     import spark.implicits._
     val dir = freshDeletedDir("stream")
