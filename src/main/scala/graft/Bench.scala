@@ -214,9 +214,14 @@ object Bench {
         // run's rows measure the undeleted corpus again. Both rows are
         // verified against the exact surviving token count.
         {
+          // clamped UNDER the inline cap so the first row really measures
+          // the driver-inlined tier at any synthRows (past ~13M rows 0.5%
+          // would cross the cap and both rows would silently measure the
+          // streamed tier)
+          val nDel = math.min(32768L /* = GraftScan.DeleteInlineCap / 2 */, math.max(64L, synthRows / 200)).toInt
           val delRows = input
             .select($"doc_id", size($"tokens").cast("long").as("nt"))
-            .limit(math.max(64, (synthRows / 200).toInt))
+            .limit(nDel)
             .collect()
           val delIds = delRows.map(_.getString(0)).toSeq
           val expect = tokens - delRows.map(_.getLong(1)).sum

@@ -214,38 +214,66 @@ object SparkEntry {
   private val graftDirCache =
     scala.collection.concurrent.TrieMap[(Int, String), String]()
 
-  /** Write-once EncodeJob-layout dir per (session, sfDir) for the DSv2
-    * queries: persists the SHARED encoded corpus's tables + cached blocks
-    * (no re-encode) so `spark.read.format("graft")` serves the exact bytes
-    * the oracle chain already pins.
+  /** Build-once cached EncodeJob-layout temp dir per (session, sfDir) — the
+    * shared bootstrap behind every DSv2 query dir: persists the SHARED
+    * encoded corpus's tables + cached blocks (no re-encode) and manifests
+    * the dir like a production EncodeJob output (the DSv2 queries then plan
+    * through the manifest's bin->file index — the 100 TB path; the footer
+    * fallback stays covered by sbt tests). `withLineage` additionally
+    * records the snap-0 lineage EncodeJob.run would have written (the
+    * append/delete/replace paths REQUIRE a fully-encoded dir), and
+    * `blockParts` optionally scatters the blocks (the compaction fixture).
+    * `mutate` is the operation under test, applied before publication.
     *
     * Build-then-`putIfAbsent` (not `getOrElseUpdate`, which is not atomic
     * for the building step): two concurrent first queries may both write a
     * corpus copy, but exactly one wins the map and the loser's dir is
     * deleted immediately — at most one temp corpus dir ever persists per
-    * (session, sfDir).
+    * (session, sfDir) per cache.
     */
-  private def graftScanDir(s: SparkSession, dir: String): String = {
+  private def cachedGraftDir(
+      cache: scala.collection.concurrent.TrieMap[(Int, String), String],
+      s: SparkSession,
+      dir: String,
+      prefix: String,
+      withLineage: Boolean = false,
+      blockParts: Option[Int] = None
+  )(mutate: (String, EncodedCorpus) => Unit): String = {
     val key = (System.identityHashCode(s), dir)
-    graftDirCache.get(key) match {
+    cache.get(key) match {
       case Some(existing) => existing
       case None =>
         val ec = encodedCorpus(s, dir)
-        val out = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+        val out = java.nio.file.Files.createTempDirectory(prefix).toString
         graft.pipeline.EncodeJob
           .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
-        ec.blocks.write.mode("overwrite").parquet(s"$out/blocks")
-        // manifest the dir like a production EncodeJob output: the DSv2
-        // queries then plan through the manifest's bin->file index (the
-        // 100 TB path); the footer fallback stays covered by sbt tests
+        blockParts.fold(ec.blocks)(ec.blocks.repartition(_))
+          .write.mode("overwrite").parquet(s"$out/blocks")
+        if (withLineage) {
+          val snapDir = java.nio.file.Paths.get(out, "_snapshots")
+          java.nio.file.Files.createDirectories(snapDir)
+          java.nio.file.Files.write(
+            snapDir.resolve("snap-0.json"),
+            s"""{"snapshot_id":0,"parent_id":-1,"bins_added":[${(0 until pipelineCfg.numBins).mkString(",")}]}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          )
+        }
         graft.pipeline.EncodeJob
           .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
-        graftDirCache.putIfAbsent(key, out) match {
+        mutate(out, ec)
+        cache.putIfAbsent(key, out) match {
           case Some(winner) => deleteDir(out); winner
           case None         => out
         }
     }
   }
+
+  /** Write-once EncodeJob-layout dir for the plain DSv2 scan queries:
+    * `spark.read.format("graft")` serves the exact bytes the oracle chain
+    * already pins.
+    */
+  private def graftScanDir(s: SparkSession, dir: String): String =
+    cachedGraftDir(graftDirCache, s, dir, "graft-dsv2")((_, _) => ())
 
   private val graftCompactDirCache =
     scala.collection.concurrent.TrieMap[(Int, String), String]()
@@ -257,28 +285,14 @@ object SparkEntry {
     * under the hard DuckDB oracle: a compaction that duplicated, dropped,
     * or re-ordered one row would fail the hash comparison.
     */
-  private def graftCompactDir(s: SparkSession, dir: String): String = {
-    val key = (System.identityHashCode(s), dir)
-    graftCompactDirCache.get(key) match {
-      case Some(existing) => existing
-      case None =>
-        val ec = encodedCorpus(s, dir)
-        val out = java.nio.file.Files.createTempDirectory("graft-dsv2-compact").toString
-        graft.pipeline.EncodeJob
-          .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
-        ec.blocks.repartition(6).write.mode("overwrite").parquet(s"$out/blocks")
-        graft.pipeline.EncodeJob
-          .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
+  private def graftCompactDir(s: SparkSession, dir: String): String =
+    cachedGraftDir(graftCompactDirCache, s, dir, "graft-dsv2-compact", blockParts = Some(6)) {
+      (out, _) =>
         val res = graft.pipeline.Maintenance
           .compact(s, out, smallFileBytes = Long.MaxValue / 2, targetFileBytes = Long.MaxValue / 2)
         require(res.exists(_.filesRemoved >= 6), s"compaction did not engage on $out")
-        graft.pipeline.Maintenance.vacuum(s, out, olderThanMs = 0L)
-        graftCompactDirCache.putIfAbsent(key, out) match {
-          case Some(winner) => deleteDir(out); winner
-          case None         => out
-        }
+        graft.pipeline.Maintenance.vacuum(s, out, olderThanMs = 0L): Unit
     }
-  }
 
   private val graftAppendDirCache =
     scala.collection.concurrent.TrieMap[(Int, String), String]()
@@ -292,39 +306,16 @@ object SparkEntry {
     * snapshot commit with file lineage, manifest heal) sits under the hard
     * DuckDB oracle: one mis-encoded or dropped appended row fails the hash.
     */
-  private def graftAppendDir(s: SparkSession, dir: String): String = {
-    val key = (System.identityHashCode(s), dir)
-    graftAppendDirCache.get(key) match {
-      case Some(existing) => existing
-      case None =>
+  private def graftAppendDir(s: SparkSession, dir: String): String =
+    cachedGraftDir(graftAppendDirCache, s, dir, "graft-dsv2-append", withLineage = true) {
+      (out, ec) =>
         import s.implicits._
-        val ec = encodedCorpus(s, dir)
-        val out = java.nio.file.Files.createTempDirectory("graft-dsv2-append").toString
-        graft.pipeline.EncodeJob
-          .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
-        ec.blocks.write.mode("overwrite").parquet(s"$out/blocks")
-        // the snapshot lineage EncodeJob.run would have recorded (the append
-        // builder requires a fully-encoded dir: every bin committed)
-        val snapDir = java.nio.file.Paths.get(out, "_snapshots")
-        java.nio.file.Files.createDirectories(snapDir)
-        java.nio.file.Files.write(
-          snapDir.resolve("snap-0.json"),
-          s"""{"snapshot_id":0,"parent_id":-1,"bins_added":[${(0 until pipelineCfg.numBins).mkString(",")}]}"""
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        )
-        graft.pipeline.EncodeJob
-          .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
         // THE append under test
         ec.rows
           .where($"doc_id".cast("long") % 7 === 3)
           .withColumn("doc_id", ($"doc_id".cast("long") + 1000000000000L).cast("string"))
           .write.format("graft").mode("append").save(out)
-        graftAppendDirCache.putIfAbsent(key, out) match {
-          case Some(winner) => deleteDir(out); winner
-          case None         => out
-        }
     }
-  }
 
   private val graftDeleteDirCache =
     scala.collection.concurrent.TrieMap[(Int, String), String]()
@@ -338,47 +329,28 @@ object SparkEntry {
     * purged physically + vacuumed (`purge = true`) — the two dirs put both
     * halves of the delete lifecycle under the hard DuckDB oracle.
     */
-  private def graftDeletedDir(s: SparkSession, dir: String, purge: Boolean): String = {
-    val cache = if (purge) graftPurgeDirCache else graftDeleteDirCache
-    val key = (System.identityHashCode(s), dir)
-    cache.get(key) match {
-      case Some(existing) => existing
-      case None =>
-        import s.implicits._
-        val ec = encodedCorpus(s, dir)
-        val out = java.nio.file.Files
-          .createTempDirectory(if (purge) "graft-dsv2-purge" else "graft-dsv2-delete")
-          .toString
-        graft.pipeline.EncodeJob
-          .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
-        ec.blocks.write.mode("overwrite").parquet(s"$out/blocks")
-        val snapDir = java.nio.file.Paths.get(out, "_snapshots")
-        java.nio.file.Files.createDirectories(snapDir)
-        java.nio.file.Files.write(
-          snapDir.resolve("snap-0.json"),
-          s"""{"snapshot_id":0,"parent_id":-1,"bins_added":[${(0 until pipelineCfg.numBins).mkString(",")}]}"""
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        )
-        graft.pipeline.EncodeJob
-          .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
-        // THE delete under test (same rule the DuckDB oracles re-apply)
-        val ids = docTable(s, dir)
-          .where($"doc_id" % 13 === 5)
-          .select($"doc_id".cast("string"))
-          .as[String]
-        val res = graft.pipeline.Deletes.deleteDocs(s, out, ids)
-        require(res.exists(_.idsRecorded > 0), s"delete under test recorded no ids on $out")
-        if (purge) {
-          val pr = graft.pipeline.Maintenance.purgeDeletes(s, out)
-          require(pr.exists(_.idsApplied > 0), s"purge under test applied nothing on $out")
-          graft.pipeline.Maintenance.vacuum(s, out, olderThanMs = 0L)
-        }
-        cache.putIfAbsent(key, out) match {
-          case Some(winner) => deleteDir(out); winner
-          case None         => out
-        }
+  private def graftDeletedDir(s: SparkSession, dir: String, purge: Boolean): String =
+    cachedGraftDir(
+      if (purge) graftPurgeDirCache else graftDeleteDirCache,
+      s,
+      dir,
+      if (purge) "graft-dsv2-purge" else "graft-dsv2-delete",
+      withLineage = true
+    ) { (out, _) =>
+      import s.implicits._
+      // THE delete under test (same rule the DuckDB oracles re-apply)
+      val ids = docTable(s, dir)
+        .where($"doc_id" % 13 === 5)
+        .select($"doc_id".cast("string"))
+        .as[String]
+      val res = graft.pipeline.Deletes.deleteDocs(s, out, ids)
+      require(res.exists(_.idsRecorded > 0), s"delete under test recorded no ids on $out")
+      if (purge) {
+        val pr = graft.pipeline.Maintenance.purgeDeletes(s, out)
+        require(pr.exists(_.idsApplied > 0), s"purge under test applied nothing on $out")
+        graft.pipeline.Maintenance.vacuum(s, out, olderThanMs = 0L): Unit
+      }
     }
-  }
 
   private val graftReplaceDirCache =
     scala.collection.concurrent.TrieMap[(Int, String), String]()
@@ -390,26 +362,10 @@ object SparkEntry {
     * application sits under the hard oracle: the replaced docs must decode
     * to the NEW tokens, everything else to the originals.
     */
-  private def graftReplaceDir(s: SparkSession, dir: String): String = {
-    val key = (System.identityHashCode(s), dir)
-    graftReplaceDirCache.get(key) match {
-      case Some(existing) => existing
-      case None =>
+  private def graftReplaceDir(s: SparkSession, dir: String): String =
+    cachedGraftDir(graftReplaceDirCache, s, dir, "graft-dsv2-replace", withLineage = true) {
+      (out, ec) =>
         import s.implicits._
-        val ec = encodedCorpus(s, dir)
-        val out = java.nio.file.Files.createTempDirectory("graft-dsv2-replace").toString
-        graft.pipeline.EncodeJob
-          .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
-        ec.blocks.write.mode("overwrite").parquet(s"$out/blocks")
-        val snapDir = java.nio.file.Paths.get(out, "_snapshots")
-        java.nio.file.Files.createDirectories(snapDir)
-        java.nio.file.Files.write(
-          snapDir.resolve("snap-0.json"),
-          s"""{"snapshot_id":0,"parent_id":-1,"bins_added":[${(0 until pipelineCfg.numBins).mkString(",")}]}"""
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        )
-        graft.pipeline.EncodeJob
-          .appendManifest(s, out, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
         // THE upsert under test (the oracle re-applies the same transform)
         val replacements = ec.rows
           .where($"doc_id".cast("long") % 17 === 4)
@@ -420,12 +376,7 @@ object SparkEntry {
           .as[graft.pipeline.TokenRow]
         val res = graft.pipeline.Deletes.replaceDocs(s, out, replacements)
         require(res.exists(_.nDocs > 0), s"replace under test touched no docs on $out")
-        graftReplaceDirCache.putIfAbsent(key, out) match {
-          case Some(winner) => deleteDir(out); winner
-          case None         => out
-        }
     }
-  }
 
   /** Full encode->decode->verify of the derived token table; the engine's
     * flagship E2E path (analyze, broadcast tables, block encode with codec

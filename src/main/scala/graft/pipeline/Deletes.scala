@@ -259,7 +259,14 @@ object Deletes {
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
 
+      // Rollback handlers are scoped to END at the commit point: once the
+      // snapshot references the delete file and the renamed blocks, deleting
+      // them would destroy committed data while the lineage still lists it
+      // (every later scan would fail opening the missing delete file, and
+      // the upsert's new rows would be lost with the equality delete of the
+      // old rows surviving). Post-commit cleanup is best-effort only.
       val renamed = scala.collection.mutable.ArrayBuffer[String]()
+      var committed = false
       try {
         parts.zipWithIndex.foreach { case (st, k) =>
           val name = s"w-replace-$uuid-$k.parquet"
@@ -270,36 +277,39 @@ object Deletes {
         val (delName, nIds) = writeDeleteFile(
           spark, outDir, cached.select($"doc_id").as[String], numBins, salt
         ).get // nDocs > 0, so the id set is non-empty
-        try {
-          val filesJson =
-            renamed.sorted.map(n => MiniJson.render(MiniJson.JStr(n))).mkString("[", ",", "]")
-          // THE commit point: one snapshot carries BOTH halves of the upsert
-          val (snapId, _) = EncodeJob.casWriteSnapshot(
-            spark,
-            outDir,
-            () => EncodeJob.nextSnapshotId(spark, outDir),
-            (id, parent) =>
-              s"""{"snapshot_id":$id,"parent_id":$parent,"bins_added":[],"files_added":$filesJson,
-                 |"deletes_added":[${MiniJson.render(MiniJson.JStr(delName))}],"deletes_counts":[$nIds],
-                 |"n_rows_added":$nDocs}""".stripMargin
-          )
-          // advisory claims (committed already — must not fail the replace)
-          try EncodeJob.appendManifest(spark, outDir, binsTouched.toSet, snapId)
-          catch {
-            case e: Exception =>
-              System.err.println(
-                s"graft replace: snapshot $snapId committed but re-manifest failed (${e.getMessage})"
-              )
+        val snapId =
+          try {
+            val filesJson =
+              renamed.sorted.map(n => MiniJson.render(MiniJson.JStr(n))).mkString("[", ",", "]")
+            // THE commit point: one snapshot carries BOTH halves of the upsert
+            val (id, _) = EncodeJob.casWriteSnapshot(
+              spark,
+              outDir,
+              () => EncodeJob.nextSnapshotId(spark, outDir),
+              (id, parent) =>
+                s"""{"snapshot_id":$id,"parent_id":$parent,"bins_added":[],"files_added":$filesJson,
+                   |"deletes_added":[${MiniJson.render(MiniJson.JStr(delName))}],"deletes_counts":[$nIds],
+                   |"n_rows_added":$nDocs}""".stripMargin
+            )
+            committed = true
+            id
+          } catch {
+            case err: Throwable =>
+              scala.util.Try(fs.delete(new Path(s"$outDir/_deletes/$delName"), false))
+              throw err
           }
-          fs.delete(staging, true): Unit
-          Some(ReplaceResult(snapId, nDocs, renamed.toSeq.sorted, delName))
-        } catch {
-          case err: Throwable =>
-            scala.util.Try(fs.delete(new Path(s"$outDir/_deletes/$delName"), false))
-            throw err
+        // committed — everything below is advisory and must not fail the replace
+        try EncodeJob.appendManifest(spark, outDir, binsTouched.toSet, snapId)
+        catch {
+          case e: Exception =>
+            System.err.println(
+              s"graft replace: snapshot $snapId committed but re-manifest failed (${e.getMessage})"
+            )
         }
+        scala.util.Try(fs.delete(staging, true)): Unit
+        Some(ReplaceResult(snapId, nDocs, renamed.toSeq.sorted, delName))
       } catch {
-        case err: Throwable =>
+        case err: Throwable if !committed =>
           renamed.foreach(n => scala.util.Try(fs.delete(new Path(s"$outDir/blocks/$n"), false)))
           scala.util.Try(fs.delete(staging, true))
           throw err
@@ -312,10 +322,14 @@ object Deletes {
     */
   def allDeletes(outDir: String, conf: Configuration): Seq[DeleteFile] = {
     if (!everDeleted(outDir, conf)) return Seq.empty
-    EncodeJob
-      .loadSnapshotRecords(outDir, conf)
-      .flatMap(r => r.deletesAdded.map { case (name, count) => DeleteFile(name, r.id, count) })
+    allDeletes(EncodeJob.loadSnapshotRecords(outDir, conf))
   }
+
+  /** [[allDeletes]] over preloaded lineage (scan planners resolve the
+    * snapshot records ONCE and derive every view from that single read).
+    */
+  def allDeletes(records: Seq[EncodeJob.SnapshotRecord]): Seq[DeleteFile] =
+    records.flatMap(r => r.deletesAdded.map { case (name, count) => DeleteFile(name, r.id, count) })
 
   /** The delete files a read as of `asOf` (None = current) must apply:
     * committed at ids ≤ asOf, minus files a committed purge already applied
@@ -323,12 +337,29 @@ object Deletes {
     * rows are physically gone, so the requested history is unreachable
     * (maintenance coarsened it; same contract as compaction vs time travel).
     */
-  def liveDeletes(outDir: String, conf: Configuration, asOf: Option[Long]): DeleteState = {
-    val all = allDeletes(outDir, conf)
+  def liveDeletes(outDir: String, conf: Configuration, asOf: Option[Long]): DeleteState =
+    if (!everDeleted(outDir, conf)) DeleteState(Nil)
+    else
+      liveDeletesFrom(
+        EncodeJob.loadSnapshotRecords(outDir, conf),
+        Maintenance.appliedDeleteNames(outDir, conf),
+        asOf
+      )
+
+  /** [[liveDeletes]] over preloaded lineage. `retired` is by-name so the
+    * purge-marker listing is skipped entirely when the lineage holds no
+    * delete (the hot no-deletes path costs zero extra file opens).
+    */
+  def liveDeletesFrom(
+      records: Seq[EncodeJob.SnapshotRecord],
+      retired: => Set[String],
+      asOf: Option[Long]
+  ): DeleteState = {
+    val all = allDeletes(records)
     if (all.isEmpty) return DeleteState(Nil)
-    val retired = Maintenance.appliedDeleteNames(outDir, conf)
+    val ret = retired
     asOf.foreach { s =>
-      val unreachable = all.filter(d => retired.contains(d.name) && d.snapshotId > s)
+      val unreachable = all.filter(d => ret.contains(d.name) && d.snapshotId > s)
       require(
         unreachable.isEmpty,
         s"snapshot $s cannot be reconstructed: deletes committed after it " +
@@ -337,7 +368,7 @@ object Deletes {
       )
     }
     val visible = asOf.fold(all)(s => all.filter(_.snapshotId <= s))
-    DeleteState(visible.filterNot(d => retired.contains(d.name)))
+    DeleteState(visible.filterNot(d => ret.contains(d.name)))
   }
 
   /** Non-throwing existence check (planning-time gates: aggregate pushdown,

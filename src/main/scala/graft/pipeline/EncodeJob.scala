@@ -71,13 +71,23 @@ object EncodeJob {
 
   /** Atomically claim and write `snap-<id>.json`, retrying with a fresh id
     * when a concurrent writer claims the same one first. The claim
-    * primitive is `create(dest, overwrite = false)` — atomic-exclusive on
-    * HDFS and the local filesystem alike — NOT rename: HDFS rejects a
-    * rename onto an existing destination, but posix rename silently
-    * REPLACES it (measured on Hadoop's RawLocalFileSystem), so two racing
-    * writers would overwrite each other's committed snapshot, and the lost
-    * snapshot's `files_added` would later read as orphans — vacuum would
-    * delete committed data over an operator mistake.
+    * primitive is filesystem-specific because only one is truly exclusive
+    * on each:
+    *   - HDFS: `create(dest, overwrite = false)` — the namenode arbitrates,
+    *     exactly one writer wins.
+    *   - local (`file:`) FS: Hadoop's RawLocalFileSystem.create(false) is
+    *     check-THEN-act (an exists() test followed by a plain
+    *     FileOutputStream — verified in the shipped hadoop-client jar), so
+    *     two racers can both pass the check and the second silently
+    *     truncates the first's committed content. Here the claim is
+    *     `java.nio` `CREATE_NEW` (open(2) with O_CREAT|O_EXCL — the kernel
+    *     arbitrates).
+    * NOT rename in either case: HDFS rejects a rename onto an existing
+    * destination, but posix rename silently REPLACES it (measured on
+    * Hadoop's RawLocalFileSystem), so two racing writers would overwrite
+    * each other's committed snapshot, and the lost snapshot's `files_added`
+    * would later read as orphans — vacuum would delete committed data over
+    * an operator mistake.
     *
     * A writer that dies between the claim and the content close leaves a
     * zero-length snap file: logically uncommitted (its writer never
@@ -106,10 +116,25 @@ object EncodeJob {
     while (attempt < maxAttempts) {
       val (id, parent) = nextId()
       val dest = new Path(s"$outDir/_snapshots/snap-$id.json")
-      val claimed =
-        try Some(f.create(dest, false))
-        catch {
-          case e: java.io.IOException => if (f.exists(dest)) None else throw e
+      val claimed: Option[java.io.OutputStream] =
+        if (f.getScheme == "file") {
+          // kernel-arbitrated O_EXCL; bypasses ChecksumFileSystem (no .crc
+          // sidecar — readers skip verification when the sidecar is absent)
+          val local = java.nio.file.Paths.get(dest.toUri.getPath)
+          try
+            Some(
+              java.nio.file.Files.newOutputStream(
+                local,
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE
+              )
+            )
+          catch { case _: java.nio.file.FileAlreadyExistsException => None }
+        } else {
+          try Some(f.create(dest, false))
+          catch {
+            case e: java.io.IOException => if (f.exists(dest)) None else throw e
+          }
         }
       claimed match {
         case Some(out) =>

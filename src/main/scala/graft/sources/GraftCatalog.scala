@@ -4,7 +4,8 @@ import graft.pipeline.Maintenance
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
@@ -39,7 +40,7 @@ import java.util.Collections
   * what keeps maintenance schedulable from plain SQL warehouses instead of
   * bespoke driver programs.
   */
-final class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+final class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog {
 
   private var catalogName: String = "graft"
 
@@ -47,6 +48,58 @@ final class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
     catalogName = name
 
   override def name(): String = catalogName
+
+  /** Path-identified tables, Iceberg-HadoopCatalog-style: the identifier IS
+    * the encode dir (``SELECT … FROM graft.`/data/corpus` ``,
+    * ``DELETE FROM graft.`/data/corpus` WHERE doc_id IN (…)``,
+    * ``INSERT INTO graft.`/data/corpus` SELECT …``). This is what makes the
+    * DML surface SQL-reachable — Spark's `format.`path`` file-resolution
+    * rule only covers v1 FileFormats, not DSv2 providers, so without the
+    * catalog route `DELETE FROM` could never reach [[GraftTable]]'s
+    * `SupportsDelete`. Tables resolve fresh per load (no caching — the scan
+    * resolves lineage lazily at planning, so state is always current).
+    */
+  private def encodeDirOf(ident: Identifier): String = {
+    // a backticked path is ONE identifier part; reject dotted namespaces
+    // (they would silently mangle a path that was meant to be quoted)
+    if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
+    val path = ident.name()
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tables/meta.json")
+    if (!p.getFileSystem(conf).exists(p)) throw new NoSuchTableException(ident)
+    path
+  }
+
+  override def loadTable(ident: Identifier): Table = new GraftTable(encodeDirOf(ident))
+
+  /** `VERSION AS OF n` = snapshot time travel (the catalog face of the read
+    * option `option("snapshot", n)`); validity is checked at scan planning
+    * against the lineage, which also guards reachability past maintenance.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val snap = version.toLongOption.getOrElse(
+      throw new NoSuchTableException(ident)
+    )
+    new GraftTable(encodeDirOf(ident), pinnedSnapshot = Some(snap))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { encodeDirOf(ident); true }
+    catch { case _: NoSuchTableException => false }
+
+  /** Encode dirs are not enumerable from a catalog root; DDL is not this
+    * catalog's job (dirs are created by EncodeJob / the DSv2 writer).
+    */
+  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName tables are encode dirs — ALTER is not supported; use graft.system procedures"
+    )
+  override def dropTable(ident: Identifier): Boolean = false
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName tables are encode dirs — RENAME is not supported"
+    )
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val ns = ident.namespace()

@@ -213,10 +213,11 @@ private[sources] object GraftMeta {
     graft.pipeline.EncodeJob.loadSnapshotRecords(outDir, conf)
 }
 
-private[sources] class GraftTable(path: String)
+private[sources] class GraftTable(path: String, pinnedSnapshot: Option[Long] = None)
     extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = GraftDataSource.Schema
   // ACCEPT_ANY_SCHEMA: Spark's byName append check would reject the common
@@ -234,13 +235,50 @@ private[sources] class GraftTable(path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(
       path,
-      Option(options.get("snapshot")).map(_.toLong),
+      // explicit read option wins; `pinnedSnapshot` is the catalog's
+      // `VERSION AS OF` pin (GraftCatalog.loadTable(ident, version))
+      Option(options.get("snapshot")).map(_.toLong).orElse(pinnedSnapshot),
       Option(options.get("maxSnapshotsPerBatch")).map(_.toInt)
     )
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo
   ): org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(path, info)
+
+  /** SQL `DELETE FROM graft.\`dir\` WHERE doc_id = …/IN (…)` — the Spark-
+    * native face of [[graft.pipeline.Deletes.deleteDocs]] (Iceberg exposes
+    * equality deletes the same way). Only doc_id equality/IN predicates are
+    * metadata-expressible as one equality-delete commit; anything else
+    * (including an unconditioned DELETE, which Spark hands over as
+    * AlwaysTrue) is refused HERE so Spark raises its loud "cannot delete"
+    * analysis error instead of this table guessing at row-level semantics.
+    * ANDed predicates intersect their id sets. The commit is merge-on-read:
+    * one delete parquet + one snapshot, no data file moves.
+    */
+  private def deleteIdSets(filters: Array[org.apache.spark.sql.sources.Filter]): Option[Seq[Set[String]]] = {
+    val sets = filters.map {
+      case org.apache.spark.sql.sources.EqualTo("doc_id", v: String) => Some(Set(v))
+      case org.apache.spark.sql.sources.In("doc_id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.iterator.map(_.asInstanceOf[String]).toSet)
+      case _ => None
+    }
+    if (filters.nonEmpty && sets.forall(_.isDefined)) Some(sets.toSeq.flatten) else None
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    deleteIdSets(filters).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val sets = deleteIdSets(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft DELETE supports only doc_id =/IN predicates, got ${filters.mkString(", ")}"
+      )
+    )
+    val ids = sets.reduce(_ intersect _)
+    val spark = SparkSession.active
+    import spark.implicits._
+    graft.pipeline.Deletes.deleteDocs(spark, path, ids.toSeq.toDS()): Unit
+  }
 }
 
 private[sources] class GraftScanBuilder(
@@ -356,17 +394,25 @@ private[sources] class GraftScan(
     with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
+  /** ONE driver-side lineage read per scan: every snapshot-derived view
+    * below (delete state, time-travel bins, file→snapshot attribution,
+    * as-of file exclusion) derives from this single pass over
+    * `_snapshots/`. On an aged table the lineage is thousands of small
+    * files — re-listing it per view was the planning bottleneck.
+    */
+  private lazy val lineageRecords: Seq[graft.pipeline.EncodeJob.SnapshotRecord] =
+    GraftMeta.loadSnapshotRecords(path, hadoopConf)
+
   /** Snapshot time travel: a snapshot sees exactly the bins committed by it
     * and its ancestors (blocks are write-once per bin, so the bin set IS the
     * as-of state — the queryable face of EncodeJob's snapshot lineage).
     */
   private lazy val snapshotBins: Option[Set[Int]] = snapshot.map { id =>
-    val snaps = GraftMeta.loadSnapshots(path, hadoopConf)
     require(
-      snaps.exists(_._1 == id),
-      s"snapshot $id not found under $path/_snapshots (have ${snaps.map(_._1).sorted.mkString(",")})"
+      lineageRecords.exists(_.id == id),
+      s"snapshot $id not found under $path/_snapshots (have ${lineageRecords.map(_.id).sorted.mkString(",")})"
     )
-    snaps.filter(_._1 <= id).flatMap(_._2).toSet
+    lineageRecords.filter(_.id <= id).flatMap(_.binsAdded).toSet
   }
 
   private def stringValues(fs: Array[Filter], column: String): Option[Set[String]] = {
@@ -441,7 +487,11 @@ private[sources] class GraftScan(
     * before [[blockFiles]] — see the ordering note there.
     */
   private lazy val deleteState: graft.pipeline.Deletes.DeleteState =
-    graft.pipeline.Deletes.liveDeletes(path, hadoopConf, snapshot)
+    graft.pipeline.Deletes.liveDeletesFrom(
+      lineageRecords,
+      graft.pipeline.Maintenance.appliedDeleteNames(path, hadoopConf),
+      snapshot
+    )
 
   /** Which snapshot committed each block file, from the `files_added`
     * lineage (DSv2 appends and replaces). Files in no snapshot's file
@@ -452,10 +502,7 @@ private[sources] class GraftScan(
     * deletes ([[graft.pipeline.Maintenance.compact]]).
     */
   private lazy val fileCommitSnaps: Map[String, Long] =
-    GraftMeta
-      .loadSnapshotRecords(path, hadoopConf)
-      .flatMap(r => r.filesAdded.map(_ -> r.id))
-      .toMap
+    lineageRecords.flatMap(r => r.filesAdded.map(_ -> r.id)).toMap
 
   /** Sequence scoping (Iceberg's equality-delete rule): delete file D
     * committed at snapshot Sd hides rows only in data files committed at
@@ -494,8 +541,7 @@ private[sources] class GraftScan(
   private lazy val excludedAppendFiles: Set[String] = snapshot match {
     case None => Set.empty
     case Some(s) =>
-      val later = GraftMeta
-        .loadSnapshotRecords(path, hadoopConf)
+      val later = lineageRecords
         .filter(_.id > s)
         .flatMap(_.filesAdded)
         .toSet

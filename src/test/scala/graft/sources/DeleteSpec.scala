@@ -33,6 +33,52 @@ class DeleteSpec extends AnyFunSuite {
     d
   }
 
+  test("SQL DELETE FROM commits an equality delete; non-doc_id predicates are refused loudly") {
+    import spark.implicits._
+    // DELETE reaches the table through the catalog route (TableCatalog);
+    // Spark's format.`path` file-resolution rule covers only v1 FileFormats
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("graft-del-sql").toString
+    EncodeJob.run(all, dir, cfg) // snapshot 0
+    val victims = doomed.select($"doc_id").orderBy($"doc_id").limit(3).as[String].collect()
+
+    // IN-list delete through the SQL surface (SupportsDelete on the table)
+    spark.sql(
+      s"DELETE FROM graft.`$dir` WHERE doc_id IN (${victims.map(v => s"'$v'").mkString(",")})"
+    )
+    // exactly one equality-delete snapshot committed, merge-on-read
+    val recs = EncodeJob.loadSnapshotRecords(dir, conf)
+    assert(recs.map(_.id) == Seq(0L, 1L))
+    assert(recs(1).deletesAdded.map(_._2) == Seq(3L))
+    val decoded = spark.read.format("graft").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(all.where(!$"doc_id".isin(victims.toSeq: _*)), decoded) == 0L)
+
+    // single-equality delete also works; deleting a gone id is a legal no-op commit
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id = '${victims.head}'")
+    assert(spark.read.format("graft").load(dir).where($"doc_id" === victims.head).count() == 0L)
+
+    // anything but doc_id =/IN must fail Spark's analysis loudly, not guess
+    val e = intercept[Exception](spark.sql(s"DELETE FROM graft.`$dir` WHERE n_tok > 5"))
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // unconditioned DELETE would be a truncate — refused the same way
+    val e2 = intercept[Exception](spark.sql(s"DELETE FROM graft.`$dir`"))
+    assert(e2.getMessage.toLowerCase.contains("delete") || e2.getMessage.toLowerCase.contains("truncate"), e2.getMessage)
+
+    // catalog reads: current state vs VERSION AS OF (snapshot pin via SQL)
+    val total = all.count()
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").head().getLong(0) == total - 3)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` VERSION AS OF 0").head().getLong(0) == total)
+
+    // SQL INSERT through the same catalog route lands on the DSv2 writer
+    spark.sql(
+      s"INSERT INTO graft.`$dir` " +
+        "SELECT 'sql-ins-1' AS doc_id, array(7, 11, 13) AS tokens, 3 AS n_tok, 'sqlins' AS source"
+    )
+    val ins = spark.read.format("graft").load(dir).where($"doc_id" === "sql-ins-1").as[TokenRow].head()
+    assert(ins.tokens.toSeq == Seq(7, 11, 13) && ins.source == "sqlins")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").head().getLong(0) == total - 3 + 1)
+  }
+
   test("merge-on-read: batch scan, point reads, and counts hide exactly the deleted docs") {
     import spark.implicits._
     val dir = freshDeletedDir("mor")

@@ -119,4 +119,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     val ns = intercept[Exception](spark.sql("CALL graft.other.compact(path => '/x')").collect())
     assert(ns.getMessage.contains("`graft`.`other`.`compact`"))
   }
+
+  test("TableCatalog: path identifiers resolve encode dirs; SELECT + VERSION AS OF; DDL refused") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir()
+    // catalog-route read equals the format-route read
+    val viaCatalog = spark.sql(s"SELECT count(*) n, sum(n_tok) t FROM graft.`$dir`").head()
+    val viaFormat = spark.read.format("graft").load(dir)
+      .agg(count(lit(1)), sum(col("n_tok"))).head()
+    assert(viaCatalog.getLong(0) == viaFormat.getLong(0))
+    assert(viaCatalog.getLong(1) == viaFormat.getLong(1))
+
+    // VERSION AS OF pins the scan to a lineage snapshot (bins 0-2 only)
+    val asOf0 = spark.sql(s"SELECT count(*) FROM graft.`$dir` VERSION AS OF 0").head().getLong(0)
+    val opt0 = spark.read.format("graft").option("snapshot", 0).load(dir).count()
+    assert(asOf0 == opt0 && asOf0 < viaCatalog.getLong(0))
+
+    // existence checks: a non-encode dir is NOT a table
+    val cat = spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    assert(cat.tableExists(Identifier.of(Array.empty, dir)))
+    assert(!cat.tableExists(Identifier.of(Array.empty, "/tmp")))
+    // a non-encode dir: the catalog reports NoSuchTable, after which Spark
+    // retries the identifier as direct-file SQL (graft is ALSO a
+    // DataSourceRegister name) and fails there — either way, loudly
+    val missing = intercept[Exception](
+      spark.sql("SELECT * FROM graft.`/tmp/definitely-not-a-graft-dir`").collect()
+    )
+    val msg = missing.getMessage.toLowerCase
+    assert(msg.contains("table") || msg.contains("direct query"), missing.getMessage)
+
+    // DDL is not this catalog's job
+    intercept[UnsupportedOperationException](
+      cat.renameTable(Identifier.of(Array.empty, dir), Identifier.of(Array.empty, "/tmp/x"))
+    )
+    assert(!cat.dropTable(Identifier.of(Array.empty, dir)))
+    lossless(dir) // nothing above mutated the dir
+  }
 }

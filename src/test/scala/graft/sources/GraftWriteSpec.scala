@@ -98,6 +98,45 @@ class GraftWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot claim is kernel-arbitrated: N simultaneous claimants of ONE id, one winner") {
+    // Hadoop's RawLocalFileSystem.create(overwrite=false) is exists-check
+    // then FileOutputStream (check-THEN-act), so under it two racers could
+    // both "win" and the second would truncate the first's committed
+    // content. The local-FS claim is java.nio CREATE_NEW (O_EXCL); this
+    // pins exactly-one-winner and that the winner's content survives.
+    val scratch = Files.createTempDirectory("graft-cas-race").toString
+    val n = 16
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until n).map { k =>
+      val t = new Thread(() =>
+        try {
+          gate.await()
+          EncodeJob.casWriteSnapshot(
+            spark, scratch, () => (42L, 41L), (_, _) => s"""{"snapshot_id":42,"writer":$k}""",
+            maxAttempts = 1)
+          wins.incrementAndGet(): Unit
+        } catch {
+          case _: IllegalStateException => losses.incrementAndGet(): Unit
+          case e: Throwable             => errs.add(e): Unit
+        }
+      )
+      t.start(); t
+    }
+    gate.countDown()
+    threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"unexpected claim failure: ${Option(errs.peek()).map(_.toString)}")
+    assert(wins.get() == 1, s"exactly one claimant must win, got ${wins.get()}")
+    assert(losses.get() == n - 1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$scratch/_snapshots/snap-42.json"))
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(txt.contains("\"snapshot_id\":42") && txt.contains("\"writer\":"), txt)
+  }
+
   test("two concurrent batch appends both commit, under distinct snapshot ids") {
     import spark.implicits._
     val dir = freshEncodedDir("race")
