@@ -393,4 +393,50 @@ class DeleteSpec extends AnyFunSuite {
       assert(got == kept.count(), s"stream emitted $got rows, want ${kept.count()}")
     } finally q.stop()
   }
+
+  test("streams across a replace snapshot: file deltas dodge their own delete, bin replays honor it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-replace-stream").toString
+    EncodeJob.run(all, dir, cfg) // snapshot 0
+    val newRows = doomed
+      .withColumn("tokens", expr("transform(tokens, t -> cast(t + 1 as int))"))
+      .withColumn("source", lit("recrawl"))
+      .as[TokenRow]
+    assert(Deletes.replaceDocs(spark, dir, newRows).isDefined) // snapshot 1
+
+    // FRESH stream (full replay, one batch): the bin replay hides the old
+    // content of the replaced docs (the delete applies — bootstrap bins
+    // predate it) while the file-delta partitions carry the replace's own
+    // commit snapshot, so the SAME delete must NOT hide the new content.
+    def runStream(name: String): Long = {
+      val ckpt = Files.createTempDirectory(s"graft-rep-ckpt-$name").toString
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try { q.processAllAvailable(); spark.table(name).count() }
+      finally q.stop()
+    }
+    assert(runStream("graft_rep_fresh") == all.count())
+    val fresh = spark.table("graft_rep_fresh")
+    val want = kept.toDF().unionByName(newRows.toDF()).as[TokenRow]
+    assert(GraftPipeline.verify(want, fresh.as[TokenRow]) == 0L)
+    // specifically: every replaced doc streams with its NEW tokens/source
+    assert(fresh.where($"source" === "recrawl").count() == doomed.count())
+
+    // CATCH-UP stream bounded to one snapshot per batch: the delete was
+    // already live at stream start, so EVERY batch applies it — batch 1
+    // (snapshot 0 bin replay) emits only the kept originals, batch 2 (the
+    // replace's file delta) exactly the new content. Stepped output must
+    // equal the fresh full-replay stream, row for row.
+    val ckpt2 = Files.createTempDirectory("graft-rep-ckpt-steps").toString
+    val q2 = spark.readStream.format("graft").option("maxSnapshotsPerBatch", 1).load(dir)
+      .writeStream.format("memory").queryName("graft_rep_steps")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val steps = spark.table("graft_rep_steps")
+      assert(steps.where($"source" === "recrawl").count() == doomed.count())
+      assert(GraftPipeline.verify(want, steps.as[TokenRow]) == 0L)
+    } finally q2.stop()
+  }
 }
