@@ -201,6 +201,9 @@ object SparkEntry {
     graftReplaceDirCache.keys.filter(_._1 == id).foreach { k =>
       graftReplaceDirCache.remove(k).foreach(deleteDir)
     }
+    graftSqlDeleteDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftSqlDeleteDirCache.remove(k).foreach(deleteDir)
+    }
   }
 
   private def deleteDir(dir: String): Unit = {
@@ -350,6 +353,31 @@ object SparkEntry {
         require(pr.exists(_.idsApplied > 0), s"purge under test applied nothing on $out")
         graft.pipeline.Maintenance.vacuum(s, out, olderThanMs = 0L): Unit
       }
+    }
+
+  private val graftSqlDeleteDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Like [[graftDeletedDir]] but the delete is issued through the SQL DML
+    * surface — `DELETE FROM graft.\`dir\` WHERE doc_id IN (…)` resolved by
+    * the TableCatalog into [[graft.sources.GraftTable]]'s SupportsDelete —
+    * so the whole catalog+DML chain sits under the hard DuckDB oracle
+    * (rule: doc_id % 19 == 7, distinct from the programmatic delete's
+    * % 13 == 5 so the two fixtures cannot mask each other).
+    */
+  private def graftSqlDeletedDir(s: SparkSession, dir: String): String =
+    cachedGraftDir(graftSqlDeleteDirCache, s, dir, "graft-dsv2-sqldel", withLineage = true) {
+      (out, _) =>
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+        val ids = docTable(s, dir)
+          .where($"doc_id" % 19 === 7)
+          .select($"doc_id".cast("string"))
+          .as[String]
+          .collect()
+        require(ids.nonEmpty, s"sql-delete fixture selected no ids under $dir")
+        s.sql(s"DELETE FROM graft.`$out` WHERE doc_id IN (${ids.map(i => s"'$i'").mkString(",")})")
+          .collect(): Unit
     }
 
   private val graftReplaceDirCache =
@@ -810,6 +838,22 @@ object SparkEntry {
         )
         .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
         .orderBy($"doc_id", $"pos")
+    }),
+
+    // SQL DML end-to-end: the delete was committed by spark.sql
+    // `DELETE FROM graft.`dir`` (TableCatalog -> SupportsDelete ->
+    // equality-delete snapshot) and the read goes back through the same
+    // catalog route — one mis-routed id anywhere in the chain fails the
+    // hash against DuckDB's recomputation
+    "q_sql_delete_scan" -> ((s, dir) => {
+      val out = graftSqlDeletedDir(s, dir)
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+      s.sql(
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, pos0 + 1 AS pos, CAST(token AS BIGINT) AS token
+           |FROM graft.`$out` LATERAL VIEW posexplode(tokens) t AS pos0, token
+           |WHERE CAST(doc_id AS BIGINT) % 397 = 0
+           |ORDER BY doc_id, pos""".stripMargin
+      )
     }),
 
     // Atomic upsert (replaceDocs): docs % 17 == 4 carry transformed tokens
@@ -1290,6 +1334,11 @@ object SparkEntry {
       s"""$CTE
          |SELECT doc_id, pos, token FROM tok
          |WHERE doc_id % 397 = 0 AND doc_id % 13 <> 5 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_sql_delete_scan" ->
+      s"""$CTE
+         |SELECT doc_id, pos, token FROM tok
+         |WHERE doc_id % 397 = 0 AND doc_id % 19 <> 7 ORDER BY doc_id, pos""".stripMargin,
 
     "q_replace_scan" ->
       s"""$CTE

@@ -240,6 +240,26 @@ private[sources] class GraftTable(path: String, pinnedSnapshot: Option[Long] = N
       Option(options.get("snapshot")).map(_.toLong).orElse(pinnedSnapshot),
       Option(options.get("maxSnapshotsPerBatch")).map(_.toInt)
     )
+
+  /** Layout facts surfaced by `DESCRIBE TABLE EXTENDED graft.\`dir\``
+    * (ops-visible without opening any file by hand). One meta.json read
+    * per call — DESCRIBE is not a hot path.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val m = GraftMeta.load(path, conf)
+    val snaps = GraftMeta.loadSnapshots(path, conf).map(_._1)
+    java.util.Map.of(
+      "provider", "graft",
+      "num_bins", m.numBins.toString,
+      "salt", m.salt.toString,
+      "context_model", m.contextModel,
+      "num_contexts", m.numContexts.toString,
+      "max_bits", m.maxBits.toString,
+      "snapshots", snaps.size.toString,
+      "current_snapshot", snaps.maxOption.map(_.toString).getOrElse("none")
+    )
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo
   ): org.apache.spark.sql.connector.write.WriteBuilder =

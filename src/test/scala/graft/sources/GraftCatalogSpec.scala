@@ -154,6 +154,11 @@ class GraftCatalogSpec extends AnyFunSuite {
       cat.renameTable(Identifier.of(Array.empty, dir), Identifier.of(Array.empty, "/tmp/x"))
     )
     assert(!cat.dropTable(Identifier.of(Array.empty, dir)))
+
+    // DESCRIBE TABLE EXTENDED surfaces the dir's layout properties
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED graft.`$dir`")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("num_bins") && desc.contains(cfg.numBins.toString), desc)
     lossless(dir) // nothing above mutated the dir
   }
 }
