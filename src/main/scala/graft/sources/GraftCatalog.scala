@@ -65,8 +65,14 @@ final class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableC
     if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
     val path = ident.name()
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(s"$path/_tables/meta.json")
-    if (!p.getFileSystem(conf).exists(p)) throw new NoSuchTableException(ident)
+    // a Path-invalid identifier (stray colon etc.) is "no such table", not
+    // an internal-looking URI error surfaced mid-analysis
+    val exists =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$path/_tables/meta.json")
+        p.getFileSystem(conf).exists(p)
+      } catch { case _: IllegalArgumentException => false }
+    if (!exists) throw new NoSuchTableException(ident)
     path
   }
 
@@ -77,8 +83,13 @@ final class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableC
     * against the lineage, which also guards reachability past maintenance.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // a non-numeric version is a bad VERSION literal, not a missing table —
+    // misreporting it as NoSuchTable sends the user debugging the path
     val snap = version.toLongOption.getOrElse(
-      throw new NoSuchTableException(ident)
+      throw new IllegalArgumentException(
+        s"graft VERSION AS OF expects a numeric snapshot id, got '$version' " +
+          s"(see ${ident.name()}/_snapshots for committed ids)"
+      )
     )
     new GraftTable(encodeDirOf(ident), pinnedSnapshot = Some(snap))
   }

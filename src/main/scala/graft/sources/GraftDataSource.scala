@@ -246,16 +246,23 @@ private[sources] class GraftTable(path: String, pinnedSnapshot: Option[Long] = N
     * per call — DESCRIBE is not a hot path.
     */
   override def properties(): java.util.Map[String, String] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val m = GraftMeta.load(path, conf)
-    val snaps = GraftMeta.loadSnapshots(path, conf).map(_._1)
+    import graft.core.MiniJson.ObjOps
+    val spark = SparkSession.active
+    // meta.json alone — GraftMeta.load would also read the full Huffman
+    // header blob, which DESCRIBE has no use for
+    val m = graft.pipeline.EncodeJob
+      .loadMeta(spark, path)
+      .getOrElse(return java.util.Map.of("provider", "graft"))
+    val snaps = GraftMeta
+      .loadSnapshots(path, spark.sparkContext.hadoopConfiguration)
+      .map(_._1)
     java.util.Map.of(
       "provider", "graft",
-      "num_bins", m.numBins.toString,
-      "salt", m.salt.toString,
-      "context_model", m.contextModel,
-      "num_contexts", m.numContexts.toString,
-      "max_bits", m.maxBits.toString,
+      "num_bins", m.long("num_bins").toString,
+      "salt", m.long("salt").toString,
+      "context_model", m.strOpt("context_model").getOrElse("simple"),
+      "num_contexts", m.long("num_contexts").toString,
+      "max_bits", m.long("max_bits").toString,
       "snapshots", snaps.size.toString,
       "current_snapshot", snaps.maxOption.map(_.toString).getOrElse("none")
     )
@@ -280,6 +287,9 @@ private[sources] class GraftTable(path: String, pinnedSnapshot: Option[Long] = N
       case org.apache.spark.sql.sources.EqualTo("doc_id", v: String) => Some(Set(v))
       case org.apache.spark.sql.sources.In("doc_id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         Some(vs.iterator.map(_.asInstanceOf[String]).toSet)
+      // a condition that constant-folds to false (templated guard clauses)
+      // is a legal delete of zero rows, not an unsupported predicate
+      case _: org.apache.spark.sql.sources.AlwaysFalse => Some(Set.empty[String])
       case _ => None
     }
     if (filters.nonEmpty && sets.forall(_.isDefined)) Some(sets.toSeq.flatten) else None
@@ -287,6 +297,16 @@ private[sources] class GraftTable(path: String, pinnedSnapshot: Option[Long] = N
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     deleteIdSets(filters).isDefined
+
+  /** TRUNCATE TABLE: the inherited default would call
+    * canDeleteWhere(AlwaysTrue) -> false and return false, which Spark's
+    * TruncateTableExec treats as SUCCESS-without-cache-refresh — a silent
+    * no-op the user reads as "table truncated". Refuse loudly instead.
+    */
+  override def truncateTable(): Boolean =
+    throw new UnsupportedOperationException(
+      s"graft table $path does not support TRUNCATE — delete by doc_id, or remove the dir"
+    )
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val sets = deleteIdSets(filters).getOrElse(
@@ -414,14 +434,30 @@ private[sources] class GraftScan(
     with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
-  /** ONE driver-side lineage read per scan: every snapshot-derived view
-    * below (delete state, time-travel bins, file→snapshot attribution,
-    * as-of file exclusion) derives from this single pass over
-    * `_snapshots/`. On an aged table the lineage is thousands of small
-    * files — re-listing it per view was the planning bottleneck.
+  /** TWO driver-side lineage reads per scan — down from five, but not one,
+    * because the views have OPPOSITE ordering constraints vs the block-file
+    * listing under concurrent commits:
+    *   - delete state must be resolved BEFORE the listing (see
+    *     [[blockFiles]]: the reverse interleaving with a concurrent purge
+    *     would resurrect deleted rows) → [[lineageRecords]];
+    *   - file→snapshot attribution must be resolved AFTER the listing, or
+    *     a file committed during planning would appear in the listing but
+    *     not the lineage and default to -1 — every delete would wrongly
+    *     hide its re-appended rows → [[postListingRecords]].
+    * Time-travel bins ride the early read (bins are write-once); the as-of
+    * file exclusion rides the late one (a file committed mid-planning must
+    * be seen so it can be excluded).
     */
   private lazy val lineageRecords: Seq[graft.pipeline.EncodeJob.SnapshotRecord] =
     GraftMeta.loadSnapshotRecords(path, hadoopConf)
+
+  /** Fresh lineage read forced after the block-file listing — the superset
+    * of [[lineageRecords]] covering files committed while planning ran.
+    */
+  private lazy val postListingRecords: Seq[graft.pipeline.EncodeJob.SnapshotRecord] = {
+    blockFiles: Unit
+    GraftMeta.loadSnapshotRecords(path, hadoopConf)
+  }
 
   /** Snapshot time travel: a snapshot sees exactly the bins committed by it
     * and its ancestors (blocks are write-once per bin, so the bin set IS the
@@ -522,7 +558,7 @@ private[sources] class GraftScan(
     * deletes ([[graft.pipeline.Maintenance.compact]]).
     */
   private lazy val fileCommitSnaps: Map[String, Long] =
-    lineageRecords.flatMap(r => r.filesAdded.map(_ -> r.id)).toMap
+    postListingRecords.flatMap(r => r.filesAdded.map(_ -> r.id)).toMap
 
   /** Sequence scoping (Iceberg's equality-delete rule): delete file D
     * committed at snapshot Sd hides rows only in data files committed at
@@ -561,7 +597,9 @@ private[sources] class GraftScan(
   private lazy val excludedAppendFiles: Set[String] = snapshot match {
     case None => Set.empty
     case Some(s) =>
-      val later = lineageRecords
+      // post-listing read: a file committed while planning ran must be in
+      // this set, or the as-of scan would include rows from the future
+      val later = postListingRecords
         .filter(_.id > s)
         .flatMap(_.filesAdded)
         .toSet

@@ -64,6 +64,17 @@ class DeleteSpec extends AnyFunSuite {
     val e2 = intercept[Exception](spark.sql(s"DELETE FROM graft.`$dir`"))
     assert(e2.getMessage.toLowerCase.contains("delete") || e2.getMessage.toLowerCase.contains("truncate"), e2.getMessage)
 
+    // a condition that folds to FALSE is a legal zero-row delete (no new
+    // snapshot), not an unsupported predicate
+    val snapsBefore = EncodeJob.loadSnapshotRecords(dir, conf).size
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE doc_id = 'x' AND 1 = 0")
+    assert(EncodeJob.loadSnapshotRecords(dir, conf).size == snapsBefore)
+
+    // TRUNCATE must refuse loudly — the inherited default would report
+    // success while deleting nothing
+    val t = intercept[Exception](spark.sql(s"TRUNCATE TABLE graft.`$dir`"))
+    assert(t.getMessage.contains("TRUNCATE"), t.getMessage)
+
     // catalog reads: current state vs VERSION AS OF (snapshot pin via SQL)
     val total = all.count()
     assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").head().getLong(0) == total - 3)
