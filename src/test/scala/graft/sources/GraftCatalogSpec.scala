@@ -161,4 +161,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(desc.contains("num_bins") && desc.contains(cfg.numBins.toString), desc)
     lossless(dir) // nothing above mutated the dir
   }
+
+  test("catalog-route SQL keeps ScanBuilder pushdown: point read decodes only the hit row") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = freshDir()
+    val someId = input.head().doc_id
+    val nTok = input.head().n_tok
+    // the SQL identifier resolves through GraftCatalog.loadTable — the
+    // resulting relation must get the SAME doc_id pushdown the
+    // format-route DataFrame read gets (a catalog that dropped the
+    // ScanBuilder options/filters would full-scan silently)
+    val df = spark.sql(s"SELECT doc_id, n_tok, tokens FROM graft.`$dir` WHERE doc_id = '$someId'")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == someId)
+
+    def findScan(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec                                  => findScan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
+      case b: BatchScanExec                                          => Seq(b)
+      case other                                                     => other.children.flatMap(findScan)
+    }
+    val scan = findScan(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail(s"no BatchScanExec in:\n${df.queryExecution.executedPlan}"))
+    val decoded = scan.metrics.collectFirst {
+      case (k, m) if k == GraftMetrics.TokenValuesDecoded => m.value
+    }.getOrElse(fail(s"metric absent; have ${scan.metrics.keys.mkString(",")}"))
+    // only the hit row's values decoded — the filter reached the readers
+    assert(decoded == nTok.toLong, s"decoded $decoded values for one $nTok-token doc")
+  }
 }
