@@ -296,12 +296,47 @@ private object GraftCatalog {
       }
   }
 
+  private val replaceDocs = new MaintenanceProcedure(
+    "replace_docs",
+    Array(in("path", StringType), in("source_view", StringType)),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = true),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "atomic upsert: replace each doc_id in the named view/table with its row " +
+        "(equality delete + re-encoded blocks in ONE snapshot)"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      require(!input.isNullAt(1), "source_view must not be null")
+      val view = input.getUTF8String(1).toString
+      import spark.implicits._
+      // tolerate view column types the writer would accept anyway (e.g.
+      // bigint n_tok from SQL literals); the encode path validates content
+      val rows = spark
+        .table(view)
+        .selectExpr(
+          "CAST(doc_id AS STRING) AS doc_id",
+          "CAST(tokens AS ARRAY<INT>) AS tokens",
+          "CAST(n_tok AS INT) AS n_tok",
+          "CAST(source AS STRING) AS source"
+        )
+        .as[graft.pipeline.TokenRow]
+      graft.pipeline.Deletes.replaceDocs(spark, pathOf(input), rows) match {
+        case Some(r) => InternalRow(r.snapshotId, r.nDocs, r.filesAdded.size)
+        case None    => InternalRow(null, 0L, 0)
+      }
+    }
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
     "vacuum" -> vacuum,
     "expire_snapshots" -> expireSnapshots,
     "rewrite_manifests" -> rewriteManifests,
     "delete_docs" -> deleteDocs,
-    "purge_deletes" -> purgeDeletes
+    "purge_deletes" -> purgeDeletes,
+    "replace_docs" -> replaceDocs
   )
 }

@@ -7,7 +7,12 @@ import org.apache.spark.sql.SparkSession
   * the reference's read/inspect CLIs (/root/reference/src/main.rs:686-718)
   * lifted to SQL:
   *
-  *   runMain graft.tools.SqlCli <sfDir> [graft:<encodeOutDir>] -e "<SQL>"
+  *   runMain graft.tools.SqlCli <sfDir> [graft:<encodeOutDir>] -e "<SQL>" [-e "<SQL>"]...
+  *
+  * `-e` may repeat: statements run in order in ONE session (spark.sql is
+  * single-statement), so a temp view created by one feeds the next —
+  * e.g. CREATE TEMP VIEW ups AS ... then
+  * CALL graft.system.replace_docs(path => ..., source_view => 'ups').
   *
   * Builds the session THROUGH [[GraftExtensions]] (the spark-submit
   * `spark.sql.extensions` path), registers every parquet table under
@@ -23,14 +28,22 @@ object SqlCli {
   def main(args: Array[String]): Unit = {
     val eIdx = args.indexOf("-e")
     require(
-      eIdx >= 1 && eIdx == args.length - 2,
-      "usage: SqlCli <sfDir> [graft:<encodeOutDir>] -e \"<SQL>\""
+      eIdx >= 1 && eIdx < args.length - 1,
+      "usage: SqlCli <sfDir> [graft:<encodeOutDir>] -e \"<SQL>\" [-e \"<SQL>\"]..."
     )
     val sfDir = args(0)
     val graftDir = args.slice(1, eIdx).collectFirst {
       case a if a.startsWith("graft:") => a.stripPrefix("graft:")
     }
-    val sql = args(eIdx + 1)
+    // every "-e <SQL>" pair from the first -e on, in order
+    val sqls = args
+      .drop(eIdx)
+      .grouped(2)
+      .map { g =>
+        require(g.length == 2 && g(0) == "-e", s"expected -e \"<SQL>\" pairs, got ${g.mkString(" ")}")
+        g(1)
+      }
+      .toSeq
 
     val spark = SparkSession
       .builder()
@@ -66,9 +79,11 @@ object SqlCli {
         snap.foreach(reader.option("snapshot", _))
         reader.load(dir).createOrReplaceTempView("graft_corpus")
       }
-      val df = spark.sql(sql)
-      println(df.schema.fieldNames.mkString("\t"))
-      df.collect().foreach(r => println(r.toSeq.map(String.valueOf).mkString("\t")))
+      sqls.foreach { sql =>
+        val df = spark.sql(sql)
+        println(df.schema.fieldNames.mkString("\t"))
+        df.collect().foreach(r => println(r.toSeq.map(String.valueOf).mkString("\t")))
+      }
     } finally spark.stop()
   }
 }

@@ -107,7 +107,8 @@ class GraftCatalogSpec extends AnyFunSuite {
       .catalog("graft")
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("compact", "delete_docs", "expire_snapshots", "purge_deletes", "rewrite_manifests", "vacuum"))
+      Seq("compact", "delete_docs", "expire_snapshots", "purge_deletes",
+        "replace_docs", "rewrite_manifests", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
 
@@ -160,6 +161,33 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(_.mkString("|")).mkString("\n")
     assert(desc.contains("num_bins") && desc.contains(cfg.numBins.toString), desc)
     lossless(dir) // nothing above mutated the dir
+  }
+
+  test("CALL replace_docs: SQL-only atomic upsert from a named view") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = freshDir()
+    val updates = input
+      .where(expr("cast(substring(doc_id, -10, 10) as long)") % 11 === 3)
+      .withColumn("tokens", expr("transform(tokens, t -> cast(t + 5 as int))"))
+      .withColumn("source", lit("sql-upsert"))
+    assert(updates.count() > 0)
+    updates.createOrReplaceTempView("graft_upserts")
+
+    val row = spark
+      .sql(s"CALL graft.system.replace_docs(path => '$dir', source_view => 'graft_upserts')")
+      .head()
+    assert(row.getLong(row.fieldIndex("n_docs")) == updates.count())
+    assert(!row.isNullAt(row.fieldIndex("snapshot_id")))
+
+    val want = input
+      .where(expr("cast(substring(doc_id, -10, 10) as long)") % 11 =!= 3)
+      .toDF()
+      .unionByName(updates.toDF())
+      .as[TokenRow]
+    val decoded = spark.read.format("graft").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(want, decoded) == 0L)
+    assert(decoded.toDF().where($"source" === "sql-upsert").count() == updates.count())
   }
 
   test("catalog-route SQL keeps ScanBuilder pushdown: point read decodes only the hit row") {
