@@ -217,8 +217,24 @@ private[sources] class GraftTable(path: String, pinnedSnapshot: Option[Long] = N
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft.`$path`"
+
+  /** `_bin` — the writer-assigned salted routing bin, selectable on demand
+    * (`SELECT _bin, count(*) … GROUP BY _bin` is the skew-inspection query
+    * an operator runs before rebinning a hot corpus). Hidden from
+    * `SELECT *`; costs nothing to emit (the readers project the block
+    * `bin` column for pruning anyway).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_bin"
+      override def dataType(): org.apache.spark.sql.types.DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "writer-assigned salted bin: pmod(xxhash64(doc_id, salt), num_bins)"
+    })
   override def schema(): StructType = GraftDataSource.Schema
   // ACCEPT_ANY_SCHEMA: Spark's byName append check would reject the common
   // nullable-column DataFrame against this non-null schema; the write
@@ -1392,6 +1408,7 @@ private[sources] class GraftPartitionReader(
           case "tokens" => out.update(i, new GenericArrayData(tokensByRow(r)))
           case "n_tok"  => out.setInt(i, nToks(r))
           case "source" => out.update(i, UTF8String.fromString(sources(r)))
+          case "_bin"   => out.setInt(i, g.getInteger("bin", 0)) // metadata column
           case other    => throw new IllegalArgumentException(s"unknown column $other")
         }
         i += 1

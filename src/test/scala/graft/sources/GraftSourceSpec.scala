@@ -73,6 +73,22 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("_bin metadata column: hidden from *, correct per row, groups for skew inspection") {
+    import spark.implicits._
+    val df = spark.read.format("graft").load(dirA)
+    assert(!df.columns.contains("_bin"), "metadata column must be hidden from SELECT *")
+    val rows = df.select($"doc_id", $"_bin").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val want = GraftDataSource.binOf(r.getString(0), numBins = 8, salt = 0x5eedL)
+      assert(r.getInt(1) == want, s"${r.getString(0)}: _bin ${r.getInt(1)} != $want")
+    }
+    // the operator's skew-inspection shape
+    val byBin = df.groupBy($"_bin").count().collect()
+    assert(byBin.map(_.getLong(1)).sum == input.count())
+    assert(byBin.forall(_.getLong(1) > 0L) && byBin.length <= 8)
+  }
+
   test("metadata-only query never runs the entropy decoder") {
     import spark.implicits._
     val df = spark.read.format("graft").load(dirA).groupBy($"source").agg(sum($"n_tok").as("t"))
