@@ -40,7 +40,11 @@ import java.util.Collections
   * what keeps maintenance schedulable from plain SQL warehouses instead of
   * bespoke driver programs.
   */
-final class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog {
+final class GraftCatalog
+    extends CatalogPlugin
+    with ProcedureCatalog
+    with TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "graft"
 
@@ -131,9 +135,71 @@ final class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableC
     if (namespace.isEmpty || (namespace.length == 1 && namespace(0).equalsIgnoreCase("system")))
       GraftCatalog.procedures.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
     else Array.empty
+
+  /** SQL face of the engine's routing function:
+    * `graft.system.graft_bin(doc_id, num_bins, salt)` — the same
+    * `pmod(xxhash64(doc_id, salt), num_bins)` every writer and reader uses,
+    * so SQL users can pre-bucket upsert batches, join against the `_bin`
+    * metadata column, or audit a dir's routing by hand. Also the identity
+    * anchor a future storage-partitioned join needs (both sides must
+    * resolve the SAME function).
+    */
+  override def loadFunction(
+      ident: Identifier
+  ): org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val ns = ident.namespace()
+    val ok = ns.isEmpty || (ns.length == 1 && ns(0).equalsIgnoreCase("system"))
+    if (!ok || ident.name().toLowerCase != "graft_bin")
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    GraftCatalog.graftBinFunction
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || (namespace.length == 1 && namespace(0).equalsIgnoreCase("system")))
+      Array(Identifier.of(Array("system"), "graft_bin"))
+    else Array.empty
+
+  override def functionExists(ident: Identifier): Boolean =
+    try { loadFunction(ident); true }
+    catch { case _: org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException => false }
 }
 
 private object GraftCatalog {
+
+  /** `graft_bin(doc_id string, num_bins int, salt bigint) -> int` —
+    * delegates to [[GraftDataSource.binOf]] (one hash, one identity). The
+    * magic `invoke` overload keeps it inside whole-stage codegen; nulls
+    * surface as errors (a null doc_id has no bin — the writers refuse it
+    * too).
+    */
+  private val graftBinFunction
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    new org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+      override def name(): String = "graft_bin"
+      override def description(): String =
+        "graft_bin(doc_id, num_bins, salt): the writer's routing bin = pmod(xxhash64(doc_id, salt), num_bins)"
+      override def bind(
+          inputType: StructType
+      ): org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+        require(
+          inputType.fields.length == 3,
+          s"graft_bin expects (doc_id string, num_bins int, salt bigint), got $inputType"
+        )
+        new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+          override def name(): String = "graft_bin"
+          override def canonicalName(): String = "graft.system.graft_bin"
+          override def inputTypes(): Array[DataType] =
+            Array(StringType, IntegerType, LongType)
+          override def resultType(): DataType = IntegerType
+          override def isResultNullable: Boolean = false
+          override def isDeterministic: Boolean = true
+          override def produceResult(input: InternalRow): Integer = {
+            require(!input.isNullAt(0), "graft_bin: doc_id must not be null")
+            GraftDataSource.binOf(input.getUTF8String(0).toString, input.getInt(1), input.getLong(2))
+          }
+        }
+      }
+    }
 
   /** One self-binding procedure: parameters are fixed (no overloads), so
     * `bind` validates nothing beyond what the analyzer already coerced.

@@ -190,6 +190,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(decoded.toDF().where($"source" === "sql-upsert").count() == updates.count())
   }
 
+  test("graft_bin SQL function matches the writer's routing and the _bin metadata column") {
+    val dir = freshDir()
+    // every row: the catalog function recomputes the bin the writer chose
+    val mismatches = spark.sql(
+      s"""SELECT count(*) FROM (
+         |  SELECT _bin, graft.system.graft_bin(doc_id, ${cfg.numBins}, ${cfg.salt}L) AS b
+         |  FROM graft.`$dir`
+         |) WHERE _bin <> b""".stripMargin
+    ).head().getLong(0)
+    assert(mismatches == 0L)
+    // scalar form + listing
+    assert(spark.sql(s"SELECT graft.system.graft_bin('doc-x', 8, ${cfg.salt}L)").head().getInt(0)
+      == GraftDataSource.binOf("doc-x", 8, cfg.salt))
+    val fns = spark.sql("SHOW FUNCTIONS IN graft.system").collect().map(_.getString(0))
+    assert(fns.exists(_.endsWith("graft_bin")), fns.mkString(","))
+  }
+
   test("catalog-route SQL keeps ScanBuilder pushdown: point read decodes only the hit row") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
