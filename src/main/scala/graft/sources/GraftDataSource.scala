@@ -448,7 +448,8 @@ private[sources] class GraftScan(
 ) extends Scan
     with Batch
     with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** TWO driver-side lineage reads per scan — down from five, but not one,
     * because the views have OPPOSITE ordering constraints vs the block-file
@@ -660,12 +661,77 @@ private[sources] class GraftScan(
       (if (deleteState.isEmpty) ""
        else s", liveDeletes=${deleteState.live.size} files/${deleteState.totalIds} ids")
 
+  /** Opt-in storage-partitioned scan (`spark.graft.binPartitionedScan=true`):
+    * one task group per BIN, each split keyed by [[HasPartitionKey]], with
+    * the partitioning reported as `graft_bin(doc_id, numBins, salt)` — the
+    * FunctionCatalog-registered routing function. Two same-layout graft
+    * tables loaded through the catalog then equi-join on doc_id with ZERO
+    * exchange (Iceberg's bucket-SPJ pattern; at 100 TB the joins this
+    * kills are the last shuffle in the engine's join story). None (normal
+    * per-file planning) when: the conf is off, an aggregate/limit was
+    * pushed, the dir lacks exact manifest bin claims for every live file,
+    * or the scan is loaded without a catalog (Spark then cannot resolve
+    * the function identity and quietly falls back — reporting is advisory).
+    * Both [[outputPartitioning]] and [[planInputPartitions]] derive from
+    * THIS one value, so the report and the partitions can never disagree.
+    */
+  private lazy val keyedBinPartitions: Option[Array[(Int, Array[String])]] = {
+    val wantKeyed = SparkSession.active.conf
+      .getOption("spark.graft.binPartitionedScan")
+      .exists(_.toBoolean)
+    if (!wantKeyed || agg.nonEmpty || limit.nonEmpty) None
+    else
+      GraftScan.manifestIndex(path, hadoopConf).map(_.fileBins).filter(_.nonEmpty).flatMap {
+        claims =>
+          val files = blockFiles
+            .map(_._1)
+            .filterNot(f => excludedAppendFiles.contains(GraftScan.nameOf(f)))
+          if (!files.forall(f => claims.contains(GraftScan.nameOf(f)))) None
+          else {
+            // ALL visible bins stay (no doc_id pruning here): the reported
+            // partitioning must be stable, and the readers still apply the
+            // exact doc filters from the factory
+            val byBin = scala.collection.mutable.TreeMap[Int, scala.collection.mutable.ArrayBuffer[String]]()
+            for {
+              f <- files
+              b <- claims(GraftScan.nameOf(f))
+              if snapshotBins.forall(_.contains(b))
+            } byBin.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer[String]()) += f
+            if (byBin.isEmpty) None
+            else Some(byBin.iterator.map { case (b, fs) => (b, fs.toArray) }.toArray)
+          }
+      }
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedBinPartitions match {
+      case Some(groups) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(
+            Expressions.apply(
+              "graft_bin",
+              Expressions.column("doc_id"),
+              Expressions.literal(meta.numBins),
+              Expressions.literal(meta.salt)
+            )
+          ),
+          groups.length
+        )
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   // ---- runtime (join-driven) filtering: a broadcast join against a small
   // doc_id set lets Spark push the build side's keys into this scan at
   // execution time — the 100 TB shape "join the corpus with a 1M-doc
   // allowlist" then reads only the allowlist's bins.
+  // Disabled in keyed mode: dropping bins would invalidate the reported
+  // partitioning, and a storage-partitioned join needs no runtime pruning
+  // (each task already reads exactly its own bin on both sides).
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+    if (keyedBinPartitions.isDefined) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
 
   override def filter(runtimeFilters: Array[Filter]): Unit =
     stringValues(runtimeFilters, "doc_id").foreach { ids =>
@@ -685,6 +751,22 @@ private[sources] class GraftScan(
     * parquet row-group skipping in the reader.
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    keyedBinPartitions.foreach { groups =>
+      // keyed (storage-partitioned) planning: one split per (file, bin),
+      // grouped into bin tasks by Spark via the partition key. Delete
+      // application falls back to the factory's streamed delete files
+      // (sequence scoping intact via fileCommitSnap).
+      return groups.flatMap { case (b, fs) =>
+        fs.map { f =>
+          GraftInputPartition(
+            f,
+            binsOverride = Some(Array(b)),
+            fileCommitSnap = fileCommitSnaps.getOrElse(GraftScan.nameOf(f), -1L),
+            spjBin = Some(b)
+          ): InputPartition
+        }
+      }
+    }
     val planned =
       GraftScan
         .planFiles(path, blockFiles, wantedBins, hadoopConf, GraftScan.sessionFooterPruneCap)
@@ -1068,8 +1150,23 @@ private[sources] final case class GraftInputPartition(
     /** Snapshot that committed this file via file lineage; -1 = bootstrap/
       * compacted (every delete applies). Scopes the reader's delete load.
       */
-    fileCommitSnap: Long = -1L
+    fileCommitSnap: Long = -1L,
+    /** Set ONLY by the keyed (storage-partitioned) planner: the single bin
+      * this partition reads, doubling as its [[HasPartitionKey]] key so
+      * Spark groups same-bin splits into one task and co-locates joins.
+      */
+    spjBin: Option[Int] = None
 ) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = {
+    // only consulted when the scan reported KeyGroupedPartitioning, and the
+    // keyed planner sets spjBin on every partition it emits
+    require(spjBin.isDefined, s"partitionKey() on a non-keyed partition for $file")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](spjBin.get)
+    )
+  }
+}
 
 // One no-arg class per metric: Spark's SQL UI re-instantiates custom metrics
 // BY CLASS NAME via a zero-arg constructor when aggregating task values — a

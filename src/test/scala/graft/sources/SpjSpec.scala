@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.pipeline.GraftPipeline.Config
+import graft.pipeline.{EncodeJob, SparkTestBase, TokenTables}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Storage-partitioned joins: with `spark.graft.binPartitionedScan=true`
+  * the scan plans one keyed task per bin and reports
+  * `graft_bin(doc_id, numBins, salt)` as its partitioning, so two
+  * same-layout graft tables loaded through the catalog equi-join on
+  * doc_id with ZERO exchange — the Iceberg bucket-SPJ pattern over the
+  * engine's salted-bin layout.
+  */
+class SpjSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestBase.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 64)
+
+  lazy val lhs = TokenTables.synthetic(spark, 500L, seed = 61L).cache()
+  // right side: same layout (numBins, salt), overlapping doc_ids, different content
+  lazy val rhs = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    lhs
+      .where(expr("cast(substring(doc_id, -10, 10) as long)") % 2 === 0)
+      .withColumn("tokens", expr("transform(tokens, t -> cast(t + 3 as int))"))
+      .withColumn("source", lit("rhs"))
+      .as[graft.pipeline.TokenRow]
+      .cache()
+  }
+
+  lazy val dirL: String = {
+    val d = Files.createTempDirectory("graft-spj-l").toString
+    EncodeJob.run(lhs, d, cfg); d
+  }
+  lazy val dirR: String = {
+    val d = Files.createTempDirectory("graft-spj-r").toString
+    EncodeJob.run(rhs, d, cfg); d
+  }
+
+  private def collectShuffles(p: SparkPlan): Seq[SparkPlan] = {
+    def rec(x: SparkPlan): Seq[SparkPlan] = x match {
+      case a: AdaptiveSparkPlanExec                                  => rec(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => rec(q.plan)
+      case s: ShuffleExchangeLike                                    => s +: s.children.flatMap(rec)
+      case other                                                     => other.children.flatMap(rec)
+    }
+    rec(p)
+  }
+
+  private def withSpjConfs[A](body: => A): A = {
+    val confs = Seq(
+      "spark.graft.binPartitionedScan" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("same-layout graft tables equi-join on doc_id with zero exchange") {
+    val joined = withSpjConfs {
+      val df = spark.sql(
+        s"""SELECT a.doc_id, a.n_tok AS ln, b.n_tok AS rn
+           |FROM graft.`$dirL` a JOIN graft.`$dirR` b ON a.doc_id = b.doc_id""".stripMargin
+      )
+      val rows = df.collect()
+      // correctness: exactly the overlapping ids, token counts preserved
+      assert(rows.length == rhs.count())
+      val wantN = lhs.collect().map(r => r.doc_id -> r.n_tok).toMap
+      rows.foreach { r =>
+        assert(r.getInt(1) == wantN(r.getString(0)) && r.getInt(2) == wantN(r.getString(0)))
+      }
+      df
+    }
+    val plan = joined.queryExecution.executedPlan
+    val shuffles = collectShuffles(plan)
+    assert(shuffles.isEmpty, s"expected a storage-partitioned join with zero exchanges, got:\n$plan")
+    assert(plan.toString.contains("SortMergeJoin") || plan.exists(_.isInstanceOf[SortMergeJoinExec]),
+      s"expected a sort-merge join over co-located bins:\n$plan")
+  }
+
+  test("keyed scan stays correct standalone and off by default") {
+    import spark.implicits._
+    // keyed planning alone (no join) must return the exact corpus
+    val keyed = withSpjConfs {
+      spark.sql(s"SELECT doc_id, n_tok FROM graft.`$dirL`").collect()
+    }
+    assert(keyed.length == lhs.count())
+    // default path unchanged: conf off -> per-file planning, same rows
+    val normal = spark.read.format("graft").load(dirL).select($"doc_id", $"n_tok").collect()
+    assert(normal.length == lhs.count())
+    assert(keyed.map(_.toString).sorted.toSeq == normal.map(_.toString).sorted.toSeq)
+  }
+}
