@@ -149,9 +149,17 @@ final class GraftCatalog
   ): org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
     val ns = ident.namespace()
     val ok = ns.isEmpty || (ns.length == 1 && ns(0).equalsIgnoreCase("system"))
-    if (!ok || ident.name().toLowerCase != "graft_bin")
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
-    GraftCatalog.graftBinFunction
+    if (!ok) throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    ident.name().toLowerCase match {
+      case "graft_bin" => GraftCatalog.graftBinFunction
+      // the storage-partitioned-join family: layout parameters ride in the
+      // name because catalyst only keeps single-column-child transforms
+      // (see GraftScan.outputPartitioning) — `graft_bin_<numBins>_<salt>`
+      case GraftCatalog.BinFamily(numBins, salt) =>
+        GraftCatalog.graftBinLayoutFunction(numBins.toInt, salt.toLong)
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
   }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
@@ -165,6 +173,49 @@ final class GraftCatalog
 }
 
 private object GraftCatalog {
+
+  /** Name pattern of the per-layout routing-function family used by
+    * storage-partitioned scans: `graft_bin_<numBins>_<salt>`.
+    */
+  private val BinFamily = "^graft_bin_(\\d+)_(-?\\d+)$".r
+
+  /** Single-argument face of the routing function, with the table layout
+    * (numBins, salt) baked into the function identity: this is the shape
+    * catalyst's KeyGroupedPartitioning accepts for storage-partitioned
+    * joins (one column-reference child), and the canonical name is the
+    * compatibility contract — two scans co-join with zero exchange iff
+    * their canonical names (hence layouts) are equal.
+    */
+  private def graftBinLayoutFunction(
+      numBins: Int,
+      salt: Long
+  ): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    new org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+      override def name(): String = s"graft_bin_${numBins}_$salt"
+      override def description(): String =
+        s"graft_bin_${numBins}_$salt(doc_id): pmod(xxhash64(doc_id, $salt), $numBins) — " +
+          "the writer's routing bin for this table layout"
+      override def bind(
+          inputType: StructType
+      ): org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+        require(
+          inputType.fields.length == 1,
+          s"graft_bin_${numBins}_$salt expects (doc_id string), got $inputType"
+        )
+        new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+          override def name(): String = s"graft_bin_${numBins}_$salt"
+          override def canonicalName(): String = s"graft.system.graft_bin($numBins,$salt)"
+          override def inputTypes(): Array[DataType] = Array(StringType)
+          override def resultType(): DataType = IntegerType
+          override def isResultNullable: Boolean = false
+          override def isDeterministic: Boolean = true
+          override def produceResult(input: InternalRow): Integer = {
+            require(!input.isNullAt(0), s"graft_bin_${numBins}_$salt: doc_id must not be null")
+            GraftDataSource.binOf(input.getUTF8String(0).toString, numBins, salt)
+          }
+        }
+      }
+    }
 
   /** `graft_bin(doc_id string, num_bins int, salt bigint) -> int` —
     * delegates to [[GraftDataSource.binOf]] (one hash, one identity). The

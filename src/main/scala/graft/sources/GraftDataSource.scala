@@ -683,10 +683,22 @@ private[sources] class GraftScan(
     else
       GraftScan.manifestIndex(path, hadoopConf).map(_.fileBins).filter(_.nonEmpty).flatMap {
         claims =>
-          val files = blockFiles
-            .map(_._1)
-            .filterNot(f => excludedAppendFiles.contains(GraftScan.nameOf(f)))
-          if (!files.forall(f => claims.contains(GraftScan.nameOf(f)))) None
+          val live = blockFiles
+            .filterNot { case (f, _) => excludedAppendFiles.contains(GraftScan.nameOf(f)) }
+          val (claimed, unclaimed) =
+            live.partition { case (f, _) => claims.contains(GraftScan.nameOf(f)) }
+          // a shuffle write task with no bins still commits a ZERO-ROW part
+          // file; no manifest row claims it, but it also holds nothing —
+          // verify by footer record count (cached, and bounded like every
+          // other driver-side footer pass) rather than give up on keyed
+          // planning. An unclaimed file WITH rows is genuinely outside the
+          // manifest (crashed claim) → fall back to per-file planning.
+          val files = claimed.map(_._1)
+          val emptiesOnly = unclaimed.length <= GraftScan.sessionFooterPruneCap &&
+            unclaimed.forall { case (f, len) =>
+              GraftScan.parquetRowCount(f, len, hadoopConf) == 0L
+            }
+          if (!emptiesOnly) None
           else {
             // ALL visible bins stay (no doc_id pruning here): the reported
             // partitioning must be stable, and the readers still apply the
@@ -707,13 +719,19 @@ private[sources] class GraftScan(
     keyedBinPartitions match {
       case Some(groups) =>
         import org.apache.spark.sql.connector.expressions.Expressions
+        // Catalyst only keeps a reported KeyGroupedPartitioning when every
+        // transform has exactly ONE child and it is a column reference
+        // (KeyGroupedPartitioning.supportsExpressions — the Iceberg
+        // bucket(col) shape; extra literal args disqualify the transform).
+        // So the layout parameters ride in the FUNCTION NAME instead:
+        // `graft_bin_<numBins>_<salt>(doc_id)`, a name family the catalog
+        // resolves ([[GraftCatalog.loadFunction]]) whose canonical name
+        // embeds the layout — two scans co-join iff numBins AND salt match.
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(
             Expressions.apply(
-              "graft_bin",
-              Expressions.column("doc_id"),
-              Expressions.literal(meta.numBins),
-              Expressions.literal(meta.salt)
+              s"graft_bin_${meta.numBins}_${meta.salt}",
+              Expressions.column("doc_id")
             )
           ),
           groups.length
@@ -1107,6 +1125,25 @@ private[sources] object GraftScan {
       } finally pool.shutdown()
     }
     files.map(f => footerCache((f._1, f._2)))
+  }
+
+  /** Exact record count from the parquet footer (sum of row-group counts).
+    * Used by the keyed planner to prove an unclaimed part file is the
+    * zero-row debris of an empty write task. Cached like the bin ranges —
+    * keyed by (path, length) so an overwritten file re-reads.
+    */
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap[(String, Long), Long]()
+
+  def parquetRowCount(file: String, len: Long, conf: Configuration): Long = {
+    if (rowCountCache.size > CacheCap) rowCountCache.clear()
+    rowCountCache.getOrElseUpdate(
+      (file, len), {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+        try r.getRecordCount
+        finally r.close()
+      }
+    )
   }
 
   private def readBinRange(file: String, conf: Configuration): Option[(Int, Int)] = {

@@ -62,6 +62,7 @@ class SpjSpec extends AnyFunSuite {
     val confs = Seq(
       "spark.graft.binPartitionedScan" -> "true",
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1"
     )
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -89,6 +90,64 @@ class SpjSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, s"expected a storage-partitioned join with zero exchanges, got:\n$plan")
     assert(plan.toString.contains("SortMergeJoin") || plan.exists(_.isInstanceOf[SortMergeJoinExec]),
       s"expected a sort-merge join over co-located bins:\n$plan")
+  }
+
+  test("different-layout tables fall back to a shuffled join, still correct") {
+    // a 4-bin right side: canonical function names differ (numBins is part
+    // of the identity), so SPJ must NOT fire — and results must not change
+    val dir4 = Files.createTempDirectory("graft-spj-r4").toString
+    EncodeJob.run(rhs, dir4, cfg.copy(numBins = 4))
+    val joined = withSpjConfs {
+      val df = spark.sql(
+        s"""SELECT a.doc_id, a.n_tok AS ln, b.n_tok AS rn
+           |FROM graft.`$dirL` a JOIN graft.`$dir4` b ON a.doc_id = b.doc_id""".stripMargin
+      )
+      assert(df.collect().length == rhs.count())
+      df
+    }
+    val shuffles = collectShuffles(joined.queryExecution.executedPlan)
+    assert(shuffles.nonEmpty, "layout-incompatible tables must be re-shuffled, not storage-partition-joined")
+  }
+
+  test("missing bins on one side co-join via pushed-down partition values") {
+    // a right side so small that some of the 8 bins are empty: partition
+    // values differ between the sides, which SPJ handles by pushing the
+    // merged value set into both scans (empty splits for the holes)
+    import spark.implicits._
+    val tiny = lhs.limit(5).as[graft.pipeline.TokenRow].cache()
+    val dirT = Files.createTempDirectory("graft-spj-tiny").toString
+    EncodeJob.run(tiny, dirT, cfg)
+    val joined = withSpjConfs {
+      val df = spark.sql(
+        s"""SELECT a.doc_id, a.n_tok AS ln, b.n_tok AS rn
+           |FROM graft.`$dirL` a JOIN graft.`$dirT` b ON a.doc_id = b.doc_id""".stripMargin
+      )
+      assert(df.collect().length == tiny.count())
+      df
+    }
+    val shuffles = collectShuffles(joined.queryExecution.executedPlan)
+    assert(shuffles.isEmpty,
+      s"expected partition-value pushdown to keep the join exchange-free:\n${joined.queryExecution.executedPlan}")
+  }
+
+  test("keyed scan applies live equality deletes (factory fallback path)") {
+    import spark.implicits._
+    // own dir: this test mutates it
+    val dirD = Files.createTempDirectory("graft-spj-del").toString
+    EncodeJob.run(lhs, dirD, cfg)
+    val victim = lhs.head().doc_id
+    graft.pipeline.Deletes.deleteDocs(spark, dirD, Seq(victim).toDS())
+    val (ids, joinedRows) = withSpjConfs {
+      val ids = spark.sql(s"SELECT doc_id FROM graft.`$dirD`").collect().map(_.getString(0))
+      // SPJ self-join: the deleted doc must be gone on BOTH sides
+      val j = spark.sql(
+        s"""SELECT a.doc_id FROM graft.`$dirD` a JOIN graft.`$dirD` b ON a.doc_id = b.doc_id"""
+      )
+      assert(collectShuffles(j.queryExecution.executedPlan).isEmpty)
+      (ids, j.collect().map(_.getString(0)))
+    }
+    assert(ids.length == lhs.count() - 1 && !ids.contains(victim))
+    assert(joinedRows.length == lhs.count() - 1 && !joinedRows.contains(victim))
   }
 
   test("keyed scan stays correct standalone and off by default") {
