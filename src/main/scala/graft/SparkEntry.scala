@@ -728,6 +728,54 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Storage-partitioned join under the oracle: two same-layout graft dirs
+    // (the shared scan dir × the merge-on-read DELETE dir) equi-join on
+    // doc_id through the catalog with keyed bin planning ON — Spark
+    // co-locates the bins and the join runs with ZERO join-side exchange
+    // (required below: one exchange total, the groupBy's). Runs on a CLONED
+    // session so the SPJ confs cannot leak into other queries' plans. The
+    // oracle recomputes the join's semantics directly: the delete dir holds
+    // exactly the docs with id % 13 != 5, so the join is a semijoin against
+    // that rule.
+    "q_spj_join" -> ((s, dir) => {
+      val out = graftScanDir(s, dir)
+      val del = graftDeletedDir(s, dir, purge = false)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+      s2.conf.set("spark.graft.binPartitionedScan", "true")
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = s2.sql(
+        s"""SELECT a.source, count(1) AS n_docs, CAST(sum(a.n_tok) AS BIGINT) AS total_toks
+           |FROM graft.`$out` a JOIN graft.`$del` b ON a.doc_id = b.doc_id
+           |GROUP BY a.source ORDER BY a.source""".stripMargin
+      )
+      // prove SPJ engaged (don't let a silent fallback pass as green): the
+      // only exchanges allowed are the aggregate's, never the join's
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec        => shuffles(q.plan)
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          val below = e.children.map(shuffles).sum
+          (e.outputPartitioning match {
+            // the groupBy/sort exchanges hash on source — those are fine
+            case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+                if h.expressions.forall(_.references.forall(_.name != "doc_id")) => 0
+            case _: org.apache.spark.sql.catalyst.plans.physical.RangePartitioning => 0
+            case _ => 1
+          }) + below
+        case other => other.children.map(shuffles).sum
+      }
+      val joinShuffles = shuffles(df.queryExecution.executedPlan)
+      require(
+        joinShuffles == 0,
+        s"q_spj_join: expected a storage-partitioned join (no doc_id exchange), found $joinShuffles:\n" +
+          df.queryExecution.executedPlan
+      )
+      df
+    }),
+
     // Maintenance layer under the oracle: the corpus is scattered across
     // small block files, compacted (atomic marker commit) and vacuumed
     // (originals physically deleted) BEFORE this point read — values must
@@ -1302,6 +1350,13 @@ object SparkEntry {
          |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
          |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok)
          |WHERE n_tok = 22
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_spj_join" ->
+      s"""$CTE
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
+         |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok)
+         |WHERE doc_id % 13 <> 5
          |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_compact_scan" ->

@@ -130,6 +130,36 @@ class SpjSpec extends AnyFunSuite {
       s"expected partition-value pushdown to keep the join exchange-free:\n${joined.queryExecution.executedPlan}")
   }
 
+  test("plain-side shuffle: graft join a plain table moves only the plain side") {
+    // with spark.sql.sources.v2.bucketing.shuffle.enabled, Spark evaluates
+    // the catalog-bound graft_bin_<numBins>_<salt> per row to repartition
+    // the NON-graft side into the graft table's bins — the corpus itself
+    // never shuffles. At 100 TB this is the "join the corpus with a fresh
+    // allowlist/labels table" shape: shuffle gigabytes, not the 100 TB.
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val dim = lhs.select($"doc_id").where(expr("cast(substring(doc_id, -10, 10) as long)") % 3 === 0)
+    dim.createOrReplaceTempView("spj_dim")
+    val joined = withSpjConfs {
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      try {
+        val df = spark.sql(
+          s"""SELECT a.doc_id, a.n_tok
+             |FROM graft.`$dirL` a JOIN spj_dim b ON a.doc_id = b.doc_id""".stripMargin
+        )
+        assert(df.collect().length == dim.count())
+        df
+      } finally spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    }
+    val shuffles = collectShuffles(joined.queryExecution.executedPlan)
+    assert(shuffles.length == 1, s"expected exactly the plain side to shuffle:\n${joined.queryExecution.executedPlan}")
+    assert(
+      shuffles.head.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.KeyGroupedPartitioning],
+      s"the plain side must be repartitioned into the graft table's bins, got ${shuffles.head.outputPartitioning}"
+    )
+  }
+
   test("keyed scan applies live equality deletes (factory fallback path)") {
     import spark.implicits._
     // own dir: this test mutates it
