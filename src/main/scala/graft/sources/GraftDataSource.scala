@@ -15,8 +15,8 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData, XXH64}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate
@@ -1480,7 +1480,7 @@ private[sources] class GraftPartitionReader(
       if (needNToks) CodecSelector.decodeIntColumn(stringOf(g, "n_toks_codec"), bytesOf(g, "n_toks_payload"), nRows)
       else null
 
-    val tokensByRow: Int => Array[Int] =
+    val tokensByRow: Int => org.apache.spark.sql.catalyst.util.ArrayData =
       if (!needTokens) null
       else {
         val payload = bytesOf(g, "payload")
@@ -1508,7 +1508,11 @@ private[sources] class GraftPartitionReader(
           while (i < nRows) { startBit(i) = acc; acc += rowBits(i); i += 1 }
           (r: Int) => {
             tokenValuesDecoded += nToks(r)
-            codec.decodeRow(new BitReader(payload, startBit(r)), nToks(r))
+            // UnsafeArrayData over the decoded primitives: GenericArrayData
+            // would box every token (an Object[] of Integers) — at a full
+            // scan's 10^8-token scale the boxing dominates row materialization
+            UnsafeArrayData.fromPrimitiveArray(
+              codec.decodeRow(new BitReader(payload, startBit(r)), nToks(r)))
           }
         } else {
           // full-block decode (dense hits or lightweight codec), sliced per row
@@ -1528,7 +1532,16 @@ private[sources] class GraftPartitionReader(
             } else CodecSelector.decoderFor(GraftPipeline.codecId(codecName), Some(hybrid))
           val values = codec.decode(reader, off, rowOffsets)
           tokenValuesDecoded += off
-          (r: Int) => java.util.Arrays.copyOfRange(values, rowOffsets(r), rowOffsets(r + 1))
+          // slice straight out of the decoded block buffer into unsafe bytes:
+          // no per-row copyOfRange, no boxing (GenericArrayData would box
+          // every token). toIntExact guards the byte-offset math — a block
+          // would need >512M values to overflow, far past maxBlockValues.
+          (r: Int) =>
+            UnsafeArrayData.fromPrimitiveArray(
+              values,
+              Math.toIntExact(Platform.INT_ARRAY_OFFSET + 4L * rowOffsets(r)),
+              nToks(r),
+              4)
         }
       }
 
@@ -1539,7 +1552,7 @@ private[sources] class GraftPartitionReader(
       while (i < fields.length) {
         fields(i) match {
           case "doc_id" => out.update(i, UTF8String.fromString(docIds(r)))
-          case "tokens" => out.update(i, new GenericArrayData(tokensByRow(r)))
+          case "tokens" => out.update(i, tokensByRow(r))
           case "n_tok"  => out.setInt(i, nToks(r))
           case "source" => out.update(i, UTF8String.fromString(sources(r)))
           case "_bin"   => out.setInt(i, g.getInteger("bin", 0)) // metadata column

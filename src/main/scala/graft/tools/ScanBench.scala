@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.Bench
+import graft.pipeline.{GraftPipeline, TokenRow, TokenTables}
+import org.apache.spark.sql.functions._
+
+/** Focused DSv2 scan micro-benchmark (dev tool): isolates the read-path
+  * cost of `spark.read.format("graft")` so scan-side changes (row
+  * materialization, pruning, decode kernels) can be measured in seconds,
+  * not via a full ~15-min Bench run. Reuses Bench's persisted synthetic
+  * corpus + encode dir (same keying: rows, block FormatVersion, table
+  * hash), so a prior Bench run makes this start instantly.
+  *
+  * Usage: runMain graft.tools.ScanBench [synthRows] [reps] [cores]
+  * Rows:
+  *   scan_size  — agg(sum(size(tokens))): materialization-dominated (array
+  *                headers touched, elements not)
+  *   scan_sum   — sum over every token element via functions.aggregate:
+  *                element-access-dominated
+  *   scan_meta  — agg(sum(n_tok)): metadata-only (pruning floor)
+  */
+object ScanBench {
+  def main(args: Array[String]): Unit = {
+    val synthRows = if (args.nonEmpty) args(0).toLong else 3000000L
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val cores = if (args.length > 2) args(2).toInt else 32
+    val cfg = GraftPipeline.Config(numContexts = 64, numBins = 512)
+    val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
+    val synthPath = s"$base/graft_bench_synth_$synthRows"
+
+    val spark = Bench.session(cores)
+    import spark.implicits._
+    try {
+      if (!new java.io.File(synthPath + "/_SUCCESS").exists())
+        TokenTables.synthetic(spark, synthRows).write.mode("overwrite").parquet(synthPath)
+      val input = spark.read.parquet(synthPath).as[TokenRow]
+      val hist = GraftPipeline.analyze(input, cfg)
+      val tables = spark.sparkContext.broadcast(GraftPipeline.buildTables(hist, cfg))
+      val encDir =
+        s"$base/graft_bench_enc_${synthRows}_v${graft.pipeline.EncodeJob.FormatVersion}_h${tables.value.tableHash}"
+      if (!new java.io.File(encDir + "/blocks/_SUCCESS").exists()) {
+        graft.pipeline.EncodeJob
+          .saveTables(spark, encDir, tables.value, cfg.contextModel, layout = Some(cfg))
+        GraftPipeline.encode(input, tables, cfg).write.mode("overwrite").parquet(s"$encDir/blocks")
+      }
+      if (!new java.io.File(encDir + "/_manifest").exists())
+        graft.pipeline.EncodeJob
+          .appendManifest(spark, encDir, (0 until cfg.numBins).toSet, snapshotId = 0L)
+
+      def scan = spark.read.format("graft").load(encDir)
+      val expected = input.select(sum(size($"tokens"))).collect()(0).getLong(0)
+      // warmup both shapes
+      scan.agg(sum(size($"tokens"))).collect()
+      scan.select(expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("s")).agg(sum($"s")).collect()
+
+      def rep(name: String)(q: => Long): Unit = {
+        val times = (1 to reps).map { _ =>
+          val (v, t) = Bench.time(q)
+          require(name == "scan_sum" || v == expected, s"$name returned $v, expected $expected")
+          t
+        }
+        println(f"SCANBENCH $name%-10s best=${times.min}%7.3f s  median=${times.sorted.apply(reps / 2)}%7.3f s  (${times.map(t => f"$t%.3f").mkString(", ")})")
+      }
+      rep("scan_size")(scan.agg(sum(size($"tokens"))).collect()(0).getLong(0))
+      rep("scan_sum")(
+        scan.select(expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("s"))
+          .agg(sum($"s")).collect()(0).getLong(0))
+      rep("scan_meta")(scan.agg(sum($"n_tok")).collect()(0).getLong(0))
+    } finally spark.stop()
+  }
+}
