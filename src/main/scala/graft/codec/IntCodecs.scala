@@ -560,6 +560,13 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
     out
   }
 
+  /** Random-access row decode into a caller-owned buffer at `off` — lets a
+    * reader concatenate sparse point-read rows into one contiguous block
+    * buffer without a per-row intermediate array.
+    */
+  def decodeRow(r: BitReader, nTok: Int, out: Array[Int], off: Int): Unit =
+    decodeRowInto(r, out, off, off + nTok)
+
   /** Decode while measuring per-context bit usage via bit-position deltas
     * (the reference StatsDecoder approach, /root/reference/src/graphs/
     * stats.rs:45-151). `counts`/`codeBits`/`rawBits` are per-context

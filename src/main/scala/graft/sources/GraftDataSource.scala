@@ -859,7 +859,10 @@ private[sources] class GraftScan(
       // planned without overrides and fall back to these
       deleteFiles =
         if (deleteState.isEmpty) Array.empty
-        else deleteState.live.map(d => (s"$path/_deletes/${d.name}", d.snapshotId)).toArray
+        else deleteState.live.map(d => (s"$path/_deletes/${d.name}", d.snapshotId)).toArray,
+      columnar = SparkSession.active.conf
+        .getOption("spark.graft.columnarScan")
+        .forall(_.toBoolean)
     )
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -1243,19 +1246,32 @@ private[sources] final case class GraftReaderFactory(
     /** Live delete files as (path, commit snapshot id) — the snapshot
       * drives per-partition sequence scoping in the readers.
       */
-    deleteFiles: Array[(String, Long)] = Array.empty
+    deleteFiles: Array[(String, Long)] = Array.empty,
+    /** Emit ColumnarBatches of zero-copy vectors over the decoded blocks
+      * (the default); `spark.graft.columnarScan=false` at planning time
+      * falls back to the row-shaped reader. Pushed metadata aggregates are
+      * always row-shaped (one partial row per file — nothing to vectorize).
+      */
+    columnar: Boolean = true
 ) extends PartitionReaderFactory {
+
+  /** The most restrictive correct (bins, docs) for a partition: a
+    * partition-level bin set (streaming delta / batch point read)
+    * intersects the factory's (snapshot option); either alone applies
+    * as-is. Same for the doc_id restriction: the partition carries the
+    * post-runtime-filter slice, the factory the planning-time snapshot.
+    */
+  private def effectiveSets(p: GraftInputPartition): (Option[Set[Int]], Option[Set[String]]) = (
+    GraftDataSource.intersectOpt(p.binsOverride.map(_.toSet), visibleBins.map(_.toSet)),
+    GraftDataSource.intersectOpt(p.docIdsOverride.map(_.toSet), docIdFilter)
+  )
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && aggKinds.isEmpty
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    // a partition-level bin set (streaming delta / batch point read)
-    // intersects the factory's (snapshot option); either alone applies
-    // as-is. Same for the doc_id restriction: the partition carries the
-    // post-runtime-filter slice, the factory the planning-time snapshot —
-    // the intersection is always the most restrictive correct set.
-    val bins =
-      GraftDataSource.intersectOpt(p.binsOverride.map(_.toSet), visibleBins.map(_.toSet))
-    val docs =
-      GraftDataSource.intersectOpt(p.docIdsOverride.map(_.toSet), docIdFilter)
+    val (bins, docs) = effectiveSets(p)
     aggKinds match {
       case Some(kinds) =>
         // tripwire: the builder disables aggregate pushdown under live
@@ -1268,6 +1284,15 @@ private[sources] final case class GraftReaderFactory(
       case None =>
         new GraftPartitionReader(p.file, this, bins, docs, p.deletedIdsOverride, p.fileCommitSnap)
     }
+  }
+
+  override def createColumnarReader(
+      partition: InputPartition
+  ): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    require(aggKinds.isEmpty, "internal error: columnar reader planned for a pushed aggregate")
+    val (bins, docs) = effectiveSets(p)
+    new GraftColumnarReader(p.file, this, bins, docs, p.deletedIdsOverride, p.fileCommitSnap)
   }
 }
 
@@ -1327,21 +1352,40 @@ private[sources] class GraftAggReader(
   )
 }
 
-/** Executor-side reader for one blocks parquet file. Projects the parquet
-  * scan down to the block columns the query needs (the entropy `payload`
-  * column is only materialized when `tokens` is required), pushes the bin
-  * predicate into parquet (row-group stats + record-level filtering), and
-  * decodes hit rows — via the per-row bit index for sparse doc_id hits on
-  * hybrid blocks, full-block decode otherwise.
+/** One decoded, filter-applied block: the surviving row indices plus the
+  * column arrays both reader shapes (row and columnar) materialize from.
+  * `tokenValues` is a single contiguous buffer — the full block decode in
+  * dense mode, the concatenated hit rows in sparse point-read mode — with
+  * `tokenStarts(j)` the start of hit `j`'s slice (its length is
+  * `nToks(hits(j))`). Column arrays are null when the query doesn't need
+  * them.
   */
-private[sources] class GraftPartitionReader(
+private[sources] final class DecodedBlock(
+    val bin: Int,
+    val hits: Array[Int],
+    val docIds: Array[String],
+    val sources: Array[String],
+    val nToks: Array[Int],
+    val tokenValues: Array[Int],
+    val tokenStarts: Array[Int]
+)
+
+/** Executor-side block reader for one blocks parquet file — the shared
+  * engine under both the row and the columnar [[PartitionReader]]s. Projects
+  * the parquet scan down to the block columns the query needs (the entropy
+  * `payload` column is only materialized when `tokens` is required), pushes
+  * the bin predicate into parquet (row-group stats + record-level
+  * filtering), and decodes hit rows — via the per-row bit index for sparse
+  * doc_id hits on hybrid blocks, full-block decode otherwise.
+  */
+private[sources] abstract class GraftBlockReaderBase(
     file: String,
     f: GraftReaderFactory,
     visibleBins: Option[Set[Int]],
     docFilter: Option[Set[String]],
-    inlineDeleted: Option[Array[String]] = None,
-    fileCommitSnap: Long = -1L
-) extends PartitionReader[InternalRow] {
+    inlineDeleted: Option[Array[String]],
+    fileCommitSnap: Long
+) {
 
   /** Delete files that APPLY to this partition's data file under sequence
     * scoping: only those committed after the file itself.
@@ -1389,9 +1433,9 @@ private[sources] class GraftPartitionReader(
   private lazy val model = ContextModel(f.contextModel, f.numContexts)
   private lazy val hybrid = new HybridCodec(tables, model)
 
-  private var blocksDecoded = 0L
-  private var tokenValuesDecoded = 0L
-  private var rowsEmitted = 0L
+  protected var blocksDecoded = 0L
+  protected var tokenValuesDecoded = 0L
+  protected var rowsEmitted = 0L
 
   private val reader: ParquetReader[Group] = {
     // project the parquet scan down to the needed block columns
@@ -1413,26 +1457,30 @@ private[sources] class GraftPartitionReader(
     GraftPartitionReader.openProjected(file, f.conf, wanted.toSet, parquetBins)
   }
 
-  private var current: Iterator[InternalRow] = Iterator.empty
-  private var row: InternalRow = _
   private var exhausted = false
 
-  override def next(): Boolean = {
-    // per-partition limit: stop opening/decoding blocks once satisfied
-    // (Spark applies the global LIMIT above the scan)
-    if (f.limit.exists(rowsEmitted >= _)) return false
-    while (!current.hasNext && !exhausted) {
+  /** Read forward to the next block with surviving rows; null when the file
+    * is exhausted. Honors the per-partition limit (stop opening/decoding
+    * blocks once satisfied — Spark applies the global LIMIT above the scan).
+    */
+  protected final def readBlock(): DecodedBlock = {
+    if (f.limit.exists(rowsEmitted >= _)) return null
+    while (!exhausted) {
       val g = reader.read()
-      if (g == null) exhausted = true else current = decodeBlock(g)
+      if (g == null) exhausted = true
+      else {
+        val blk = decodeBlockData(g)
+        if (blk != null) return blk
+      }
     }
-    if (current.hasNext) { row = current.next(); rowsEmitted += 1; true } else false
+    null
   }
 
-  override def get(): InternalRow = row
+  def close(): Unit = reader.close()
 
-  override def close(): Unit = reader.close()
-
-  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+  // PartitionReader.currentMetricsValues is a Java default method, so the
+  // concrete readers override it explicitly and delegate here
+  protected final def metricsValues(): Array[CustomTaskMetric] = Array(
     GraftTaskMetric(GraftMetrics.BlocksDecoded, blocksDecoded),
     GraftTaskMetric(GraftMetrics.TokenValuesDecoded, tokenValuesDecoded),
     GraftTaskMetric(GraftMetrics.RowsEmitted, rowsEmitted)
@@ -1443,10 +1491,11 @@ private[sources] class GraftPartitionReader(
   private def stringOf(g: Group, field: String): String =
     g.getString(field, 0)
 
-  private def decodeBlock(g: Group): Iterator[InternalRow] = {
+  private def decodeBlockData(g: Group): DecodedBlock = {
     // exact snapshot visibility: only bins committed by the requested
     // snapshot's lineage exist for this scan
-    if (!visibleBins.forall(_.contains(g.getInteger("bin", 0)))) return Iterator.empty
+    val bin = g.getInteger("bin", 0)
+    if (!visibleBins.forall(_.contains(bin))) return null
     blocksDecoded += 1
     val nRows = g.getInteger("n_rows", 0)
     val codecName = stringOf(g, "codec")
@@ -1474,95 +1523,276 @@ private[sources] class GraftPartitionReader(
       }
       b.result()
     }
-    if (hits.isEmpty) return Iterator.empty
+    if (hits.isEmpty) return null
 
     val nToks: Array[Int] =
       if (needNToks) CodecSelector.decodeIntColumn(stringOf(g, "n_toks_codec"), bytesOf(g, "n_toks_payload"), nRows)
       else null
 
-    val tokensByRow: Int => org.apache.spark.sql.catalyst.util.ArrayData =
-      if (!needTokens) null
-      else {
-        val payload = bytesOf(g, "payload")
-        val rowBitsCodec = stringOf(g, "row_bits_codec")
-        val embedded = g.getBoolean("embedded_tables", 0)
-        def checkTableHash(): Unit = require(
-          g.getLong("table_hash", 0) == tables.tableHash,
-          s"block written with tables ${g.getLong("table_hash", 0)}, reader has ${tables.tableHash}"
-        )
-        val sparse = hits.length * 4 < nRows // point-seek pays off on sparse hits
-        if (codecName == "hybrid" && rowBitsCodec != "none" && sparse) {
-          // random-access path: prefix-sum the per-row bit index, seek per hit
-          checkTableHash()
-          val (codec, dataStart) =
+    var tokenValues: Array[Int] = null
+    var tokenStarts: Array[Int] = null
+    if (needTokens) {
+      val payload = bytesOf(g, "payload")
+      val rowBitsCodec = stringOf(g, "row_bits_codec")
+      val embedded = g.getBoolean("embedded_tables", 0)
+      def checkTableHash(): Unit = require(
+        g.getLong("table_hash", 0) == tables.tableHash,
+        s"block written with tables ${g.getLong("table_hash", 0)}, reader has ${tables.tableHash}"
+      )
+      tokenStarts = new Array[Int](hits.length)
+      val sparse = hits.length * 4 < nRows // point-seek pays off on sparse hits
+      if (codecName == "hybrid" && rowBitsCodec != "none" && sparse) {
+        // random-access path: prefix-sum the per-row bit index, seek per
+        // hit, decoding each hit row straight into one contiguous buffer
+        checkTableHash()
+        val (codec, dataStart) =
+          if (embedded) {
+            val head = new BitReader(payload)
+            val parsed = Huffman.readHeader(head, tables.maxBits, tables.numContexts)
+            (new HybridCodec(parsed, model), head.bitPos)
+          } else (hybrid, 0L)
+        val rowBits =
+          CodecSelector.decodeIntColumn(rowBitsCodec, bytesOf(g, "row_bits_payload"), nRows)
+        val startBit = new Array[Long](nRows)
+        var acc = dataStart
+        var i = 0
+        while (i < nRows) { startBit(i) = acc; acc += rowBits(i); i += 1 }
+        var total = 0
+        i = 0
+        while (i < hits.length) { total += nToks(hits(i)); i += 1 }
+        tokenValues = new Array[Int](total)
+        var off = 0
+        i = 0
+        while (i < hits.length) {
+          val r = hits(i)
+          tokenStarts(i) = off
+          codec.decodeRow(new BitReader(payload, startBit(r)), nToks(r), tokenValues, off)
+          off += nToks(r)
+          i += 1
+        }
+        tokenValuesDecoded += total
+      } else {
+        // full-block decode (dense hits or lightweight codec); hit rows are
+        // zero-copy slices of the block buffer
+        val rowOffsets = new Array[Int](nRows + 1)
+        var off = 0
+        var i = 0
+        while (i < nRows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
+        rowOffsets(nRows) = off
+        val reader = new BitReader(payload)
+        val codec =
+          if (codecName == "hybrid") {
+            checkTableHash()
             if (embedded) {
-              val head = new BitReader(payload)
-              val parsed = Huffman.readHeader(head, tables.maxBits, tables.numContexts)
-              (new HybridCodec(parsed, model), head.bitPos)
-            } else (hybrid, 0L)
-          val rowBits =
-            CodecSelector.decodeIntColumn(rowBitsCodec, bytesOf(g, "row_bits_payload"), nRows)
-          val startBit = new Array[Long](nRows)
-          var acc = dataStart
-          var i = 0
-          while (i < nRows) { startBit(i) = acc; acc += rowBits(i); i += 1 }
-          (r: Int) => {
-            tokenValuesDecoded += nToks(r)
-            // UnsafeArrayData over the decoded primitives: GenericArrayData
-            // would box every token (an Object[] of Integers) — at a full
-            // scan's 10^8-token scale the boxing dominates row materialization
-            UnsafeArrayData.fromPrimitiveArray(
-              codec.decodeRow(new BitReader(payload, startBit(r)), nToks(r)))
-          }
-        } else {
-          // full-block decode (dense hits or lightweight codec), sliced per row
-          val rowOffsets = new Array[Int](nRows + 1)
-          var off = 0
-          var i = 0
-          while (i < nRows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
-          rowOffsets(nRows) = off
-          val reader = new BitReader(payload)
-          val codec =
-            if (codecName == "hybrid") {
-              checkTableHash()
-              if (embedded) {
-                val parsed = Huffman.readHeader(reader, tables.maxBits, tables.numContexts)
-                new HybridCodec(parsed, model)
-              } else hybrid
-            } else CodecSelector.decoderFor(GraftPipeline.codecId(codecName), Some(hybrid))
-          val values = codec.decode(reader, off, rowOffsets)
-          tokenValuesDecoded += off
-          // slice straight out of the decoded block buffer into unsafe bytes:
-          // no per-row copyOfRange, no boxing (GenericArrayData would box
-          // every token). toIntExact guards the byte-offset math — a block
-          // would need >512M values to overflow, far past maxBlockValues.
-          (r: Int) =>
-            UnsafeArrayData.fromPrimitiveArray(
-              values,
-              Math.toIntExact(Platform.INT_ARRAY_OFFSET + 4L * rowOffsets(r)),
-              nToks(r),
-              4)
-        }
+              val parsed = Huffman.readHeader(reader, tables.maxBits, tables.numContexts)
+              new HybridCodec(parsed, model)
+            } else hybrid
+          } else CodecSelector.decoderFor(GraftPipeline.codecId(codecName), Some(hybrid))
+        tokenValues = codec.decode(reader, off, rowOffsets)
+        tokenValuesDecoded += off
+        var j = 0
+        while (j < hits.length) { tokenStarts(j) = rowOffsets(hits(j)); j += 1 }
       }
-
-    val fields = f.requiredFields
-    hits.iterator.map { r =>
-      val out = new GenericInternalRow(fields.length)
-      var i = 0
-      while (i < fields.length) {
-        fields(i) match {
-          case "doc_id" => out.update(i, UTF8String.fromString(docIds(r)))
-          case "tokens" => out.update(i, tokensByRow(r))
-          case "n_tok"  => out.setInt(i, nToks(r))
-          case "source" => out.update(i, UTF8String.fromString(sources(r)))
-          case "_bin"   => out.setInt(i, g.getInteger("bin", 0)) // metadata column
-          case other    => throw new IllegalArgumentException(s"unknown column $other")
-        }
-        i += 1
-      }
-      out: InternalRow
     }
+
+    new DecodedBlock(bin, hits, docIds, sources, nToks, tokenValues, tokenStarts)
   }
+}
+
+/** Row-shaped reader: materializes each surviving row as an InternalRow.
+  * Kept for pushed-aggregate scans and as the `spark.graft.columnarScan=
+  * false` escape hatch; the columnar reader below is the default fast path.
+  */
+private[sources] class GraftPartitionReader(
+    file: String,
+    f: GraftReaderFactory,
+    visibleBins: Option[Set[Int]],
+    docFilter: Option[Set[String]],
+    inlineDeleted: Option[Array[String]] = None,
+    fileCommitSnap: Long = -1L
+) extends GraftBlockReaderBase(file, f, visibleBins, docFilter, inlineDeleted, fileCommitSnap)
+    with PartitionReader[InternalRow] {
+
+  private var blk: DecodedBlock = null
+  private var j = 0
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (f.limit.exists(rowsEmitted >= _)) return false
+    while (blk == null || j >= blk.hits.length) {
+      blk = readBlock()
+      j = 0
+      if (blk == null) return false
+    }
+    row = materialize(blk, j)
+    j += 1
+    rowsEmitted += 1
+    true
+  }
+
+  override def get(): InternalRow = row
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = metricsValues()
+
+  private def materialize(b: DecodedBlock, j: Int): InternalRow = {
+    val r = b.hits(j)
+    val fields = f.requiredFields
+    val out = new GenericInternalRow(fields.length)
+    var i = 0
+    while (i < fields.length) {
+      fields(i) match {
+        case "doc_id" => out.update(i, UTF8String.fromString(b.docIds(r)))
+        case "tokens" =>
+          // UnsafeArrayData sliced straight out of the decoded block buffer:
+          // no per-row copyOfRange, no boxing (GenericArrayData would box
+          // every token — at a full scan's 10^8-token scale the boxing
+          // dominates row materialization). toIntExact guards the byte-
+          // offset math — a block would need >512M values to overflow, far
+          // past maxBlockValues.
+          out.update(
+            i,
+            UnsafeArrayData.fromPrimitiveArray(
+              b.tokenValues,
+              Math.toIntExact(Platform.INT_ARRAY_OFFSET + 4L * b.tokenStarts(j)),
+              b.nToks(r),
+              4)
+          )
+        case "n_tok"  => out.setInt(i, b.nToks(r))
+        case "source" => out.update(i, UTF8String.fromString(b.sources(r)))
+        case "_bin"   => out.setInt(i, b.bin) // metadata column
+        case other    => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** Columnar reader: one [[ColumnarBatch]] per decoded block, with every
+  * column a ZERO-COPY [[ColumnVector]] view over the [[DecodedBlock]]'s
+  * arrays — the `tokens` child vector IS the decoded block buffer, and
+  * Spark's codegen'd ColumnarToRow (or any vector-aware operator above)
+  * reads elements straight out of it. Row materialization — the dominant
+  * cost of a full decode scan after the entropy kernel — disappears from
+  * the scan entirely: `sum(size(tokens))` never touches elements, and
+  * element access is an int-array load. Block caps (maxBlockValues ≈ 256k
+  * tokens) keep each batch ~1 MB.
+  */
+private[sources] class GraftColumnarReader(
+    file: String,
+    f: GraftReaderFactory,
+    visibleBins: Option[Set[Int]],
+    docFilter: Option[Set[String]],
+    inlineDeleted: Option[Array[String]] = None,
+    fileCommitSnap: Long = -1L
+) extends GraftBlockReaderBase(file, f, visibleBins, docFilter, inlineDeleted, fileCommitSnap)
+    with PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    val blk = readBlock() // also enforces the pushed per-partition limit
+    if (blk == null) return false
+    val nHits = blk.hits.length
+    // truncate the final batch under a pushed limit (LIMIT without ORDER BY
+    // is any-N-rows; Spark's global limit sits above the scan regardless)
+    val nOut =
+      f.limit.map(l => math.min(nHits.toLong, l - rowsEmitted).toInt).getOrElse(nHits)
+    val cols: Array[ColumnVector] = f.requiredFields.map {
+      case "doc_id" => new GraftStringVector(blk.docIds, blk.hits)
+      case "tokens" =>
+        new GraftTokenArrayVector(
+          new GraftIntsVector(blk.tokenValues),
+          blk.tokenStarts,
+          blk.nToks,
+          blk.hits)
+      case "n_tok"  => new GraftHitIntVector(blk.nToks, blk.hits)
+      case "source" => new GraftStringVector(blk.sources, blk.hits)
+      case "_bin"   => new GraftConstIntVector(blk.bin)
+      case other    => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    batch = new ColumnarBatch(cols, nOut)
+    rowsEmitted += nOut
+    true
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = metricsValues()
+}
+
+/** Base for the scan's read-only, null-free column vectors: views over the
+  * decoded block arrays (no copies, no `close` work — the arrays are plain
+  * heap objects owned by the batch). Only the accessors a graft column can
+  * be asked for are implemented; the rest fail loudly.
+  */
+private[sources] abstract class GraftVector(dt: DataType)
+    extends org.apache.spark.sql.vectorized.ColumnVector(dt) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  protected def unsupported: Nothing =
+    throw new UnsupportedOperationException(s"${getClass.getName}: $dataType")
+  override def getBoolean(i: Int): Boolean = unsupported
+  override def getByte(i: Int): Byte = unsupported
+  override def getShort(i: Int): Short = unsupported
+  override def getInt(i: Int): Int = unsupported
+  override def getLong(i: Int): Long = unsupported
+  override def getFloat(i: Int): Float = unsupported
+  override def getDouble(i: Int): Double = unsupported
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray = unsupported
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap = unsupported
+  override def getDecimal(i: Int, precision: Int, scale: Int): Decimal = unsupported
+  override def getUTF8String(i: Int): UTF8String = unsupported
+  override def getBinary(i: Int): Array[Byte] = unsupported
+  override def getChild(i: Int): org.apache.spark.sql.vectorized.ColumnVector = unsupported
+}
+
+/** The `tokens` element vector: a direct view over the contiguous decoded
+  * block buffer (indexed by flat element position, not batch row).
+  */
+private[sources] final class GraftIntsVector(vals: Array[Int]) extends GraftVector(IntegerType) {
+  override def getInt(i: Int): Int = vals(i)
+  // bulk extraction (ColumnarArray.toIntArray and friends): one arraycopy
+  // instead of the default per-element loop
+  override def getInts(start: Int, count: Int): Array[Int] = {
+    val out = new Array[Int](count)
+    System.arraycopy(vals, start, out, 0, count)
+    out
+  }
+}
+
+/** An int column subject to the block's hit filter (`n_tok`). */
+private[sources] final class GraftHitIntVector(vals: Array[Int], hits: Array[Int])
+    extends GraftVector(IntegerType) {
+  override def getInt(i: Int): Int = vals(hits(i))
+}
+
+/** The `_bin` metadata column: constant within one block's batch. */
+private[sources] final class GraftConstIntVector(v: Int) extends GraftVector(IntegerType) {
+  override def getInt(i: Int): Int = v
+}
+
+/** A string column subject to the hit filter (`doc_id`, `source`). */
+private[sources] final class GraftStringVector(vals: Array[String], hits: Array[Int])
+    extends GraftVector(StringType) {
+  override def getUTF8String(i: Int): UTF8String = UTF8String.fromString(vals(hits(i)))
+}
+
+/** The `tokens` array column: batch row `i` is the slice
+  * [starts(i), starts(i) + nToks(hits(i))) of the shared element vector.
+  */
+private[sources] final class GraftTokenArrayVector(
+    child: GraftIntsVector,
+    starts: Array[Int],
+    nToks: Array[Int],
+    hits: Array[Int]
+) extends GraftVector(ArrayType(IntegerType, containsNull = false)) {
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    new org.apache.spark.sql.vectorized.ColumnarArray(child, starts(i), nToks(hits(i)))
+  override def getChild(i: Int): org.apache.spark.sql.vectorized.ColumnVector = child
 }
 
 /** Offset = highest EncodeJob snapshot id whose bins this stream has

@@ -530,4 +530,42 @@ class GraftSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("columnar scan is the default, carries metrics, and matches the row reader exactly") {
+    import spark.implicits._
+    // no orderBy here: a global sort's range-partitioner SAMPLING pass
+    // executes the scan a second time and doubles the rows-emitted metric
+    val df = spark.read.format("graft").load(dirA)
+    val colRows = df.collect().sortBy(_.getAs[String]("doc_id"))
+    val scan = findScan(df.queryExecution.executedPlan)
+    assert(scan.supportsColumnar, "default graft scan should emit ColumnarBatches")
+    // DSv2 custom metrics must flow through the columnar reader too
+    assert(metric(scan, GraftMetrics.RowsEmitted) == input.count())
+    assert(metric(scan, GraftMetrics.TokenValuesDecoded) > 0L)
+
+    // escape hatch: row-shaped reader, byte-identical results
+    spark.conf.set("spark.graft.columnarScan", "false")
+    try {
+      val rowDf = spark.read.format("graft").load(dirA)
+      val rowRows = rowDf.collect().sortBy(_.getAs[String]("doc_id"))
+      assert(!findScan(rowDf.queryExecution.executedPlan).supportsColumnar)
+      assert(colRows.toSeq == rowRows.toSeq)
+    } finally spark.conf.unset("spark.graft.columnarScan")
+  }
+
+  test("columnar point read decodes only the hit rows (sparse seek path)") {
+    import spark.implicits._
+    val ids = input.select($"doc_id", $"n_tok").take(2).map(r => r.getString(0) -> r.getInt(1))
+    val df = spark.read
+      .format("graft")
+      .load(dirB) // pure hybrid + row-bit index: the seek path is available
+      .where($"doc_id".isin(ids.map(_._1): _*))
+      .select($"doc_id", $"tokens")
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[Int](1).length).toMap
+    assert(got == ids.map { case (id, n) => id -> n }.toMap)
+    val scan = findScan(df.queryExecution.executedPlan)
+    assert(scan.supportsColumnar)
+    // only the hit rows' token values were entropy-decoded
+    assert(metric(scan, GraftMetrics.TokenValuesDecoded) == ids.map(_._2.toLong).sum)
+  }
 }
