@@ -374,6 +374,46 @@ object EncodeJob {
   def loadSnapshots(outDir: String, conf: Configuration): Seq[(Long, Seq[Int])] =
     loadSnapshotRecords(outDir, conf).map(r => (r.id, r.binsAdded))
 
+  /** (snapshot id, commit wall-clock ms) pairs from the snapshot files'
+    * modification times, sorted by id. The snapshot JSON itself carries no
+    * timestamp ON PURPOSE — resume/replay must produce byte-identical
+    * metadata — so commit time is the filesystem's, which is exact for the
+    * atomic-rename commit (object stores stamp the final PUT). Maintenance
+    * that rewrites snapshot files (expiry folds) refreshes their times;
+    * time travel then resolves against the rewritten history, which is the
+    * only history that still exists.
+    */
+  def listSnapshotTimes(outDir: String, conf: Configuration): Seq[(Long, Long)] = {
+    val f = new Path(outDir).getFileSystem(conf)
+    val dir = new Path(s"$outDir/_snapshots")
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir)
+      .toSeq
+      .flatMap { st =>
+        st.getPath.getName match {
+          case SnapNameRe(n) => Some((n.toLong, st.getModificationTime))
+          case _             => None
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  /** Resolve `TIMESTAMP AS OF`: the snapshot live at wall-clock `tsMs` —
+    * the latest commit at or before it (ties broken by id). Loud errors
+    * name the valid range so a user can correct the literal.
+    */
+  def snapshotAsOfTime(outDir: String, conf: Configuration, tsMs: Long): Long = {
+    val times = listSnapshotTimes(outDir, conf)
+    require(times.nonEmpty, s"no committed snapshots under $outDir/_snapshots")
+    val hits = times.filter(_._2 <= tsMs)
+    require(
+      hits.nonEmpty,
+      s"no snapshot committed at or before epoch-ms $tsMs; earliest is " +
+        s"snapshot ${times.head._1} at ${times.map(_._2).min}"
+    )
+    hits.maxBy { case (id, t) => (t, id) }._1
+  }
+
   /** Run (or resume) the full encode into `outDir`.
     *
     * @param onlyBins  restrict this run to a subset of bins — the test hook

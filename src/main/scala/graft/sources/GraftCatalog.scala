@@ -98,6 +98,25 @@ final class GraftCatalog
     new GraftTable(encodeDirOf(ident), pinnedSnapshot = Some(snap))
   }
 
+  /** `TIMESTAMP AS OF t` = wall-clock time travel. Spark hands the literal
+    * as MICROseconds since epoch; it resolves to the snapshot live at that
+    * instant — the latest commit at or before it, by the snapshot files'
+    * commit (modification) times. The snapshot JSON stays timestamp-free on
+    * purpose (resume/replay byte-identity), so the filesystem's commit
+    * stamp IS the commit time; see [[graft.pipeline.EncodeJob.snapshotAsOfTime]].
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = encodeDirOf(ident)
+    val snap = graft.pipeline.EncodeJob.snapshotAsOfTime(
+      dir,
+      SparkSession.active.sparkContext.hadoopConfiguration,
+      // floor micros -> ms: never resolve to a snapshot committed strictly
+      // after the requested instant
+      Math.floorDiv(timestamp, 1000L)
+    )
+    new GraftTable(dir, pinnedSnapshot = Some(snap))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     try { encodeDirOf(ident); true }
     catch { case _: NoSuchTableException => false }

@@ -248,14 +248,31 @@ private[sources] class GraftTable(path: String, pinnedSnapshot: Option[Long] = N
       TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA
     )
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // timestampAsOf (epoch ms): wall-clock time travel, resolved against
+    // the snapshot files' commit times (the DataFrame face of the
+    // catalog's `TIMESTAMP AS OF`). Ambiguous with an explicit snapshot
+    // pin — refuse rather than pick silently.
+    val byTime = Option(options.get("timestampAsOf")).map { ts =>
+      graft.pipeline.EncodeJob.snapshotAsOfTime(
+        path,
+        SparkSession.active.sparkContext.hadoopConfiguration,
+        ts.toLong
+      )
+    }
+    val explicit = Option(options.get("snapshot")).map(_.toLong)
+    require(
+      byTime.isEmpty || explicit.isEmpty,
+      "options 'snapshot' and 'timestampAsOf' are mutually exclusive"
+    )
     new GraftScanBuilder(
       path,
       // explicit read option wins; `pinnedSnapshot` is the catalog's
-      // `VERSION AS OF` pin (GraftCatalog.loadTable(ident, version))
-      Option(options.get("snapshot")).map(_.toLong).orElse(pinnedSnapshot),
+      // `VERSION AS OF` / `TIMESTAMP AS OF` pin (GraftCatalog.loadTable)
+      explicit.orElse(byTime).orElse(pinnedSnapshot),
       Option(options.get("maxSnapshotsPerBatch")).map(_.toInt)
     )
+  }
 
   /** Layout facts surfaced by `DESCRIBE TABLE EXTENDED graft.\`dir\``
     * (ops-visible without opening any file by hand). One meta.json read

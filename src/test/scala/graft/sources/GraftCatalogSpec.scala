@@ -236,4 +236,58 @@ class GraftCatalogSpec extends AnyFunSuite {
     // only the hit row's values decoded — the filter reached the readers
     assert(decoded == nTok.toLong, s"decoded $decoded values for one $nTok-token doc")
   }
+
+  test("TIMESTAMP AS OF resolves the snapshot live at that wall-clock instant") {
+    val dir = freshDir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val times = EncodeJob.listSnapshotTimes(dir, conf)
+    assert(times.map(_._1) == Seq(0L, 1L, 2L))
+    // each encode run spans well over a millisecond, so commit times are
+    // strictly increasing and the boundaries below are unambiguous
+    assert(times(0)._2 < times(1)._2 && times(1)._2 < times(2)._2, times.toString)
+    def cnt(q: String): Long = spark.sql(q).head().getLong(0)
+    // a STRING timestamp literal (session tz is UTC here): an expression
+    // like timestamp_millis(...) resolves too late — ResolveSQLOnFile
+    // claims the still-unresolved relation first and fails the analysis
+    def tsLit(ms: Long): String =
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+
+    val want0 = cnt(s"SELECT count(*) FROM graft.`$dir` VERSION AS OF 0")
+    val between01 = times(1)._2 - 1 // strictly before snapshot 1's commit
+    assert(
+      cnt(s"SELECT count(*) FROM graft.`$dir` TIMESTAMP AS OF '${tsLit(between01)}'")
+        == want0
+    )
+    // at (or after) the last commit: the full corpus
+    assert(
+      cnt(s"SELECT count(*) FROM graft.`$dir` TIMESTAMP AS OF '${tsLit(times(2)._2)}'")
+        == input.count()
+    )
+    // before the first commit: a loud, named error
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    val early = intercept[Throwable](
+      cnt(s"SELECT count(*) FROM graft.`$dir` TIMESTAMP AS OF '${tsLit(times(0)._2 - 60000)}'")
+    )
+    assert(messages(early).contains("no snapshot committed"), messages(early))
+
+    // the DataFrame option face resolves identically...
+    assert(
+      spark.read.format("graft").option("timestampAsOf", between01.toString).load(dir).count()
+        == want0
+    )
+    // ...and refuses an ambiguous double pin
+    val both = intercept[Throwable](
+      spark.read
+        .format("graft")
+        .option("timestampAsOf", times(2)._2.toString)
+        .option("snapshot", "0")
+        .load(dir)
+        .count()
+    )
+    assert(messages(both).contains("mutually exclusive"), messages(both))
+  }
 }
