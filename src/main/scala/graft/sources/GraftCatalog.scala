@@ -80,7 +80,8 @@ final class GraftCatalog
     path
   }
 
-  override def loadTable(ident: Identifier): Table = new GraftTable(encodeDirOf(ident))
+  override def loadTable(ident: Identifier): Table =
+    new GraftTable(encodeDirOf(ident), viaCatalog = true)
 
   /** `VERSION AS OF n` = snapshot time travel (the catalog face of the read
     * option `option("snapshot", n)`); validity is checked at scan planning
@@ -95,7 +96,7 @@ final class GraftCatalog
           s"(see ${ident.name()}/_snapshots for committed ids)"
       )
     )
-    new GraftTable(encodeDirOf(ident), pinnedSnapshot = Some(snap))
+    new GraftTable(encodeDirOf(ident), pinnedSnapshot = Some(snap), viaCatalog = true)
   }
 
   /** `TIMESTAMP AS OF t` = wall-clock time travel. Spark hands the literal
@@ -114,7 +115,7 @@ final class GraftCatalog
       // after the requested instant
       Math.floorDiv(timestamp, 1000L)
     )
-    new GraftTable(dir, pinnedSnapshot = Some(snap))
+    new GraftTable(dir, pinnedSnapshot = Some(snap), viaCatalog = true)
   }
 
   override def tableExists(ident: Identifier): Boolean =

@@ -213,8 +213,16 @@ private[sources] object GraftMeta {
     graft.pipeline.EncodeJob.loadSnapshotRecords(outDir, conf)
 }
 
-private[sources] class GraftTable(path: String, pinnedSnapshot: Option[Long] = None)
-    extends Table
+private[sources] class GraftTable(
+    path: String,
+    pinnedSnapshot: Option[Long] = None,
+    /** True when this instance was resolved through [[GraftCatalog]]: only
+      * then does Spark hand the write planner a FunctionCatalog able to
+      * resolve the `graft_bin_*` transform, so only then does the write
+      * declare its clustered distribution (see [[GraftWrite]]).
+      */
+    viaCatalog: Boolean = false
+) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -303,7 +311,7 @@ private[sources] class GraftTable(path: String, pinnedSnapshot: Option[Long] = N
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo
   ): org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(path, info)
+    new GraftWriteBuilder(path, info, clustered = viaCatalog)
 
   /** SQL `DELETE FROM graft.\`dir\` WHERE doc_id = …/IN (…)` — the Spark-
     * native face of [[graft.pipeline.Deletes.deleteDocs]] (Iceberg exposes

@@ -68,7 +68,8 @@ import scala.collection.mutable
   */
 private[sources] final class GraftWriteBuilder(
     path: String,
-    info: LogicalWriteInfo
+    info: LogicalWriteInfo,
+    clustered: Boolean
 ) extends WriteBuilder {
 
   override def build(): Write = {
@@ -174,7 +175,8 @@ private[sources] final class GraftWriteBuilder(
       headerBytes = headerBytes,
       colOrds = Array(docOrd, tokOrd, ntokOrd, srcOrd),
       maxBufferedValues = longOpt("maxBufferedValues", 32L * 1024 * 1024),
-      conf = new SerializableHadoopConf(conf)
+      conf = new SerializableHadoopConf(conf),
+      clustered = boolOpt("clusteredWrite", clustered)
     )
   }
 }
@@ -186,8 +188,53 @@ private[sources] final class GraftWrite(
     headerBytes: Array[Byte],
     colOrds: Array[Int],
     maxBufferedValues: Long,
-    conf: SerializableHadoopConf
-) extends Write {
+    conf: SerializableHadoopConf,
+    clustered: Boolean
+) extends Write
+    with RequiresDistributionAndOrdering {
+
+  /** Cluster + sort appended rows by their routing bin BEFORE the writers
+    * run (Iceberg's hash distribution mode): each write task then holds few
+    * whole bins, so the files it commits carry narrow manifest bin claims —
+    * the property file-level pruning and storage-partitioned joins live on.
+    * Without it, every task of a wide append touches ~every bin and each
+    * appended file claims the whole bin space, so point reads must open all
+    * of them forever after. The transform is the catalog-registered
+    * `graft_bin_<numBins>_<salt>(doc_id)` family (the SPJ identity anchor);
+    * resolution needs a FunctionCatalog, which Spark's write planner takes
+    * from the RELATION — only catalog-resolved tables have one. So the
+    * clustered distribution is declared exactly when this table was loaded
+    * through [[GraftCatalog]] (INSERT INTO graft.`dir`, df.writeTo,
+    * replace_docs); the path route (`df.write.format("graft")`) would fail
+    * analysis on the unresolvable transform and instead keeps the
+    * task-shaped files — correctness is identical either way, the claims
+    * are just wider. `option("clusteredWrite", true/false)` overrides (a
+    * path-route caller CAN force it on when the graft catalog is
+    * registered... it still fails without one, loudly, at planning).
+    */
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (clustered)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(Array(binTransform))
+    else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  // a pre-clustered input (or AQE coalescing) may legally skip the shuffle
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (!clustered) Array.empty
+    else
+      Array(
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          binTransform,
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+        )
+      )
+
+  private def binTransform: org.apache.spark.sql.connector.expressions.Expression =
+    org.apache.spark.sql.connector.expressions.Expressions.apply(
+      s"graft_bin_${cfg.numBins}_${cfg.salt}",
+      org.apache.spark.sql.connector.expressions.Expressions.column("doc_id")
+    )
 
   private def stagingDir = s"$path/_write_staging/$queryId"
 

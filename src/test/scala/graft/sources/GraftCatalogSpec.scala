@@ -237,6 +237,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(decoded == nTok.toLong, s"decoded $decoded values for one $nTok-token doc")
   }
 
+  test("catalog-route INSERT INTO clusters the append by bin: disjoint file claims") {
+    import spark.implicits._
+    val dir = freshDir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    input.createOrReplaceTempView("cat_append_src")
+    // re-keyed ids (no collision with the base corpus), all 8 bins covered
+    spark.sql(
+      s"INSERT INTO graft.`$dir` SELECT concat(doc_id, '-a') AS doc_id, tokens, n_tok, source " +
+        "FROM cat_append_src"
+    )
+
+    val recs = EncodeJob.loadSnapshotRecords(dir, conf)
+    val appended = recs.last.filesAdded
+    assert(recs.last.binsAdded.isEmpty && appended.nonEmpty)
+    // the clustered write puts WHOLE bins in each task: no bin is split
+    // across appended files, so a point read opens exactly one of them —
+    // the property that dies when task-shaped appends claim every bin
+    val claims = GraftScan.manifestIndex(dir, conf).get.fileBins
+    val perFile = appended.map(f => claims(f).toSet)
+    val all = perFile.flatten
+    assert(all.size == all.toSet.size, s"a bin is split across appended files: $perFile")
+    assert(all.toSet == (0 until cfg.numBins).toSet, s"bins covered: ${all.toSet}")
+
+    // content is exact through the read path
+    val n = spark.sql(s"SELECT count(*) FROM graft.`$dir`").head().getLong(0)
+    assert(n == input.count() * 2)
+    val hit = spark.sql(
+      s"SELECT n_tok FROM graft.`$dir` WHERE doc_id = concat('${input.head().doc_id}', '-a')"
+    )
+    assert(hit.head().getInt(0) == input.head().n_tok)
+  }
+
   test("TIMESTAMP AS OF resolves the snapshot live at that wall-clock instant") {
     val dir = freshDir()
     val conf = spark.sparkContext.hadoopConfiguration
