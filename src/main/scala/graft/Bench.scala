@@ -206,6 +206,64 @@ object Bench {
         require(nPoint == pointIds.length, s"dsv2 point read $nPoint of ${pointIds.length}")
         queries("dsv2_point_scan") = tPoint
 
+        // ---- storage-partitioned self-join vs the default shuffled join:
+        // the same doc_id equi-join once through KeyGroupedPartitioning
+        // (zero join exchanges — both sides read their co-located bins) and
+        // once through the shuffled plan. Metadata columns only (doc_id +
+        // n_tok, no payload decode), so the row pair isolates EXCHANGE
+        // cost — the thing SPJ removes, and at 100 TB the thing that
+        // dominates a corpus-to-corpus join.
+        {
+          spark32.conf.set(
+            "spark.sql.catalog.graft",
+            classOf[graft.sources.GraftCatalog].getName
+          )
+          val spjConfs = Seq(
+            "spark.graft.binPartitionedScan" -> "true",
+            "spark.sql.sources.v2.bucketing.enabled" -> "true",
+            "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true"
+          )
+          // forced for BOTH modes so the comparison is SMJ vs SMJ, not
+          // SMJ vs broadcast (the compressed side can sit under the
+          // broadcast threshold at small synthRows)
+          spark32.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          def joinDf() = spark32.sql(
+            s"SELECT sum(cast(a.n_tok AS bigint)) FROM graft.`$encDir` a " +
+              s"JOIN graft.`$encDir` b ON a.doc_id = b.doc_id"
+          )
+          def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+            import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+            def rec(x: org.apache.spark.sql.execution.SparkPlan): Int = x match {
+              case a: AdaptiveSparkPlanExec => rec(a.executedPlan)
+              case q: QueryStageExec        => rec(q.plan)
+              case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+                1 + s.children.map(rec).sum
+              case other => other.children.map(rec).sum
+            }
+            rec(p)
+          }
+          def measure(on: Boolean): (Double, Int) = {
+            spjConfs.foreach { case (k, _) => spark32.conf.unset(k) }
+            if (on) spjConfs.foreach { case (k, v) => spark32.conf.set(k, v) }
+            val df = joinDf()
+            val (got, t) = time(df.collect()(0).getLong(0))
+            require(got == tokens, s"self-join sum $got != $tokens (spj=$on)")
+            (t, countShuffles(df.queryExecution.executedPlan))
+          }
+          measure(on = true); measure(on = false) // warm both shapes
+          // interleaved best-of-3 so host drift hits both modes alike
+          val reps = (1 to 3).map(_ => (measure(on = true), measure(on = false)))
+          val (spjT, spjSh) = (reps.map(_._1._1).min, reps.head._1._2)
+          val (shT, shSh) = (reps.map(_._2._1).min, reps.head._2._2)
+          // the SPJ plan must actually be exchange-free below the final
+          // aggregate; the shuffled plan pays the two join exchanges
+          require(spjSh < shSh, s"SPJ planned $spjSh shuffles vs shuffled $shSh — SPJ did not fire")
+          queries("dsv2_spj_join") = spjT
+          queries("dsv2_shuffled_join") = shT
+          spjConfs.foreach { case (k, _) => spark32.conf.unset(k) }
+          spark32.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+
         // ---- merge-on-read delete overhead: commit a real equality delete
         // of ~0.5% of docs, measure the full decode scan through BOTH
         // application tiers (driver-inlined per-partition slices; executor-
