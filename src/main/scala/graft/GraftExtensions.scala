@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HieToken, PackVarInt}
+import graft.functions.{HieToken, PackVarInt, TokenSum}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -17,6 +17,10 @@ import org.apache.spark.sql.types.LongType
   *                             codegen'd; argument widened to BIGINT.
   *   - `graft_pack_varint(a)`— varint-pack an array<int> to binary (the
   *                             exchange-compaction kernel).
+  *   - `graft_token_sum(a)`  — sum an array<int> to bigint (nulls ignored,
+  *                             DuckDB list_sum semantics), codegen'd: the
+  *                             unboxed form of
+  *                             `aggregate(a, 0L, (s, x) -> s + x)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -39,6 +43,11 @@ object GraftExtensions {
       FunctionIdentifier("graft_pack_varint"),
       new ExpressionInfo(classOf[PackVarInt].getName, "graft_pack_varint"),
       (args: Seq[Expression]) => PackVarInt(one(args, "graft_pack_varint"))
+    ),
+    (
+      FunctionIdentifier("graft_token_sum"),
+      new ExpressionInfo(classOf[TokenSum].getName, "graft_token_sum"),
+      (args: Seq[Expression]) => TokenSum(one(args, "graft_token_sum"))
     )
   )
 

@@ -694,6 +694,23 @@ object SparkEntry {
         .orderBy($"doc_id", $"pos")
     }),
 
+    // the codegen'd token-reduction kernel (graft_token_sum) over the full
+    // decode scan: per-source totals of every token value, recomputed by
+    // DuckDB from the raw derivation — pins the unboxed array loop (and the
+    // columnar scan's element access under it) to exact arithmetic
+    "q_token_sums" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .format("graft")
+        .load(graftScanDir(s, dir))
+        .groupBy($"source")
+        .agg(
+          sum(graft.functions.TokenSum.token_sum($"tokens")).as("token_sum"),
+          sum(size($"tokens").cast("long")).as("n_values")
+        )
+        .orderBy($"source")
+    }),
+
     // DSv2 source, metadata-only path: the aggregate needs no `tokens`, so
     // the scan never reads the entropy payload pages or runs the decoder
     // (column pruning through the blocks parquet) — totals must still match
@@ -1338,6 +1355,11 @@ object SparkEntry {
       s"""$CTE
          |SELECT doc_id, pos, token FROM tok
          |WHERE doc_id % 997 = 0 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_token_sums" ->
+      s"""$CTE
+         |SELECT source, CAST(sum(token) AS BIGINT) AS token_sum, count(*) AS n_values
+         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     "q_graft_meta" ->
       s"""$CTE

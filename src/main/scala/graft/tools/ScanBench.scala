@@ -49,6 +49,11 @@ object ScanBench {
 
       def scan = spark.read.format("graft").load(encDir)
       val expected = input.select(sum(size($"tokens"))).collect()(0).getLong(0)
+      // the token VALUE sum (not the count): the oracle for the two
+      // element-reduction rows, computed once from the source parquet
+      val expectedValSum = input
+        .select(expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("s"))
+        .agg(sum($"s")).collect()(0).getLong(0)
       // warmup both shapes in both reader modes
       for (mode <- Seq("true", "false")) {
         spark.conf.set("spark.graft.columnarScan", mode)
@@ -65,7 +70,8 @@ object ScanBench {
           for (m <- 0 to 1) {
             spark.conf.set("spark.graft.columnarScan", (m == 0).toString)
             val (v, t) = Bench.time(q)
-            require(name == "scan_sum" || v == expected, s"$name returned $v, expected $expected")
+            val want = if (name.endsWith("sum")) expectedValSum else expected
+            require(v == want, s"$name returned $v, expected $want")
             times(m) :+= t
           }
         }
@@ -77,6 +83,11 @@ object ScanBench {
       rep("scan_size")(scan.agg(sum(size($"tokens"))).collect()(0).getLong(0))
       rep("scan_sum")(
         scan.select(expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("s"))
+          .agg(sum($"s")).collect()(0).getLong(0))
+      // same reduction through the codegen'd graft_token_sum kernel: the
+      // unboxed form of scan_sum (the HOF boxes every element in its lambda)
+      rep("scan_ksum")(
+        scan.select(graft.functions.TokenSum.token_sum($"tokens").as("s"))
           .agg(sum($"s")).collect()(0).getLong(0))
       rep("scan_meta")(scan.agg(sum($"n_tok")).collect()(0).getLong(0))
     } finally spark.stop()
