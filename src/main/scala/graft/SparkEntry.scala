@@ -1288,22 +1288,37 @@ object SparkEntry {
          | SELECT doc_id, source, count(*) AS n, max(token) AS mx, min(token) AS mn,
          |        count(DISTINCT token) AS card
          | FROM tok GROUP BY 1, 2
+         |), deltagroups AS (
+         | SELECT doc_id, source, (pos - 1) // 128 AS grp, count(*) AS glen,
+         |  max(CASE WHEN dlt >= 0 THEN 2*dlt ELSE -2*dlt - 1 END) AS max_zz
+         | FROM (
+         |  SELECT doc_id, source, pos,
+         |   token - coalesce(lag(token) OVER (PARTITION BY doc_id ORDER BY pos), 0) AS dlt
+         |  FROM tok
+         | ) GROUP BY 1, 2, 3
+         |), docdeltas AS (
+         | SELECT doc_id, source,
+         |  sum(6 + glen*${duckBitsFor("max_zz")}) AS delta_bits
+         | FROM deltagroups GROUP BY 1, 2
          |), est AS (
          | SELECT d.source,
          |  32*n AS plain_bits,
          |  6 + n*${duckBitsFor("mx")} AS bitpack_bits,
          |  39 + n*${duckBitsFor("(mx-mn)")} AS for_bits,
          |  44 + n_runs*(${duckBitsFor("mx")} + ${duckBitsFor("(max_run-1)")}) AS rle_bits,
-         |  38 + card*${duckBitsFor("mx")} + n*${duckBitsFor("(card-1)")} AS dict_bits
+         |  38 + card*${duckBitsFor("mx")} + n*${duckBitsFor("(card-1)")} AS dict_bits,
+         |  delta_bits
          | FROM docstats d JOIN docruns r USING (doc_id, source)
+         |      JOIN docdeltas z USING (doc_id, source)
          |), chosen AS (
          | SELECT source,
-         |  least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits) AS m,
-         |  CASE WHEN plain_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits) THEN 'plain'
-         |       WHEN bitpack_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits) THEN 'bitpack'
-         |       WHEN for_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits) THEN 'for'
-         |       WHEN rle_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits) THEN 'rle'
-         |       ELSE 'dict' END AS best_codec
+         |  least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits, delta_bits) AS m,
+         |  CASE WHEN plain_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits, delta_bits) THEN 'plain'
+         |       WHEN bitpack_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits, delta_bits) THEN 'bitpack'
+         |       WHEN for_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits, delta_bits) THEN 'for'
+         |       WHEN rle_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits, delta_bits) THEN 'rle'
+         |       WHEN dict_bits = least(plain_bits, bitpack_bits, for_bits, rle_bits, dict_bits, delta_bits) THEN 'dict'
+         |       ELSE 'delta' END AS best_codec
          | FROM est)
          |SELECT source, best_codec, count(*) AS n_docs, CAST(sum(m) AS BIGINT) AS sum_est_bits
          |FROM chosen GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

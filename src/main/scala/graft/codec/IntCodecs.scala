@@ -19,7 +19,12 @@ final case class BlockStats(
     nRuns: Int,
     maxRunLen: Int,
     distinct: Int, // exact if <= DictCap, else DictCap + 1
-    distinctValues: Array[Int] // sorted, only when distinct <= DictCap
+    distinctValues: Array[Int], // sorted, only when distinct <= DictCap
+    // EXACT payload bits [[DeltaCodec]] would write for this stream (its
+    // miniblock widths depend on every residual, so a closed form over
+    // scalar stats can't express it; the same single pass computes it
+    // directly instead)
+    deltaBits: Long
 ) extends Serializable
 
 object BlockStats {
@@ -28,12 +33,16 @@ object BlockStats {
   /** values must be non-negative. */
   def compute(values: Array[Int], from: Int, until: Int): BlockStats = {
     val n = until - from
-    if (n == 0) return BlockStats(0, 0, 0, 0, 0, 0, Array.emptyIntArray)
+    if (n == 0) return BlockStats(0, 0, 0, 0, 0, 0, Array.emptyIntArray, 0L)
     var min = Int.MaxValue
     var max = Int.MinValue
     var runs = 1
     var runLen = 1
     var maxRun = 1
+    var dPrev = 0L
+    var gMax = 0L
+    var gLen = 0
+    var dBits = 0L
     // primitive open-addressing set (values are non-negative; -1 = empty)
     val capacity = Integer.highestOneBit(DictCap * 4 - 1) * 2
     val mask = capacity - 1
@@ -47,6 +56,15 @@ object BlockStats {
       val v = values(i)
       if (v < min) min = v
       if (v > max) max = v
+      val d = v.toLong - dPrev
+      val zz = (d << 1) ^ (d >> 63)
+      if (zz > gMax) gMax = zz
+      dPrev = v.toLong
+      gLen += 1
+      if (gLen == DeltaCodec.GroupSize) {
+        dBits += 6L + gLen.toLong * IntCodecs.bitsFor(gMax)
+        gLen = 0; gMax = 0L
+      }
       if (i > from) {
         if (v == prev) { runLen += 1; if (runLen > maxRun) maxRun = runLen }
         else { runs += 1; runLen = 1 }
@@ -77,7 +95,8 @@ object BlockStats {
         java.util.Arrays.sort(out)
         out
       }
-    BlockStats(n, min, max, runs, maxRun, distinct, dv)
+    if (gLen > 0) dBits += 6L + gLen.toLong * IntCodecs.bitsFor(gMax)
+    BlockStats(n, min, max, runs, maxRun, distinct, dv, dBits)
   }
 }
 
@@ -107,6 +126,7 @@ object IntCodecs {
   val RleId: Byte = 3
   val DictId: Byte = 4
   val HybridId: Byte = 5
+  val DeltaId: Byte = 6
 
   def nameOf(id: Byte): String = id match {
     case PlainId => "plain"
@@ -115,6 +135,7 @@ object IntCodecs {
     case RleId => "rle"
     case DictId => "dict"
     case HybridId => "hybrid"
+    case DeltaId => "delta"
     case other => s"codec-$other"
   }
 }
@@ -195,6 +216,80 @@ object ForCodec extends IntBlockCodec {
     val out = new Array[Int](n)
     var i = 0
     while (i < n) { out(i) = (base + r.readBits(width)).toInt; i += 1 }
+    out
+  }
+}
+
+/** Delta encoding with per-miniblock widths (the Parquet
+  * DELTA_BINARY_PACKED shape): zigzag(v[i] - v[i-1]) residuals in one
+  * CONTINUOUS chain (prev starts at 0; no per-row reset — lightweight
+  * blocks always decode whole, so chaining across row boundaries costs
+  * nothing and keeps [[BlockStats]] row-independent), written in groups of
+  * [[DeltaCodec.GroupSize]] values, each group bit-packed at ITS OWN 6-bit
+  * width. Per-group widths localize outlier residuals — a row-boundary
+  * jump inside a block widens one 128-value group, not the whole stream,
+  * which is what makes delta win on multi-row blocks of monotone rows.
+  * Wins on sorted or slowly-varying streams — monotone id/offset/timestamp
+  * columns — where residuals are far narrower than the values; on unsorted
+  * streams residuals widen past the value range and selection never picks
+  * it. This is the reference's gap encoding of successor lists
+  * (/root/reference/src/graphs/convert.rs, adjacency gaps feed the hybrid
+  * coder) carried into the lightweight family as a standalone codec.
+  */
+object DeltaCodec extends IntBlockCodec {
+  val id: Byte = IntCodecs.DeltaId
+  val name = "delta"
+
+  /** Values per width group. 128 bounds outlier cost (one wide group per
+    * jump) while keeping header overhead at 6/128 ≈ 0.05 bits/value.
+    */
+  val GroupSize = 128
+
+  @inline private def zigzag(d: Long): Long = (d << 1) ^ (d >> 63)
+  @inline private def unzigzag(z: Long): Long = (z >>> 1) ^ -(z & 1L)
+
+  /** Exact: group widths depend on every residual, so the stats pass
+    * computes the full size directly ([[BlockStats.deltaBits]]).
+    */
+  def estimateBits(s: BlockStats): Long = s.deltaBits
+
+  def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
+    val n = values.length
+    val buf = new Array[Long](GroupSize)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      var gLen = 0
+      var gMax = 0L
+      while (gLen < GroupSize && i < n) {
+        val zz = zigzag(values(i).toLong - prev)
+        prev = values(i).toLong
+        buf(gLen) = zz
+        if (zz > gMax) gMax = zz
+        gLen += 1
+        i += 1
+      }
+      val width = IntCodecs.bitsFor(gMax)
+      w.writeBits(width.toLong, 6)
+      var k = 0
+      while (k < gLen) { w.writeBits(buf(k), width); k += 1 }
+    }
+  }
+
+  def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int] = {
+    val out = new Array[Int](n)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      val width = r.readBits(6).toInt
+      var gLen = 0
+      while (gLen < GroupSize && i < n) {
+        prev += unzigzag(r.readBits(width))
+        out(i) = prev.toInt
+        gLen += 1
+        i += 1
+      }
+    }
     out
   }
 }
@@ -404,13 +499,17 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
     */
   def exactBitsAndStats(values: Array[Int], rowOffsets: Array[Int]): (BlockStats, Long) = {
     val n = values.length
-    if (n == 0) return (BlockStats(0, 0, 0, 0, 0, 0, Array.emptyIntArray), 0L)
+    if (n == 0) return (BlockStats(0, 0, 0, 0, 0, 0, Array.emptyIntArray, 0L), 0L)
     require(rowOffsets(rowOffsets.length - 1) == n, "rowOffsets must cover the whole stream")
     var min = Int.MaxValue
     var max = Int.MinValue
     var runs = 1
     var runLen = 1
     var maxRun = 1
+    var dPrev = 0L
+    var gMax = 0L
+    var gLen = 0
+    var dBits = 0L
     val capacity = Integer.highestOneBit(BlockStats.DictCap * 4 - 1) * 2
     val mask = capacity - 1
     val set = new Array[Int](capacity)
@@ -428,6 +527,15 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
         val v = values(i)
         if (v < min) min = v
         if (v > max) max = v
+        val d = v.toLong - dPrev
+        val zz = (d << 1) ^ (d >> 63)
+        if (zz > gMax) gMax = zz
+        dPrev = v.toLong
+        gLen += 1
+        if (gLen == DeltaCodec.GroupSize) {
+          dBits += 6L + gLen.toLong * IntCodecs.bitsFor(gMax)
+          gLen = 0; gMax = 0L
+        }
         if (i > 0) {
           if (v == prev) { runLen += 1; if (runLen > maxRun) maxRun = runLen }
           else { runs += 1; runLen = 1 }
@@ -463,7 +571,8 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
         java.util.Arrays.sort(out)
         out
       }
-    (BlockStats(n, min, max, runs, maxRun, distinct, dv), bits)
+    if (gLen > 0) dBits += 6L + gLen.toLong * IntCodecs.bitsFor(gMax)
+    (BlockStats(n, min, max, runs, maxRun, distinct, dv, dBits), bits)
   }
 
   def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
@@ -613,7 +722,11 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
   * selection rounds, /root/reference/src/graphs/convert.rs:95-152).
   */
 object CodecSelector {
-  val lightweight: Seq[IntBlockCodec] = Seq(BitPackCodec, ForCodec, RleCodec, DictCodec)
+  // DeltaCodec is LAST: selection uses strict <, so on a tie the earlier
+  // (simpler / non-chained) codec wins — delta must be strictly smaller to
+  // be chosen. The DuckDB oracle (q_codec_cost) mirrors this order.
+  val lightweight: Seq[IntBlockCodec] =
+    Seq(BitPackCodec, ForCodec, RleCodec, DictCodec, DeltaCodec)
 
   /** Returns (codec, predicted payload bits). `hybridExtraBits` charges
     * per-block overhead to the hybrid side (e.g. an embedded table header).
@@ -670,6 +783,7 @@ object CodecSelector {
     case IntCodecs.ForId => ForCodec
     case IntCodecs.RleId => RleCodec
     case IntCodecs.DictId => DictCodec
+    case IntCodecs.DeltaId => DeltaCodec
     case IntCodecs.HybridId =>
       hybrid.getOrElse(throw new IllegalStateException("hybrid tables not provided"))
     case other => throw new IllegalArgumentException(s"unknown codec id $other")

@@ -34,11 +34,13 @@ object EncodeJob {
     * manifest gains or changes fields (v2 added row_bits_codec/
     * row_bits_payload/embedded_tables; v3 added the manifest `files`
     * column — the bin→block-file index the DSv2 scan prunes from at any
-    * file count): resuming into an outDir written by a different version
-    * would fail or mix schemas silently at the parquet layer, so [[run]]
-    * rejects the mismatch explicitly instead.
+    * file count; v4 added the delta codec to auto-selection, so v4 dirs
+    * can hold codec-id-6 blocks a v3 reader would reject): resuming into
+    * an outDir written by a different version would fail or mix schemas
+    * silently at the parquet layer, so [[run]] rejects the mismatch
+    * explicitly instead.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   final case class BinManifest(
       snapshot_id: Long,

@@ -892,6 +892,7 @@ object GraftPipeline {
     case "for" => IntCodecs.ForId
     case "rle" => IntCodecs.RleId
     case "dict" => IntCodecs.DictId
+    case "delta" => IntCodecs.DeltaId
     case "hybrid" => IntCodecs.HybridId
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }

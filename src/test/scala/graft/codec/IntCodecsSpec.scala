@@ -23,10 +23,17 @@ class IntCodecsSpec extends AnyFunSuite {
     "constant" -> Array.fill(5000)(42),
     "empty" -> Array.emptyIntArray,
     "single" -> Array(7),
-    "maxint" -> Array.tabulate(100)(i => if (i % 2 == 0) Int.MaxValue else 0)
+    "maxint" -> Array.tabulate(100)(i => if (i % 2 == 0) Int.MaxValue else 0),
+    // strictly increasing with small gaps (a posting/offset/timestamp shape):
+    // zigzag residuals are ~5 bits where the values need 17 — delta territory
+    "monotone" -> {
+      var acc = 0
+      Array.tabulate(5000) { i => acc += (hash64(4, i.toLong) & 0xfL).toInt + 1; acc }
+    }
   )
 
-  val codecs: Seq[IntBlockCodec] = Seq(PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec)
+  val codecs: Seq[IntBlockCodec] =
+    Seq(PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec, DeltaCodec)
 
   test("every lightweight codec roundtrips every stream; estimate == actual bits") {
     for ((sname, values) <- streams; codec <- codecs) {
@@ -84,6 +91,45 @@ class IntCodecsSpec extends AnyFunSuite {
     assert(pick(streams("lowcard")) == "dict")
     assert(pick(streams("narrowrange")) == "for")
     assert(pick(streams("uniform16bit")) == "bitpack")
+    assert(pick(streams("monotone")) == "delta")
+  }
+
+  test("delta residual width: alternating 0/MaxValue needs 32 bits and roundtrips") {
+    // the widest possible zigzag residual (2*MaxValue) must fit the 6-bit
+    // width header and survive the Long zigzag round; 100 values = one
+    // miniblock at width 32
+    val values = streams("maxint")
+    val stats = BlockStats.compute(values, 0, values.length)
+    assert(DeltaCodec.estimateBits(stats) == 6L + values.length.toLong * 32)
+    val w = new BitWriter()
+    DeltaCodec.encode(values, singleRow(values), w)
+    val out = DeltaCodec.decode(new BitReader(w.toBytes), values.length, singleRow(values))
+    assert(out.sameElements(values))
+  }
+
+  test("delta miniblocks localize an outlier jump to one group") {
+    // 512 tiny-gap values with one huge jump at position 300: only the
+    // group holding the jump pays the wide width — total stays near the
+    // narrow-gap floor instead of 512 * 32 bits
+    var acc = 0
+    val values = Array.tabulate(512) { i =>
+      acc += (if (i == 300) 1 << 29 else (hash64(5, i.toLong) & 0x7L).toInt + 1)
+      acc
+    }
+    val stats = BlockStats.compute(values, 0, values.length)
+    val est = DeltaCodec.estimateBits(stats)
+    // 4 groups: three at width <= 5 (gaps <= 8 -> zigzag <= 16), one (the
+    // jump's) at width 31
+    assert(est <= 3 * (6 + 128 * 5) + (6 + 128 * 31), s"est=$est")
+    assert(est > 512 * 3, s"est=$est implausibly small")
+    val w = new BitWriter()
+    DeltaCodec.encode(values, singleRow(values), w)
+    assert(w.bitsWritten == est)
+    assert(
+      DeltaCodec
+        .decode(new BitReader(w.toBytes), values.length, singleRow(values))
+        .sameElements(values)
+    )
   }
 
   test("selector includes hybrid and prefers it on skewed streams") {
@@ -116,6 +162,9 @@ class IntCodecsSpec extends AnyFunSuite {
     assert(s.distinct == 3)
     assert(s.distinctValues.sameElements(Array(2, 5, 9)))
     assert(s.min == 2 && s.max == 9)
+    // zigzag chain from 0: +5 -> 10, 0, 0, -3 -> 5, 0, +7 -> 14; one
+    // group of 6 values at width 4 => 6 + 6*4
+    assert(s.deltaBits == 30L)
   }
 
   test("fused exactBitsAndStats equals the separate stats + exactBits passes") {

@@ -52,7 +52,7 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("property: every lightweight codec roundtrips arbitrary streams with exact estimates") {
-    val codecs = Seq(PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec)
+    val codecs = Seq(PlainCodec, BitPackCodec, ForCodec, RleCodec, DictCodec, DeltaCodec)
     check(Prop.forAll(smallStream) { values =>
       val offsets = Array(0, values.length)
       val stats = BlockStats.compute(values, 0, values.length)

@@ -73,6 +73,35 @@ class GraftPipelineSpec extends AnyFunSuite {
     assert(codecs.size >= 3, s"expected a codec mix, got $codecs")
   }
 
+  test("auto-selection routes monotone token streams to the delta codec") {
+    import spark.implicits._
+    // posting/offset-shaped rows: strictly increasing values with small
+    // gaps, so zigzag residuals are ~6 bits where the values need 20+ —
+    // the delta codec must win selection, and the blocks must roundtrip
+    def hash64(seed: Long, i: Long): Long = {
+      var x = seed * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
+      x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+      x ^= x >>> 27; x *= 0x94d049bb133111ebL
+      x ^= x >>> 31
+      x
+    }
+    val rows = (0 until 200).map { r =>
+      var acc = (hash64(100L + r, 0L) & 0xffffL).toInt
+      val toks = Array.tabulate(500) { i =>
+        acc += (hash64(200L + r, i.toLong) & 0x1fL).toInt + 1
+        acc
+      }
+      TokenRow(s"mono-$r", toks, toks.length, "mono")
+    }
+    val mono = spark.createDataset(rows)
+    val monoBlocks = GraftPipeline.encode(mono, tables, cfg).cache()
+    try {
+      val byCodec = monoBlocks.map(b => (b.codec, 1L)).rdd.reduceByKey(_ + _).collectAsMap()
+      assert(byCodec.getOrElse("delta", 0L) > 0L, s"no delta blocks: $byCodec")
+      assert(GraftPipeline.verify(mono, GraftPipeline.decode(monoBlocks, tables, cfg)) == 0L)
+    } finally { monoBlocks.unpersist(); () }
+  }
+
   test("compression beats the 32-bit raw baseline substantially") {
     import spark.implicits._
     val payloadBits = blocks.map(_.payload_bits).reduce(_ + _)
