@@ -728,6 +728,23 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // DSv2 source, fully-pushed aggregate path: ungrouped and unfiltered,
+    // so COUNT/SUM/MIN/MAX(n_tok) are all answered by the GraftAggReader
+    // from block metadata + the small n_toks streams — the entropy payload
+    // is never read (GraftSourceSpec pins BlocksDecoded == 0)
+    "q_graft_agg" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .format("graft")
+        .load(graftScanDir(s, dir))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("total_toks"),
+          min($"n_tok").as("min_n_tok"),
+          max($"n_tok").as("max_n_tok")
+        )
+    }),
+
     // DSv2 source under a broadcast join (the runtime-filtering shape: the
     // dim side's doc_ids can be pushed into the scan at execution time);
     // per-source totals must match DuckDB's raw recomputation
@@ -1381,6 +1398,13 @@ object SparkEntry {
          |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
          |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_graft_agg" ->
+      s"""$CTE
+         |SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks,
+         |       CAST(min(n_tok) AS INTEGER) AS min_n_tok,
+         |       CAST(max(n_tok) AS INTEGER) AS max_n_tok
+         |FROM (SELECT DISTINCT doc_id, n_tok FROM tok)""".stripMargin,
 
     "q_graft_join" ->
       s"""$CTE

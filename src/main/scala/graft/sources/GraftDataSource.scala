@@ -421,9 +421,10 @@ private[sources] class GraftScanBuilder(
     graft.pipeline.Deletes
       .hasLive(path, SparkSession.active.sparkContext.hadoopConfiguration, snapshot)
 
-  /** COUNT/SUM(n_tok) aggregates are answered from block METADATA (every
-    * block records its row and token-value counts), so a corpus-wide count
-    * never decodes a block — partial per-partition sums, Spark combines.
+  /** COUNT/SUM/MIN/MAX(n_tok) aggregates are answered from block METADATA
+    * (every block records its row and token-value counts; min/max decode
+    * the small n_toks stream), so a corpus-wide count never decodes a
+    * block's entropy payload — partial per-partition rows, Spark combines.
     * Spark only offers aggregates here when NO post-scan filters remain;
     * since [[pushFilters]] keeps every filter residual, an aggregate can
     * only be pushed on an unfiltered scan — metadata counts are then exact
@@ -444,6 +445,12 @@ private[sources] class GraftScanBuilder(
         Some(GraftAgg.CountRows) // no column is nullable: count(col) == count(*)
       case s: aggregate.Sum if !s.isDistinct && col(s.column).contains("n_tok") =>
         Some(GraftAgg.SumTokens)
+      // MIN/MAX(n_tok) decode each block's n_toks metadata stream (~n_rows
+      // small ints, lightweight-coded) — still no entropy payload read
+      case m: aggregate.Min if col(m.column).contains("n_tok") =>
+        Some(GraftAgg.MinNtok)
+      case m: aggregate.Max if col(m.column).contains("n_tok") =>
+        Some(GraftAgg.MaxNtok)
       case _ => None
     }
     if (kinds.forall(_.isDefined)) {
@@ -460,6 +467,15 @@ private[sources] class GraftScanBuilder(
 private[sources] object GraftAgg {
   val CountRows = "count_rows"
   val SumTokens = "sum_tokens"
+  val MinNtok = "min_n_tok"
+  val MaxNtok = "max_n_tok"
+
+  /** Kinds that need the per-block n_toks column decoded (still metadata:
+    * one small lightweight-coded int stream per block, never the entropy
+    * payload).
+    */
+  def needsNtoks(kinds: Seq[String]): Boolean =
+    kinds.exists(k => k == MinNtok || k == MaxNtok)
 }
 
 private[sources] class GraftScan(
@@ -661,8 +677,14 @@ private[sources] class GraftScan(
   override def readSchema(): StructType = agg match {
     case Some(kinds) =>
       StructType(kinds.zipWithIndex.map { case (k, i) =>
-        // SUM over zero rows is NULL; counts never are
-        StructField(s"${k}_$i", LongType, nullable = k == GraftAgg.SumTokens)
+        // SUM/MIN/MAX over zero rows are NULL; counts never are. MIN/MAX
+        // keep n_tok's int type (Spark re-aggregates the partials typed).
+        k match {
+          case GraftAgg.MinNtok | GraftAgg.MaxNtok =>
+            StructField(s"${k}_$i", IntegerType, nullable = true)
+          case _ =>
+            StructField(s"${k}_$i", LongType, nullable = k == GraftAgg.SumTokens)
+        }
       })
     case None => required
   }
@@ -1321,9 +1343,12 @@ private[sources] final case class GraftReaderFactory(
   }
 }
 
-/** Metadata-only reader for pushed-down COUNT/SUM(n_tok): scans just the
-  * tiny n_rows/n_values block columns of its file and emits ONE partial row
-  * (Spark's final aggregate combines the partials). Never touches payloads.
+/** Metadata-only reader for pushed-down COUNT/SUM/MIN/MAX(n_tok): scans
+  * just the tiny block metadata columns of its file and emits ONE partial
+  * row (Spark's final aggregate combines the partials). COUNT/SUM come from
+  * the recorded n_rows/n_values; MIN/MAX additionally decode each visible
+  * block's n_toks stream (~n_rows small lightweight-coded ints). Never
+  * touches the entropy payload.
   */
 private[sources] class GraftAggReader(
     file: String,
@@ -1335,17 +1360,38 @@ private[sources] class GraftAggReader(
   private var emitted = false
   private var rows = 0L
   private var values = 0L
+  private var minNtok = Int.MaxValue
+  private var maxNtok = Int.MinValue
+  private val needNtoks = GraftAgg.needsNtoks(kinds.toSeq)
 
-  private val reader: ParquetReader[Group] =
-    GraftPartitionReader.openProjected(file, sConf, Set("bin", "n_rows", "n_values"), None)
+  private val reader: ParquetReader[Group] = {
+    val cols =
+      if (needNtoks) Set("bin", "n_rows", "n_values", "n_toks_codec", "n_toks_payload")
+      else Set("bin", "n_rows", "n_values")
+    GraftPartitionReader.openProjected(file, sConf, cols, None)
+  }
 
   override def next(): Boolean = {
     if (emitted) return false
     var g = reader.read()
     while (g != null) {
       if (visibleBins.forall(_.contains(g.getInteger("bin", 0)))) {
-        rows += g.getInteger("n_rows", 0)
+        val nRows = g.getInteger("n_rows", 0)
+        rows += nRows
         values += g.getLong("n_values", 0)
+        if (needNtoks && nRows > 0) {
+          val nToks = graft.codec.CodecSelector.decodeIntColumn(
+            g.getString("n_toks_codec", 0),
+            g.getBinary("n_toks_payload", 0).getBytes,
+            nRows
+          )
+          var j = 0
+          while (j < nToks.length) {
+            if (nToks(j) < minNtok) minNtok = nToks(j)
+            if (nToks(j) > maxNtok) maxNtok = nToks(j)
+            j += 1
+          }
+        }
       }
       g = reader.read()
     }
@@ -1361,6 +1407,10 @@ private[sources] class GraftAggReader(
         case GraftAgg.CountRows => out.setLong(i, rows)
         case GraftAgg.SumTokens =>
           if (rows == 0L) out.setNullAt(i) else out.setLong(i, values)
+        case GraftAgg.MinNtok =>
+          if (rows == 0L) out.setNullAt(i) else out.setInt(i, minNtok)
+        case GraftAgg.MaxNtok =>
+          if (rows == 0L) out.setNullAt(i) else out.setInt(i, maxNtok)
         case other => throw new IllegalArgumentException(s"unknown aggregate $other")
       }
       i += 1

@@ -210,17 +210,23 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prevStats)
   }
 
-  test("COUNT/SUM(n_tok) push down to block metadata: zero blocks decoded") {
+  test("COUNT/SUM/MIN/MAX(n_tok) push down to block metadata: zero blocks decoded") {
     import spark.implicits._
     val df = spark.read.format("graft").load(dirA)
-      .agg(count(lit(1)).as("n"), sum($"n_tok").as("toks"), count($"doc_id").as("nd"))
+      .agg(
+        count(lit(1)).as("n"), sum($"n_tok").as("toks"), count($"doc_id").as("nd"),
+        min($"n_tok").as("mn"), max($"n_tok").as("mx")
+      )
     val r = df.collect()(0)
     assert(r.getLong(0) == input.count())
     assert(r.getLong(1) == input.agg(sum($"n_tok")).head().getLong(0))
     assert(r.getLong(2) == input.count())
+    assert(r.getInt(3) == input.agg(min($"n_tok")).head().getInt(0))
+    assert(r.getInt(4) == input.agg(max($"n_tok")).head().getInt(0))
     val scan = findScan(df.queryExecution.executedPlan)
     assert(scan.toString.contains("pushedAggregates="), s"aggregate not pushed:\n$scan")
     // the metadata aggregate never opens a block, let alone decodes one
+    // (min/max read only the small n_toks streams)
     assert(metric(scan, GraftMetrics.BlocksDecoded) == 0L)
     assert(metric(scan, GraftMetrics.TokenValuesDecoded) == 0L)
   }
