@@ -728,6 +728,25 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // DSv2 source under a pushed n_tok length filter (the training-pipeline
+    // "long documents only" shape): the scan evaluates the range on each
+    // block's n_toks metadata stream and row-seeks just the matching rows'
+    // payload bits — full decode + token checksum keeps it under the hard
+    // oracle
+    "q_graft_lengths" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .format("graft")
+        .load(graftScanDir(s, dir))
+        .where($"n_tok" >= 20 && $"n_tok" <= 22)
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          $"n_tok",
+          graft.functions.TokenSum.token_sum($"tokens").as("token_sum")
+        )
+        .orderBy($"doc_id")
+    }),
+
     // DSv2 source, fully-pushed aggregate path: ungrouped and unfiltered,
     // so COUNT/SUM/MIN/MAX(n_tok) are all answered by the GraftAggReader
     // from block metadata + the small n_toks streams — the entropy payload
@@ -1398,6 +1417,13 @@ object SparkEntry {
          |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
          |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_graft_lengths" ->
+      s"""$CTE
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+         |       CAST(sum(token) AS BIGINT) AS token_sum
+         |FROM tok WHERE n_tok BETWEEN 20 AND 22
+         |GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin,
 
     "q_graft_agg" ->
       s"""$CTE

@@ -22,7 +22,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -396,6 +396,15 @@ private[sources] class GraftScanBuilder(
     case In("doc_id", vs) if vs.forall(_.isInstanceOf[String])    => true
     case EqualTo("source", _: String)                             => true
     case In("source", vs) if vs.forall(_.isInstanceOf[String])    => true
+    // n_tok comparisons prune ROWS before payload decode: the reader
+    // evaluates them on the decoded n_toks metadata stream, so length
+    // filters ride the sparse row-seek path instead of decoding full blocks
+    case EqualTo("n_tok", _: Int)                                 => true
+    case In("n_tok", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Int]) => true
+    case GreaterThan("n_tok", _: Int)                             => true
+    case GreaterThanOrEqual("n_tok", _: Int)                      => true
+    case LessThan("n_tok", _: Int)                                => true
+    case LessThanOrEqual("n_tok", _: Int)                         => true
     case IsNotNull(c) if GraftDataSource.Schema.fieldNames.contains(c) => true
     case _                                                        => false
   }
@@ -461,6 +470,43 @@ private[sources] class GraftScanBuilder(
 
   override def build(): Scan =
     new GraftScan(path, required, pushed, pushedAgg, snapshot, limit, maxSnapshotsPerBatch)
+}
+
+/** Conjunction of pushed n_tok comparison predicates in serializable data
+  * form: inclusive [lo, hi] bounds plus an optional allowed-value set.
+  * Advisory like every pushed filter here — Catalyst re-checks the full
+  * predicate above the scan, so this can only skip work, never change
+  * results.
+  */
+private[sources] final case class NtokPred(lo: Int, hi: Int, in: Option[Set[Int]]) {
+  def ok(n: Int): Boolean = n >= lo && n <= hi && in.forall(_.contains(n))
+}
+
+private[sources] object NtokPred {
+  /** None when no n_tok predicate was claimed. */
+  def from(fs: Array[Filter]): Option[NtokPred] = {
+    var lo = Int.MinValue
+    var hi = Int.MaxValue
+    var in: Option[Set[Int]] = None
+    var any = false
+    def addIn(s: Set[Int]): Unit = {
+      in = Some(in.map(_ intersect s).getOrElse(s)); any = true
+    }
+    def unsatisfiable(): Unit = { lo = Int.MaxValue; hi = Int.MinValue; any = true }
+    fs.foreach {
+      case EqualTo("n_tok", v: Int) => addIn(Set(v))
+      case In("n_tok", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Int]) =>
+        addIn(vs.map(_.asInstanceOf[Int]).toSet)
+      case GreaterThan("n_tok", v: Int) =>
+        if (v == Int.MaxValue) unsatisfiable() else { lo = math.max(lo, v + 1); any = true }
+      case GreaterThanOrEqual("n_tok", v: Int) => lo = math.max(lo, v); any = true
+      case LessThan("n_tok", v: Int) =>
+        if (v == Int.MinValue) unsatisfiable() else { hi = math.min(hi, v - 1); any = true }
+      case LessThanOrEqual("n_tok", v: Int) => hi = math.min(hi, v); any = true
+      case _ => ()
+    }
+    if (any) Some(NtokPred(lo, hi, in)) else None
+  }
 }
 
 /** A pushed-down aggregate the block metadata can answer. */
@@ -539,6 +585,7 @@ private[sources] class GraftScan(
 
   private val staticDocIds: Option[Set[String]] = stringValues(filters, "doc_id")
   private val sourceFilter: Option[Set[String]] = stringValues(filters, "source")
+  private val ntokPred: Option[NtokPred] = NtokPred.from(filters)
 
   /** Runtime (join-driven) doc_id restriction — set by Spark's dynamic
     * pruning through [[filter]] before partition planning. The combined id
@@ -893,6 +940,7 @@ private[sources] class GraftScan(
       requiredFields = required.fieldNames,
       docIdFilter = docIdFilter,
       sourceFilter = sourceFilter,
+      ntokPred = ntokPred,
       // parquet or-chain filter: a pruning optimization, kept small; the
       // exact snapshot check is visibleBins in the readers
       wantedBins = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted),
@@ -1285,6 +1333,7 @@ private[sources] final case class GraftReaderFactory(
     requiredFields: Array[String],
     docIdFilter: Option[Set[String]],
     sourceFilter: Option[Set[String]],
+    ntokPred: Option[NtokPred] = None,
     wantedBins: Option[Array[Int]],
     aggKinds: Option[Array[String]] = None,
     visibleBins: Option[Array[Int]] = None,
@@ -1501,7 +1550,8 @@ private[sources] abstract class GraftBlockReaderBase(
     f.requiredFields.contains("doc_id") || docFilter.isDefined || deletesPossible
   private val needSources = f.requiredFields.contains("source") || f.sourceFilter.isDefined
   private val needTokens = f.requiredFields.contains("tokens")
-  private val needNToks = needTokens || f.requiredFields.contains("n_tok")
+  private val needNToks =
+    needTokens || f.requiredFields.contains("n_tok") || f.ntokPred.isDefined
 
   private lazy val tables =
     Huffman.readHeader(new BitReader(f.headerBytes), f.maxBits, f.numContexts)
@@ -1582,8 +1632,14 @@ private[sources] abstract class GraftBlockReaderBase(
       if (needSources) StringCodecs.decode(stringOf(g, "sources_codec"), bytesOf(g, "sources_payload"), nRows)
       else null
 
-    // row predicate from the pushed doc_id/source filters + the
-    // merge-on-read equality-delete set
+    val nToks: Array[Int] =
+      if (needNToks) CodecSelector.decodeIntColumn(stringOf(g, "n_toks_codec"), bytesOf(g, "n_toks_payload"), nRows)
+      else null
+
+    // row predicate from the pushed doc_id/source/n_tok filters + the
+    // merge-on-read equality-delete set; n_tok predicates evaluate on the
+    // metadata stream, so length-filtered scans pay the payload decode only
+    // for matching rows (sparse hits take the row-seek path below)
     val hits: Array[Int] = {
       val del = if (deletesPossible) deletedSet else null
       val b = Array.newBuilder[Int]
@@ -1592,6 +1648,7 @@ private[sources] abstract class GraftBlockReaderBase(
         val ok =
           docFilter.forall(s => s.contains(docIds(r))) &&
             f.sourceFilter.forall(s => s.contains(sources(r))) &&
+            f.ntokPred.forall(_.ok(nToks(r))) &&
             (del == null || !del.contains(docIds(r)))
         if (ok) b += r
         r += 1
@@ -1599,10 +1656,6 @@ private[sources] abstract class GraftBlockReaderBase(
       b.result()
     }
     if (hits.isEmpty) return null
-
-    val nToks: Array[Int] =
-      if (needNToks) CodecSelector.decodeIntColumn(stringOf(g, "n_toks_codec"), bytesOf(g, "n_toks_payload"), nRows)
-      else null
 
     var tokenValues: Array[Int] = null
     var tokenStarts: Array[Int] = null

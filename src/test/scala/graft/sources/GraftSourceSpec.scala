@@ -231,6 +231,40 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(metric(scan, GraftMetrics.TokenValuesDecoded) == 0L)
   }
 
+  test("n_tok length filters prune rows before payload decode") {
+    import spark.implicits._
+    // a high threshold: few long docs survive, so blocks take the sparse
+    // row-seek path and decode only the matching rows' token values
+    val thr = input
+      .select(expr("percentile(n_tok, 0.95)"))
+      .head()
+      .getDouble(0)
+      .toInt
+    val df = spark.read.format("graft").load(dirB)
+      .where($"n_tok" >= thr)
+      .select($"doc_id", $"tokens", $"n_tok")
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val want = input
+      .filter(r => r.n_tok >= thr)
+      .collect()
+      .map(r => r.doc_id -> r.tokens.toSeq)
+      .toMap
+    assert(got == want, s"rows differ: got ${got.size}, want ${want.size}")
+    val scan = findScan(df.queryExecution.executedPlan)
+    val totalTokens = input.map(_.n_tok.toLong).reduce(_ + _)
+    val matchedTokens = want.valuesIterator.map(_.length.toLong).sum
+    val decoded = metric(scan, GraftMetrics.TokenValuesDecoded)
+    // the corpus is heavy-tailed, so the long-doc 5% holds most of the
+    // token MASS — the meaningful claim is that decode work tracks the
+    // matched rows (sparse row-seek), not the corpus: within 10% of ideal
+    assert(matchedTokens < totalTokens, "threshold matched everything; test is vacuous")
+    assert(decoded >= matchedTokens, s"decoded=$decoded matched=$matchedTokens")
+    assert(
+      decoded <= matchedTokens + totalTokens / 10,
+      s"decoded=$decoded matched=$matchedTokens total=$totalTokens — row pruning not engaging"
+    )
+  }
+
   test("aggregate pushdown declines when a filter is present (residual-safe)") {
     import spark.implicits._
     val src = input.select($"source").head().getString(0)
