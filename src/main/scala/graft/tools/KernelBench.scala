@@ -128,5 +128,28 @@ object KernelBench {
     time("decode") {
       hybrid.decode(new BitReader(payload), n, rowOffsets).length.toLong
     }
+
+    // delta kernel on its winning shape: monotone small-gap rows (the
+    // posting/offset stream the codec exists for)
+    val mono = new Array[Int](n)
+    i = 0
+    var acc = 0
+    while (i < n) {
+      if (i % rowLen == 0) acc = 0
+      acc += (values(i) & 0xf) + 1
+      mono(i) = acc
+      i += 1
+    }
+    time("delta_encode") {
+      val dw = new BitWriter(n / 2)
+      graft.codec.DeltaCodec.encode(mono, rowOffsets, dw)
+      dw.bitsWritten
+    }
+    val dw = new BitWriter(n / 2)
+    graft.codec.DeltaCodec.encode(mono, rowOffsets, dw)
+    val dPayload = dw.toBytes
+    time("delta_decode") {
+      graft.codec.DeltaCodec.decode(new BitReader(dPayload), n, rowOffsets).length.toLong
+    }
   }
 }

@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   *   scan_sum   — sum over every token element via functions.aggregate:
   *                element-access-dominated
   *   scan_meta  — agg(sum(n_tok)): metadata-only (pruning floor)
+  *   scan_ksum  — scan_sum through the codegen'd graft_token_sum kernel
+  *   scan_lenflt— pushed p99 n_tok filter + kernel sum: row-seek pruning
   */
 object ScanBench {
   def main(args: Array[String]): Unit = {
@@ -64,13 +66,12 @@ object ScanBench {
       // interleave the columnar/row reader modes rep by rep so host drift
       // hits both alike (the conf is read at planning time, so flipping it
       // between queries is a true A/B within one JVM)
-      def rep(name: String)(q: => Long): Unit = {
+      def rep(name: String, want: Long)(q: => Long): Unit = {
         val times = Array.fill(2)(Vector.empty[Double])
         (1 to reps).foreach { _ =>
           for (m <- 0 to 1) {
             spark.conf.set("spark.graft.columnarScan", (m == 0).toString)
             val (v, t) = Bench.time(q)
-            val want = if (name.endsWith("sum")) expectedValSum else expected
             require(v == want, s"$name returned $v, expected $want")
             times(m) :+= t
           }
@@ -80,16 +81,40 @@ object ScanBench {
           println(f"SCANBENCH $name%-10s [$label] best=${ts.min}%7.3f s  median=${ts.sorted.apply(reps / 2)}%7.3f s  (${ts.map(t => f"$t%.3f").mkString(", ")})")
         }
       }
-      rep("scan_size")(scan.agg(sum(size($"tokens"))).collect()(0).getLong(0))
-      rep("scan_sum")(
+      rep("scan_size", expected)(scan.agg(sum(size($"tokens"))).collect()(0).getLong(0))
+      rep("scan_sum", expectedValSum)(
         scan.select(expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("s"))
           .agg(sum($"s")).collect()(0).getLong(0))
       // same reduction through the codegen'd graft_token_sum kernel: the
       // unboxed form of scan_sum (the HOF boxes every element in its lambda)
-      rep("scan_ksum")(
+      rep("scan_ksum", expectedValSum)(
         scan.select(graft.functions.TokenSum.token_sum($"tokens").as("s"))
           .agg(sum($"s")).collect()(0).getLong(0))
-      rep("scan_meta")(scan.agg(sum($"n_tok")).collect()(0).getLong(0))
+      rep("scan_meta", expected)(scan.agg(sum($"n_tok")).collect()(0).getLong(0))
+      // pushed n_tok filters: the scan row-seeks only matching rows.
+      // Two shapes — ">= p99" (long-doc selection; sparse rows but the
+      // heavy tail means they still hold much of the token MASS, so the
+      // win is modest and honest) and "== p90 exactly" (sparse rows AND
+      // small mass — the row-seek floor against scan_ksum's full decode)
+      val pcts = input.toDF
+        .select(expr("percentile(n_tok, 0.99)"), expr("percentile(n_tok, 0.90)"))
+        .collect()(0)
+      val (thr, exact) = (pcts.getDouble(0).toInt, pcts.getDouble(1).toInt)
+      def lenSum(cond: org.apache.spark.sql.Column): Long = {
+        val r = input.toDF
+          .where(cond)
+          .select(expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("s"))
+          .agg(sum($"s")).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      rep("scan_lenflt", lenSum($"n_tok" >= thr))(
+        scan.where($"n_tok" >= thr)
+          .select(graft.functions.TokenSum.token_sum($"tokens").as("s"))
+          .agg(sum($"s")).collect()(0).getLong(0))
+      rep("scan_leneq", lenSum($"n_tok" === exact))(
+        scan.where($"n_tok" === exact)
+          .select(graft.functions.TokenSum.token_sum($"tokens").as("s"))
+          .agg(sum($"s")).collect()(0).getLong(0))
     } finally spark.stop()
   }
 }
