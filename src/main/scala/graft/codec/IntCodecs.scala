@@ -27,6 +27,37 @@ final case class BlockStats(
     deltaBits: Long
 ) extends Serializable
 
+/** Streaming accumulator for [[BlockStats.deltaBits]]: feeds values through
+  * the continuous zigzag chain and closes a width group every
+  * [[DeltaCodec.GroupSize]] values — the ONE definition of the miniblock
+  * size math, shared by [[BlockStats.compute]] and
+  * [[HybridCodec.exactBitsAndStats]] so the exact-estimate invariant
+  * (estimate == DeltaCodec's bitsWritten) cannot drift between the two
+  * stats passes. Final class with primitive fields; JIT inlines add().
+  */
+private[codec] final class DeltaBitsAcc {
+  private var dPrev = 0L
+  private var gMax = 0L
+  private var gLen = 0
+  private var dBits = 0L
+
+  def add(v: Int): Unit = {
+    val d = v.toLong - dPrev
+    val zz = (d << 1) ^ (d >> 63)
+    if (zz > gMax) gMax = zz
+    dPrev = v.toLong
+    gLen += 1
+    if (gLen == DeltaCodec.GroupSize) {
+      dBits += 6L + gLen.toLong * IntCodecs.bitsFor(gMax)
+      gLen = 0; gMax = 0L
+    }
+  }
+
+  /** Total bits including the trailing partial group; call once at end. */
+  def result(): Long =
+    if (gLen > 0) dBits + 6L + gLen.toLong * IntCodecs.bitsFor(gMax) else dBits
+}
+
 object BlockStats {
   val DictCap = 4096
 
@@ -39,10 +70,7 @@ object BlockStats {
     var runs = 1
     var runLen = 1
     var maxRun = 1
-    var dPrev = 0L
-    var gMax = 0L
-    var gLen = 0
-    var dBits = 0L
+    val delta = new DeltaBitsAcc
     // primitive open-addressing set (values are non-negative; -1 = empty)
     val capacity = Integer.highestOneBit(DictCap * 4 - 1) * 2
     val mask = capacity - 1
@@ -56,15 +84,7 @@ object BlockStats {
       val v = values(i)
       if (v < min) min = v
       if (v > max) max = v
-      val d = v.toLong - dPrev
-      val zz = (d << 1) ^ (d >> 63)
-      if (zz > gMax) gMax = zz
-      dPrev = v.toLong
-      gLen += 1
-      if (gLen == DeltaCodec.GroupSize) {
-        dBits += 6L + gLen.toLong * IntCodecs.bitsFor(gMax)
-        gLen = 0; gMax = 0L
-      }
+      delta.add(v)
       if (i > from) {
         if (v == prev) { runLen += 1; if (runLen > maxRun) maxRun = runLen }
         else { runs += 1; runLen = 1 }
@@ -95,8 +115,7 @@ object BlockStats {
         java.util.Arrays.sort(out)
         out
       }
-    if (gLen > 0) dBits += 6L + gLen.toLong * IntCodecs.bitsFor(gMax)
-    BlockStats(n, min, max, runs, maxRun, distinct, dv, dBits)
+    BlockStats(n, min, max, runs, maxRun, distinct, dv, delta.result())
   }
 }
 
@@ -506,10 +525,7 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
     var runs = 1
     var runLen = 1
     var maxRun = 1
-    var dPrev = 0L
-    var gMax = 0L
-    var gLen = 0
-    var dBits = 0L
+    val delta = new DeltaBitsAcc
     val capacity = Integer.highestOneBit(BlockStats.DictCap * 4 - 1) * 2
     val mask = capacity - 1
     val set = new Array[Int](capacity)
@@ -527,15 +543,7 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
         val v = values(i)
         if (v < min) min = v
         if (v > max) max = v
-        val d = v.toLong - dPrev
-        val zz = (d << 1) ^ (d >> 63)
-        if (zz > gMax) gMax = zz
-        dPrev = v.toLong
-        gLen += 1
-        if (gLen == DeltaCodec.GroupSize) {
-          dBits += 6L + gLen.toLong * IntCodecs.bitsFor(gMax)
-          gLen = 0; gMax = 0L
-        }
+        delta.add(v)
         if (i > 0) {
           if (v == prev) { runLen += 1; if (runLen > maxRun) maxRun = runLen }
           else { runs += 1; runLen = 1 }
@@ -571,8 +579,7 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
         java.util.Arrays.sort(out)
         out
       }
-    if (gLen > 0) dBits += 6L + gLen.toLong * IntCodecs.bitsFor(gMax)
-    (BlockStats(n, min, max, runs, maxRun, distinct, dv, dBits), bits)
+    (BlockStats(n, min, max, runs, maxRun, distinct, dv, delta.result()), bits)
   }
 
   def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {

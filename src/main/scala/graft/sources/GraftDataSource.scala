@@ -1632,9 +1632,13 @@ private[sources] abstract class GraftBlockReaderBase(
       if (needSources) StringCodecs.decode(stringOf(g, "sources_codec"), bytesOf(g, "sources_payload"), nRows)
       else null
 
-    val nToks: Array[Int] =
-      if (needNToks) CodecSelector.decodeIntColumn(stringOf(g, "n_toks_codec"), bytesOf(g, "n_toks_payload"), nRows)
-      else null
+    def decodeNToks(): Array[Int] =
+      CodecSelector.decodeIntColumn(stringOf(g, "n_toks_codec"), bytesOf(g, "n_toks_payload"), nRows)
+
+    // decode n_toks BEFORE hit selection only when a pushed n_tok predicate
+    // needs it — otherwise keep it after the empty-hits early return, so
+    // point reads don't pay an O(n_rows) decode for blocks they discard
+    var nToks: Array[Int] = if (f.ntokPred.isDefined) decodeNToks() else null
 
     // row predicate from the pushed doc_id/source/n_tok filters + the
     // merge-on-read equality-delete set; n_tok predicates evaluate on the
@@ -1656,6 +1660,7 @@ private[sources] abstract class GraftBlockReaderBase(
       b.result()
     }
     if (hits.isEmpty) return null
+    if (nToks == null && needNToks) nToks = decodeNToks()
 
     var tokenValues: Array[Int] = null
     var tokenStarts: Array[Int] = null

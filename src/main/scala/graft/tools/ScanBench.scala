@@ -107,14 +107,14 @@ object ScanBench {
           .agg(sum($"s")).collect()(0)
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
-      rep("scan_lenflt", lenSum($"n_tok" >= thr))(
-        scan.where($"n_tok" >= thr)
+      def scanLenSum(cond: org.apache.spark.sql.Column): Long = {
+        val r = scan.where(cond)
           .select(graft.functions.TokenSum.token_sum($"tokens").as("s"))
-          .agg(sum($"s")).collect()(0).getLong(0))
-      rep("scan_leneq", lenSum($"n_tok" === exact))(
-        scan.where($"n_tok" === exact)
-          .select(graft.functions.TokenSum.token_sum($"tokens").as("s"))
-          .agg(sum($"s")).collect()(0).getLong(0))
+          .agg(sum($"s")).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0) // truncated pctile may match 0 rows
+      }
+      rep("scan_lenflt", lenSum($"n_tok" >= thr))(scanLenSum($"n_tok" >= thr))
+      rep("scan_leneq", lenSum($"n_tok" === exact))(scanLenSum($"n_tok" === exact))
     } finally spark.stop()
   }
 }
