@@ -146,6 +146,7 @@ object IntCodecs {
   val DictId: Byte = 4
   val HybridId: Byte = 5
   val DeltaId: Byte = 6
+  val DeltaHybridId: Byte = 7
 
   def nameOf(id: Byte): String = id match {
     case PlainId => "plain"
@@ -155,6 +156,7 @@ object IntCodecs {
     case DictId => "dict"
     case HybridId => "hybrid"
     case DeltaId => "delta"
+    case DeltaHybridId => "dhybrid"
     case other => s"codec-$other"
   }
 }
@@ -760,6 +762,15 @@ object CodecSelector {
       val b = hybridBits + hybridExtraBits
       if (b < bestBits) { best = h; bestBits = b }
     }
+    // entropy-coded residual trial, gated by the fixed-width delta estimate.
+    // Block-level only (hybrid.isDefined): the per-doc/metadata selection
+    // paths — and q_codec_cost's closed-form DuckDB oracle — stay on the
+    // stats-only family above.
+    if (hybrid.isDefined) {
+      DeltaHybrid.tryBuild(values, rowOffsets, stats.deltaBits, bestBits).foreach {
+        case (enc, b) => best = enc; bestBits = b
+      }
+    }
     (best, bestBits)
   }
 
@@ -791,6 +802,7 @@ object CodecSelector {
     case IntCodecs.RleId => RleCodec
     case IntCodecs.DictId => DictCodec
     case IntCodecs.DeltaId => DeltaCodec
+    case IntCodecs.DeltaHybridId => DeltaHybrid.Decoder // self-describing payload
     case IntCodecs.HybridId =>
       hybrid.getOrElse(throw new IllegalStateException("hybrid tables not provided"))
     case other => throw new IllegalArgumentException(s"unknown codec id $other")

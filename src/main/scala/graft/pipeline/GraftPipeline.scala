@@ -602,6 +602,10 @@ object GraftPipeline {
               case h: HybridCodec =>
                 if (embed) Huffman.writeHeader(symbolTables, w)
                 h.encodeWithRowBits(values, rowOffsets, w)
+              case dh: graft.codec.DeltaHybrid.Encoder =>
+                // always self-describing (its own residual tables lead the
+                // payload); rows stay independently seekable
+                dh.encodeWithRowBits(values, rowOffsets, w)
               case c => c.encode(values, rowOffsets, w); null
             }
             // metadata columns go through codec selection too: strings via
@@ -793,6 +797,20 @@ object GraftPipeline {
               val tokens = blockCodec.decodeRow(new BitReader(b.payload, startBit(r)), nToks(r))
               TokenRow(docIdsInBlock(r), tokens, nToks(r), sources(r))
             }
+          } else if (b.codec == "dhybrid" && b.row_bits_codec != "none") {
+            // dhybrid rows are independently seekable too — parse the
+            // block's own residual tables, then per-row bit seek
+            val rows = new graft.codec.DeltaHybrid.RowReader(new BitReader(b.payload))
+            val rowBits =
+              CodecSelector.decodeIntColumn(b.row_bits_codec, b.row_bits_payload, b.n_rows)
+            val startBit = new Array[Long](b.n_rows)
+            var acc = rows.dataStart
+            var i = 0
+            while (i < b.n_rows) { startBit(i) = acc; acc += rowBits(i); i += 1 }
+            hits.iterator.map { r =>
+              val tokens = rows.decodeRow(new BitReader(b.payload, startBit(r)), nToks(r))
+              TokenRow(docIdsInBlock(r), tokens, nToks(r), sources(r))
+            }
           } else {
             val codec = CodecSelector.decoderFor(codecId(b.codec), Some(hybrid))
             val rowOffsets = new Array[Int](b.n_rows + 1)
@@ -893,6 +911,7 @@ object GraftPipeline {
     case "rle" => IntCodecs.RleId
     case "dict" => IntCodecs.DictId
     case "delta" => IntCodecs.DeltaId
+    case "dhybrid" => IntCodecs.DeltaHybridId
     case "hybrid" => IntCodecs.HybridId
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }

@@ -1674,7 +1674,31 @@ private[sources] abstract class GraftBlockReaderBase(
       )
       tokenStarts = new Array[Int](hits.length)
       val sparse = hits.length * 4 < nRows // point-seek pays off on sparse hits
-      if (codecName == "hybrid" && rowBitsCodec != "none" && sparse) {
+      if (codecName == "dhybrid" && rowBitsCodec != "none" && sparse) {
+        // dhybrid sparse path: parse the block's own residual tables, then
+        // bit-seek each hit row (same shape as the hybrid path below)
+        val rows = new graft.codec.DeltaHybrid.RowReader(new BitReader(payload))
+        val rowBits =
+          CodecSelector.decodeIntColumn(rowBitsCodec, bytesOf(g, "row_bits_payload"), nRows)
+        val startBit = new Array[Long](nRows)
+        var acc = rows.dataStart
+        var i = 0
+        while (i < nRows) { startBit(i) = acc; acc += rowBits(i); i += 1 }
+        var total = 0
+        i = 0
+        while (i < hits.length) { total += nToks(hits(i)); i += 1 }
+        tokenValues = new Array[Int](total)
+        var off = 0
+        i = 0
+        while (i < hits.length) {
+          val r = hits(i)
+          tokenStarts(i) = off
+          rows.decodeRow(new BitReader(payload, startBit(r)), tokenValues, off, off + nToks(r))
+          off += nToks(r)
+          i += 1
+        }
+        tokenValuesDecoded += total
+      } else if (codecName == "hybrid" && rowBitsCodec != "none" && sparse) {
         // random-access path: prefix-sum the per-row bit index, seek per
         // hit, decoding each hit row straight into one contiguous buffer
         checkTableHash()

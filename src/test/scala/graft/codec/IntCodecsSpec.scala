@@ -107,6 +107,61 @@ class IntCodecsSpec extends AnyFunSuite {
     assert(out.sameElements(values))
   }
 
+  test("delta-hybrid: entropy-coded residuals beat fixed-width delta on skewed gaps") {
+    // multi-row stream of monotone values with ZIPF-skewed gaps (tiny gaps
+    // common, jumps rare): fixed-width delta pays the group max width for
+    // every value; the entropy coder prices gaps by frequency
+    val nRows = 40
+    val rowLen = 200
+    val offsets = Array.tabulate(nRows + 1)(_ * rowLen)
+    val values = new Array[Int](nRows * rowLen)
+    for (r <- 0 until nRows) {
+      var acc = (hash64(30L + r, 0L) & 0xffffL).toInt
+      for (i <- 0 until rowLen) {
+        val u = ((hash64(31L + r, i.toLong) >>> 11).toDouble / (1L << 53).toDouble) max 1e-12
+        acc += math.min(100000.0, 1.0 / math.pow(u, 1.5)).toInt + 1
+        values(r * rowLen + i) = acc
+      }
+    }
+    val stats = BlockStats.compute(values, 0, values.length)
+    val trial = DeltaHybrid.tryBuild(values, offsets, stats.deltaBits, stats.deltaBits)
+    assert(trial.isDefined, "entropy residuals should beat fixed-width on skewed gaps")
+    val (enc, bits) = trial.get
+    // exactness: the trial's cost is the bits encode actually writes
+    val w = new BitWriter()
+    val rowBits = enc.encodeWithRowBits(values, offsets, w)
+    assert(w.bitsWritten == bits, s"trial=$bits wrote=${w.bitsWritten}")
+    // roundtrip through the stateless self-describing decoder
+    val out = CodecSelector
+      .decoderFor(IntCodecs.DeltaHybridId, None)
+      .decode(new BitReader(w.toBytes), values.length, offsets)
+    assert(out.sameElements(values))
+    // per-row random access: seek straight to a middle row via row_bits
+    val rows = new DeltaHybrid.RowReader(new BitReader(w.toBytes))
+    var start = rows.dataStart
+    for (r <- 0 until 17) start += rowBits(r)
+    val row17 = rows.decodeRow(new BitReader(w.toBytes, start), rowLen)
+    assert(row17.sameElements(values.slice(17 * rowLen, 18 * rowLen)))
+  }
+
+  test("delta-hybrid trial declines small blocks and hopeless gates") {
+    val tiny = streams("monotone").take(DeltaHybrid.MinBlockValues - 1)
+    val tinyStats = BlockStats.compute(tiny, 0, tiny.length)
+    assert(DeltaHybrid.tryBuild(tiny, singleRow(tiny), tinyStats.deltaBits, Long.MaxValue / 2).isEmpty)
+    // uniform random stream: residuals are as wide as the values, so even
+    // when the gate lets the trial run, the exact cost loses to bitpack
+    val rand = streams("uniform16bit")
+    val s = BlockStats.compute(rand, 0, rand.length)
+    assert(DeltaHybrid.tryBuild(rand, singleRow(rand), s.deltaBits, BitPackCodec.estimateBits(s)).isEmpty)
+    // low-cardinality stream: dict is far below the fixed-width delta
+    // estimate — the GATE itself rejects, skipping the entropy passes
+    val lc = streams("lowcard")
+    val ls = BlockStats.compute(lc, 0, lc.length)
+    val dictBest = DictCodec.estimateBits(ls)
+    assert(ls.deltaBits >= DeltaHybrid.GateFactor * dictBest)
+    assert(DeltaHybrid.tryBuild(lc, singleRow(lc), ls.deltaBits, dictBest).isEmpty)
+  }
+
   test("delta miniblocks localize an outlier jump to one group") {
     // 512 tiny-gap values with one huge jump at position 300: only the
     // group holding the jump pays the wide width — total stays near the

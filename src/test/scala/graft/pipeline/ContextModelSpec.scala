@@ -56,7 +56,10 @@ class ContextModelSpec extends AnyFunSuite {
     // golden pins (seed-7 corpus): deliberate-update-only, like the default
     // model's pin in GraftPipelineSpec — drift means the bit format or the
     // context assignment changed
-    assert(single == 1535372L, s"single-model bits drifted: $single")
+    // single dropped 1535372 -> 1495660 when delta-hybrid joined selection
+    // (r4): the 1-context hybrid is weak enough that entropy-coded
+    // residuals win extra blocks; zuckerli's pin is unchanged.
+    assert(single == 1495660L, s"single-model bits drifted: $single")
     assert(zuck == 1408492L, s"zuckerli-model bits drifted: $zuck")
   }
 
