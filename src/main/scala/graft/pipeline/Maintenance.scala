@@ -256,6 +256,82 @@ object Maintenance {
     Some(CompactionResult(cid, victims.length, added.length, victimBytes, addedBytes, affected.size))
   }
 
+  /** Rewrite EVERY live block through the CURRENT codec auto-selector with
+    * the dir's own tables and layout — the in-place upgrade path for dirs
+    * written before a newer codec joined selection (a pre-delta/dhybrid dir
+    * inherits the residual-codec wins without re-ingesting the source).
+    * Decoded content is unchanged (same rows, same tables); only per-block
+    * codec choices and payload bytes move. Commits ONLY when the staged
+    * rewrite is strictly smaller than the live bytes; otherwise the staging
+    * dir is discarded and None is returned — the dir is already at or below
+    * the current selector's size, and an equal-size rewrite would just
+    * churn files. Same delete-scoping rule as [[compact]]: purge first.
+    */
+  def recompress(spark: SparkSession, outDir: String): Option[CompactionResult] = {
+    import spark.implicits._
+    import graft.core.MiniJson.ObjOps
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
+    require(
+      Deletes.liveDeletes(outDir, conf, asOf = None).isEmpty,
+      s"$outDir has live equality deletes — run purgeDeletes before recompress " +
+        "(a full rewrite cannot preserve per-file delete scoping)"
+    )
+    val victims = liveBlockFiles(outDir, conf)
+    if (victims.isEmpty) return None
+    val meta = EncodeJob
+      .loadMeta(spark, outDir)
+      .getOrElse(throw new IllegalArgumentException(s"$outDir: _tables/meta.json missing"))
+    val tables = EncodeJob
+      .loadTables(spark, outDir)
+      .getOrElse(throw new IllegalArgumentException(s"$outDir: _tables/header.bin missing"))
+    val numBins = meta.long("num_bins").toInt
+    // one tiny metadata scan: the dir's self-describing convention (keep
+    // embedding iff any live block embeds) + the full bin set to re-manifest
+    val blocksDf = spark.read.parquet(victims.map(_._1).toIndexedSeq: _*)
+    val metaRow = blocksDf
+      .agg(max(col("embedded_tables")), collect_set(col("bin")))
+      .head()
+    val embed = metaRow.getBoolean(0)
+    val affected = metaRow.getSeq[Int](1).toSet
+    val cfg = GraftPipeline.Config(
+      numContexts = tables.numContexts,
+      maxBits = tables.maxBits,
+      numBins = numBins,
+      salt = meta.long("salt"),
+      contextModel = meta.strOpt("context_model").getOrElse("simple"),
+      embedTables = embed
+    )
+    val bTables = spark.sparkContext.broadcast(tables)
+    val cid = nextCompactionId(outDir, conf)
+    val tmpDir = new Path(compactRoot(outDir), s"c$cid-tmp")
+    val rows = GraftPipeline.decode(blocksDf.as[EncodedBlock], bTables, cfg)
+    GraftPipeline
+      .encode(
+        rows,
+        bTables,
+        cfg,
+        shufflePartitions = Some(math.min(numBins, math.max(32, affected.size)))
+      )
+      .write
+      .mode("overwrite")
+      .parquet(tmpDir.toString)
+    val stagedBytes = fs
+      .listStatus(tmpDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)
+      .sum
+    val victimBytes = victims.map(_._2).sum
+    if (stagedBytes >= victimBytes) {
+      fs.delete(tmpDir, true)
+      return None
+    }
+    val (added, addedBytes) =
+      commitRewrite(fs, outDir, cid, tmpDir, victims, victimBytes, extraMarkerFields = Map.empty)
+    EncodeJob.appendManifest(spark, outDir, affected, MaintenanceEpochBase + cid)
+    Some(CompactionResult(cid, victims.length, added.length, victimBytes, addedBytes, affected.size))
+  }
+
   /** Steps 2–4 of the marker commit protocol, shared by [[compact]] and
     * [[purgeDeletes]]: rename staged parts to globally unique names, publish
     * the dir, then flip visibility with ONE atomic marker write (tombstoning

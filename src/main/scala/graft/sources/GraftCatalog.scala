@@ -332,6 +332,29 @@ private object GraftCatalog {
       }
   }
 
+  private val recompress = new MaintenanceProcedure(
+    "recompress",
+    Array(in("path", StringType)),
+    StructType(Seq(
+      StructField("compaction_id", LongType, nullable = true),
+      StructField("files_removed", IntegerType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false),
+      StructField("bytes_removed", LongType, nullable = false),
+      StructField("bytes_added", LongType, nullable = false),
+      StructField("bins_remapped", IntegerType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "re-encode every live block through the current codec auto-selector " +
+        "(decoded content unchanged); commits only when strictly smaller"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      Maintenance.recompress(spark, pathOf(input)) match {
+        case Some(r) =>
+          InternalRow(r.cid, r.filesRemoved, r.filesAdded, r.bytesRemoved, r.bytesAdded, r.binsRemapped)
+        case None => InternalRow(null, 0, 0, 0L, 0L, 0)
+      }
+  }
+
   private val vacuum = new MaintenanceProcedure(
     "vacuum",
     Array(in("path", StringType), inDflt("older_than_ms", LongType, "0")),
@@ -469,6 +492,7 @@ private object GraftCatalog {
 
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
+    "recompress" -> recompress,
     "vacuum" -> vacuum,
     "expire_snapshots" -> expireSnapshots,
     "rewrite_manifests" -> rewriteManifests,

@@ -57,6 +57,39 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(EncodeJob.doneBins(spark, dir) == (0 until cfg.numBins).toSet)
   }
 
+  test("recompress upgrades an old dir to the current selector and only commits wins") {
+    // simulate a dir written before codec auto-selection existed: force
+    // every block hybrid, then let recompress re-route through the full
+    // current family (dict/rle/delta/dhybrid where they win)
+    val dir = freshDir("graft-maint-recompress")
+    val cfg0 = cfg.copy(autoSelect = false)
+    EncodeJob.run(input, dir, cfg0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val beforeBytes = Maintenance.liveBlockFiles(dir, conf).map(_._2).sum
+
+    val res = Maintenance.recompress(spark, dir).get
+    assert(res.bytesAdded < res.bytesRemoved, s"no shrink: $res")
+    assert(res.bytesRemoved == beforeBytes)
+    assert(res.binsRemapped == cfg.numBins)
+    // selection actually engaged: the rewritten files carry a codec mix
+    import spark.implicits._
+    val codecs = EncodeJob.readBlocks(spark, dir).map(_.codec).distinct().collect().toSet
+    assert(codecs.size >= 2, s"recompress kept a single codec: $codecs")
+
+    // content is unchanged through every read surface
+    val tables = spark.sparkContext.broadcast(EncodeJob.loadTables(spark, dir).get)
+    val decoded = GraftPipeline.decode(EncodeJob.readBlocks(spark, dir), tables, cfg0)
+    assert(GraftPipeline.verify(input, decoded) == 0L)
+    val someIds = input.map(_.doc_id).collect().sorted.take(7).toSet
+    val looked = GraftPipeline.lookupDocs(EncodeJob.readBlocks(spark, dir), someIds, tables, cfg0)
+    assert(looked.collect().map(_.doc_id).toSet == someIds)
+
+    // a second pass finds nothing to improve and leaves the dir untouched
+    val live = Maintenance.liveBlockFiles(dir, conf).map(_._1).toSet
+    assert(Maintenance.recompress(spark, dir).isEmpty)
+    assert(Maintenance.liveBlockFiles(dir, conf).map(_._1).toSet == live)
+  }
+
   test("a compacted dir resumes correctly: re-run is a no-op, new bins append") {
     val dir = freshDir("graft-maint-resume")
     EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0, 1, 2, 3)))

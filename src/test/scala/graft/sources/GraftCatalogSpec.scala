@@ -108,7 +108,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("compact", "delete_docs", "expire_snapshots", "purge_deletes",
-        "replace_docs", "rewrite_manifests", "vacuum"))
+        "recompress", "replace_docs", "rewrite_manifests", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
 
