@@ -3,6 +3,7 @@ package graft.sources
 import graft.pipeline.Maintenance
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
@@ -355,6 +356,64 @@ private object GraftCatalog {
       }
   }
 
+  private val codecStatsSchema = StructType(Seq(
+    StructField("codec", StringType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_values", LongType, nullable = false),
+    StructField("payload_bits", LongType, nullable = false),
+    StructField("bits_per_value", DoubleType, nullable = false)
+  ))
+
+  private val codecStats = new MaintenanceProcedure(
+    "codec_stats",
+    Array(in("path", StringType)),
+    codecStatsSchema
+  ) {
+    override def description(): String =
+      "per-codec block counts and payload sizes over the live files " +
+        "(observability for auto-selection and recompress)"
+    // multi-row result (one row per codec, biggest payload first), so this
+    // overrides call() instead of the one-row run() contract
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val live =
+        Maintenance.liveBlockFiles(pathOf(input), spark.sparkContext.hadoopConfiguration)
+      val out: Array[InternalRow] =
+        if (live.isEmpty) Array.empty
+        else {
+          import spark.implicits._
+          spark.read
+            .parquet(live.map(_._1).toIndexedSeq: _*)
+            .groupBy(col("codec"))
+            .agg(
+              count(lit(1)).as("n_blocks"),
+              sum(col("n_rows").cast("long")).as("n_rows"),
+              sum(col("n_values")).as("n_values"),
+              sum(col("payload_bits")).as("payload_bits")
+            )
+            .orderBy(col("payload_bits").desc)
+            .as[(String, Long, Long, Long, Long)]
+            .collect()
+            .map { case (c, nb, nr, nv, pb) =>
+              InternalRow(
+                org.apache.spark.unsafe.types.UTF8String.fromString(c),
+                nb, nr, nv, pb,
+                if (nv == 0L) 0.0 else pb.toDouble / nv
+              )
+            }
+        }
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = codecStatsSchema
+        override def description(): String = "graft.system.codec_stats result"
+      }
+      Collections.singletonList(scan).iterator()
+    }
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      throw new IllegalStateException("codec_stats overrides call() directly")
+  }
+
   private val vacuum = new MaintenanceProcedure(
     "vacuum",
     Array(in("path", StringType), inDflt("older_than_ms", LongType, "0")),
@@ -493,6 +552,7 @@ private object GraftCatalog {
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
     "recompress" -> recompress,
+    "codec_stats" -> codecStats,
     "vacuum" -> vacuum,
     "expire_snapshots" -> expireSnapshots,
     "rewrite_manifests" -> rewriteManifests,

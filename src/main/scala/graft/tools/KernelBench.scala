@@ -151,5 +151,45 @@ object KernelBench {
     time("delta_decode") {
       graft.codec.DeltaCodec.decode(new BitReader(dPayload), n, rowOffsets).length.toLong
     }
+
+    // delta-hybrid on a SKEWED-gap monotone shape (zipf gaps — its winning
+    // distribution): dhybrid_trial is the full selection-side cost (hist +
+    // per-block package-merge + exact cost walk), encode/decode the kernels
+    val skew = new Array[Int](n)
+    i = 0
+    acc = 0
+    while (i < n) {
+      if (i % rowLen == 0) acc = 0
+      acc += math.min(100000, 1 + (Int.MaxValue / (1 + (values(i) & 0x3fff))) % 97).toInt
+      skew(i) = acc
+      i += 1
+    }
+    val skewStats = graft.codec.BlockStats.compute(skew, 0, n)
+    time("dhybrid_trial") {
+      graft.codec.DeltaHybrid
+        .tryBuild(skew, rowOffsets, skewStats.deltaBits, skewStats.deltaBits)
+        .map(_._2)
+        .getOrElse(-1L)
+    }
+    val trial = graft.codec.DeltaHybrid
+      .tryBuild(skew, rowOffsets, skewStats.deltaBits, skewStats.deltaBits)
+    trial match {
+      case Some((enc, _)) =>
+        time("dhybrid_encode") {
+          val hw = new BitWriter(n / 2)
+          enc.encode(skew, rowOffsets, hw)
+          hw.bitsWritten
+        }
+        val hw = new BitWriter(n / 2)
+        enc.encode(skew, rowOffsets, hw)
+        val hPayload = hw.toBytes
+        time("dhybrid_decode") {
+          graft.codec.DeltaHybrid.Decoder
+            .decode(new BitReader(hPayload), n, rowOffsets)
+            .length
+            .toLong
+        }
+      case None => println("KERNEL dhybrid: trial declined on the skew shape (unexpected)")
+    }
   }
 }

@@ -101,14 +101,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(noop.isNullAt(noop.fieldIndex("compaction_id")))
   }
 
+  test("CALL codec_stats reports the per-codec mix and totals reconcile") {
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = spark
+      .sql(s"CALL graft.system.codec_stats(path => '$dir')")
+      .collect()
+    assert(rows.nonEmpty)
+    val totalValues = rows.map(_.getAs[Long]("n_values")).sum
+    val totalRows = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(totalValues == input.map(_.n_tok.toLong).reduce(_ + _))
+    assert(totalRows == input.count())
+    // ordered by payload share, bits_per_value consistent per row
+    val bits = rows.map(_.getAs[Long]("payload_bits"))
+    assert(bits.sameElements(bits.sorted.reverse))
+    rows.foreach { r =>
+      assert(math.abs(
+        r.getAs[Double]("bits_per_value") -
+          r.getAs[Long]("payload_bits").toDouble / r.getAs[Long]("n_values")) < 1e-9)
+    }
+  }
+
   test("listProcedures enumerates the system namespace (no SHOW PROCEDURES in this Spark)") {
     spark.sql("SELECT 1").collect() // force catalog registration path
     val cat = spark.sessionState.catalogManager
       .catalog("graft")
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("compact", "delete_docs", "expire_snapshots", "purge_deletes",
-        "recompress", "replace_docs", "rewrite_manifests", "vacuum"))
+      Seq("codec_stats", "compact", "delete_docs", "expire_snapshots",
+        "purge_deletes", "recompress", "replace_docs", "rewrite_manifests",
+        "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
 
