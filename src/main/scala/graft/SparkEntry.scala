@@ -764,6 +764,38 @@ object SparkEntry {
         )
     }),
 
+    // Token data-skipping index under the oracle: build the _token_index
+    // sidecar (per-block value range + bloom), then answer "which docs
+    // contain token X" through option("containsToken", X) — blocks whose
+    // bloom rejects X are never decoded; surviving rows are exactly those
+    // whose tokens contain it. Full decode checksum per matching doc keeps
+    // the whole chain (index build → block skip → exact row filter) under
+    // the hard DuckDB oracle. The needle is data-derived identically in
+    // both engines: the pos-1 token of the smallest doc_id.
+    "q_token_search" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftScanDir(s, dir)
+      graft.sources.TokenIndex.build(s, out): Unit // incremental no-op when covered
+      val needle = TokenTables
+        .tokExploded(s, dir)
+        .where($"pos" === 1)
+        .orderBy($"doc_id")
+        .select($"token")
+        .head()
+        .getLong(0)
+        .toInt
+      s.read
+        .format("graft")
+        .option("containsToken", needle)
+        .load(out)
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          $"n_tok",
+          graft.functions.TokenSum.token_sum($"tokens").as("token_sum")
+        )
+        .orderBy($"doc_id")
+    }),
+
     // DSv2 source under a broadcast join (the runtime-filtering shape: the
     // dim side's doc_ids can be pushed into the scan at execution time);
     // per-source totals must match DuckDB's raw recomputation
@@ -1438,6 +1470,17 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok)
          |WHERE n_tok = 22
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_token_search" ->
+      s"""$CTE
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+         |       CAST(sum(token) AS BIGINT) AS token_sum
+         |FROM tok
+         |WHERE doc_id IN (
+         |  SELECT DISTINCT doc_id FROM tok
+         |  WHERE token = (SELECT token FROM tok
+         |                 WHERE doc_id = (SELECT min(doc_id) FROM tok) AND pos = 1))
+         |GROUP BY doc_id, n_tok ORDER BY doc_id""".stripMargin,
 
     "q_spj_join" ->
       s"""$CTE

@@ -687,6 +687,18 @@ object Maintenance {
       }
     }
 
+    // token-index build staging a crashed build left behind (committed
+    // tix-/tfs- files are never swept here — a stale entry is keyed to a
+    // file name that no longer exists and costs nothing; a FULL rebuild
+    // retires them)
+    val tixDir = new Path(s"$outDir/${graft.sources.TokenIndex.DirName}")
+    if (fs.exists(tixDir)) {
+      fs.listStatus(tixDir).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".tmp-") && st.getModificationTime <= cutoff)
+          if (fs.delete(st.getPath, true)) dirsDeleted += 1
+      }
+    }
+
     // a driver killed BETWEEN publishing appended files into blocks/ and
     // the snapshot write leaves orphans: visible to scans (kept
     // conservatively) but in no snapshot's files_added, so a retried epoch

@@ -549,8 +549,30 @@ private object GraftCatalog {
     }
   }
 
+  private val buildTokenIndex = new MaintenanceProcedure(
+    "build_token_index",
+    Array(in("path", StringType), inDflt("full", BooleanType, "false")),
+    StructType(Seq(
+      StructField("files_indexed", IntegerType, nullable = false),
+      StructField("files_skipped", IntegerType, nullable = false),
+      StructField("blocks_indexed", LongType, nullable = false),
+      StructField("index_bytes", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "build (or incrementally extend) the token data-skipping index: " +
+        "per-block value range + bloom filter consulted by " +
+        "option(\"containsToken\", v) scans; full => true re-indexes " +
+        "everything (the repair after heavy compaction)"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val r = TokenIndex.build(spark, pathOf(input), input.getBoolean(1))
+      InternalRow(r.filesIndexed, r.filesSkipped, r.blocksIndexed, r.indexBytes)
+    }
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
+    "build_token_index" -> buildTokenIndex,
     "recompress" -> recompress,
     "codec_stats" -> codecStats,
     "vacuum" -> vacuum,

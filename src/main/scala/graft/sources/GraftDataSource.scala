@@ -278,7 +278,13 @@ private[sources] class GraftTable(
       // explicit read option wins; `pinnedSnapshot` is the catalog's
       // `VERSION AS OF` / `TIMESTAMP AS OF` pin (GraftCatalog.loadTable)
       explicit.orElse(byTime).orElse(pinnedSnapshot),
-      Option(options.get("maxSnapshotsPerBatch")).map(_.toInt)
+      Option(options.get("maxSnapshotsPerBatch")).map(_.toInt),
+      // containsToken: emit only rows whose `tokens` array contains the
+      // value — the content-search face of the [[TokenIndex]] sidecar
+      // (blocks whose bloom provably lacks the token are never decoded).
+      // An exact filter evaluated at the source (not advisory): correct
+      // with or without an index, the index only skips work.
+      Option(options.get("containsToken")).map(_.toInt)
     )
   }
 
@@ -365,7 +371,8 @@ private[sources] class GraftTable(
 private[sources] class GraftScanBuilder(
     path: String,
     snapshot: Option[Long] = None,
-    maxSnapshotsPerBatch: Option[Int] = None
+    maxSnapshotsPerBatch: Option[Int] = None,
+    containsToken: Option[Int] = None
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -446,7 +453,10 @@ private[sources] class GraftScanBuilder(
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
         case _                                               => None
       }
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty || hasLiveDeletes) return false
+    // containsToken hides rows Spark cannot see from here — metadata
+    // counts would over-count, exactly like live deletes
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty || hasLiveDeletes ||
+      containsToken.isDefined) return false
     val kinds = agg.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(GraftAgg.CountRows)
       case c: aggregate.Count
@@ -469,7 +479,8 @@ private[sources] class GraftScanBuilder(
   }
 
   override def build(): Scan =
-    new GraftScan(path, required, pushed, pushedAgg, snapshot, limit, maxSnapshotsPerBatch)
+    new GraftScan(
+      path, required, pushed, pushedAgg, snapshot, limit, maxSnapshotsPerBatch, containsToken)
 }
 
 /** Conjunction of pushed n_tok comparison predicates in serializable data
@@ -531,7 +542,8 @@ private[sources] class GraftScan(
     agg: Option[Seq[String]] = None,
     snapshot: Option[Long] = None,
     limit: Option[Int] = None,
-    maxSnapshotsPerBatch: Option[Int] = None
+    maxSnapshotsPerBatch: Option[Int] = None,
+    containsToken: Option[Int] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -750,6 +762,7 @@ private[sources] class GraftScan(
     s"GraftScan path=$path, readSchema=[${required.fieldNames.mkString(",")}], " +
       s"pushedFilters=[${brief(filters.toSeq.map(_.toString.take(200)), 8)}]" +
       agg.map(k => s", pushedAggregates=[${k.mkString(",")}]").getOrElse("") +
+      containsToken.map(t => s", containsToken=$t").getOrElse("") +
       snapshot.map(s => s", snapshot=$s").getOrElse("") +
       docIdBins.map(b => s", prunedBins=[${brief(b.toSeq.sorted)}]").getOrElse("") +
       (if (deleteState.isEmpty) ""
@@ -879,10 +892,24 @@ private[sources] class GraftScan(
         }
       }
     }
-    val planned =
+    val planned0 =
       GraftScan
         .planFiles(path, blockFiles, wantedBins, hadoopConf, GraftScan.sessionFooterPruneCap)
         .filter { case (f, _) => !excludedAppendFiles.contains(GraftScan.nameOf(f)) }
+    // token-index file pruning: drop files whose recorded token value range
+    // excludes the needle (O(files) driver map, no footer reads). Files the
+    // index has no summary for are kept — pruning is downward-advisory.
+    val planned = containsToken match {
+      case Some(t) =>
+        TokenIndex.fileSummaries(path, hadoopConf) match {
+          case Some(sums) =>
+            planned0.filter { case (f, _) =>
+              sums.get(GraftScan.nameOf(f)).forall(s => t >= s.tokMin && t <= s.tokMax)
+            }
+          case None => planned0
+        }
+      case None => planned0
+    }
     val idsByBin = docState._2
     val smallBins: Option[Array[Int]] = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted)
     // files with UNKNOWN bin membership would each have to carry the whole
@@ -957,7 +984,9 @@ private[sources] class GraftScan(
         else deleteState.live.map(d => (s"$path/_deletes/${d.name}", d.snapshotId)).toArray,
       columnar = SparkSession.active.conf
         .getOption("spark.graft.columnarScan")
-        .forall(_.toBoolean)
+        .forall(_.toBoolean),
+      containsToken = containsToken,
+      tablePath = path
     )
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -983,7 +1012,12 @@ private[sources] class GraftScan(
     new GraftMicroBatchStream(path, () => createReaderFactory(), maxSnapshotsPerBatch)
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
-    Array(new BlocksDecodedMetric, new TokenValuesDecodedMetric, new RowsEmittedMetric)
+    Array(
+      new BlocksDecodedMetric,
+      new TokenValuesDecodedMetric,
+      new RowsEmittedMetric,
+      new BlocksIndexSkippedMetric
+    )
 }
 
 private[sources] object GraftScan {
@@ -1318,11 +1352,16 @@ private[sources] class RowsEmittedMetric extends CustomSumMetric {
   override def name(): String = GraftMetrics.RowsEmitted
   override def description(): String = "graft rows emitted"
 }
+private[sources] class BlocksIndexSkippedMetric extends CustomSumMetric {
+  override def name(): String = GraftMetrics.BlocksIndexSkipped
+  override def description(): String = "graft blocks skipped by token index"
+}
 
 object GraftMetrics {
   val BlocksDecoded = "graftBlocksDecoded"
   val TokenValuesDecoded = "graftTokenValuesDecoded"
   val RowsEmitted = "graftRowsEmitted"
+  val BlocksIndexSkipped = "graftBlocksIndexSkipped"
 }
 
 private[sources] final case class GraftReaderFactory(
@@ -1348,7 +1387,14 @@ private[sources] final case class GraftReaderFactory(
       * falls back to the row-shaped reader. Pushed metadata aggregates are
       * always row-shaped (one partial row per file — nothing to vectorize).
       */
-    columnar: Boolean = true
+    columnar: Boolean = true,
+    /** Exact content filter: emit only rows whose tokens contain the value.
+      * Readers consult the [[TokenIndex]] sidecar (when present and
+      * complete for their file) to skip blocks that provably lack it.
+      */
+    containsToken: Option[Int] = None,
+    /** Table root — where the readers find `_token_index/`. */
+    tablePath: String = ""
 ) extends PartitionReaderFactory {
 
   /** The most restrictive correct (bins, docs) for a partition: a
@@ -1375,6 +1421,10 @@ private[sources] final case class GraftReaderFactory(
         require(
           deleteFiles.isEmpty,
           "internal error: metadata aggregate planned over a table with live deletes"
+        )
+        require(
+          containsToken.isEmpty,
+          "internal error: metadata aggregate planned under a containsToken filter"
         )
         new GraftAggReader(p.file, kinds, bins, conf)
       case None =>
@@ -1549,9 +1599,20 @@ private[sources] abstract class GraftBlockReaderBase(
   private val needDocIds =
     f.requiredFields.contains("doc_id") || docFilter.isDefined || deletesPossible
   private val needSources = f.requiredFields.contains("source") || f.sourceFilter.isDefined
-  private val needTokens = f.requiredFields.contains("tokens")
+  // a containsToken needle must decode tokens even when the projection
+  // doesn't keep them — containment is checked on the decoded rows
+  private val needTokens = f.requiredFields.contains("tokens") || f.containsToken.isDefined
   private val needNToks =
     needTokens || f.requiredFields.contains("n_tok") || f.ntokPred.isDefined
+
+  /** This file's token-index entries, multi-valued by (bin, block_seq);
+    * None = no complete index → no block skipping (decode everything the
+    * other filters admit). Loaded once per partition, only when a needle
+    * was pushed.
+    */
+  private lazy val tokenIndexEntries: Option[Map[(Int, Int), List[TokenIndex.Entry]]] =
+    if (f.containsToken.isEmpty || f.tablePath.isEmpty) None
+    else TokenIndex.entriesForFile(f.tablePath, GraftScan.nameOf(file), f.conf.value)
 
   private lazy val tables =
     Huffman.readHeader(new BitReader(f.headerBytes), f.maxBits, f.numContexts)
@@ -1561,10 +1622,12 @@ private[sources] abstract class GraftBlockReaderBase(
   protected var blocksDecoded = 0L
   protected var tokenValuesDecoded = 0L
   protected var rowsEmitted = 0L
+  protected var blocksIndexSkipped = 0L
 
   private val reader: ParquetReader[Group] = {
     // project the parquet scan down to the needed block columns
     val wanted = scala.collection.mutable.LinkedHashSet[String]("bin", "codec", "n_rows")
+    if (f.containsToken.isDefined) wanted += "block_seq" // the index lookup key
     if (needDocIds) { wanted += "doc_ids_codec"; wanted += "doc_ids_payload" }
     if (needSources) { wanted += "sources_codec"; wanted += "sources_payload" }
     if (needNToks) { wanted += "n_toks_codec"; wanted += "n_toks_payload" }
@@ -1608,7 +1671,8 @@ private[sources] abstract class GraftBlockReaderBase(
   protected final def metricsValues(): Array[CustomTaskMetric] = Array(
     GraftTaskMetric(GraftMetrics.BlocksDecoded, blocksDecoded),
     GraftTaskMetric(GraftMetrics.TokenValuesDecoded, tokenValuesDecoded),
-    GraftTaskMetric(GraftMetrics.RowsEmitted, rowsEmitted)
+    GraftTaskMetric(GraftMetrics.RowsEmitted, rowsEmitted),
+    GraftTaskMetric(GraftMetrics.BlocksIndexSkipped, blocksIndexSkipped)
   )
 
   private def bytesOf(g: Group, field: String): Array[Byte] =
@@ -1621,6 +1685,20 @@ private[sources] abstract class GraftBlockReaderBase(
     // snapshot's lineage exist for this scan
     val bin = g.getInteger("bin", 0)
     if (!visibleBins.forall(_.contains(bin))) return null
+    // token-index block skipping: consult the sidecar BEFORE any decode.
+    // Multi-valued lookup (compaction can co-locate equal keys): skip only
+    // when EVERY entry under the key rejects the needle. A key with no
+    // entries (e.g. an all-empty-rows block) decodes normally — the exact
+    // containment filter below still applies.
+    f.containsToken.foreach { t =>
+      tokenIndexEntries.foreach { ix =>
+        val es = ix.getOrElse((bin, g.getInteger("block_seq", 0)), Nil)
+        if (es.nonEmpty && !es.exists(_.mayContain(t))) {
+          blocksIndexSkipped += 1
+          return null
+        }
+      }
+    }
     blocksDecoded += 1
     val nRows = g.getInteger("n_rows", 0)
     val codecName = stringOf(g, "codec")
@@ -1752,7 +1830,31 @@ private[sources] abstract class GraftBlockReaderBase(
       }
     }
 
-    new DecodedBlock(bin, hits, docIds, sources, nToks, tokenValues, tokenStarts)
+    // exact containment filter for a pushed needle: keep only hit rows
+    // whose decoded slice contains it. tokenStarts entries keep pointing
+    // into the SAME decoded buffer, so the surviving subset is a plain
+    // (hits, starts) re-pack — no copies.
+    var outHits = hits
+    var outStarts = tokenStarts
+    f.containsToken.foreach { t =>
+      val keepH = Array.newBuilder[Int]
+      val keepS = Array.newBuilder[Int]
+      var i = 0
+      while (i < hits.length) {
+        val start = tokenStarts(i)
+        val end = start + nToks(hits(i))
+        var j = start
+        var found = false
+        while (j < end && !found) { found = tokenValues(j) == t; j += 1 }
+        if (found) { keepH += hits(i); keepS += start }
+        i += 1
+      }
+      outHits = keepH.result()
+      outStarts = keepS.result()
+    }
+    if (outHits.isEmpty) return null
+
+    new DecodedBlock(bin, outHits, docIds, sources, nToks, tokenValues, outStarts)
   }
 }
 

@@ -115,6 +115,28 @@ object ScanBench {
       }
       rep("scan_lenflt", lenSum($"n_tok" >= thr))(scanLenSum($"n_tok" >= thr))
       rep("scan_leneq", lenSum($"n_tok" === exact))(scanLenSum($"n_tok" === exact))
+
+      // token needle search — the content query the _token_index sidecar
+      // exists for: "which docs contain token X". Needle = the corpus's
+      // max token value (guaranteed >=1 hit, Zipf-rare). First row: NO
+      // index (full decode + exact containment filter — the only plan a
+      // key-pruning engine has for a content query); then build the index
+      // (cost printed once) and measure the bloom-skipped plan.
+      val needle = input.toDF
+        .select(expr("aggregate(tokens, 0, (a, x) -> greatest(a, x))").as("m"))
+        .agg(max($"m")).collect()(0).getInt(0)
+      val needleDocs = input.toDF.where(array_contains($"tokens", lit(needle))).count()
+      def needleScan = spark.read.format("graft").option("containsToken", needle).load(encDir)
+      val ixDir = new java.io.File(encDir, graft.sources.TokenIndex.DirName)
+      if (ixDir.isDirectory) { // prior run left its index — measure unindexed first
+        def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }
+        rm(ixDir)
+        graft.sources.TokenIndex.invalidateCaches(encDir)
+      }
+      rep("scan_needle", needleDocs)(needleScan.count())
+      val (bres, bt) = Bench.time(graft.sources.TokenIndex.build(spark, encDir))
+      println(f"SCANBENCH token_index build: $bres in $bt%.3f s")
+      rep("scan_needle_ix", needleDocs)(needleScan.count())
     } finally spark.stop()
   }
 }

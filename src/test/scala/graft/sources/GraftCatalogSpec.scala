@@ -122,15 +122,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL build_token_index: SQL-only index build drives containsToken skipping") {
+    import spark.implicits._
+    val dir = freshDir()
+    val row = spark.sql(s"CALL graft.system.build_token_index(path => '$dir')").head()
+    assert(row.getAs[Int]("files_indexed") > 0)
+    assert(row.getAs[Long]("blocks_indexed") > 0L)
+    assert(row.getAs[Long]("index_bytes") > 0L)
+    // incremental: a second call covers nothing new
+    val again = spark.sql(s"CALL graft.system.build_token_index(path => '$dir')").head()
+    assert(again.getAs[Int]("files_indexed") == 0)
+    assert(again.getAs[Int]("files_skipped") == row.getAs[Int]("files_indexed"))
+    // the indexed dir answers a needle search exactly (vs the raw input)
+    val needle = input.head().tokens.head
+    val got = spark.read
+      .format("graft")
+      .option("containsToken", needle)
+      .load(dir)
+      .select("doc_id")
+      .as[String]
+      .collect()
+      .toSet
+    val want = input.filter(_.tokens.contains(needle)).map(_.doc_id).collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("listProcedures enumerates the system namespace (no SHOW PROCEDURES in this Spark)") {
     spark.sql("SELECT 1").collect() // force catalog registration path
     val cat = spark.sessionState.catalogManager
       .catalog("graft")
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("codec_stats", "compact", "delete_docs", "expire_snapshots",
-        "purge_deletes", "recompress", "replace_docs", "rewrite_manifests",
-        "vacuum"))
+      Seq("build_token_index", "codec_stats", "compact", "delete_docs",
+        "expire_snapshots", "purge_deletes", "recompress", "replace_docs",
+        "rewrite_manifests", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
 
