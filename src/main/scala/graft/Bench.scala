@@ -206,6 +206,44 @@ object Bench {
         require(nPoint == pointIds.length, s"dsv2 point read $nPoint of ${pointIds.length}")
         queries("dsv2_point_scan") = tPoint
 
+        // ---- token needle search (content query): unindexed = full decode
+        // + exact containment filter (the only plan a key-pruning engine
+        // has); indexed = _token_index bloom skipping. Needle = the corpus
+        // max token (>=1 hit, Zipf-rare). Build time reported once — the
+        // index is rebuilt each run so the unindexed row stays honest.
+        locally {
+          // largest token occurring exactly once (the Zipf cap value is
+          // COMMON — a max-token needle would measure bloom misses);
+          // max-token fallback if every value repeats
+          val needle = {
+            val unique = input.toDF
+              .select(explode($"tokens").as("t"))
+              .groupBy($"t").agg(count(lit(1)).as("c"))
+              .where($"c" === 1)
+              .agg(max($"t")).collect()(0)
+            if (!unique.isNullAt(0)) unique.getInt(0)
+            else input.toDF
+              .select(expr("aggregate(tokens, 0, (a, x) -> greatest(a, x))").as("m"))
+              .agg(max($"m")).collect()(0).getInt(0)
+          }
+          val ixDir = new java.io.File(encDir, graft.sources.TokenIndex.DirName)
+          if (ixDir.isDirectory) {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+            }
+            rm(ixDir); graft.sources.TokenIndex.invalidateCaches(encDir)
+          }
+          def needleCount(): Long =
+            spark32.read.format("graft").option("containsToken", needle).load(encDir).count()
+          val (nPlain, tPlain) = time(needleCount())
+          queries("dsv2_needle_scan") = tPlain
+          val (_, tBuildIx) = time(graft.sources.TokenIndex.build(spark32, encDir))
+          queries("token_index_build") = tBuildIx
+          val (nIx, tIx) = time(needleCount())
+          require(nIx == nPlain, s"indexed needle count $nIx != unindexed $nPlain")
+          queries("dsv2_needle_scan_ix") = tIx
+        }
+
         // ---- storage-partitioned self-join vs the default shuffled join:
         // the same doc_id equi-join once through KeyGroupedPartitioning
         // (zero join exchanges — both sides read their co-located bins) and

@@ -232,14 +232,25 @@ object TokenIndex {
 
     val uuid = UUID.randomUUID().toString
     val stage = new Path(ixDir, s".tmp-$uuid")
-    // range-partitioned + sorted by file so a reader's per-file slice is a
-    // handful of row groups, prunable from the parquet column stats
-    val outParts = math.max(1, math.min(64, todo.length / 64))
+    // HASH-BUCKETED layout: entries land in the bucket file their block
+    // file's name hashes to, so a reader opens exactly ITS bucket's files
+    // (named tix-<uuid>-b<k>of<N>-*.parquet — the bucket count rides in the
+    // name since builds may differ), never the whole index. Within a
+    // bucket, rows are sorted by file and row groups kept small (1 MB) so
+    // the reader's filtered read decompresses one file's slice, not the
+    // bucket. This is what keeps per-reader lookup cost flat as the index
+    // grows: the first layout (range-partitioned, default row groups) made
+    // every reader decompress the FULL index and the indexed needle scan
+    // measured SLOWER than the unindexed one.
+    val nBuckets = math.max(1, math.min(256, todo.length / 32))
     entries
       .filter(_.bin >= 0) // coverage sentinels live only in the summaries
-      .repartitionByRange(outParts, col("file"))
+      .withColumn("bucket", udf((f: String) => bucketOf(f, nBuckets)).apply(col("file")))
+      .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions("file", "bin", "block_seq")
       .write
+      .option("parquet.block.size", (1 << 20).toString)
+      .partitionBy("bucket")
       .parquet(new Path(stage, "blk").toString)
 
     // per-file summaries: the driver's file-pruning view (value range +
@@ -263,22 +274,40 @@ object TokenIndex {
     summaries.coalesce(1).write.parquet(new Path(stage, "fs").toString)
 
     // publish: rename staged part files into the index dir under unique
-    // names. Partial visibility is safe by the completeness check (a file's
-    // entries count against its recorded n_blocks_in_file).
+    // bucket-tagged names. Partial visibility is safe by the completeness
+    // check (a file's entries count against its recorded n_blocks_in_file).
     var indexBytes = 0L
-    var k = 0
-    Seq("blk" -> "tix", "fs" -> "tfs").foreach { case (sub, prefix) =>
-      val dir = new Path(stage, sub)
-      fs.listStatus(dir)
+    locally {
+      val blkRoot = new Path(stage, "blk")
+      fs.listStatus(blkRoot)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        .foreach { bdir =>
+          val b = bdir.getPath.getName.stripPrefix("bucket=").toInt
+          var i = 0
+          fs.listStatus(bdir.getPath)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+            .foreach { st =>
+              indexBytes += st.getLen
+              require(
+                fs.rename(st.getPath, new Path(ixDir, s"tix-$uuid-b${b}of$nBuckets-$i.parquet")),
+                s"failed to publish index file ${st.getPath}"
+              )
+              i += 1
+            }
+        }
+      val fsDir = new Path(stage, "fs")
+      var j = 0
+      fs.listStatus(fsDir)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
         .foreach { st =>
           indexBytes += st.getLen
           require(
-            fs.rename(st.getPath, new Path(ixDir, s"$prefix-$uuid-$k.parquet")),
+            fs.rename(st.getPath, new Path(ixDir, s"tfs-$uuid-$j.parquet")),
             s"failed to publish index file ${st.getPath}"
           )
-          k += 1
+          j += 1
         }
     }
     fs.delete(stage, true)
@@ -370,13 +399,29 @@ object TokenIndex {
 
   private val summaryCache = new ConcurrentHashMap[String, (Long, Map[String, FileSummary])]()
   private val listingCache = new ConcurrentHashMap[String, Array[String]]()
+  // JVM-wide memo of per-block-file entry maps: block files are immutable,
+  // so a cached Some is valid forever; a cached None (no index yet) only
+  // costs pruning until invalidated. Bounded crudely — cleared when full.
+  private val entriesCache =
+    new ConcurrentHashMap[String, Option[Map[(Int, Int), List[Entry]]]]()
+  private val EntriesCacheCap = 8192
 
   def invalidateCaches(outDir: String): Unit = {
     summaryCache.remove(outDir)
     listingCache.remove(outDir)
+    entriesCache.clear()
   }
 
   private def nameOf(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+
+  /** Stable bucket assignment by block file NAME — the read side recomputes
+    * it from the `b<k>of<N>` tag in each index file's name, so different
+    * builds may use different bucket counts.
+    */
+  def bucketOf(fileName: String, nBuckets: Int): Int =
+    (XHash.hashChars(fileName) % nBuckets).toInt
+
+  private val TixBucketName = """tix-.+-b(\d+)of(\d+)-\d+\.parquet""".r
 
   /** Driver-side per-file summaries (None when the dir has no index).
     * Cached keyed on the summary listing fingerprint; O(files) tiny rows.
@@ -428,20 +473,43 @@ object TokenIndex {
       outDir: String,
       blockFileName: String,
       conf: Configuration
+  ): Option[Map[(Int, Int), List[Entry]]] = {
+    val cacheKey = s"$outDir|$blockFileName"
+    val memo = entriesCache.get(cacheKey)
+    if (memo != null) return memo
+    val out = loadEntriesForFile(outDir, blockFileName, conf)
+    if (entriesCache.size() >= EntriesCacheCap) entriesCache.clear()
+    entriesCache.put(cacheKey, out)
+    out
+  }
+
+  private def loadEntriesForFile(
+      outDir: String,
+      blockFileName: String,
+      conf: Configuration
   ): Option[Map[(Int, Int), List[Entry]]] =
     try {
       val ixDir = new Path(outDir, DirName)
-      var listing = listingCache.get(outDir)
-      if (listing == null) {
+      var fullListing = listingCache.get(outDir)
+      if (fullListing == null) {
         val fs = ixDir.getFileSystem(conf)
-        listing =
+        fullListing =
           if (!fs.exists(ixDir)) Array.empty
           else
             fs.listStatus(ixDir)
               .filter(st => st.isFile && st.getPath.getName.startsWith("tix-") && st.getPath.getName.endsWith(".parquet"))
               .map(_.getPath.toString)
               .sorted
-        listingCache.put(outDir, listing)
+        listingCache.put(outDir, fullListing)
+      }
+      // bucket pruning: open only the files whose name-tagged bucket this
+      // block file hashes to (per build group — bucket counts may differ);
+      // unrecognized names are read conservatively
+      val listing = fullListing.filter { p =>
+        nameOf(p) match {
+          case TixBucketName(k, n) => bucketOf(blockFileName, n.toInt) == k.toInt
+          case _                   => true
+        }
       }
       if (listing.isEmpty) return None
       val pred = FilterCompat.get(
