@@ -796,6 +796,58 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Multi-needle token screening (the banned-token curation shape):
+    // containsAnyToken emits rows holding AT LEAST ONE of the needles —
+    // needles derived identically in both engines as the pos-1 and pos-2
+    // tokens of the smallest doc_id. Per-source counts of flagged docs
+    // keep the ANY semantics (index skip + exact row filter) under the
+    // hard DuckDB oracle.
+    "q_token_screen" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftScanDir(s, dir)
+      graft.sources.TokenIndex.build(s, out): Unit
+      val first = TokenTables
+        .tokExploded(s, dir)
+        .where($"pos" <= 2)
+        .orderBy($"doc_id", $"pos")
+        .select($"token")
+        .take(2)
+        .map(_.getLong(0).toInt)
+      s.read
+        .format("graft")
+        .option("containsAnyToken", first.mkString(","))
+        .load(out)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("total_toks"))
+        .orderBy($"source")
+    }),
+
+    // Token-sequence (bigram) screening — the n-gram contamination-check
+    // shape: containsSeq emits only rows holding the needles CONSECUTIVELY
+    // in order. Needles = the pos-1/pos-2 bigram of the smallest doc_id
+    // (derived identically in DuckDB); the oracle recomputes adjacency via
+    // a pos+1 self-join, so a row matched on mere co-occurrence (or a
+    // dropped adjacent match) fails the hash.
+    "q_token_bigram" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftScanDir(s, dir)
+      graft.sources.TokenIndex.build(s, out): Unit
+      val gram = TokenTables
+        .tokExploded(s, dir)
+        .where($"pos" <= 2)
+        .orderBy($"doc_id", $"pos")
+        .select($"token")
+        .take(2)
+        .map(_.getLong(0).toInt)
+      s.read
+        .format("graft")
+        .option("containsSeq", gram.mkString(","))
+        .load(out)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("total_toks"))
+        .orderBy($"source")
+    }),
+
     // DSv2 source under a broadcast join (the runtime-filtering shape: the
     // dim side's doc_ids can be pushed into the scan at execution time);
     // per-source totals must match DuckDB's raw recomputation
@@ -1469,6 +1521,33 @@ object SparkEntry {
          |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
          |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok)
          |WHERE n_tok = 22
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_token_screen" ->
+      s"""$CTE, needles AS (
+         |  SELECT token FROM tok
+         |  WHERE doc_id = (SELECT min(doc_id) FROM tok) AND pos <= 2
+         |)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
+         |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok
+         |      WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+         |                       WHERE token IN (SELECT token FROM needles)))
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_token_bigram" ->
+      s"""$CTE, gram AS (
+         |  SELECT max(CASE WHEN pos = 1 THEN token END) AS a,
+         |         max(CASE WHEN pos = 2 THEN token END) AS b
+         |  FROM tok WHERE doc_id = (SELECT min(doc_id) FROM tok) AND pos <= 2
+         |), matches AS (
+         |  SELECT DISTINCT t1.doc_id
+         |  FROM tok t1 JOIN tok t2
+         |    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+         |  WHERE t1.token = (SELECT a FROM gram) AND t2.token = (SELECT b FROM gram)
+         |)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_toks
+         |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok
+         |      WHERE doc_id IN (SELECT doc_id FROM matches))
          |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_token_search" ->

@@ -279,12 +279,17 @@ private[sources] class GraftTable(
       // `VERSION AS OF` / `TIMESTAMP AS OF` pin (GraftCatalog.loadTable)
       explicit.orElse(byTime).orElse(pinnedSnapshot),
       Option(options.get("maxSnapshotsPerBatch")).map(_.toInt),
-      // containsToken: emit only rows whose `tokens` array contains the
-      // value — the content-search face of the [[TokenIndex]] sidecar
-      // (blocks whose bloom provably lacks the token are never decoded).
-      // An exact filter evaluated at the source (not advisory): correct
-      // with or without an index, the index only skips work.
-      Option(options.get("containsToken")).map(_.toInt)
+      // token-containment needles: emit only rows whose `tokens` array
+      // contains the value(s) — the content-search face of the
+      // [[TokenIndex]] sidecar (blocks whose blooms provably cannot
+      // satisfy the needles are never decoded). An exact filter evaluated
+      // at the source (not advisory): correct with or without an index,
+      // the index only skips work.
+      //   containsToken      = v        one needle
+      //   containsAnyToken   = v1,v2,…  rows containing AT LEAST ONE
+      //   containsAllTokens  = v1,v2,…  rows containing EVERY needle
+      //   containsSeq        = v1,v2,…  rows containing them CONSECUTIVELY
+      TokenNeedles.fromOptions(options)
     )
   }
 
@@ -368,11 +373,107 @@ private[sources] class GraftTable(
   }
 }
 
+/** Pushed token-containment needles with three row semantics:
+  *   - `any`: a row must contain AT LEAST ONE needle;
+  *   - `all`: a row must contain EVERY needle (one index-absent needle
+  *     disqualifies the whole block — the strongest pruning);
+  *   - `seq`: a row must contain the needles CONSECUTIVELY in order (the
+  *     token n-gram contamination screen). Index pruning is the same as
+  *     `all` — a sequence needs every member present — and exactness
+  *     comes from the window compare on the decoded values.
+  * Exact row semantics are always enforced by [[TokenNeedles.rowMatches]]
+  * on the decoded values — the index only skips provably hopeless blocks.
+  */
+private[sources] final case class TokenNeedles(tokens: Array[Int], mode: String) {
+  require(tokens.nonEmpty, "at least one token needle required")
+  require(tokens.length <= 1024, s"${tokens.length} needles — cap is 1024")
+  require(mode == "any" || mode == "all" || mode == "seq", s"unknown needle mode $mode")
+
+  /** Pruning strength: all/seq both require every needle present. */
+  private def needEvery: Boolean = mode != "any"
+
+  def describe: String =
+    mode + "[" + tokens.take(8).mkString(",") +
+      (if (tokens.length > 8) s",… (${tokens.length})" else "") + "]"
+
+  /** Exact containment check over one decoded row slice. */
+  def rowMatches(vals: Array[Int], start: Int, end: Int): Boolean = mode match {
+    case "any" =>
+      var j = start
+      while (j < end) {
+        val v = vals(j)
+        var i = 0
+        while (i < tokens.length) { if (tokens(i) == v) return true; i += 1 }
+        j += 1
+      }
+      false
+    case "all" =>
+      var remaining = tokens.length
+      val found = new Array[Boolean](tokens.length)
+      var j = start
+      while (j < end && remaining > 0) {
+        val v = vals(j)
+        var i = 0
+        while (i < tokens.length) {
+          if (!found(i) && tokens(i) == v) { found(i) = true; remaining -= 1 }
+          i += 1
+        }
+        j += 1
+      }
+      remaining == 0
+    case _ => // seq: consecutive in-order window compare
+      var j = start
+      val last = end - tokens.length
+      while (j <= last) {
+        var i = 0
+        while (i < tokens.length && vals(j + i) == tokens(i)) i += 1
+        if (i == tokens.length) return true
+        j += 1
+      }
+      false
+  }
+
+  /** Can a block with these index entries hold a matching row? Entries are
+    * the multi-valued (bin, block_seq) group; empty = unknown = maybe.
+    */
+  def blockMayMatch(es: List[TokenIndex.Entry]): Boolean = {
+    if (es.isEmpty) return true
+    @inline def rejected(t: Int): Boolean = !es.exists(_.mayContain(t))
+    if (needEvery) !tokens.exists(rejected) // one absent needle kills the block
+    else tokens.exists(t => !rejected(t))
+  }
+
+  /** Can a FILE with this recorded token range hold a matching row? */
+  def fileMayMatch(s: TokenIndex.FileSummary): Boolean = {
+    @inline def inRange(t: Int): Boolean = t >= s.tokMin && t <= s.tokMax
+    if (needEvery) tokens.forall(inRange) else tokens.exists(inRange)
+  }
+}
+
+private[sources] object TokenNeedles {
+  private def parseList(s: String): Array[Int] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+
+  def fromOptions(options: CaseInsensitiveStringMap): Option[TokenNeedles] = {
+    val chosen = Seq(
+      Option(options.get("containsToken")).map(v => TokenNeedles(Array(v.toInt), "all")),
+      Option(options.get("containsAnyToken")).map(v => TokenNeedles(parseList(v), "any")),
+      Option(options.get("containsAllTokens")).map(v => TokenNeedles(parseList(v), "all")),
+      Option(options.get("containsSeq")).map(v => TokenNeedles(parseList(v), "seq"))
+    ).flatten
+    require(
+      chosen.size <= 1,
+      "options containsToken / containsAnyToken / containsAllTokens / containsSeq are mutually exclusive"
+    )
+    chosen.headOption
+  }
+}
+
 private[sources] class GraftScanBuilder(
     path: String,
     snapshot: Option[Long] = None,
     maxSnapshotsPerBatch: Option[Int] = None,
-    containsToken: Option[Int] = None
+    containsToken: Option[TokenNeedles] = None
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -543,7 +644,7 @@ private[sources] class GraftScan(
     snapshot: Option[Long] = None,
     limit: Option[Int] = None,
     maxSnapshotsPerBatch: Option[Int] = None,
-    containsToken: Option[Int] = None
+    containsToken: Option[TokenNeedles] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -762,7 +863,7 @@ private[sources] class GraftScan(
     s"GraftScan path=$path, readSchema=[${required.fieldNames.mkString(",")}], " +
       s"pushedFilters=[${brief(filters.toSeq.map(_.toString.take(200)), 8)}]" +
       agg.map(k => s", pushedAggregates=[${k.mkString(",")}]").getOrElse("") +
-      containsToken.map(t => s", containsToken=$t").getOrElse("") +
+      containsToken.map(t => s", containsTokens=${t.describe}").getOrElse("") +
       snapshot.map(s => s", snapshot=$s").getOrElse("") +
       docIdBins.map(b => s", prunedBins=[${brief(b.toSeq.sorted)}]").getOrElse("") +
       (if (deleteState.isEmpty) ""
@@ -897,14 +998,15 @@ private[sources] class GraftScan(
         .planFiles(path, blockFiles, wantedBins, hadoopConf, GraftScan.sessionFooterPruneCap)
         .filter { case (f, _) => !excludedAppendFiles.contains(GraftScan.nameOf(f)) }
     // token-index file pruning: drop files whose recorded token value range
-    // excludes the needle (O(files) driver map, no footer reads). Files the
-    // index has no summary for are kept — pruning is downward-advisory.
+    // cannot satisfy the needles (O(files) driver map, no footer reads).
+    // Files the index has no summary for are kept — pruning is
+    // downward-advisory.
     val planned = containsToken match {
       case Some(t) =>
         TokenIndex.fileSummaries(path, hadoopConf) match {
           case Some(sums) =>
             planned0.filter { case (f, _) =>
-              sums.get(GraftScan.nameOf(f)).forall(s => t >= s.tokMin && t <= s.tokMax)
+              sums.get(GraftScan.nameOf(f)).forall(t.fileMayMatch)
             }
           case None => planned0
         }
@@ -1388,11 +1490,11 @@ private[sources] final case class GraftReaderFactory(
       * always row-shaped (one partial row per file — nothing to vectorize).
       */
     columnar: Boolean = true,
-    /** Exact content filter: emit only rows whose tokens contain the value.
-      * Readers consult the [[TokenIndex]] sidecar (when present and
-      * complete for their file) to skip blocks that provably lack it.
+    /** Exact content filter: emit only rows whose tokens satisfy the
+      * needles. Readers consult the [[TokenIndex]] sidecar (when present
+      * and complete for their file) to skip blocks that provably cannot.
       */
-    containsToken: Option[Int] = None,
+    containsToken: Option[TokenNeedles] = None,
     /** Table root — where the readers find `_token_index/`. */
     tablePath: String = ""
 ) extends PartitionReaderFactory {
@@ -1686,14 +1788,14 @@ private[sources] abstract class GraftBlockReaderBase(
     val bin = g.getInteger("bin", 0)
     if (!visibleBins.forall(_.contains(bin))) return null
     // token-index block skipping: consult the sidecar BEFORE any decode.
-    // Multi-valued lookup (compaction can co-locate equal keys): skip only
-    // when EVERY entry under the key rejects the needle. A key with no
-    // entries (e.g. an all-empty-rows block) decodes normally — the exact
-    // containment filter below still applies.
+    // Multi-valued lookup (compaction can co-locate equal keys): an entry
+    // group rejects only when NO entry can satisfy the needles. A key with
+    // no entries (e.g. an all-empty-rows block) decodes normally — the
+    // exact containment filter below still applies.
     f.containsToken.foreach { t =>
       tokenIndexEntries.foreach { ix =>
         val es = ix.getOrElse((bin, g.getInteger("block_seq", 0)), Nil)
-        if (es.nonEmpty && !es.exists(_.mayContain(t))) {
+        if (!t.blockMayMatch(es)) {
           blocksIndexSkipped += 1
           return null
         }
@@ -1830,10 +1932,10 @@ private[sources] abstract class GraftBlockReaderBase(
       }
     }
 
-    // exact containment filter for a pushed needle: keep only hit rows
-    // whose decoded slice contains it. tokenStarts entries keep pointing
-    // into the SAME decoded buffer, so the surviving subset is a plain
-    // (hits, starts) re-pack — no copies.
+    // exact containment filter for pushed needles: keep only hit rows
+    // whose decoded slice satisfies them. tokenStarts entries keep
+    // pointing into the SAME decoded buffer, so the surviving subset is a
+    // plain (hits, starts) re-pack — no copies.
     var outHits = hits
     var outStarts = tokenStarts
     f.containsToken.foreach { t =>
@@ -1842,11 +1944,9 @@ private[sources] abstract class GraftBlockReaderBase(
       var i = 0
       while (i < hits.length) {
         val start = tokenStarts(i)
-        val end = start + nToks(hits(i))
-        var j = start
-        var found = false
-        while (j < end && !found) { found = tokenValues(j) == t; j += 1 }
-        if (found) { keepH += hits(i); keepS += start }
+        if (t.rowMatches(tokenValues, start, start + nToks(hits(i)))) {
+          keepH += hits(i); keepS += start
+        }
         i += 1
       }
       outHits = keepH.result()

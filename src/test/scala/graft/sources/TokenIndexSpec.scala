@@ -213,6 +213,74 @@ class TokenIndexSpec extends AnyFunSuite {
     assert(searchDocs(d, Needle) == Set("doc-cmp-needle"))
   }
 
+  test("containsAnyToken / containsAllTokens: exact multi-needle semantics") {
+    import spark.implicits._
+    TokenIndex.build(spark, dir)
+    def docs(optName: String, v: String): Set[String] =
+      spark.read.format("graft").option(optName, v).load(dir)
+        .select("doc_id").as[String].collect().toSet
+    def oracleAny(ts: Seq[Int]): Set[String] =
+      input.filter(r => ts.exists(r.tokens.contains)).map(_.doc_id).collect().toSet
+    def oracleAll(ts: Seq[Int]): Set[String] =
+      input.filter(r => ts.forall(r.tokens.contains)).map(_.doc_id).collect().toSet
+
+    // ANY: union of per-needle matches; an absent needle contributes nothing
+    assert(docs("containsAnyToken", s"$Needle,-7") == Set(NeedleDoc))
+    assert(docs("containsAnyToken", s"1,$Needle") == oracleAny(Seq(1, Needle)))
+    // ALL: the planted doc holds (3, 1, Needle); Needle is unique, so ALL
+    // of (3, Needle) is exactly that doc, and adding an absent needle
+    // empties the result
+    assert(docs("containsAllTokens", s"3,$Needle") == oracleAll(Seq(3, Needle)))
+    assert(oracleAll(Seq(3, Needle)) == Set(NeedleDoc))
+    assert(docs("containsAllTokens", s"$Needle,-7") == Set.empty)
+    // ALL with a common pair recomputed against the raw corpus
+    assert(docs("containsAllTokens", "1,2") == oracleAll(Seq(1, 2)))
+
+    // the options are mutually exclusive (walk causes — Spark may wrap
+    // planning-time exceptions)
+    val err = intercept[Exception] {
+      spark.read.format("graft")
+        .option("containsToken", 1).option("containsAnyToken", "1,2")
+        .load(dir).count()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    assert(msgs.contains("mutually exclusive"), msgs)
+  }
+
+  test("containsSeq: consecutive in-order match only") {
+    import spark.implicits._
+    TokenIndex.build(spark, dir)
+    def docs(v: String): Set[String] =
+      spark.read.format("graft").option("containsSeq", v).load(dir)
+        .select("doc_id").as[String].collect().toSet
+    // the planted doc is (3, 1, Needle, 4, 1): consecutive pairs match…
+    assert(docs(s"1,$Needle") == Set(NeedleDoc))
+    assert(docs(s"3,1,$Needle,4,1") == Set(NeedleDoc))
+    // …present-but-not-adjacent (3 then Needle) and wrong order do not
+    assert(docs(s"3,$Needle") == Set.empty)
+    assert(docs(s"$Needle,1,3") == Set.empty)
+    // a whole-corpus oracle for a common bigram
+    val want = input
+      .filter(r => r.tokens.sliding(2).exists(w => w.length == 2 && w(0) == 1 && w(1) == 1))
+      .map(_.doc_id).collect().toSet
+    assert(docs("1,1") == want)
+  }
+
+  test("ALL-needle with a unique token skips blocks as hard as a single needle") {
+    TokenIndex.build(spark, dir)
+    import spark.implicits._
+    val df = spark.read
+      .format("graft")
+      .option("containsAllTokens", s"1,$Needle")
+      .load(dir)
+      .select($"doc_id")
+      .as[String]
+    assert(df.collect().toSeq == Seq(NeedleDoc))
+    val scan = findScan(df.queryExecution.executedPlan)
+    assert(metric(scan, GraftMetrics.BlocksIndexSkipped) > 0)
+  }
+
   test("equality deletes compose with containsToken") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-tokidx-del").toString
