@@ -48,6 +48,26 @@ object Bench {
     s
   }
 
+  /** Largest token occurring exactly ONCE in the corpus — the honest
+    * needle for token-search benchmarks (the Zipf cap value absorbs all
+    * clamped draws and appears in hundreds of blocks, so a max-token
+    * needle would measure bloom misses, not skipping); max-token fallback
+    * if every value repeats. Shared by Bench and ScanBench so the two
+    * benches can never quietly measure different needle selections.
+    */
+  def uniqueNeedle(tokensDf: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.functions._
+    val unique = tokensDf
+      .select(explode(col("tokens")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .where(col("c") === 1)
+      .agg(max(col("t"))).collect()(0)
+    if (!unique.isNullAt(0)) unique.getInt(0)
+    else tokensDf
+      .select(expr("aggregate(tokens, 0, (a, x) -> greatest(a, x))").as("m"))
+      .agg(max(col("m"))).collect()(0).getInt(0)
+  }
+
   def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -212,27 +232,10 @@ object Bench {
         // max token (>=1 hit, Zipf-rare). Build time reported once — the
         // index is rebuilt each run so the unindexed row stays honest.
         locally {
-          // largest token occurring exactly once (the Zipf cap value is
-          // COMMON — a max-token needle would measure bloom misses);
-          // max-token fallback if every value repeats
-          val needle = {
-            val unique = input.toDF
-              .select(explode($"tokens").as("t"))
-              .groupBy($"t").agg(count(lit(1)).as("c"))
-              .where($"c" === 1)
-              .agg(max($"t")).collect()(0)
-            if (!unique.isNullAt(0)) unique.getInt(0)
-            else input.toDF
-              .select(expr("aggregate(tokens, 0, (a, x) -> greatest(a, x))").as("m"))
-              .agg(max($"m")).collect()(0).getInt(0)
-          }
-          val ixDir = new java.io.File(encDir, graft.sources.TokenIndex.DirName)
-          if (ixDir.isDirectory) {
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-            }
-            rm(ixDir); graft.sources.TokenIndex.invalidateCaches(encDir)
-          }
+          val needle = uniqueNeedle(input.toDF)
+          // a prior run left its index — drop it so the unindexed row is honest
+          graft.sources.TokenIndex
+            .dropIndex(encDir, spark32.sparkContext.hadoopConfiguration): Unit
           def needleCount(): Long =
             spark32.read.format("graft").option("containsToken", needle).load(encDir).count()
           val (nPlain, tPlain) = time(needleCount())

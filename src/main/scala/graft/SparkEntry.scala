@@ -806,12 +806,16 @@ object SparkEntry {
       import s.implicits._
       val out = graftScanDir(s, dir)
       graft.sources.TokenIndex.build(s, out): Unit
-      val first = TokenTables
-        .tokExploded(s, dir)
-        .where($"pos" <= 2)
-        .orderBy($"doc_id", $"pos")
+      // restricted to the min doc FIRST (like the SQL twin) — a global
+      // orderBy+take(2) would cross into a second document if the smallest
+      // doc ever had a single token
+      val tok = TokenTables.tokExploded(s, dir)
+      val minDoc = tok.agg(min($"doc_id")).head().getLong(0)
+      val first = tok
+        .where($"doc_id" === minDoc && $"pos" <= 2)
+        .orderBy($"pos")
         .select($"token")
-        .take(2)
+        .collect()
         .map(_.getLong(0).toInt)
       s.read
         .format("graft")
@@ -832,12 +836,14 @@ object SparkEntry {
       import s.implicits._
       val out = graftScanDir(s, dir)
       graft.sources.TokenIndex.build(s, out): Unit
-      val gram = TokenTables
-        .tokExploded(s, dir)
-        .where($"pos" <= 2)
-        .orderBy($"doc_id", $"pos")
+      // min-doc-scoped like the SQL twin (see q_token_screen)
+      val tok = TokenTables.tokExploded(s, dir)
+      val minDoc = tok.agg(min($"doc_id")).head().getLong(0)
+      val gram = tok
+        .where($"doc_id" === minDoc && $"pos" <= 2)
+        .orderBy($"pos")
         .select($"token")
-        .take(2)
+        .collect()
         .map(_.getLong(0).toInt)
       s.read
         .format("graft")

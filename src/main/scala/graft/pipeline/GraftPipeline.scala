@@ -904,6 +904,38 @@ object GraftPipeline {
     spark.createDataset(rows)
   }
 
+  /** Full-block payload decode given the corpus-level tables: the ONE
+    * codec dispatch (embedded self-describing headers, table-hash guard,
+    * lightweight decoder fallback) shared by the DSv2 dense scan path and
+    * the token-index build — two hand-maintained copies of this dispatch
+    * could drift on a new codec or header change, and a mis-decoded index
+    * build would break its no-false-negative contract silently.
+    */
+  def decodeBlockPayload(
+      payload: Array[Byte],
+      codecName: String,
+      embeddedTables: Boolean,
+      blockTableHash: Long,
+      tables: SymbolTables,
+      model: graft.core.ContextModel,
+      hybrid: HybridCodec,
+      nValues: Int,
+      rowOffsets: Array[Int]
+  ): Array[Int] = {
+    val r = new BitReader(payload)
+    val codec =
+      if (codecName == "hybrid") {
+        require(
+          blockTableHash == tables.tableHash,
+          s"block written with tables $blockTableHash, reader has ${tables.tableHash}"
+        )
+        if (embeddedTables)
+          new HybridCodec(Huffman.readHeader(r, tables.maxBits, tables.numContexts), model)
+        else hybrid
+      } else CodecSelector.decoderFor(codecId(codecName), Some(hybrid))
+    codec.decode(r, nValues, rowOffsets)
+  }
+
   def codecId(name: String): Byte = name match {
     case "plain" => IntCodecs.PlainId
     case "bitpack" => IntCodecs.BitPackId

@@ -396,28 +396,44 @@ private[sources] final case class TokenNeedles(tokens: Array[Int], mode: String)
     mode + "[" + tokens.take(8).mkString(",") +
       (if (tokens.length > 8) s",… (${tokens.length})" else "") + "]"
 
+  /** Sorted-distinct needle set for any/all matching (lazy, built once per
+    * scan): binary search keeps the per-decoded-value cost O(log k) — a
+    * 1024-needle banned-token screen would otherwise pay 1024 compares per
+    * token on the hot decode path.
+    */
+  @transient private lazy val sortedTokens: Array[Int] = {
+    val s = tokens.clone()
+    java.util.Arrays.sort(s)
+    // distinct: duplicate needles collapse to set semantics, and binary
+    // search then has exactly one slot per value (with duplicates it may
+    // land on any of the equal slots — a found[] bitmap would mis-track)
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      if (i == 0 || s(i) != s(i - 1)) { s(n) = s(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(s, n)
+  }
+
   /** Exact containment check over one decoded row slice. */
   def rowMatches(vals: Array[Int], start: Int, end: Int): Boolean = mode match {
     case "any" =>
+      val s = sortedTokens
       var j = start
       while (j < end) {
-        val v = vals(j)
-        var i = 0
-        while (i < tokens.length) { if (tokens(i) == v) return true; i += 1 }
+        if (java.util.Arrays.binarySearch(s, vals(j)) >= 0) return true
         j += 1
       }
       false
     case "all" =>
-      var remaining = tokens.length
-      val found = new Array[Boolean](tokens.length)
+      val s = sortedTokens // sorted-distinct: one slot per needle value
+      var remaining = s.length
+      val found = new Array[Boolean](s.length)
       var j = start
       while (j < end && remaining > 0) {
-        val v = vals(j)
-        var i = 0
-        while (i < tokens.length) {
-          if (!found(i) && tokens(i) == v) { found(i) = true; remaining -= 1 }
-          i += 1
-        }
+        val idx = java.util.Arrays.binarySearch(s, vals(j))
+        if (idx >= 0 && !found(idx)) { found(idx) = true; remaining -= 1 }
         j += 1
       }
       remaining == 0
@@ -1094,12 +1110,15 @@ private[sources] class GraftScan(
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(blockFiles.map(_._2).sum)
     override def numRows(): OptionalLong =
-      // exact only for the full table: filters/snapshots see a subset, and
-      // live deletes hide rows the manifest still counts.
+      // exact only for the full table: filters/snapshots see a subset, live
+      // deletes hide rows the manifest still counts, and a containsToken
+      // needle hides rows the same way (without this gate, CBO would size a
+      // 1-row needle result at the full corpus and e.g. refuse to broadcast
+      // it in a join).
       // EncodeJob self-repairs a manifest that lost rows to a crash between
       // block commit and manifest append, so for a completed/resumed job
       // the manifest total is exact.
-      if (filters.isEmpty && snapshot.isEmpty && deleteState.isEmpty)
+      if (filters.isEmpty && snapshot.isEmpty && deleteState.isEmpty && containsToken.isEmpty)
         GraftScan
           .manifestIndex(path, hadoopConf)
           .fold(OptionalLong.empty())(ix => OptionalLong.of(ix.numRows))
@@ -1916,16 +1935,9 @@ private[sources] abstract class GraftBlockReaderBase(
         var i = 0
         while (i < nRows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
         rowOffsets(nRows) = off
-        val reader = new BitReader(payload)
-        val codec =
-          if (codecName == "hybrid") {
-            checkTableHash()
-            if (embedded) {
-              val parsed = Huffman.readHeader(reader, tables.maxBits, tables.numContexts)
-              new HybridCodec(parsed, model)
-            } else hybrid
-          } else CodecSelector.decoderFor(GraftPipeline.codecId(codecName), Some(hybrid))
-        tokenValues = codec.decode(reader, off, rowOffsets)
+        tokenValues = GraftPipeline.decodeBlockPayload(
+          payload, codecName, embedded, g.getLong("table_hash", 0),
+          tables, model, hybrid, off, rowOffsets)
         tokenValuesDecoded += off
         var j = 0
         while (j < hits.length) { tokenStarts(j) = rowOffsets(hits(j)); j += 1 }

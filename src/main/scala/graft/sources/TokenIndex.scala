@@ -357,18 +357,9 @@ object TokenIndex {
         if (off > 0) {
           val payload = g.getBinary("payload", 0).getBytes
           val codecName = g.getString("codec", 0)
-          val r = new BitReader(payload)
-          val codec =
-            if (codecName == "hybrid") {
-              require(
-                g.getLong("table_hash", 0) == tables.tableHash,
-                s"block in $file written with tables ${g.getLong("table_hash", 0)}, dir has ${tables.tableHash}"
-              )
-              if (g.getBoolean("embedded_tables", 0))
-                new HybridCodec(Huffman.readHeader(r, tables.maxBits, tables.numContexts), model)
-              else hybrid
-            } else CodecSelector.decoderFor(GraftPipeline.codecId(codecName), Some(hybrid))
-          val values = codec.decode(r, off, rowOffsets)
+          val values = GraftPipeline.decodeBlockPayload(
+            payload, codecName, g.getBoolean("embedded_tables", 0),
+            g.getLong("table_hash", 0), tables, model, hybrid, off, rowOffsets)
           val (mn, mx, nd, bloom) = entryFor(values)
           out += TokenIndexRow(
             name,
@@ -398,10 +389,24 @@ object TokenIndex {
   final case class FileSummary(tokMin: Int, tokMax: Int, nBlocks: Int)
 
   private val summaryCache = new ConcurrentHashMap[String, (Long, Map[String, FileSummary])]()
-  private val listingCache = new ConcurrentHashMap[String, Array[String]]()
-  // JVM-wide memo of per-block-file entry maps: block files are immutable,
-  // so a cached Some is valid forever; a cached None (no index yet) only
-  // costs pruning until invalidated. Bounded crudely — cleared when full.
+
+  /** tix listing per dir, refreshed on a short TTL: EXECUTOR JVMs never see
+    * the driver-side invalidate (build() runs there), so without expiry a
+    * long-lived executor would keep a pre-build listing — and through it a
+    * memoized "no index" — forever, silently disabling pruning exactly on
+    * the multi-executor deployments the index exists for. The TTL bounds
+    * that staleness to seconds; stale reads stay CORRECT either way (old
+    * entries describe immutable files; missing entries mean no pruning).
+    */
+  private val listingCache = new ConcurrentHashMap[String, (Long, Array[String], Long)]()
+  private val ListingTtlMs = 60_000L
+
+  // JVM-wide memo of per-block-file entry maps, keyed by (dir, listing
+  // fingerprint, block file): block files are immutable, so a cached Some
+  // is valid forever; a cached None (no/incomplete index) is keyed to the
+  // LISTING it was computed from — a new build changes the fingerprint and
+  // the memo misses, so "no index yet" can never stick past the TTL.
+  // Bounded crudely — cleared when full.
   private val entriesCache =
     new ConcurrentHashMap[String, Option[Map[(Int, Int), List[Entry]]]]()
   private val EntriesCacheCap = 8192
@@ -410,6 +415,17 @@ object TokenIndex {
     summaryCache.remove(outDir)
     listingCache.remove(outDir)
     entriesCache.clear()
+  }
+
+  /** Delete the dir's index entirely (benchmark honesty / start-over
+    * repair). Scans fall back to exact unindexed evaluation.
+    */
+  def dropIndex(outDir: String, conf: Configuration): Boolean = {
+    val ixDir = new Path(outDir, DirName)
+    val fs = ixDir.getFileSystem(conf)
+    val existed = fs.exists(ixDir) && fs.delete(ixDir, true)
+    invalidateCaches(outDir)
+    existed
   }
 
   private def nameOf(f: String): String = f.substring(f.lastIndexOf('/') + 1)
@@ -469,39 +485,46 @@ object TokenIndex {
     * entries (less pruning — safe). A listed file deleted by a full rebuild
     * surfaces as an IO error → treated as no-index.
     */
+  /** The dir's current tix listing plus a fingerprint of it, TTL-cached. */
+  private def tixListing(outDir: String, conf: Configuration): (Array[String], Long) = {
+    val now = System.currentTimeMillis()
+    val cached = listingCache.get(outDir)
+    if (cached != null && cached._1 > now) return (cached._2, cached._3)
+    val ixDir = new Path(outDir, DirName)
+    val fs = ixDir.getFileSystem(conf)
+    val listing =
+      if (!fs.exists(ixDir)) Array.empty[String]
+      else
+        fs.listStatus(ixDir)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("tix-") && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+          .sorted
+    val fingerprint = listing.foldLeft(17L)((h, p) => h * 1000003L + p.hashCode)
+    listingCache.put(outDir, (now + ListingTtlMs, listing, fingerprint))
+    (listing, fingerprint)
+  }
+
   def entriesForFile(
       outDir: String,
       blockFileName: String,
       conf: Configuration
   ): Option[Map[(Int, Int), List[Entry]]] = {
-    val cacheKey = s"$outDir|$blockFileName"
+    val (fullListing, fingerprint) = tixListing(outDir, conf)
+    val cacheKey = s"$outDir|$fingerprint|$blockFileName"
     val memo = entriesCache.get(cacheKey)
     if (memo != null) return memo
-    val out = loadEntriesForFile(outDir, blockFileName, conf)
+    val out = loadEntriesForFile(fullListing, blockFileName, conf)
     if (entriesCache.size() >= EntriesCacheCap) entriesCache.clear()
     entriesCache.put(cacheKey, out)
     out
   }
 
   private def loadEntriesForFile(
-      outDir: String,
+      fullListing: Array[String],
       blockFileName: String,
       conf: Configuration
   ): Option[Map[(Int, Int), List[Entry]]] =
     try {
-      val ixDir = new Path(outDir, DirName)
-      var fullListing = listingCache.get(outDir)
-      if (fullListing == null) {
-        val fs = ixDir.getFileSystem(conf)
-        fullListing =
-          if (!fs.exists(ixDir)) Array.empty
-          else
-            fs.listStatus(ixDir)
-              .filter(st => st.isFile && st.getPath.getName.startsWith("tix-") && st.getPath.getName.endsWith(".parquet"))
-              .map(_.getPath.toString)
-              .sorted
-        listingCache.put(outDir, fullListing)
-      }
       // bucket pruning: open only the files whose name-tagged bucket this
       // block file hashes to (per build group — bucket counts may differ);
       // unrecognized names are read conservatively
@@ -552,6 +575,10 @@ object TokenIndex {
       if (n == 0 || expected < 0 || n % expected != 0) None
       else Some(m.toMap)
     } catch {
-      case _: java.io.IOException => None // raced a rebuild — fall back to decode
+      // any unreadable/corrupt/torn index file (racing a rebuild, torn
+      // object-store copy) degrades to "no pruning", never to a failed
+      // query — ParquetDecodingException and friends are RuntimeExceptions,
+      // so IOException alone would violate the downward-advisory contract
+      case scala.util.control.NonFatal(_) => None
     }
 }

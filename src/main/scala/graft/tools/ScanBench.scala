@@ -117,33 +117,16 @@ object ScanBench {
       rep("scan_leneq", lenSum($"n_tok" === exact))(scanLenSum($"n_tok" === exact))
 
       // token needle search — the content query the _token_index sidecar
-      // exists for: "which docs contain token X". Needle = the largest
-      // token that occurs EXACTLY ONCE in the corpus (the Zipf cap value
-      // absorbs all clamped draws and appears in hundreds of blocks — a
-      // max-token needle would measure bloom misses, not skipping);
-      // falls back to the max token if every value repeats. First row: NO
-      // index (full decode + exact containment filter — the only plan a
+      // exists for: "which docs contain token X" (needle selection and the
+      // index drop shared with Bench — see Bench.uniqueNeedle). First row:
+      // NO index (full decode + exact containment filter — the only plan a
       // key-pruning engine has for a content query); then build the index
       // (cost printed once) and measure the bloom-skipped plan.
-      val needle = {
-        val unique = input.toDF
-          .select(explode($"tokens").as("t"))
-          .groupBy($"t").agg(count(lit(1)).as("c"))
-          .where($"c" === 1)
-          .agg(max($"t")).collect()(0)
-        if (!unique.isNullAt(0)) unique.getInt(0)
-        else input.toDF
-          .select(expr("aggregate(tokens, 0, (a, x) -> greatest(a, x))").as("m"))
-          .agg(max($"m")).collect()(0).getInt(0)
-      }
+      val needle = Bench.uniqueNeedle(input.toDF)
       val needleDocs = input.toDF.where(array_contains($"tokens", lit(needle))).count()
       def needleScan = spark.read.format("graft").option("containsToken", needle).load(encDir)
-      val ixDir = new java.io.File(encDir, graft.sources.TokenIndex.DirName)
-      if (ixDir.isDirectory) { // prior run left its index — measure unindexed first
-        def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }
-        rm(ixDir)
-        graft.sources.TokenIndex.invalidateCaches(encDir)
-      }
+      graft.sources.TokenIndex
+        .dropIndex(encDir, spark.sparkContext.hadoopConfiguration): Unit
       rep("scan_needle", needleDocs)(needleScan.count())
       val (bres, bt) = Bench.time(graft.sources.TokenIndex.build(spark, encDir))
       println(f"SCANBENCH token_index build: $bres in $bt%.3f s")
