@@ -499,6 +499,7 @@ private[sources] class GraftScanBuilder(
   private var required: StructType = GraftDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[Seq[String]] = None
+  private var aggBySource: Boolean = false
   private var limit: Option[Int] = None
 
   /** Per-partition limit: readers stop decoding once they have emitted
@@ -558,10 +559,16 @@ private[sources] class GraftScanBuilder(
     * (every block records its row and token-value counts; min/max decode
     * the small n_toks stream), so a corpus-wide count never decodes a
     * block's entropy payload — partial per-partition rows, Spark combines.
-    * Spark only offers aggregates here when NO post-scan filters remain;
-    * since [[pushFilters]] keeps every filter residual, an aggregate can
-    * only be pushed on an unfiltered scan — metadata counts are then exact
-    * (unless live deletes exist; see [[hasLiveDeletes]]).
+    * `GROUP BY source` pushes too (the per-source token-count report is THE
+    * training-mix curation query): blocks record their rows' sources as a
+    * tiny lightweight-coded stream, and the encode sort keeps blocks
+    * source-homogeneous, so a grouped COUNT/SUM usually reads n_rows /
+    * n_values per block and emits one partial row per source per file —
+    * still zero entropy-payload bytes. Spark only offers aggregates here
+    * when NO post-scan filters remain; since [[pushFilters]] keeps every
+    * filter residual, an aggregate can only be pushed on an unfiltered
+    * scan — metadata counts are then exact (unless live deletes exist; see
+    * [[hasLiveDeletes]]).
     */
   override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
@@ -572,8 +579,15 @@ private[sources] class GraftScanBuilder(
       }
     // containsToken hides rows Spark cannot see from here — metadata
     // counts would over-count, exactly like live deletes
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty || hasLiveDeletes ||
-      containsToken.isDefined) return false
+    if (pushed.nonEmpty || hasLiveDeletes || containsToken.isDefined) return false
+    // the only grouping the block metadata can answer is BY SOURCE (the
+    // sources stream); anything else (doc_id, n_tok expressions, multiple
+    // keys) stays in Spark
+    val groupBySource = agg.groupByExpressions.toSeq match {
+      case Seq()  => false
+      case Seq(g) => if (col(g).contains("source")) true else return false
+      case _      => return false
+    }
     val kinds = agg.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(GraftAgg.CountRows)
       case c: aggregate.Count
@@ -591,13 +605,15 @@ private[sources] class GraftScanBuilder(
     }
     if (kinds.forall(_.isDefined)) {
       pushedAgg = Some(kinds.flatten)
+      aggBySource = groupBySource
       true
     } else false
   }
 
   override def build(): Scan =
     new GraftScan(
-      path, required, pushed, pushedAgg, snapshot, limit, maxSnapshotsPerBatch, containsToken)
+      path, required, pushed, pushedAgg, snapshot, limit, maxSnapshotsPerBatch, containsToken,
+      aggGroupBySource = aggBySource)
 }
 
 /** Conjunction of pushed n_tok comparison predicates in serializable data
@@ -660,7 +676,8 @@ private[sources] class GraftScan(
     snapshot: Option[Long] = None,
     limit: Option[Int] = None,
     maxSnapshotsPerBatch: Option[Int] = None,
-    containsToken: Option[TokenNeedles] = None
+    containsToken: Option[TokenNeedles] = None,
+    aggGroupBySource: Boolean = false
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -852,7 +869,7 @@ private[sources] class GraftScan(
 
   override def readSchema(): StructType = agg match {
     case Some(kinds) =>
-      StructType(kinds.zipWithIndex.map { case (k, i) =>
+      val aggFields = kinds.zipWithIndex.map { case (k, i) =>
         // SUM/MIN/MAX over zero rows are NULL; counts never are. MIN/MAX
         // keep n_tok's int type (Spark re-aggregates the partials typed).
         k match {
@@ -861,7 +878,12 @@ private[sources] class GraftScan(
           case _ =>
             StructField(s"${k}_$i", LongType, nullable = k == GraftAgg.SumTokens)
         }
-      })
+      }
+      // Spark maps a pushed group-by POSITIONALLY: grouping columns first,
+      // then the aggregate columns (the JDBC partial-pushdown contract)
+      if (aggGroupBySource)
+        StructType(StructField("source", StringType, nullable = false) +: aggFields)
+      else StructType(aggFields)
     case None => required
   }
 
@@ -878,7 +900,9 @@ private[sources] class GraftScan(
   override def description(): String =
     s"GraftScan path=$path, readSchema=[${required.fieldNames.mkString(",")}], " +
       s"pushedFilters=[${brief(filters.toSeq.map(_.toString.take(200)), 8)}]" +
-      agg.map(k => s", pushedAggregates=[${k.mkString(",")}]").getOrElse("") +
+      agg.map(k =>
+        s", pushedAggregates=[${k.mkString(",")}]" +
+          (if (aggGroupBySource) ", groupedBy=[source]" else "")).getOrElse("") +
       containsToken.map(t => s", containsTokens=${t.describe}").getOrElse("") +
       snapshot.map(s => s", snapshot=$s").getOrElse("") +
       docIdBins.map(b => s", prunedBins=[${brief(b.toSeq.sorted)}]").getOrElse("") +
@@ -1090,6 +1114,7 @@ private[sources] class GraftScan(
       // exact snapshot check is visibleBins in the readers
       wantedBins = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted),
       aggKinds = agg.map(_.toArray),
+      aggBySource = aggGroupBySource,
       visibleBins = snapshotBins.map(_.toArray.sorted),
       conf = new SerializableHadoopConf(hadoopConf),
       limit = limit,
@@ -1496,6 +1521,7 @@ private[sources] final case class GraftReaderFactory(
     ntokPred: Option[NtokPred] = None,
     wantedBins: Option[Array[Int]],
     aggKinds: Option[Array[String]] = None,
+    aggBySource: Boolean = false,
     visibleBins: Option[Array[Int]] = None,
     conf: SerializableHadoopConf,
     limit: Option[Int] = None,
@@ -1547,7 +1573,7 @@ private[sources] final case class GraftReaderFactory(
           containsToken.isEmpty,
           "internal error: metadata aggregate planned under a containsToken filter"
         )
-        new GraftAggReader(p.file, kinds, bins, conf)
+        new GraftAggReader(p.file, kinds, bins, conf, aggBySource)
       case None =>
         new GraftPartitionReader(p.file, this, bins, docs, p.deletedIdsOverride, p.fileCommitSnap)
     }
@@ -1569,68 +1595,160 @@ private[sources] final case class GraftReaderFactory(
   * the recorded n_rows/n_values; MIN/MAX additionally decode each visible
   * block's n_toks stream (~n_rows small lightweight-coded ints). Never
   * touches the entropy payload.
+  *
+  * `groupBySource` adds GROUP BY source: one partial row PER SOURCE (none
+  * at all for an empty file — grouped aggregates have no zero-row group).
+  * Blocks are source-homogeneous by the encode sort, so the common case
+  * reads one decoded sources stream (RLE, ~bytes) and still answers
+  * COUNT/SUM from n_rows/n_values; a block that straddles a source
+  * boundary (or a mixed append) decodes its n_toks stream to attribute
+  * per-row. Per-file state is one small struct per distinct source — the
+  * training-mix label domain, not a key domain.
   */
 private[sources] class GraftAggReader(
     file: String,
     kinds: Array[String],
     visibleBins: Option[Set[Int]],
-    sConf: SerializableHadoopConf
+    sConf: SerializableHadoopConf,
+    groupBySource: Boolean = false
 ) extends PartitionReader[InternalRow] {
 
-  private var emitted = false
-  private var rows = 0L
-  private var values = 0L
-  private var minNtok = Int.MaxValue
-  private var maxNtok = Int.MinValue
+  private final class Agg {
+    var rows = 0L
+    var values = 0L
+    var minNtok = Int.MaxValue
+    var maxNtok = Int.MinValue
+  }
+
+  private var scanned = false
+  private val total = new Agg
+  // insertion-ordered: partial-row order is deterministic per file
+  private val bySource = new java.util.LinkedHashMap[String, Agg]()
+  private var groupIter: java.util.Iterator[java.util.Map.Entry[String, Agg]] = null
+  private var current: (String, Agg) = null
   private val needNtoks = GraftAgg.needsNtoks(kinds.toSeq)
+  private val needSum = kinds.contains(GraftAgg.SumTokens)
 
   private val reader: ParquetReader[Group] = {
+    val base = Set("bin", "n_rows", "n_values")
     val cols =
-      if (needNtoks) Set("bin", "n_rows", "n_values", "n_toks_codec", "n_toks_payload")
-      else Set("bin", "n_rows", "n_values")
+      base ++
+        (if (needNtoks || (groupBySource && needSum))
+           Set("n_toks_codec", "n_toks_payload")
+         else Set.empty[String]) ++
+        (if (groupBySource) Set("sources_codec", "sources_payload") else Set.empty[String])
     GraftPartitionReader.openProjected(file, sConf, cols, None)
   }
 
-  override def next(): Boolean = {
-    if (emitted) return false
+  private def aggFor(source: String): Agg = {
+    var a = bySource.get(source)
+    if (a == null) { a = new Agg; bySource.put(source, a) }
+    a
+  }
+
+  private def scan(): Unit = {
     var g = reader.read()
     while (g != null) {
       if (visibleBins.forall(_.contains(g.getInteger("bin", 0)))) {
         val nRows = g.getInteger("n_rows", 0)
-        rows += nRows
-        values += g.getLong("n_values", 0)
-        if (needNtoks && nRows > 0) {
-          val nToks = graft.codec.CodecSelector.decodeIntColumn(
-            g.getString("n_toks_codec", 0),
-            g.getBinary("n_toks_payload", 0).getBytes,
+        if (!groupBySource) {
+          total.rows += nRows
+          total.values += g.getLong("n_values", 0)
+          if (needNtoks && nRows > 0) {
+            val nToks = CodecSelector.decodeIntColumn(
+              g.getString("n_toks_codec", 0),
+              g.getBinary("n_toks_payload", 0).getBytes,
+              nRows
+            )
+            var j = 0
+            while (j < nToks.length) {
+              if (nToks(j) < total.minNtok) total.minNtok = nToks(j)
+              if (nToks(j) > total.maxNtok) total.maxNtok = nToks(j)
+              j += 1
+            }
+          }
+        } else if (nRows > 0) {
+          val sources = StringCodecs.decode(
+            g.getString("sources_codec", 0),
+            g.getBinary("sources_payload", 0).getBytes,
             nRows
           )
-          var j = 0
-          while (j < nToks.length) {
-            if (nToks(j) < minNtok) minNtok = nToks(j)
-            if (nToks(j) > maxNtok) maxNtok = nToks(j)
+          var homogeneous = true
+          var j = 1
+          while (homogeneous && j < nRows) {
+            if (sources(j) != sources(0)) homogeneous = false
             j += 1
+          }
+          val decodeNtoks = needNtoks || (needSum && !homogeneous)
+          val nToks =
+            if (decodeNtoks)
+              CodecSelector.decodeIntColumn(
+                g.getString("n_toks_codec", 0),
+                g.getBinary("n_toks_payload", 0).getBytes,
+                nRows
+              )
+            else null
+          if (homogeneous) {
+            val a = aggFor(sources(0))
+            a.rows += nRows
+            a.values += g.getLong("n_values", 0)
+            if (nToks != null) {
+              var i = 0
+              while (i < nToks.length) {
+                if (nToks(i) < a.minNtok) a.minNtok = nToks(i)
+                if (nToks(i) > a.maxNtok) a.maxNtok = nToks(i)
+                i += 1
+              }
+            }
+          } else {
+            var i = 0
+            while (i < nRows) {
+              val a = aggFor(sources(i))
+              a.rows += 1
+              if (nToks != null) {
+                a.values += nToks(i)
+                if (nToks(i) < a.minNtok) a.minNtok = nToks(i)
+                if (nToks(i) > a.maxNtok) a.maxNtok = nToks(i)
+              }
+              i += 1
+            }
           }
         }
       }
       g = reader.read()
     }
-    emitted = true
-    true
+  }
+
+  override def next(): Boolean = {
+    if (!scanned) {
+      scan()
+      scanned = true
+      if (!groupBySource) { current = ("", total); return true }
+      groupIter = bySource.entrySet().iterator()
+    }
+    if (!groupBySource) return false
+    if (groupIter.hasNext) {
+      val e = groupIter.next()
+      current = (e.getKey, e.getValue)
+      true
+    } else false
   }
 
   override def get(): InternalRow = {
-    val out = new GenericInternalRow(kinds.length)
+    val off = if (groupBySource) 1 else 0
+    val out = new GenericInternalRow(kinds.length + off)
+    val a = current._2
+    if (groupBySource) out.update(0, UTF8String.fromString(current._1))
     var i = 0
     while (i < kinds.length) {
       kinds(i) match {
-        case GraftAgg.CountRows => out.setLong(i, rows)
+        case GraftAgg.CountRows => out.setLong(i + off, a.rows)
         case GraftAgg.SumTokens =>
-          if (rows == 0L) out.setNullAt(i) else out.setLong(i, values)
+          if (a.rows == 0L) out.setNullAt(i + off) else out.setLong(i + off, a.values)
         case GraftAgg.MinNtok =>
-          if (rows == 0L) out.setNullAt(i) else out.setInt(i, minNtok)
+          if (a.rows == 0L) out.setNullAt(i + off) else out.setInt(i + off, a.minNtok)
         case GraftAgg.MaxNtok =>
-          if (rows == 0L) out.setNullAt(i) else out.setInt(i, maxNtok)
+          if (a.rows == 0L) out.setNullAt(i + off) else out.setInt(i + off, a.maxNtok)
         case other => throw new IllegalArgumentException(s"unknown aggregate $other")
       }
       i += 1
@@ -1643,7 +1761,7 @@ private[sources] class GraftAggReader(
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     GraftTaskMetric(GraftMetrics.BlocksDecoded, 0L),
     GraftTaskMetric(GraftMetrics.TokenValuesDecoded, 0L),
-    GraftTaskMetric(GraftMetrics.RowsEmitted, 1L)
+    GraftTaskMetric(GraftMetrics.RowsEmitted, if (groupBySource) bySource.size().toLong else 1L)
   )
 }
 

@@ -102,10 +102,51 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(got == want)
     val scan = findScan(df.queryExecution.executedPlan)
     assert(metric(scan, GraftMetrics.TokenValuesDecoded) == 0L)
-    assert(metric(scan, GraftMetrics.RowsEmitted) == input.count())
-    // and the scan itself advertises the pruned read schema
-    assert(scan.toString.contains("readSchema=[n_tok,source]")
-      || scan.toString.contains("readSchema=[source,n_tok]"))
+    // GROUP BY source is pushed to block metadata: the scan emits partial
+    // rows (≤ sources × files), not one row per document
+    assert(scan.toString.contains("groupedBy=[source]"), s"group-by not pushed:\n$scan")
+    val nSources = want.size.toLong
+    assert(metric(scan, GraftMetrics.RowsEmitted) >= nSources)
+    assert(metric(scan, GraftMetrics.RowsEmitted) < input.count())
+  }
+
+  test("GROUP BY source pushdown: COUNT/SUM/MIN/MAX per source from metadata only") {
+    import spark.implicits._
+    val df = spark.read.format("graft").load(dirA)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n"), sum($"n_tok").as("toks"),
+        min($"n_tok").as("mn"), max($"n_tok").as("mx")
+      )
+    val got = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    val want = input.groupBy($"source")
+      .agg(count(lit(1)), sum($"n_tok"), min($"n_tok"), max($"n_tok"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(got == want)
+    val scan = findScan(df.queryExecution.executedPlan)
+    assert(scan.toString.contains("pushedAggregates=") &&
+      scan.toString.contains("groupedBy=[source]"), s"grouped aggregate not pushed:\n$scan")
+    // the encode sort keeps blocks source-homogeneous, but the 64-row block
+    // cap makes boundary blocks straddle sources — per-row attribution via
+    // the n_toks stream must still never touch the entropy payload
+    assert(metric(scan, GraftMetrics.BlocksDecoded) == 0L)
+    assert(metric(scan, GraftMetrics.TokenValuesDecoded) == 0L)
+  }
+
+  test("aggregate pushdown declines on a non-source grouping") {
+    import spark.implicits._
+    val df = spark.read.format("graft").load(dirA)
+      .groupBy($"n_tok").agg(count(lit(1)).as("n"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = input.groupBy($"n_tok").agg(count(lit(1)))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val scan = findScan(df.queryExecution.executedPlan)
+    assert(!scan.toString.contains("pushedAggregates="), s"unsafe grouped pushdown:\n$scan")
   }
 
   test("doc_id filter: bin pruning + per-row seek decode exactly the hit rows") {
