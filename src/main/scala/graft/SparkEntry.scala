@@ -969,6 +969,28 @@ object SparkEntry {
         .orderBy($"doc_id", $"pos")
     }),
 
+    // Incremental batch read (Iceberg's incremental-scan shape): the same
+    // appended dir, read with option("fromSnapshot", 0) — ONLY the rows the
+    // append snapshot added, planned as file deltas by the shared
+    // stream/batch delta planner. Full decode checksum of every emitted
+    // token keeps the delta planning itself under the hard DuckDB oracle
+    // (one bootstrap row leaking in, or one appended row dropped, fails
+    // the hash).
+    "q_incremental_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftAppendDir(s, dir)
+      s.read
+        .format("graft")
+        .option("fromSnapshot", 0)
+        .load(out)
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
     // Equality deletes, merge-on-read half: docs with id % 13 == 5 are
     // DELETED (Deletes.deleteDocs — one (bin,doc_id) parquet + one
     // snapshot, no data file moves), then a point read asks for ids
@@ -1588,6 +1610,11 @@ object SparkEntry {
          |  WHERE doc_id % 7 = 3 AND doc_id % 997 = 3
          |)
          |SELECT doc_id, pos, token FROM uni ORDER BY doc_id, pos""".stripMargin,
+
+    "q_incremental_scan" ->
+      s"""$CTE
+         |SELECT doc_id + 1000000000000 AS doc_id, pos, token FROM tok
+         |WHERE doc_id % 7 = 3 ORDER BY doc_id, pos""".stripMargin,
 
     "q_delete_scan" ->
       s"""$CTE

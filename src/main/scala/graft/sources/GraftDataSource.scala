@@ -279,6 +279,12 @@ private[sources] class GraftTable(
       // `VERSION AS OF` / `TIMESTAMP AS OF` pin (GraftCatalog.loadTable)
       explicit.orElse(byTime).orElse(pinnedSnapshot),
       Option(options.get("maxSnapshotsPerBatch")).map(_.toInt),
+      // incremental batch read (Iceberg's incremental-scan shape): plan
+      // only the rows ADDED by snapshots in (fromSnapshot, snapshot|latest]
+      // — the "what's new since my last run" query a downstream pipeline
+      // issues instead of re-reading 100 TB. EXCLUSIVE lower bound, so
+      // polling with fromSnapshot = last-seen id composes gap-free.
+      Option(options.get("fromSnapshot")).map(_.toLong),
       // token-containment needles: emit only rows whose `tokens` array
       // contains the value(s) — the content-search face of the
       // [[TokenIndex]] sidecar (blocks whose blooms provably cannot
@@ -489,6 +495,7 @@ private[sources] class GraftScanBuilder(
     path: String,
     snapshot: Option[Long] = None,
     maxSnapshotsPerBatch: Option[Int] = None,
+    fromSnapshot: Option[Long] = None,
     containsToken: Option[TokenNeedles] = None
 ) extends ScanBuilder
     with SupportsPushDownFilters
@@ -578,8 +585,11 @@ private[sources] class GraftScanBuilder(
         case _                                               => None
       }
     // containsToken hides rows Spark cannot see from here — metadata
-    // counts would over-count, exactly like live deletes
-    if (pushed.nonEmpty || hasLiveDeletes || containsToken.isDefined) return false
+    // counts would over-count, exactly like live deletes; an incremental
+    // read sees a snapshot-range subset, so whole-file metadata would
+    // over-count the same way
+    if (pushed.nonEmpty || hasLiveDeletes || containsToken.isDefined ||
+      fromSnapshot.isDefined) return false
     // the only grouping the block metadata can answer is BY SOURCE (the
     // sources stream); anything else (doc_id, n_tok expressions, multiple
     // keys) stays in Spark
@@ -613,7 +623,7 @@ private[sources] class GraftScanBuilder(
   override def build(): Scan =
     new GraftScan(
       path, required, pushed, pushedAgg, snapshot, limit, maxSnapshotsPerBatch, containsToken,
-      aggGroupBySource = aggBySource)
+      aggGroupBySource = aggBySource, fromSnapshot = fromSnapshot)
 }
 
 /** Conjunction of pushed n_tok comparison predicates in serializable data
@@ -677,7 +687,8 @@ private[sources] class GraftScan(
     limit: Option[Int] = None,
     maxSnapshotsPerBatch: Option[Int] = None,
     containsToken: Option[TokenNeedles] = None,
-    aggGroupBySource: Boolean = false
+    aggGroupBySource: Boolean = false,
+    fromSnapshot: Option[Long] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -905,6 +916,7 @@ private[sources] class GraftScan(
           (if (aggGroupBySource) ", groupedBy=[source]" else "")).getOrElse("") +
       containsToken.map(t => s", containsTokens=${t.describe}").getOrElse("") +
       snapshot.map(s => s", snapshot=$s").getOrElse("") +
+      fromSnapshot.map(s => s", fromSnapshot=$s").getOrElse("") +
       docIdBins.map(b => s", prunedBins=[${brief(b.toSeq.sorted)}]").getOrElse("") +
       (if (deleteState.isEmpty) ""
        else s", liveDeletes=${deleteState.live.size} files/${deleteState.totalIds} ids")
@@ -927,7 +939,7 @@ private[sources] class GraftScan(
     val wantKeyed = SparkSession.active.conf
       .getOption("spark.graft.binPartitionedScan")
       .exists(_.toBoolean)
-    if (!wantKeyed || agg.nonEmpty || limit.nonEmpty) None
+    if (!wantKeyed || agg.nonEmpty || limit.nonEmpty || fromSnapshot.nonEmpty) None
     else
       GraftScan.manifestIndex(path, hadoopConf).map(_.fileBins).filter(_.nonEmpty).flatMap {
         claims =>
@@ -996,7 +1008,10 @@ private[sources] class GraftScan(
   // partitioning, and a storage-partitioned join needs no runtime pruning
   // (each task already reads exactly its own bin on both sides).
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (keyedBinPartitions.isDefined) Array.empty
+    // also declined for incremental reads: delta partitions are planned by
+    // snapshot range, not doc_id bins, so runtime keys could not prune them
+    // (the join above re-checks — declining costs correctness nothing)
+    if (keyedBinPartitions.isDefined || fromSnapshot.isDefined) Array.empty
     else Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
 
   override def filter(runtimeFilters: Array[Filter]): Unit =
@@ -1017,6 +1032,27 @@ private[sources] class GraftScan(
     * parquet row-group skipping in the reader.
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    fromSnapshot.foreach { s =>
+      // incremental read: ONLY the rows added by snapshots in (s, e] —
+      // shared planner with the streaming source, so a batch catch-up and
+      // a stream catch-up over the same range read identical rows. Deletes
+      // still apply at e with sequence scoping (file partitions carry
+      // their commit snapshot; bin partitions ride the factory's delete
+      // files), so a replace inside the range contributes its NEW content.
+      val e = snapshot.getOrElse(lineageRecords.map(_.id).maxOption.getOrElse(-1L))
+      require(
+        s == -1L || lineageRecords.exists(_.id == s),
+        s"fromSnapshot $s not found under $path/_snapshots " +
+          s"(have ${lineageRecords.map(_.id).sorted.mkString(",")})"
+      )
+      require(
+        e >= s,
+        s"fromSnapshot $s is newer than the read end $e — an incremental range must go forward"
+      )
+      return GraftScan.planDeltaPartitions(
+        path, s, e, blockFiles, postListingRecords, hadoopConf,
+        s"incremental read ($s, $e]")
+    }
     keyedBinPartitions.foreach { groups =>
       // keyed (storage-partitioned) planning: one split per (file, bin),
       // grouped into bin tasks by Spark via the partition key. Delete
@@ -1143,7 +1179,9 @@ private[sources] class GraftScan(
       // EncodeJob self-repairs a manifest that lost rows to a crash between
       // block commit and manifest append, so for a completed/resumed job
       // the manifest total is exact.
-      if (filters.isEmpty && snapshot.isEmpty && deleteState.isEmpty && containsToken.isEmpty)
+      // fromSnapshot sees a snapshot-range subset, like the other gates
+      if (filters.isEmpty && snapshot.isEmpty && deleteState.isEmpty && containsToken.isEmpty &&
+        fromSnapshot.isEmpty)
         GraftScan
           .manifestIndex(path, hadoopConf)
           .fold(OptionalLong.empty())(ix => OptionalLong.of(ix.numRows))
@@ -1174,6 +1212,90 @@ private[sources] object GraftScan {
     * filter / exact bin check performs the same pruning distributed.
     */
   val FooterPruneCap = 4096
+
+  /** Plan the rows ADDED by snapshots in (s, e] — the ONE delta planner
+    * behind both the streaming source (each micro-batch is one offset
+    * range) and the batch incremental read (`option("fromSnapshot", s)`),
+    * so the two surfaces can never disagree on what a snapshot range
+    * contains. `recs` must be loaded BEFORE `files` was listed (a file
+    * committed in between then appears in the listing but in no planned
+    * delta — correctly excluded, it belongs to a later range).
+    *
+    * Two delta granularities: EncodeJob snapshots commit whole write-once
+    * BINS; DSv2 append snapshots add FILES to existing bins. A bin-delta
+    * partition must therefore exclude every file carried by file-level
+    * lineage (any snapshot's files_added) — those rows belong to exactly
+    * the range spanning their own append snapshot, never to a bin replay.
+    *
+    * Compaction folds appended files into rewritten files whose rows a bin
+    * replay cannot tell apart from EncodeJob rows. Two distinct hazards: a
+    * folded file IN range (s, e] means rows this range owes that no live
+    * file carries (would drop), and a folded file BEYOND e means rows a
+    * bin replay in THIS range would emit early (double-read later) — but
+    * only if this range replays bins at all; a pure file-delta range never
+    * touches rewritten files. The one recoverable in-range case is the
+    * FULL from-scratch range (s == -1, nothing folded beyond e), where the
+    * all-bins replay emits the folded rows itself. Anything else refuses
+    * loudly rather than drop or double-read rows.
+    */
+  def planDeltaPartitions(
+      path: String,
+      s: Long,
+      e: Long,
+      files: Array[(String, Long)],
+      recs: Seq[graft.pipeline.EncodeJob.SnapshotRecord],
+      hadoopConf: Configuration,
+      context: String
+  ): Array[InputPartition] = {
+    if (e <= s) return Array.empty
+    val inRange = recs.filter(x => x.id > s && x.id <= e)
+    val deltaBins = inRange.flatMap(_.binsAdded).toSet
+    val deltaFiles = inRange.flatMap(_.filesAdded).toSet
+    val allAppendFiles = recs.flatMap(_.filesAdded).toSet
+    if (deltaBins.isEmpty && deltaFiles.isEmpty) return Array.empty
+    val liveNames = files.map(f => GraftScan.nameOf(f._1)).toSet
+    val folded = (r: graft.pipeline.EncodeJob.SnapshotRecord) =>
+      r.filesAdded.exists(f => !liveNames.contains(f))
+    val foldedInRange = inRange.filter(folded)
+    val foldedBeyond = recs.filter(r => r.id > e && folded(r))
+    val hazards = foldedInRange ++ (if (deltaBins.nonEmpty) foldedBeyond else Seq.empty)
+    if (hazards.nonEmpty) {
+      val fullReplay = s == -1L && foldedBeyond.isEmpty
+      require(
+        fullReplay,
+        s"$context cannot be planned: appended files of snapshots " +
+          s"${hazards.map(_.id).mkString(", ")} were compacted into rewritten files " +
+          "that a partial replay can neither exclude nor reach — re-read from scratch " +
+          "(streams: restart from a fresh checkpoint; batch: drop fromSnapshot — a full " +
+          "read is exact), or disable compaction while incremental readers are catching up"
+      )
+      // full replay: folded rows arrive via the bin route; only still-live
+      // append files are planned as file deltas (collected below)
+    }
+    // file-delta partitions carry their commit snapshot so the readers'
+    // delete application stays sequence-scoped (a replace's own files must
+    // not be hidden by the delete committed in the same snapshot)
+    val fileSnapOf: Map[String, Long] = recs.flatMap(r => r.filesAdded.map(_ -> r.id)).toMap
+    val fileParts: Array[InputPartition] = files.collect {
+      case (f, _) if deltaFiles.contains(GraftScan.nameOf(f)) =>
+        GraftInputPartition(f, fileCommitSnap = fileSnapOf.getOrElse(GraftScan.nameOf(f), -1L))
+    }
+    if (deltaBins.isEmpty) return fileParts
+    val bins = deltaBins.toArray.sorted
+    // same pruning ladder (and session cap) as the batch path — manifest
+    // claims, then capped footer ranges; the readers' exact bin check
+    // keeps any kept file correct regardless
+    val binParts: Array[InputPartition] = GraftScan
+      .pruneFiles(
+        path,
+        files.filterNot(f => allAppendFiles.contains(GraftScan.nameOf(f._1))),
+        Some(deltaBins),
+        hadoopConf,
+        GraftScan.sessionFooterPruneCap
+      )
+      .map(f => GraftInputPartition(f, Some(bins)))
+    binParts ++ fileParts
+  }
 
   /** JVM-wide footer-range cache keyed by (path, size): block files are
     * immutable once committed (parquet write-once), so ranges never change
@@ -2380,71 +2502,11 @@ private[sources] class GraftMicroBatchStream(
     val s = start.asInstanceOf[GraftOffset].snapshot
     val e = end.asInstanceOf[GraftOffset].snapshot
     if (e <= s) return Array.empty
+    // recs BEFORE the file listing — the order planDeltaPartitions requires
     val recs = GraftMeta.loadSnapshotRecords(path, hadoopConf)
-    val inRange = recs.filter(x => x.id > s && x.id <= e)
-    // two delta granularities: EncodeJob snapshots commit whole write-once
-    // BINS; DSv2 append snapshots add FILES to existing bins. A bin-delta
-    // batch must therefore exclude every file carried by file-level lineage
-    // (any snapshot's files_added) — those rows belong to exactly the batch
-    // that spans their own append snapshot, never to a bin replay.
-    val deltaBins = inRange.flatMap(_.binsAdded).toSet
-    val deltaFiles = inRange.flatMap(_.filesAdded).toSet
-    val allAppendFiles = recs.flatMap(_.filesAdded).toSet
-    if (deltaBins.isEmpty && deltaFiles.isEmpty) return Array.empty
     val files = GraftMeta.listBlockFiles(path, hadoopConf)
-    val liveNames = files.map(f => GraftScan.nameOf(f._1)).toSet
-    // Compaction folds appended files into rewritten files whose rows a
-    // bin replay cannot tell apart from EncodeJob rows. Two distinct
-    // hazards: a folded file IN range (s, e] means rows this batch owes
-    // that no live file carries (drop), and a folded file BEYOND e means
-    // rows a bin replay in THIS batch would emit early (double-read later)
-    // — but only if this batch replays bins at all; a pure file-delta
-    // catch-up batch never touches rewritten files, so a later folded
-    // snapshot is that later batch's problem, not a reason to refuse
-    // deliverable rows now. The one recoverable in-range case is the FULL
-    // from-scratch batch (s == -1, nothing folded beyond e), where the
-    // all-bins replay emits the folded rows itself.
-    val folded = (r: graft.pipeline.EncodeJob.SnapshotRecord) =>
-      r.filesAdded.exists(f => !liveNames.contains(f))
-    val foldedInRange = inRange.filter(folded)
-    val foldedBeyond = recs.filter(r => r.id > e && folded(r))
-    val hazards = foldedInRange ++ (if (deltaBins.nonEmpty) foldedBeyond else Seq.empty)
-    if (hazards.nonEmpty) {
-      val fullReplay = s == -1L && foldedBeyond.isEmpty
-      require(
-        fullReplay,
-        s"stream batch ($s, $e] cannot be planned: appended files of snapshots " +
-          s"${hazards.map(_.id).mkString(", ")} were compacted into rewritten files " +
-          "that a partial replay can neither exclude nor reach — restart the stream from a " +
-          "fresh checkpoint (a full replay is exact), or disable compaction while streams " +
-          "are catching up"
-      )
-      // full replay: folded rows arrive via the bin route; only still-live
-      // append files are planned as file deltas (collected below)
-    }
-    // file-delta partitions carry their commit snapshot so the readers'
-    // delete application stays sequence-scoped (a replace's own files must
-    // not be hidden by the delete committed in the same snapshot)
-    val fileSnapOf: Map[String, Long] = recs.flatMap(r => r.filesAdded.map(_ -> r.id)).toMap
-    val fileParts: Array[InputPartition] = files.collect {
-      case (f, _) if deltaFiles.contains(GraftScan.nameOf(f)) =>
-        GraftInputPartition(f, fileCommitSnap = fileSnapOf.getOrElse(GraftScan.nameOf(f), -1L))
-    }
-    if (deltaBins.isEmpty) return fileParts
-    val bins = deltaBins.toArray.sorted
-    // same pruning ladder (and session cap) as the batch path — manifest
-    // claims, then capped footer ranges; the readers' exact bin check
-    // keeps any kept file correct regardless
-    val binParts: Array[InputPartition] = GraftScan
-      .pruneFiles(
-        path,
-        files.filterNot(f => allAppendFiles.contains(GraftScan.nameOf(f._1))),
-        Some(deltaBins),
-        hadoopConf,
-        GraftScan.sessionFooterPruneCap
-      )
-      .map(f => GraftInputPartition(f, Some(bins)))
-    binParts ++ fileParts
+    GraftScan.planDeltaPartitions(
+      path, s, e, files, recs, hadoopConf, s"stream batch ($s, $e]")
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory()

@@ -383,6 +383,52 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental batch read: fromSnapshot plans exactly the bin deltas") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-incr").toString
+    val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 64)
+    EncodeJob.run(input, dir, cfg, onlyBins = Some(Set(0, 1, 2))) // snapshot 0
+    EncodeJob.run(input, dir, cfg) // snapshot 1: the remaining bins
+
+    val withBin = input.withColumn("bin", GraftPipeline.binCol(cfg.numBins, cfg.salt))
+    val want1 = withBin.where(!$"bin".isin(0, 1, 2)).drop("bin").as[graft.pipeline.TokenRow]
+
+    // (0, latest]: exactly snapshot 1's rows, decoded bit-identically
+    val delta = spark.read.format("graft").option("fromSnapshot", 0).load(dir)
+    assert(GraftPipeline.verify(want1.toDF.as[graft.pipeline.TokenRow],
+      delta.as[graft.pipeline.TokenRow]) == 0L)
+    val scan = findScan(delta.queryExecution.executedPlan)
+    assert(scan.toString.contains("fromSnapshot=0"), s"not an incremental scan:\n$scan")
+
+    // (-1, latest] = the whole corpus; (1, latest] = empty; (0, 0] = empty
+    val full = spark.read.format("graft").option("fromSnapshot", -1).load(dir)
+    assert(GraftPipeline.verify(input, full.as[graft.pipeline.TokenRow]) == 0L)
+    assert(spark.read.format("graft").option("fromSnapshot", 1).load(dir).count() == 0L)
+    assert(spark.read.format("graft")
+      .option("fromSnapshot", 0).option("snapshot", 0).load(dir).count() == 0L)
+
+    // grouped metadata aggregates decline under an incremental range
+    // (whole-file metadata would over-count) — values still exact
+    val agg = spark.read.format("graft").option("fromSnapshot", 0).load(dir)
+      .groupBy($"source").agg(sum($"n_tok").as("t"))
+    val wantAgg = want1.toDF.groupBy($"source").agg(sum($"n_tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == wantAgg)
+    assert(!findScan(agg.queryExecution.executedPlan).toString.contains("pushedAggregates="))
+
+    // an unknown lower bound fails loudly, not as an empty result
+    val err = intercept[Exception] {
+      spark.read.format("graft").option("fromSnapshot", 7).load(dir).count()
+    }
+    assert(err.getMessage.contains("fromSnapshot 7 not found"), err.getMessage)
+    // a backwards range fails loudly too
+    val err2 = intercept[Exception] {
+      spark.read.format("graft")
+        .option("fromSnapshot", 1).option("snapshot", 0).load(dir).count()
+    }
+    assert(err2.getMessage.contains("must go forward"), err2.getMessage)
+  }
+
   test("scan statistics report manifest row count + on-disk size") {
     import spark.implicits._
     val df = spark.read.format("graft").load(dirA)

@@ -64,6 +64,46 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(recs(1).binsAdded.isEmpty && recs(1).filesAdded.nonEmpty)
   }
 
+  test("incremental batch read: file deltas from an append, replace contributes new content") {
+    import spark.implicits._
+    val dir = freshEncodedDir("incr")
+    extra.toDF().write.format("graft").mode("append").save(dir) // snapshot 1
+
+    // (0, latest]: exactly the appended docs, via file-delta partitions
+    val delta = spark.read.format("graft").option("fromSnapshot", 0).load(dir)
+    assert(GraftPipeline.verify(extra.as[TokenRow], delta.as[TokenRow]) == 0L)
+
+    // replace 3 existing docs (snapshot 2): the incremental range spanning
+    // it emits their NEW content exactly once — the replace's own delete is
+    // sequence-scoped past its own files, and hides the same ids in the
+    // earlier append's files
+    val victims = extra.orderBy($"doc_id").limit(3).as[TokenRow].collect()
+    val replaced = victims.map(r =>
+      r.copy(tokens = r.tokens.map(_ + 1), source = r.source))
+    val res = graft.pipeline.Deletes.replaceDocs(
+      spark, dir, spark.createDataset(replaced.toIndexedSeq))
+    assert(res.nonEmpty)
+
+    val delta2 = spark.read.format("graft").option("fromSnapshot", 1).load(dir)
+    val got = delta2.as[TokenRow].collect().sortBy(_.doc_id)
+    assert(got.map(_.doc_id).toSeq == replaced.map(_.doc_id).toSeq.sorted)
+    got.zip(replaced.sortBy(_.doc_id)).foreach { case (g, w) =>
+      assert(g.tokens.toSeq == w.tokens.toSeq, g.doc_id)
+    }
+
+    // the wider range (0, latest] emits the appended docs with the replaced
+    // ones at their NEW content, none duplicated
+    val wide = spark.read.format("graft").option("fromSnapshot", 0).load(dir).as[TokenRow]
+    val wideRows = wide.collect()
+    assert(wideRows.map(_.doc_id).distinct.length == wideRows.length, "duplicated doc_ids")
+    val wantWide = (extra.as[TokenRow].collect().filterNot(r =>
+      replaced.exists(_.doc_id == r.doc_id)) ++ replaced).sortBy(_.doc_id)
+    assert(wideRows.sortBy(_.doc_id).map(_.doc_id).toSeq == wantWide.map(_.doc_id).toSeq)
+    wideRows.sortBy(_.doc_id).zip(wantWide).foreach { case (g, w) =>
+      assert(g.tokens.toSeq == w.tokens.toSeq, g.doc_id)
+    }
+  }
+
   test("append under memory pressure (tiny maxBufferedValues) stays lossless") {
     import spark.implicits._
     val dir = freshEncodedDir("smallbuf")
