@@ -91,6 +91,15 @@ object ScanBench {
         scan.select(graft.functions.TokenSum.token_sum($"tokens").as("s"))
           .agg(sum($"s")).collect()(0).getLong(0))
       rep("scan_meta", expected)(scan.agg(sum($"n_tok")).collect()(0).getLong(0))
+      // grouped metadata pushdown: the per-source token-count report rides
+      // the same block-metadata path (one partial row per source per file,
+      // zero payload bytes) — should sit at the scan_meta floor, not at a
+      // per-row materialize+shuffle cost
+      val expectedBySrc = input.toDF.groupBy($"source").agg(sum($"n_tok"))
+        .collect().map(_.getLong(1)).sum
+      rep("scan_srcmeta", expectedBySrc)(
+        scan.groupBy($"source").agg(sum($"n_tok").as("t"))
+          .collect().map(_.getLong(1)).sum)
       // pushed n_tok filters: the scan row-seeks only matching rows.
       // Two shapes — ">= p99" (long-doc selection; sparse rows but the
       // heavy tail means they still hold much of the token MASS, so the
