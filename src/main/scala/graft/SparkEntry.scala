@@ -1093,6 +1093,30 @@ object SparkEntry {
         .orderBy($"doc_id", $"pos")
     }),
 
+    // Row-level CHANGE FEED over the replaced dir: changesBetween(0) must
+    // emit exactly delete(old content) + insert(new content) for the
+    // replaced ids — the changelog encoding of an upsert — with full token
+    // checksums on BOTH images (a stale pre-image, a missed id, or a
+    // double-emitted row all fail the hash)
+    "q_change_feed" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftReplaceDir(s, dir)
+      graft.pipeline.ChangeFeed
+        .changesBetween(s, out, 0)
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          col(graft.pipeline.ChangeFeed.ChangeTypeCol).as("change_type"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select(
+          $"doc_id",
+          $"change_type",
+          ($"pos0" + 1).as("pos"),
+          $"token".cast("long").as("token")
+        )
+        .orderBy($"doc_id", $"change_type", $"pos")
+    }),
+
     // Training-data ops: quality features per source (production
     // TextOps.withQualityFeatures, oracled by DuckDB arithmetic)
     "q_quality" -> ((s, dir) => {
@@ -1642,6 +1666,18 @@ object SparkEntry {
          |SELECT doc_id, pos,
          |       CASE WHEN doc_id % 17 = 4 THEN (token * 3) % 65536 ELSE token END AS token
          |FROM tok WHERE doc_id % 397 = 0 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_change_feed" ->
+      s"""$CTE
+         |, ch AS (
+         |  SELECT doc_id, 'delete' AS change_type, pos, token
+         |  FROM tok WHERE doc_id % 17 = 4
+         |  UNION ALL
+         |  SELECT doc_id, 'insert' AS change_type, pos, (token * 3) % 65536 AS token
+         |  FROM tok WHERE doc_id % 17 = 4
+         |)
+         |SELECT doc_id, change_type, pos, CAST(token AS BIGINT) AS token
+         |FROM ch ORDER BY doc_id, change_type, pos""".stripMargin,
 
     "q_quality" ->
       """WITH w AS (
