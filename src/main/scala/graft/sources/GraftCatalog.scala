@@ -414,6 +414,73 @@ private object GraftCatalog {
       throw new IllegalStateException("codec_stats overrides call() directly")
   }
 
+  private val snapshotsSchema = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = false),
+    StructField("committed_at_ms", LongType, nullable = false),
+    StructField("n_bins_added", IntegerType, nullable = false),
+    StructField("n_files_added", IntegerType, nullable = false),
+    StructField("n_delete_files", IntegerType, nullable = false),
+    StructField("n_ids_deleted", LongType, nullable = false),
+    StructField("writer_id", StringType, nullable = true),
+    StructField("writer_epoch", LongType, nullable = true)
+  ))
+
+  /** Iceberg's `snapshots` metadata table as a procedure: the lineage,
+    * one row per live snapshot (expiry bounds the count by design, so the
+    * driver-side collect is small). `committed_at_ms` is the snapshot
+    * file's mtime — the same clock `TIMESTAMP AS OF` resolves against; the
+    * JSON itself stays timestamp-free for resume/replay byte-identity.
+    */
+  private val snapshots = new MaintenanceProcedure(
+    "snapshots",
+    Array(in("path", StringType)),
+    snapshotsSchema
+  ) {
+    override def description(): String =
+      "the dir's snapshot lineage: bins/files/deletes added per snapshot, " +
+        "commit wall-clock, streaming writer identity"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = pathOf(input)
+      val recs = graft.pipeline.EncodeJob.loadSnapshotRecords(dir, conf)
+      val mtimes: Map[Long, Long] = {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/_snapshots")
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Map.empty
+        else
+          fs.listStatus(p).flatMap { st =>
+            st.getPath.getName match {
+              case graft.pipeline.EncodeJob.SnapNameRe(id) => Some(id.toLong -> st.getModificationTime)
+              case _                                       => None
+            }
+          }.toMap
+      }
+      val out: Array[InternalRow] = recs.zipWithIndex.map { case (r, i) =>
+        InternalRow(
+          r.id,
+          if (i == 0) -1L else recs(i - 1).id,
+          mtimes.getOrElse(r.id, 0L),
+          r.binsAdded.length,
+          r.filesAdded.length,
+          r.deletesAdded.length,
+          r.deletesAdded.map(_._2).sum,
+          r.writerId.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+          r.writerEpoch.map(Long.box).orNull
+        )
+      }.toArray
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = snapshotsSchema
+        override def description(): String = "graft.system.snapshots result"
+      }
+      Collections.singletonList(scan).iterator()
+    }
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      throw new IllegalStateException("snapshots overrides call() directly")
+  }
+
   private val vacuum = new MaintenanceProcedure(
     "vacuum",
     Array(in("path", StringType), inDflt("older_than_ms", LongType, "0")),
@@ -575,6 +642,7 @@ private object GraftCatalog {
     "build_token_index" -> buildTokenIndex,
     "recompress" -> recompress,
     "codec_stats" -> codecStats,
+    "snapshots" -> snapshots,
     "vacuum" -> vacuum,
     "expire_snapshots" -> expireSnapshots,
     "rewrite_manifests" -> rewriteManifests,

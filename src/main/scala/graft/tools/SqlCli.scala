@@ -67,16 +67,29 @@ object SqlCli {
           spark.read.parquet(p.toString).createOrReplaceTempView(p.getName.stripSuffix(".parquet"))
         }
       graftDir.foreach { d =>
-        // graft:<dir>@<snapshot> time-travels to that snapshot's bin set —
-        // only an all-digit suffix after the LAST '@' counts, so URIs that
-        // legitimately contain '@' (abfss://container@account/...) pass through
-        val (dir, snap) = d.lastIndexOf('@') match {
-          case i if i > 0 && d.substring(i + 1).nonEmpty && d.substring(i + 1).forall(_.isDigit) =>
-            (d.substring(0, i), Some(d.substring(i + 1)))
-          case _ => (d, None)
+        // graft:<dir>@<snapshot> time-travels to that snapshot's bin set;
+        // graft:<dir>@<from>..<to> (and @<from>.. = to latest) mounts the
+        // INCREMENTAL read — only the rows snapshots in (from, to] added.
+        // Only an all-digit(/range) suffix after the LAST '@' counts, so
+        // URIs that legitimately contain '@'
+        // (abfss://container@account/...) pass through
+        val RangeRe = raw"(\d+)\.\.(\d*)".r
+        val (dir, snap, range) = d.lastIndexOf('@') match {
+          case i if i > 0 =>
+            d.substring(i + 1) match {
+              case RangeRe(from, to) =>
+                (d.substring(0, i), None, Some((from, if (to.isEmpty) None else Some(to))))
+              case s if s.nonEmpty && s.forall(_.isDigit) => (d.substring(0, i), Some(s), None)
+              case _                                      => (d, None, None)
+            }
+          case _ => (d, None, None)
         }
         val reader = spark.read.format("graft")
         snap.foreach(reader.option("snapshot", _))
+        range.foreach { case (from, to) =>
+          reader.option("fromSnapshot", from)
+          to.foreach(reader.option("snapshot", _))
+        }
         reader.load(dir).createOrReplaceTempView("graft_corpus")
       }
       sqls.foreach { sql =>

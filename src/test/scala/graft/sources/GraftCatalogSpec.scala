@@ -122,6 +122,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL snapshots lists the lineage with per-snapshot deltas and commit clocks") {
+    import spark.implicits._
+    val dir = freshDir() // snapshots 0,1,2 (three incremental EncodeJob runs)
+    val doomed = input.orderBy($"doc_id").limit(2).select($"doc_id").as[String]
+    graft.pipeline.Deletes.deleteDocs(spark, dir, doomed): Unit // snapshot 3
+
+    val rows = spark.sql(s"CALL graft.system.snapshots(path => '$dir')").collect()
+    assert(rows.map(_.getAs[Long]("snapshot_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("parent_id")).toSeq == Seq(-1L, 0L, 1L, 2L))
+    // the three EncodeJob runs cover all 8 bins between them; the delete adds none
+    assert(rows.map(_.getAs[Int]("n_bins_added")).sum == cfg.numBins)
+    assert(rows.last.getAs[Int]("n_bins_added") == 0)
+    assert(rows.last.getAs[Int]("n_delete_files") == 1)
+    assert(rows.last.getAs[Long]("n_ids_deleted") == 2L)
+    // commit clocks: present and monotone non-decreasing (same mtimes
+    // TIMESTAMP AS OF resolves against)
+    val ts = rows.map(_.getAs[Long]("committed_at_ms"))
+    assert(ts.forall(_ > 0L))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+  }
+
   test("CALL build_token_index: SQL-only index build drives containsToken skipping") {
     import spark.implicits._
     val dir = freshDir()
@@ -155,7 +176,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("build_token_index", "codec_stats", "compact", "delete_docs",
         "expire_snapshots", "purge_deletes", "recompress", "replace_docs",
-        "rewrite_manifests", "vacuum"))
+        "rewrite_manifests", "snapshots", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
 
