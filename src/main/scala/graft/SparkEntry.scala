@@ -297,6 +297,26 @@ object SparkEntry {
         graft.pipeline.Maintenance.vacuum(s, out, olderThanMs = 0L): Unit
     }
 
+  private val graftRebinDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Like [[graftScanDir]], but the whole dir is REBINNED (Maintenance
+    * .rebin: every row re-routed into a different bin count AND salt, all
+    * blocks re-encoded, history folded into a new base snapshot) before any
+    * query reads it — q_rebin_scan's point reads therefore pin the full
+    * redistribution chain (decode→re-route→re-encode→atomic layout flip→
+    * heal) under the hard DuckDB oracle: one row landing in the wrong bin,
+    * or decoding differently after the move, fails the hash.
+    */
+  private def graftRebinDir(s: SparkSession, dir: String): String =
+    cachedGraftDir(graftRebinDirCache, s, dir, "graft-dsv2-rebin", withLineage = true) {
+      (out, _) =>
+        val res = graft.pipeline.Maintenance
+          .rebin(s, out, newNumBins = 23, newSalt = Some(0x9e3779b9L))
+        require(res.isDefined, s"rebin under test did not engage on $out")
+        require(res.get.numBinsBefore == pipelineCfg.numBins && res.get.numBinsAfter == 23)
+    }
+
   private val graftAppendDirCache =
     scala.collection.concurrent.TrieMap[(Int, String), String]()
 
@@ -928,6 +948,30 @@ object SparkEntry {
       val out = graftCompactDir(s, dir)
       val ids = docTable(s, dir)
         .where($"doc_id" % 991 === 0)
+        .select($"doc_id".cast("string"))
+        .collect()
+        .map(_.getString(0))
+      s.read
+        .format("graft")
+        .load(out)
+        .where($"doc_id".isin(ids.toSeq: _*))
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // Rebin under the oracle: the dir was redistributed into a different
+    // (num_bins, salt) layout — point reads resolve through the NEW routing
+    // and the re-encoded blocks, and must still match DuckDB's raw
+    // recomputation token-for-token
+    "q_rebin_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftRebinDir(s, dir)
+      val ids = docTable(s, dir)
+        .where($"doc_id" % 499 === 0)
         .select($"doc_id".cast("string"))
         .collect()
         .map(_.getString(0))
@@ -1624,6 +1668,11 @@ object SparkEntry {
       s"""$CTE
          |SELECT doc_id, pos, token FROM tok
          |WHERE doc_id % 991 = 0 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_rebin_scan" ->
+      s"""$CTE
+         |SELECT doc_id, pos, token FROM tok
+         |WHERE doc_id % 499 = 0 ORDER BY doc_id, pos""".stripMargin,
 
     "q_graft_append" ->
       s"""$CTE

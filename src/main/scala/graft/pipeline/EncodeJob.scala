@@ -195,11 +195,32 @@ object EncodeJob {
     )
   }
 
-  /** Parsed `_tables/meta.json` (fails loudly, naming the file and field). */
+  /** Parsed `_tables/meta.json` (fails loudly, naming the file and field).
+    * The recorded bin layout is OVERRIDDEN by a committed
+    * [[Maintenance.rebin]] marker when one exists: the marker rename is the
+    * atomic commit point that flips routing together with the live file
+    * set, and meta.json catches up in the (crash-recoverable) heal step —
+    * so every layout consumer must read through this override. Read order
+    * matters and is safe here: meta.json is parsed BEFORE the marker
+    * listing, so a rebin committing in between is seen (new layout), never
+    * unseen-after-heal (stale layout over new files).
+    */
   def loadMeta(spark: SparkSession, outDir: String): Option[MiniJson.JObj] = {
     val path = s"$outDir/_tables/meta.json"
     if (!exists(spark, path)) return None
-    Some(MiniJson.parseObject(readString(spark, path), where = path))
+    val parsed = MiniJson.parseObject(readString(spark, path), where = path)
+    val overridden =
+      Maintenance.rebinState(outDir, spark.sparkContext.hadoopConfiguration) match {
+        case Some(r) =>
+          MiniJson.JObj(
+            parsed.v ++ Map(
+              "num_bins" -> MiniJson.JNum(r.numBins.toString),
+              "salt" -> MiniJson.JNum(r.salt.toString)
+            )
+          )
+        case None => parsed
+      }
+    Some(overridden)
   }
 
   def loadTables(spark: SparkSession, outDir: String): Option[SymbolTables] = {

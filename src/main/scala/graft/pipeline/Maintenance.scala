@@ -56,16 +56,34 @@ import java.nio.charset.StandardCharsets
   */
 object Maintenance {
 
+  /** A committed rebin ([[rebin]]): the marker-recorded NEW layout plus the
+    * folded-history base snapshot id and the lineage facts the heal step
+    * must reconstruct (writer epoch marks, retired delete names) — carried
+    * in the marker so a crash between commit and heal loses nothing.
+    */
+  final case class RebinInfo(
+      cid: Long,
+      numBins: Int,
+      salt: Long,
+      baseSnapshot: Long,
+      tableHash: Long,
+      marks: Seq[(String, Long)],
+      deletes: Seq[(String, Long)]
+  )
+
   /** A committed compaction: id, tombstoned file names, published file names,
     * and (for [[purgeDeletes]] commits) the delete files it applied
     * physically — those are RETIRED: reads stop applying them, vacuum
-    * reclaims them after the grace window.
+    * reclaims them after the grace window. [[rebin]] commits additionally
+    * carry the new bin layout (see [[RebinInfo]]) — the SAME atomic marker
+    * that flips the live file set flips the row→bin routing.
     */
   final case class Compaction(
       cid: Long,
       removed: Seq[String],
       added: Seq[String],
-      appliedDeletes: Seq[String] = Seq.empty
+      appliedDeletes: Seq[String] = Seq.empty,
+      rebin: Option[RebinInfo] = None
   )
 
   final case class CompactionResult(
@@ -114,11 +132,32 @@ object Maintenance {
           finally in.close()
         scala.util.Try {
           val o = MiniJson.parseObject(txt, where = st.getPath.toString)
+          val rebin = o.longOpt("rebin_num_bins").map { nb =>
+            val marks =
+              (o.strArrOpt("rebin_marked_writers"), o.longArrOpt("rebin_marked_epochs")) match {
+                case (Some(w), Some(e)) if w.length == e.length => w.zip(e)
+                case _                                          => Seq.empty[(String, Long)]
+              }
+            val dels = (o.strArrOpt("rebin_deletes"), o.longArrOpt("rebin_delete_counts")) match {
+              case (Some(n), Some(c)) if n.length == c.length => n.zip(c)
+              case _                                          => Seq.empty[(String, Long)]
+            }
+            RebinInfo(
+              o.long("cid"),
+              nb.toInt,
+              o.long("rebin_salt"),
+              o.long("rebin_base"),
+              o.long("rebin_table_hash"),
+              marks,
+              dels
+            )
+          }
           Compaction(
             o.long("cid"),
             o.strArrOpt("removed").getOrElse(throw new IllegalArgumentException("removed absent")),
             o.strArrOpt("added").getOrElse(throw new IllegalArgumentException("added absent")),
-            o.strArrOpt("applied_deletes").getOrElse(Seq.empty)
+            o.strArrOpt("applied_deletes").getOrElse(Seq.empty),
+            rebin
           )
         }.toOption
       }
@@ -141,6 +180,20 @@ object Maintenance {
   def hasCompactions(outDir: String, conf: Configuration): Boolean =
     committedCompactions(outDir, conf).nonEmpty
 
+  /** The layout-defining rebin, if any: the NEWEST committed marker carrying
+    * rebin fields wins (a later plain compact/recompress leaves routing
+    * unchanged, so older rebin info stays authoritative until the next
+    * rebin). When present, the recorded layout OVERRIDES meta.json's
+    * num_bins/salt — that is what makes the marker rename the single atomic
+    * commit point for both the file set and the routing; the heal step
+    * rewrites meta.json to match, after which the override is a no-op.
+    */
+  def rebinStateFrom(comps: Seq[Compaction]): Option[RebinInfo] =
+    comps.flatMap(_.rebin).lastOption
+
+  def rebinState(outDir: String, conf: Configuration): Option[RebinInfo] =
+    rebinStateFrom(committedCompactions(outDir, conf))
+
   /** THE live-file resolver: every block read over an EncodeJob dir must go
     * through this (or a listing that equals it). Live =
     * (top-level `blocks/★.parquet` ∪ committed `_compacted/c<n>/★.parquet`)
@@ -148,11 +201,23 @@ object Maintenance {
     * construction; a compacted file tombstoned by a LATER compaction is
     * excluded the same way first-generation files are.
     */
-  def liveBlockFiles(outDir: String, conf: Configuration): Array[(String, Long)] = {
+  def liveBlockFiles(outDir: String, conf: Configuration): Array[(String, Long)] =
+    liveBlockFilesFrom(outDir, conf, committedCompactions(outDir, conf))
+
+  /** [[liveBlockFiles]] over a pre-listed marker set — scan planners list
+    * the markers ONCE and derive both the live files and the (possibly
+    * rebin-overridden) bin layout from that single read, so a rebin
+    * committing mid-planning can never pair new-layout files with the old
+    * routing or vice versa.
+    */
+  def liveBlockFilesFrom(
+      outDir: String,
+      conf: Configuration,
+      comps: Seq[Compaction]
+  ): Array[(String, Long)] = {
     val fs = fsOf(outDir, conf)
     val blocksDir = new Path(s"$outDir/blocks")
     require(fs.exists(blocksDir), s"no blocks/ under $outDir — not an EncodeJob output dir")
-    val comps = committedCompactions(outDir, conf)
     val removed = comps.flatMap(_.removed).toSet
     def parquetFiles(dir: Path): Array[FileStatus] =
       if (fs.exists(dir))
@@ -332,6 +397,295 @@ object Maintenance {
     Some(CompactionResult(cid, victims.length, added.length, victimBytes, addedBytes, affected.size))
   }
 
+  final case class RebinResult(
+      cid: Long,
+      baseSnapshot: Long,
+      numBinsBefore: Int,
+      numBinsAfter: Int,
+      filesRewritten: Int,
+      filesAdded: Int
+  )
+
+  /** Change the table's bin layout IN PLACE — the repair for a corpus that
+    * outgrew its bootstrap bin count (or whose salt must rotate): the
+    * `_bin`-metadata skew inspection finds overgrown bins; this fixes them.
+    * At 100 TB this is the ONE maintenance op that re-shuffles the whole
+    * corpus (routing is a function of numBins/salt, so every row may move) —
+    * which is exactly why it is an explicit, schedulable rewrite rather
+    * than an implicit behavior; everything else (point-read locality, SPJ
+    * co-partitioning, resume granularity) then keys off the new layout.
+    *
+    * Mechanics: decode every live block with the dir's own symbol tables,
+    * re-encode through the SAME block kernel under the new routing (decoded
+    * content is unchanged by construction — tables, contexts and rows are
+    * identical; only bin assignment moves), and commit via the compaction
+    * marker protocol with the new layout IN the marker: the one atomic
+    * marker rename flips the live file set AND the row→bin routing together
+    * (readers resolve layout as meta.json overridden by [[rebinState]], and
+    * scan planners derive both views from one marker listing —
+    * [[liveBlockFilesFrom]]), so no reader can pair new files with old
+    * routing.
+    *
+    * History: a bin-delta snapshot lineage is meaningless across a routing
+    * change (old bins_added ids would be reinterpreted in the new space),
+    * so rebin FOLDS all history into one new base snapshot — id = previous
+    * max + 1, claiming every new-layout bin — carrying writer epoch marks
+    * (streaming-sink retry idempotence survives, as with snapshot expiry)
+    * and retired delete names (vacuum keeps telling them apart from
+    * orphans) forward. Time travel, incremental reads and stream
+    * checkpoints older than the base refuse loudly: maintenance coarsened
+    * reachable history, the compaction/purge stance. The fold runs in
+    * [[healRebin]] AFTER the marker commit; a crash in between leaves a
+    * table that reads correctly at its current state (layout override) but
+    * refuses pre-rebin history — [[vacuum]] completes the heal.
+    *
+    * Contract: single maintainer, and like [[purgeDeletes]] no concurrent
+    * appends (a content redistribution cannot tolerate the race verbatim
+    * moves can); live equality deletes refuse (purge first — per-file
+    * delete scoping cannot survive a full rewrite, same as compact). A
+    * no-op (same layout) returns None without committing anything.
+    */
+  def rebin(
+      spark: SparkSession,
+      outDir: String,
+      newNumBins: Int,
+      newSalt: Option[Long] = None,
+      healAfterCommit: Boolean = true
+  ): Option[RebinResult] = {
+    import spark.implicits._
+    import graft.core.MiniJson.ObjOps
+    require(newNumBins >= 1, "newNumBins must be >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
+    // complete any interrupted prior rebin before folding history again
+    healRebin(spark, outDir)
+    require(
+      Deletes.liveDeletes(outDir, conf, asOf = None).isEmpty,
+      s"$outDir has live equality deletes — run purgeDeletes before rebin " +
+        "(per-file delete scoping cannot survive a full redistribution)"
+    )
+    val meta = EncodeJob
+      .loadMeta(spark, outDir)
+      .getOrElse(throw new IllegalArgumentException(s"$outDir: _tables/meta.json missing"))
+    val tables = EncodeJob
+      .loadTables(spark, outDir)
+      .getOrElse(throw new IllegalArgumentException(s"$outDir: _tables/header.bin missing"))
+    val version = meta.longOpt("format_version").map(_.toInt)
+    require(
+      version.contains(EncodeJob.FormatVersion),
+      s"$outDir blocks format v${version.getOrElse(1)} != engine v${EncodeJob.FormatVersion}"
+    )
+    val oldNumBins = meta.long("num_bins").toInt
+    val oldSalt = meta.long("salt")
+    val salt = newSalt.getOrElse(oldSalt)
+    if (newNumBins == oldNumBins && salt == oldSalt) return None
+
+    // the fold rewrites history, so it must see ALL of it: an unreadable
+    // snapshot could hide writer marks or delete lineage that would then be
+    // lost for good (the same strict gate vacuum's destructive sweep uses)
+    val records = EncodeJob.loadSnapshotRecords(outDir, conf)
+    val snapIds = EncodeJob.listSnapshotIds(outDir, conf)
+    require(
+      records.map(_.id).sorted == snapIds,
+      s"$outDir: a snapshot file is unreadable or in flight — rebin folds the " +
+        "lineage and refuses to run off a partial read"
+    )
+    val (base, _) = EncodeJob.nextSnapshotId(spark, outDir)
+    val marks = records
+      .flatMap(r => r.writerMarks ++ r.writerId.zip(r.writerEpoch))
+      .groupMapReduce(_._1)(_._2)(math.max)
+      .toSeq
+      .sortBy(_._1)
+    val dels = records.flatMap(_.deletesAdded).distinctBy(_._1).sortBy(_._1)
+
+    val victims = liveBlockFiles(outDir, conf)
+    val cid = nextCompactionId(outDir, conf)
+    val tmpDir = new Path(compactRoot(outDir), s"c$cid-tmp")
+    if (victims.nonEmpty) {
+      val blocksDf = spark.read.parquet(victims.map(_._1).toIndexedSeq: _*)
+      val embed = blocksDf.agg(max(col("embedded_tables"))).head().getBoolean(0)
+      val cfg = GraftPipeline.Config(
+        numContexts = tables.numContexts,
+        maxBits = tables.maxBits,
+        numBins = newNumBins,
+        salt = salt,
+        contextModel = meta.strOpt("context_model").getOrElse("simple"),
+        embedTables = embed
+      )
+      val bTables = spark.sparkContext.broadcast(tables)
+      val rows = GraftPipeline.decode(blocksDf.as[EncodedBlock], bTables, cfg)
+      GraftPipeline
+        .encode(rows, bTables, cfg)
+        .write
+        .mode("overwrite")
+        .parquet(tmpDir.toString)
+    } else fs.mkdirs(tmpDir): Unit // fully-purged table: layout-only rebin
+
+    val extra = Map[String, MiniJson.J](
+      "rebin_num_bins" -> MiniJson.JNum(newNumBins.toString),
+      "rebin_salt" -> MiniJson.JNum(salt.toString),
+      "rebin_base" -> MiniJson.JNum(base.toString),
+      "rebin_table_hash" -> MiniJson.JNum(tables.tableHash.toString),
+      "rebin_marked_writers" -> MiniJson.JArr(marks.toVector.map(m => MiniJson.JStr(m._1))),
+      "rebin_marked_epochs" -> MiniJson.JArr(marks.toVector.map(m => MiniJson.JNum(m._2.toString))),
+      "rebin_deletes" -> MiniJson.JArr(dels.toVector.map(d => MiniJson.JStr(d._1))),
+      "rebin_delete_counts" -> MiniJson.JArr(dels.toVector.map(d => MiniJson.JNum(d._2.toString)))
+    )
+    // THE commit point: files + routing flip together
+    val (added, _) =
+      commitRewrite(fs, outDir, cid, tmpDir, victims, victims.map(_._2).sum, extraMarkerFields = extra)
+    if (healAfterCommit) healRebin(spark, outDir)
+    Some(RebinResult(cid, base, oldNumBins, newNumBins, victims.length, added.length))
+  }
+
+  /** Complete a committed [[rebin]]'s post-commit work — idempotent, cheap
+    * when already healed (one marker-file existence check), safe to call on
+    * any dir. Steps, each individually recoverable:
+    *   1. write the folded base snapshot `snap-<base>.json` (exclusive
+    *      create; a torn write leaves a zero-length claim vacuum reclaims,
+    *      after which the next heal rewrites it);
+    *   2. delete every pre-rebin snapshot file (ids < base) — from here,
+    *      old-id time travel fails with "not found" instead of the explicit
+    *      rebin guard;
+    *   3. rewrite meta.json's num_bins/salt to match (the marker override
+    *      then becomes a no-op);
+    *   4. advisory re-manifest: fresh claims for every data-bearing bin in
+    *      the new layout plus explicit zero rows for every other bin either
+    *      layout ever manifested — point-read planning returns to
+    *      O(hit-bins) and the manifest index's numRows stays exact.
+    * A `c<cid>.rebin-healed` marker (written last) gates re-entry so vacuum
+    * can call this unconditionally without re-running the spark jobs.
+    */
+  private[graft] def healRebin(spark: SparkSession, outDir: String): Unit = {
+    import spark.implicits._
+    import graft.core.MiniJson.ObjOps
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
+    val r = rebinState(outDir, conf).getOrElse(return)
+    val healedMarker = new Path(compactRoot(outDir), s"c${r.cid}.rebin-healed")
+    if (fs.exists(healedMarker)) return
+
+    // 1. the folded base snapshot, reconstructed entirely from the marker
+    val snapB = new Path(s"$outDir/_snapshots/snap-${r.baseSnapshot}.json")
+    if (!fs.exists(snapB)) {
+      val binsJson = (0 until r.numBins).mkString("[", ",", "]")
+      val marksW = r.marks.map(m => MiniJson.render(MiniJson.JStr(m._1))).mkString("[", ",", "]")
+      val marksE = r.marks.map(_._2).mkString("[", ",", "]")
+      val delsN = r.deletes.map(d => MiniJson.render(MiniJson.JStr(d._1))).mkString("[", ",", "]")
+      val delsC = r.deletes.map(_._2).mkString("[", ",", "]")
+      try
+        EncodeJob.casWriteSnapshot(
+          spark,
+          outDir,
+          () => (r.baseSnapshot, -1L),
+          (_, _) =>
+            s"""{"snapshot_id":${r.baseSnapshot},"parent_id":-1,"table_hash":${r.tableHash},
+               |"num_bins":${r.numBins},"salt":${r.salt},"bins_added":$binsJson,
+               |"marked_writers":$marksW,"marked_epochs":$marksE,
+               |"deletes_added":$delsN,"deletes_counts":$delsC,
+               |"rebased_from_rebin":${r.cid}}""".stripMargin,
+          maxAttempts = 1
+        ): Unit
+      catch {
+        // lost to a concurrent heal that just wrote it — success by other
+        case e: IllegalStateException => if (!fs.exists(snapB)) throw e
+      }
+    }
+
+    // 2. drop the folded pre-rebin history (including interrupted expiry
+    // rebase tmps, whose ids are equally pre-rebin)
+    val snapsDir = new Path(s"$outDir/_snapshots")
+    if (fs.exists(snapsDir)) {
+      fs.listStatus(snapsDir).foreach { st =>
+        st.getPath.getName match {
+          case EncodeJob.SnapNameRe(n) if n.toLong < r.baseSnapshot =>
+            fs.delete(st.getPath, false): Unit
+          case EncodeJob.TmpRebaseNameRe(n) if n.toLong < r.baseSnapshot =>
+            fs.delete(st.getPath, false): Unit
+          case _ =>
+        }
+      }
+    }
+
+    // 3. meta.json layout swap (atomic rename; raw read — the override
+    // would mask the very staleness this step repairs)
+    val metaPath = new Path(s"$outDir/_tables/meta.json")
+    val in = fs.open(metaPath)
+    val txt =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    val orig = MiniJson.parseObject(txt, where = metaPath.toString)
+    if (orig.long("num_bins") != r.numBins.toLong || orig.long("salt") != r.salt) {
+      val updated = MiniJson.JObj(
+        orig.v ++ Map(
+          "num_bins" -> MiniJson.JNum(r.numBins.toString),
+          "salt" -> MiniJson.JNum(r.salt.toString)
+        )
+      )
+      // delete + rename, the expiry base-swap pattern (HDFS rename cannot
+      // overwrite). The transient gap is tolerable here: a reader hitting
+      // it fails loudly on the missing file, layout CORRECTNESS never
+      // depends on meta.json once the marker committed (the override is
+      // authoritative), and a crash in the gap re-runs this heal.
+      val tmp = new Path(metaPath.getParent, s".tmp-${metaPath.getName}")
+      val out = fs.create(tmp, true)
+      try out.write(MiniJson.render(updated).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.delete(metaPath, false), s"delete $metaPath failed")
+      require(fs.rename(tmp, metaPath), s"rename $tmp -> $metaPath failed")
+    }
+
+    // 4. advisory re-manifest in the new bin space
+    val live = liveBlockFiles(outDir, conf)
+    val dataBins: Set[Int] =
+      if (live.isEmpty) Set.empty
+      else
+        spark.read
+          .parquet(live.map(_._1).toIndexedSeq: _*)
+          .select("bin")
+          .distinct()
+          .as[Int]
+          .collect()
+          .toSet
+    if (dataBins.nonEmpty)
+      EncodeJob.appendManifest(spark, outDir, dataBins, MaintenanceEpochBase + r.cid)
+    val manifestDir = new Path(s"$outDir/_manifest")
+    val manifested: Set[Int] =
+      if (!fs.exists(manifestDir)) Set.empty
+      else
+        spark.read
+          .parquet(manifestDir.toString)
+          .select("bin")
+          .distinct()
+          .as[Int]
+          .collect()
+          .toSet
+    val toZero = ((0 until r.numBins).toSet ++ manifested) -- dataBins
+    if (toZero.nonEmpty) {
+      toZero.toSeq.sorted
+        .map { b =>
+          EncodeJob.BinManifest(
+            snapshot_id = MaintenanceEpochBase + r.cid,
+            bin = b,
+            n_blocks = 0L,
+            n_rows = 0L,
+            n_values = 0L,
+            payload_bytes = 0L,
+            payload_bits = 0L,
+            table_hash = r.tableHash,
+            files = ""
+          )
+        }
+        .toDS()
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(manifestDir.toString)
+    }
+
+    writeAtomic(fs, healedMarker, s"""{"cid":${r.cid}}""")
+  }
+
   /** Steps 2–4 of the marker commit protocol, shared by [[compact]] and
     * [[purgeDeletes]]: rename staged parts to globally unique names, publish
     * the dir, then flip visibility with ONE atomic marker write (tombstoning
@@ -347,12 +701,24 @@ object Maintenance {
       victimBytes: Long,
       extraMarkerFields: Map[String, MiniJson.J]
   ): (Seq[String], Long) = {
-    // 2. unique, stable names for the manifest's file-name-keyed claims
+    // 2. unique, stable names for the manifest's file-name-keyed claims.
+    // Zero-row staged parts (empty shuffle partitions — e.g. a rebin whose
+    // new bin count exceeds the populated bins) are dropped, not published:
+    // an empty file is claimed by no manifest row, so every later pruned
+    // plan would keep it conservatively forever — one wasted task per empty
+    // file per point read.
     val staged = fs
       .listStatus(tmpDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
       .sortBy(_.getName)
+      .filter { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, fs.getConf)
+        )
+        val n = try r.getRecordCount finally r.close()
+        if (n == 0L) { fs.delete(p, false): Unit; false } else true
+      }
     val added = staged.zipWithIndex.map { case (p, k) =>
       val dest = new Path(tmpDir, s"c$cid-$k.parquet")
       require(fs.rename(p, dest), s"rename $p -> $dest failed")
@@ -732,6 +1098,14 @@ object Maintenance {
           if (fs.delete(st.getPath, false)) filesDeleted += 1
       }
     }
+
+    // complete an interrupted rebin's history fold — the strict lineage
+    // gate below depends on it, and until the fold runs, pre-rebin history
+    // reads keep refusing. Gated on a healed marker, so this is one
+    // existence check on already-healed (or never-rebinned) dirs. Runs
+    // after the zero-length-snapshot reclaim above so a torn base-snapshot
+    // write from a crashed heal is rewritten in the same vacuum.
+    healRebin(spark, outDir)
 
     val blocksDir = new Path(s"$outDir/blocks")
     if (fs.exists(blocksDir)) {

@@ -28,6 +28,7 @@ import java.util.Collections
   *   CALL graft.system.rewrite_manifests(path => '/data/corpus')
   *   CALL graft.system.delete_docs(path => '/data/corpus', doc_ids => array('d1','d2'))
   *   CALL graft.system.purge_deletes(path => '/data/corpus')
+  *   CALL graft.system.rebin(path => '/data/corpus', num_bins => 1600000)
   * }}}
   *
   * Each procedure returns its result as one row (the same fields the
@@ -356,6 +357,41 @@ private object GraftCatalog {
       }
   }
 
+  private val rebin = new MaintenanceProcedure(
+    "rebin",
+    Array(
+      in("path", StringType),
+      in("num_bins", IntegerType),
+      inDflt("salt", LongType, "NULL")
+    ),
+    StructType(Seq(
+      StructField("compaction_id", LongType, nullable = true),
+      StructField("base_snapshot", LongType, nullable = true),
+      StructField("num_bins_before", IntegerType, nullable = false),
+      StructField("num_bins_after", IntegerType, nullable = false),
+      StructField("files_rewritten", IntegerType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "redistribute the table into a new bin layout (decoded content unchanged); " +
+        "folds snapshot history into a new base — pre-rebin time travel and stream " +
+        "checkpoints then refuse loudly"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val salt = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      Maintenance.rebin(spark, pathOf(input), input.getInt(1), salt) match {
+        case Some(r) =>
+          InternalRow(
+            r.cid, r.baseSnapshot, r.numBinsBefore, r.numBinsAfter,
+            r.filesRewritten, r.filesAdded
+          )
+        case None =>
+          val nb = input.getInt(1)
+          InternalRow(null, null, nb, nb, 0, 0)
+      }
+    }
+  }
+
   private val codecStatsSchema = StructType(Seq(
     StructField("codec", StringType, nullable = false),
     StructField("n_blocks", LongType, nullable = false),
@@ -641,6 +677,7 @@ private object GraftCatalog {
     "compact" -> compact,
     "build_token_index" -> buildTokenIndex,
     "recompress" -> recompress,
+    "rebin" -> rebin,
     "codec_stats" -> codecStats,
     "snapshots" -> snapshots,
     "vacuum" -> vacuum,

@@ -169,7 +169,12 @@ private[sources] object GraftMeta {
   import graft.core.MiniJson
   import graft.core.MiniJson.ObjOps
 
-  def load(outDir: String, conf: Configuration): GraftMeta = {
+  /** meta.json as written, WITHOUT the rebin layout override — only for
+    * callers that apply the override themselves from a marker listing they
+    * also derive the file set from ([[GraftScan]]), so layout and files
+    * stay consistent under a concurrently committing rebin.
+    */
+  def loadRaw(outDir: String, conf: Configuration): GraftMeta = {
     val fs = new Path(outDir).getFileSystem(conf)
     def readAll(p: String): Array[Byte] = {
       val in = fs.open(new Path(p))
@@ -189,6 +194,18 @@ private[sources] object GraftMeta {
       numBins = meta.long("num_bins").toInt,
       salt = meta.long("salt")
     )
+  }
+
+  /** [[loadRaw]] with the committed-rebin layout override applied (see
+    * [[graft.pipeline.EncodeJob.loadMeta]] — same rule, same safe read
+    * order: meta.json before the marker listing).
+    */
+  def load(outDir: String, conf: Configuration): GraftMeta = {
+    val raw = loadRaw(outDir, conf)
+    graft.pipeline.Maintenance.rebinState(outDir, conf) match {
+      case Some(r) => raw.copy(numBins = r.numBins, salt = r.salt)
+      case None    => raw
+    }
   }
 
   /** Block parquet files under an encode outDir, with sizes. Delegates to
@@ -723,8 +740,21 @@ private[sources] class GraftScan(
   /** Snapshot time travel: a snapshot sees exactly the bins committed by it
     * and its ancestors (blocks are write-once per bin, so the bin set IS the
     * as-of state — the queryable face of EncodeJob's snapshot lineage).
+    * History older than a committed rebin's base refuses loudly: the old
+    * bins_added ids live in the PRE-rebin bin space and would be
+    * reinterpreted under the new routing (after the rebin heal completes,
+    * those snapshot files are gone and the plain not-found error fires
+    * instead).
     */
   private lazy val snapshotBins: Option[Set[Int]] = snapshot.map { id =>
+    rebinInfo.foreach { r =>
+      require(
+        id >= r.baseSnapshot,
+        s"snapshot $id predates the rebin of $path (base snapshot ${r.baseSnapshot}) — " +
+          "the table was redistributed and earlier history folded (maintenance coarsened " +
+          "the reachable history)"
+      )
+    }
     require(
       lineageRecords.exists(_.id == id),
       s"snapshot $id not found under $path/_snapshots (have ${lineageRecords.map(_.id).sorted.mkString(",")})"
@@ -777,7 +807,25 @@ private[sources] class GraftScan(
 
   private lazy val hadoopConf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
-  private lazy val meta: GraftMeta = GraftMeta.load(path, hadoopConf)
+
+  /** ONE marker listing per scan: the live file set AND the (possibly
+    * rebin-overridden) bin layout both derive from it, so a rebin committing
+    * mid-planning can never pair new files with old routing or vice versa.
+    * Forcing order inside: meta.json strictly BEFORE the marker listing
+    * (a rebin flips the marker first, meta.json in the heal — this order
+    * sees it or predates it entirely), and the delete state BEFORE the
+    * file listing (the purge-commit ordering [[blockFiles]] documents).
+    */
+  private lazy val compactionState: Seq[graft.pipeline.Maintenance.Compaction] = {
+    rawMeta: Unit
+    deleteState: Unit
+    graft.pipeline.Maintenance.committedCompactions(path, hadoopConf)
+  }
+  private lazy val rebinInfo: Option[graft.pipeline.Maintenance.RebinInfo] =
+    graft.pipeline.Maintenance.rebinStateFrom(compactionState)
+  private lazy val rawMeta: GraftMeta = GraftMeta.loadRaw(path, hadoopConf)
+  private lazy val meta: GraftMeta =
+    rebinInfo.map(r => rawMeta.copy(numBins = r.numBins, salt = r.salt)).getOrElse(rawMeta)
 
   /** doc_id predicates re-derive the writer's salted bins; None = all bins. */
   private def docIdBins: Option[Set[Int]] = docState._2.map(_.keySet)
@@ -794,7 +842,7 @@ private[sources] class GraftScan(
     // the delete filter is authoritative (no residual above the scan
     // re-applies it).
     deleteState: Unit
-    GraftMeta.listBlockFiles(path, hadoopConf)
+    graft.pipeline.Maintenance.liveBlockFilesFrom(path, hadoopConf, compactionState)
   }
 
   /** The equality deletes this scan must merge at read
@@ -1248,6 +1296,32 @@ private[sources] object GraftScan {
       context: String
   ): Array[InputPartition] = {
     if (e <= s) return Array.empty
+    // a committed rebin folded all earlier history into its base snapshot:
+    // pre-rebin bin deltas would be reinterpreted in the NEW bin space
+    // (stale stream checkpoints would silently re-read the whole corpus as
+    // a "delta", or worse, a wrong subset of it) — refuse loudly instead.
+    // A from-scratch replay (s == -1) is legal once the heal has removed
+    // the folded snapshots: the base snapshot then replays the full corpus.
+    graft.pipeline.Maintenance.rebinState(path, hadoopConf).foreach { r =>
+      require(
+        s == -1L || s >= r.baseSnapshot,
+        s"$context starts at snapshot $s, which predates the rebin of $path (base " +
+          s"snapshot ${r.baseSnapshot}) — the table was redistributed and earlier history " +
+          "folded; streams must restart from a fresh checkpoint, batch readers drop " +
+          "fromSnapshot (a full read is exact)"
+      )
+      if (s == -1L)
+        require(
+          recs.forall(_.id >= r.baseSnapshot),
+          s"$context cannot replay yet: pre-rebin snapshots are still present (the rebin's " +
+            "history fold is incomplete — run Maintenance.vacuum to heal, then retry)"
+        )
+      require(
+        e >= r.baseSnapshot,
+        s"$context ends at snapshot $e, which predates the rebin of $path (base " +
+          s"snapshot ${r.baseSnapshot}) — that history was folded"
+      )
+    }
     val inRange = recs.filter(x => x.id > s && x.id <= e)
     val deltaBins = inRange.flatMap(_.binsAdded).toSet
     val deltaFiles = inRange.flatMap(_.filesAdded).toSet

@@ -101,6 +101,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(noop.isNullAt(noop.fieldIndex("compaction_id")))
   }
 
+  test("CALL rebin: SQL-only redistribution into a new layout, content intact") {
+    import spark.implicits._
+    val dir = freshDir()
+    val row = spark
+      .sql(s"CALL graft.system.rebin(path => '$dir', num_bins => 17, salt => 77)")
+      .head()
+    assert(row.getAs[Int]("num_bins_before") == cfg.numBins)
+    assert(row.getAs[Int]("num_bins_after") == 17)
+    assert(row.getAs[Long]("base_snapshot") == 3L) // snapshots 0..2 folded
+    lossless(dir)
+    // routing flipped: the _bin metadata column agrees with the new layout
+    val bins = spark.read
+      .format("graft")
+      .load(dir)
+      .select($"doc_id", org.apache.spark.sql.functions.col("_bin"))
+      .collect()
+    assert(bins.forall(r => r.getInt(1) == GraftDataSource.binOf(r.getString(0), 17, 77L)))
+    // same-layout call is a reported no-op (null id)
+    val noop = spark
+      .sql(s"CALL graft.system.rebin(path => '$dir', num_bins => 17, salt => 77)")
+      .head()
+    assert(noop.isNullAt(noop.fieldIndex("compaction_id")))
+  }
+
   test("CALL codec_stats reports the per-codec mix and totals reconcile") {
     import spark.implicits._
     val dir = freshDir()
@@ -175,8 +199,8 @@ class GraftCatalogSpec extends AnyFunSuite {
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("build_token_index", "codec_stats", "compact", "delete_docs",
-        "expire_snapshots", "purge_deletes", "recompress", "replace_docs",
-        "rewrite_manifests", "snapshots", "vacuum"))
+        "expire_snapshots", "purge_deletes", "rebin", "recompress",
+        "replace_docs", "rewrite_manifests", "snapshots", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
 
