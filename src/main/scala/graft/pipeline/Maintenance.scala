@@ -464,6 +464,15 @@ object Maintenance {
       s"$outDir has live equality deletes — run purgeDeletes before rebin " +
         "(per-file delete scoping cannot survive a full redistribution)"
     )
+    // every current snapshot id is pre-base by construction, so ANY tag
+    // would be destroyed by the history fold — refuse rather than break a
+    // retention anchor silently
+    val tags = Refs.listTags(outDir, conf)
+    require(
+      tags.isEmpty,
+      s"$outDir has tags (${tags.map(_._1).mkString(", ")}) — rebin folds all history, " +
+        "which would break them; drop the tags first"
+    )
     val meta = EncodeJob
       .loadMeta(spark, outDir)
       .getOrElse(throw new IllegalArgumentException(s"$outDir: _tables/meta.json missing"))
@@ -1223,7 +1232,25 @@ object Maintenance {
     val snaps = records.map(r => (r.id, r.binsAdded))
     if (snaps.size <= keepLast) return ExpireResult(Seq.empty, None)
 
-    val cut = snaps.size - keepLast
+    // tagged snapshots are retention anchors ([[Refs]]): the cut never
+    // crosses the oldest tagged id — folding INTO a tagged snapshot is fine
+    // (reads as of retained ids are unchanged by the fold), folding it AWAY
+    // is exactly what a tag exists to prevent. Iceberg's expire gives tags
+    // the same immunity.
+    val requested = snaps.size - keepLast
+    val oldestTagged = Refs
+      .listTags(outDir, conf)
+      .map(_._2)
+      .minOption
+    val cut = oldestTagged match {
+      case Some(t) =>
+        val idx = snaps.indexWhere(_._1 == t)
+        // a tag to an id no longer in the lineage is operator-visible at
+        // read time; it must not silently disable expiry forever
+        if (idx < 0) requested else math.min(requested, idx)
+      case None => requested
+    }
+    if (cut <= 0) return ExpireResult(Seq.empty, None)
     val expired = snaps.take(cut)
     val (baseId, baseBins) = snaps(cut)
 

@@ -90,15 +90,16 @@ final class GraftCatalog
     * against the lineage, which also guards reachability past maintenance.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    // a non-numeric version is a bad VERSION literal, not a missing table —
-    // misreporting it as NoSuchTable sends the user debugging the path
+    // numeric = snapshot id; anything else resolves as a TAG name
+    // (graft.pipeline.Refs — Iceberg's `VERSION AS OF 'tag'` shape). Tag
+    // names are validated to contain a non-digit, so the two spaces can
+    // never collide; an unknown tag fails loudly naming the available ones.
+    val dir = encodeDirOf(ident)
     val snap = version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft VERSION AS OF expects a numeric snapshot id, got '$version' " +
-          s"(see ${ident.name()}/_snapshots for committed ids)"
-      )
+      graft.pipeline.Refs
+        .resolveOrFail(dir, SparkSession.active.sparkContext.hadoopConfiguration, version)
     )
-    new GraftTable(encodeDirOf(ident), pinnedSnapshot = Some(snap), viaCatalog = true)
+    new GraftTable(dir, pinnedSnapshot = Some(snap), viaCatalog = true)
   }
 
   /** `TIMESTAMP AS OF t` = wall-clock time travel. Spark hands the literal
@@ -392,6 +393,72 @@ private object GraftCatalog {
     }
   }
 
+  private val createTag = new MaintenanceProcedure(
+    "create_tag",
+    Array(in("path", StringType), in("name", StringType), in("snapshot", LongType)),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "pin a snapshot under a name (VERSION AS OF 'name' / option(\"tag\")); " +
+        "tagged snapshots are immune to expire_snapshots"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val name = input.getUTF8String(1).toString
+      val snap = input.getLong(2)
+      graft.pipeline.Refs
+        .createTag(pathOf(input), spark.sparkContext.hadoopConfiguration, name, snap)
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(name), snap)
+    }
+  }
+
+  private val dropTag = new MaintenanceProcedure(
+    "drop_tag",
+    Array(in("path", StringType), in("name", StringType)),
+    StructType(Seq(StructField("dropped", BooleanType, nullable = false)))
+  ) {
+    override def description(): String = "remove a tag (false when it did not exist)"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      InternalRow(
+        graft.pipeline.Refs.dropTag(
+          pathOf(input),
+          spark.sparkContext.hadoopConfiguration,
+          input.getUTF8String(1).toString
+        )
+      )
+  }
+
+  private val tagsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)
+  ))
+
+  private val tags = new MaintenanceProcedure(
+    "tags",
+    Array(in("path", StringType)),
+    tagsSchema
+  ) {
+    override def description(): String = "list the table's tags (one row per tag)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val out = graft.pipeline.Refs
+        .listTags(pathOf(input), spark.sparkContext.hadoopConfiguration)
+        .map { case (n, id) =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n), id)
+        }
+        .toArray
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = tagsSchema
+        override def description(): String = "graft.system.tags result"
+      }
+      Collections.singletonList(scan).iterator()
+    }
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      throw new IllegalStateException("tags overrides call() directly")
+  }
+
   private val codecStatsSchema = StructType(Seq(
     StructField("codec", StringType, nullable = false),
     StructField("n_blocks", LongType, nullable = false),
@@ -678,6 +745,9 @@ private object GraftCatalog {
     "build_token_index" -> buildTokenIndex,
     "recompress" -> recompress,
     "rebin" -> rebin,
+    "create_tag" -> createTag,
+    "drop_tag" -> dropTag,
+    "tags" -> tags,
     "codec_stats" -> codecStats,
     "snapshots" -> snapshots,
     "vacuum" -> vacuum,

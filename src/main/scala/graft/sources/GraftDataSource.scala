@@ -285,16 +285,25 @@ private[sources] class GraftTable(
         ts.toLong
       )
     }
+    // tag: named snapshot pin (graft.pipeline.Refs) — resolved here so the
+    // scan below is indistinguishable from an explicit snapshot pin
+    val byTag = Option(options.get("tag")).map { t =>
+      graft.pipeline.Refs.resolveOrFail(
+        path,
+        SparkSession.active.sparkContext.hadoopConfiguration,
+        t
+      )
+    }
     val explicit = Option(options.get("snapshot")).map(_.toLong)
     require(
-      byTime.isEmpty || explicit.isEmpty,
-      "options 'snapshot' and 'timestampAsOf' are mutually exclusive"
+      Seq(byTime, byTag, explicit).count(_.isDefined) <= 1,
+      "options 'snapshot', 'tag' and 'timestampAsOf' are mutually exclusive"
     )
     new GraftScanBuilder(
       path,
       // explicit read option wins; `pinnedSnapshot` is the catalog's
       // `VERSION AS OF` / `TIMESTAMP AS OF` pin (GraftCatalog.loadTable)
-      explicit.orElse(byTime).orElse(pinnedSnapshot),
+      explicit.orElse(byTag).orElse(byTime).orElse(pinnedSnapshot),
       Option(options.get("maxSnapshotsPerBatch")).map(_.toInt),
       // incremental batch read (Iceberg's incremental-scan shape): plan
       // only the rows ADDED by snapshots in (fromSnapshot, snapshot|latest]

@@ -198,9 +198,10 @@ class GraftCatalogSpec extends AnyFunSuite {
       .catalog("graft")
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("build_token_index", "codec_stats", "compact", "delete_docs",
-        "expire_snapshots", "purge_deletes", "rebin", "recompress",
-        "replace_docs", "rewrite_manifests", "snapshots", "vacuum"))
+      Seq("build_token_index", "codec_stats", "compact", "create_tag",
+        "delete_docs", "drop_tag", "expire_snapshots", "purge_deletes",
+        "rebin", "recompress", "replace_docs", "rewrite_manifests",
+        "snapshots", "tags", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
 
