@@ -459,6 +459,63 @@ private object GraftCatalog {
       throw new IllegalStateException("tags overrides call() directly")
   }
 
+  private val filesSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("commit_snapshot", LongType, nullable = true),
+    StructField("bins_claimed", IntegerType, nullable = true),
+    StructField("compacted", BooleanType, nullable = false)
+  ))
+
+  /** Iceberg's `files` metadata table as a procedure: one row per LIVE
+    * block file, from pure driver-side metadata (file listing + manifest
+    * index + snapshot lineage — no data file is opened). The ops queries
+    * this answers: unclaimed files (bins_claimed NULL → point reads keep
+    * them conservatively; run rewrite_manifests or the next append heals
+    * them), small-file buildup (bytes distribution → schedule compact),
+    * and append attribution (commit_snapshot NULL = bootstrap/compacted,
+    * subject to every delete). One row per file is the same driver scale
+    * the manifest index already carries.
+    */
+  private val files = new MaintenanceProcedure(
+    "files",
+    Array(in("path", StringType)),
+    filesSchema
+  ) {
+    override def description(): String =
+      "one row per live block file: bytes, commit snapshot, manifest claims"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val conf = spark.sparkContext.hadoopConfiguration
+      val path = pathOf(input)
+      val live = Maintenance.liveBlockFiles(path, conf)
+      val claims: Map[String, Array[Int]] =
+        GraftScan.manifestIndex(path, conf).map(_.fileBins).getOrElse(Map.empty)
+      val commitOf: Map[String, Long] = graft.pipeline.EncodeJob
+        .loadSnapshotRecords(path, conf)
+        .flatMap(r => r.filesAdded.map(_ -> r.id))
+        .toMap
+      val out = live.map { case (f, len) =>
+        val name = GraftScan.nameOf(f)
+        InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(name),
+          len,
+          commitOf.get(name).map(java.lang.Long.valueOf).orNull,
+          claims.get(name).map(b => java.lang.Integer.valueOf(b.length)).orNull,
+          f.contains("/_compacted/")
+        )
+      }
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = filesSchema
+        override def description(): String = "graft.system.files result"
+      }
+      Collections.singletonList(scan).iterator()
+    }
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      throw new IllegalStateException("files overrides call() directly")
+  }
+
   private val codecStatsSchema = StructType(Seq(
     StructField("codec", StringType, nullable = false),
     StructField("n_blocks", LongType, nullable = false),
@@ -748,6 +805,7 @@ private object GraftCatalog {
     "create_tag" -> createTag,
     "drop_tag" -> dropTag,
     "tags" -> tags,
+    "files" -> files,
     "codec_stats" -> codecStats,
     "snapshots" -> snapshots,
     "vacuum" -> vacuum,

@@ -125,6 +125,42 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(noop.isNullAt(noop.fieldIndex("compaction_id")))
   }
 
+  test("CALL files lists live block files with claims and attribution") {
+    import spark.implicits._
+    val dir = freshDir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = spark.sql(s"CALL graft.system.files(path => '$dir')").collect()
+    val live = Maintenance.liveBlockFiles(dir, conf)
+    assert(rows.length == live.length && rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("bytes")).sum == live.map(_._2).sum)
+    // bootstrap files: no snapshot attribution, not compacted; data-bearing
+    // files are claimed (zero-row shuffle part files legitimately are not —
+    // the unclaimed-file report is one of the things this procedure is FOR)
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("commit_snapshot"))))
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("bins_claimed")) && r.getAs[Int]("bins_claimed") > 0))
+    assert(rows.forall(r => !r.getAs[Boolean]("compacted")))
+
+    // an appended file shows its commit snapshot; a compacted one the flag
+    input.limit(5)
+      .withColumn("doc_id", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("f-"), $"doc_id"))
+      .as[TokenRow].toDF()
+      .write.format("graft").mode("append").save(dir)
+    val rows2 = spark.sql(s"CALL graft.system.files(path => '$dir')").collect()
+    assert(rows2.exists(r => !r.isNullAt(r.fieldIndex("commit_snapshot"))))
+    spark.sql(s"CALL graft.system.compact(path => '$dir', small_file_bytes => ${Long.MaxValue / 2}, " +
+      s"target_file_bytes => ${Long.MaxValue / 2})").collect()
+    val rows3 = spark.sql(s"CALL graft.system.files(path => '$dir')").collect()
+    assert(rows3.forall(_.getAs[Boolean]("compacted")))
+    lossless0(dir, expectExtra = 5)
+  }
+
+  /** [[lossless]] tolerating `expectExtra` appended rows. */
+  private def lossless0(dir: String, expectExtra: Long): Unit = {
+    val n = spark.read.format("graft").load(dir).count()
+    assert(n == input.count() + expectExtra)
+  }
+
   test("CALL codec_stats reports the per-codec mix and totals reconcile") {
     import spark.implicits._
     val dir = freshDir()
@@ -199,9 +235,9 @@ class GraftCatalogSpec extends AnyFunSuite {
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("build_token_index", "codec_stats", "compact", "create_tag",
-        "delete_docs", "drop_tag", "expire_snapshots", "purge_deletes",
-        "rebin", "recompress", "replace_docs", "rewrite_manifests",
-        "snapshots", "tags", "vacuum"))
+        "delete_docs", "drop_tag", "expire_snapshots", "files",
+        "purge_deletes", "rebin", "recompress", "replace_docs",
+        "rewrite_manifests", "snapshots", "tags", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
 
