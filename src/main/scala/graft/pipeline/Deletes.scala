@@ -152,6 +152,9 @@ object Deletes {
       outDir: String,
       docIds: Dataset[String]
   ): Option[DeleteResult] = {
+    // an interrupted rebin must fold before any new snapshot commits (see
+    // EncodeJob.nextSnapshotId's base-id reservation); gated no-op otherwise
+    Maintenance.healRebin(spark, outDir)
     val (numBins, salt) = binLayout(spark, outDir)
     val (name, n) = writeDeleteFile(spark, outDir, docIds, numBins, salt).getOrElse(return None)
 
@@ -208,6 +211,7 @@ object Deletes {
     import MiniJson.ObjOps
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = fsOf(outDir, conf)
+    Maintenance.healRebin(spark, outDir) // as in deleteDocs
     val (numBins, salt) = binLayout(spark, outDir)
     val meta = EncodeJob.loadMeta(spark, outDir).get
     val version = meta.longOpt("format_version").map(_.toInt)

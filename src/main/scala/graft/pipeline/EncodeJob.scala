@@ -105,6 +105,35 @@ object EncodeJob {
     * for callers whose content is already bound to one precomputed id.
     * Returns the committed (snapshotId, parentId).
     */
+  /** The exclusive-create claim primitive (shared by the snapshot CAS and
+    * [[Refs]] tag creation): Some(stream) when this caller won the name,
+    * None when it already exists. Filesystem-dispatched — see
+    * [[casWriteSnapshot]] for why each branch is what it is.
+    */
+  private[graft] def exclusiveCreate(
+      f: FileSystem,
+      dest: Path
+  ): Option[java.io.OutputStream] =
+    if (f.getScheme == "file") {
+      // kernel-arbitrated O_EXCL; bypasses ChecksumFileSystem (no .crc
+      // sidecar — readers skip verification when the sidecar is absent)
+      val local = java.nio.file.Paths.get(dest.toUri.getPath)
+      try
+        Some(
+          java.nio.file.Files.newOutputStream(
+            local,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE
+          )
+        )
+      catch { case _: java.nio.file.FileAlreadyExistsException => None }
+    } else {
+      try Some(f.create(dest, false))
+      catch {
+        case e: java.io.IOException => if (f.exists(dest)) None else throw e
+      }
+    }
+
   private[graft] def casWriteSnapshot(
       spark: SparkSession,
       outDir: String,
@@ -118,26 +147,7 @@ object EncodeJob {
     while (attempt < maxAttempts) {
       val (id, parent) = nextId()
       val dest = new Path(s"$outDir/_snapshots/snap-$id.json")
-      val claimed: Option[java.io.OutputStream] =
-        if (f.getScheme == "file") {
-          // kernel-arbitrated O_EXCL; bypasses ChecksumFileSystem (no .crc
-          // sidecar — readers skip verification when the sidecar is absent)
-          val local = java.nio.file.Paths.get(dest.toUri.getPath)
-          try
-            Some(
-              java.nio.file.Files.newOutputStream(
-                local,
-                java.nio.file.StandardOpenOption.CREATE_NEW,
-                java.nio.file.StandardOpenOption.WRITE
-              )
-            )
-          catch { case _: java.nio.file.FileAlreadyExistsException => None }
-        } else {
-          try Some(f.create(dest, false))
-          catch {
-            case e: java.io.IOException => if (f.exists(dest)) None else throw e
-          }
-        }
+      val claimed: Option[java.io.OutputStream] = exclusiveCreate(f, dest)
       claimed match {
         case Some(out) =>
           try out.write(content(id, parent).getBytes(StandardCharsets.UTF_8))
@@ -278,7 +288,16 @@ object EncodeJob {
   private[graft] def nextSnapshotId(spark: SparkSession, outDir: String): (Long, Long) = {
     val dir = s"$outDir/_snapshots"
     val f = fs(spark, outDir)
-    if (!f.exists(new Path(dir))) return (0L, -1L)
+    // a committed rebin marker RESERVES its base id even before the heal
+    // writes snap-<base>.json: a routine append in the commit-to-heal crash
+    // window would otherwise claim that exact id, and the later heal would
+    // silently adopt the foreign snapshot as the folded base (then delete
+    // all pre-rebin history around it)
+    val reserved = Maintenance
+      .rebinState(outDir, spark.sparkContext.hadoopConfiguration)
+      .map(_.baseSnapshot)
+    if (!f.exists(new Path(dir)))
+      return reserved.fold((0L, -1L))(b => (b + 1, b))
     // an id held only by an interrupted expiry base swap (.tmp-rebase-N —
     // snap-N deleted, rename not yet done) is still TAKEN: allocating it to
     // a new snapshot would make the later repair discard the rebased
@@ -289,7 +308,7 @@ object EncodeJob {
       .collect {
         case SnapNameRe(n)      => n.toLong
         case TmpRebaseNameRe(n) => n.toLong
-      }
+      } ++ reserved
     if (ids.isEmpty) (0L, -1L) else (ids.max + 1, ids.max)
   }
 
@@ -450,6 +469,11 @@ object EncodeJob {
   ): EncodeResult = {
     val spark = input.sparkSession
     import spark.implicits._
+
+    // complete any interrupted rebin before reading layout or lineage — a
+    // routine encode entering the commit-to-heal crash window must not run
+    // against a half-folded history (gated no-op on healthy dirs)
+    Maintenance.healRebin(spark, outDir)
 
     // 1. shared symbol tables: reuse persisted ones (byte-identical resume),
     // else pass-1 analyze + build + persist.

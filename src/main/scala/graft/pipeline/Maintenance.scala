@@ -132,36 +132,41 @@ object Maintenance {
           finally in.close()
         scala.util.Try {
           val o = MiniJson.parseObject(txt, where = st.getPath.toString)
-          val rebin = o.longOpt("rebin_num_bins").map { nb =>
-            val marks =
-              (o.strArrOpt("rebin_marked_writers"), o.longArrOpt("rebin_marked_epochs")) match {
-                case (Some(w), Some(e)) if w.length == e.length => w.zip(e)
-                case _                                          => Seq.empty[(String, Long)]
-              }
-            val dels = (o.strArrOpt("rebin_deletes"), o.longArrOpt("rebin_delete_counts")) match {
-              case (Some(n), Some(c)) if n.length == c.length => n.zip(c)
-              case _                                          => Seq.empty[(String, Long)]
-            }
-            RebinInfo(
-              o.long("cid"),
-              nb.toInt,
-              o.long("rebin_salt"),
-              o.long("rebin_base"),
-              o.long("rebin_table_hash"),
-              marks,
-              dels
-            )
-          }
           Compaction(
             o.long("cid"),
             o.strArrOpt("removed").getOrElse(throw new IllegalArgumentException("removed absent")),
             o.strArrOpt("added").getOrElse(throw new IllegalArgumentException("added absent")),
             o.strArrOpt("applied_deletes").getOrElse(Seq.empty),
-            rebin
+            parseRebinFields(o)
           )
         }.toOption
       }
       .sortBy(_.cid)
+  }
+
+  /** The optional rebin fields of a parsed marker (see [[RebinInfo]]). */
+  private def parseRebinFields(o: MiniJson.JObj): Option[RebinInfo] = {
+    import MiniJson.ObjOps
+    o.longOpt("rebin_num_bins").map { nb =>
+      val marks =
+        (o.strArrOpt("rebin_marked_writers"), o.longArrOpt("rebin_marked_epochs")) match {
+          case (Some(w), Some(e)) if w.length == e.length => w.zip(e)
+          case _                                          => Seq.empty[(String, Long)]
+        }
+      val dels = (o.strArrOpt("rebin_deletes"), o.longArrOpt("rebin_delete_counts")) match {
+        case (Some(n), Some(c)) if n.length == c.length => n.zip(c)
+        case _                                          => Seq.empty[(String, Long)]
+      }
+      RebinInfo(
+        o.long("cid"),
+        nb.toInt,
+        o.long("rebin_salt"),
+        o.long("rebin_base"),
+        o.long("rebin_table_hash"),
+        marks,
+        dels
+      )
+    }
   }
 
   /** File names tombstoned by any committed compaction. */
@@ -191,8 +196,32 @@ object Maintenance {
   def rebinStateFrom(comps: Seq[Compaction]): Option[RebinInfo] =
     comps.flatMap(_.rebin).lastOption
 
-  def rebinState(outDir: String, conf: Configuration): Option[RebinInfo] =
-    rebinStateFrom(committedCompactions(outDir, conf))
+  /** Standalone [[rebinStateFrom]] that avoids parsing every marker on the
+    * hot paths that only need the layout (loadMeta runs on every append/
+    * delete/describe): markers are read newest-first with a cheap substring
+    * gate, stopping at the first that carries rebin fields. Never-rebinned
+    * dirs still pay the listing + raw reads, but skip all JSON parsing.
+    */
+  def rebinState(outDir: String, conf: Configuration): Option[RebinInfo] = {
+    val fs = fsOf(outDir, conf)
+    val root = compactRoot(outDir)
+    if (!fs.exists(root)) return None
+    val markers = fs
+      .listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.matches("c\\d+\\.json"))
+      .sortBy(st => -st.getPath.getName.stripPrefix("c").stripSuffix(".json").toLong)
+    markers.iterator.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val txt =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      if (!txt.contains("\"rebin_num_bins\"")) None
+      else
+        scala.util.Try {
+          parseRebinFields(MiniJson.parseObject(txt, where = st.getPath.toString))
+        }.toOption.flatten
+    }.nextOption()
+  }
 
   /** THE live-file resolver: every block read over an EncodeJob dir must go
     * through this (or a listing that equals it). Live =
@@ -466,8 +495,8 @@ object Maintenance {
     )
     // every current snapshot id is pre-base by construction, so ANY tag
     // would be destroyed by the history fold — refuse rather than break a
-    // retention anchor silently
-    val tags = Refs.listTags(outDir, conf)
+    // retention anchor silently (strict: an unparseable tag also refuses)
+    val tags = Refs.listTags(outDir, conf, strict = true)
     require(
       tags.isEmpty,
       s"$outDir has tags (${tags.map(_._1).mkString(", ")}) — rebin folds all history, " +
@@ -574,8 +603,30 @@ object Maintenance {
     val healedMarker = new Path(compactRoot(outDir), s"c${r.cid}.rebin-healed")
     if (fs.exists(healedMarker)) return
 
-    // 1. the folded base snapshot, reconstructed entirely from the marker
+    // 0. meta.json swap crash repair FIRST: a crash between step 3's delete
+    // and rename leaves meta.json missing with the staged copy orphaned —
+    // every raw meta read (including this heal's own step 3) would die
+    // forever otherwise. The staged copy is complete (written and closed
+    // before the delete), so renaming it back is always safe; step 3 then
+    // re-verifies the layout fields regardless of which content came back.
+    val metaPath0 = new Path(s"$outDir/_tables/meta.json")
+    val metaTmp0 = new Path(metaPath0.getParent, s".tmp-${metaPath0.getName}")
+    if (!fs.exists(metaPath0)) {
+      require(
+        fs.exists(metaTmp0),
+        s"$outDir/_tables/meta.json missing and no staged rebin copy to recover from"
+      )
+      require(fs.rename(metaTmp0, metaPath0), s"recovering $metaPath0 from staged copy failed")
+    }
+
+    // 1. the folded base snapshot, reconstructed entirely from the marker.
+    // A zero-length file is an UNCOMMITTED claim from a crashed heal (the
+    // exclusive create succeeded, the content write did not) — treat it as
+    // absent, or step 2 would delete all pre-rebin history around an empty
+    // base and the healed marker would lock the loss in.
     val snapB = new Path(s"$outDir/_snapshots/snap-${r.baseSnapshot}.json")
+    if (fs.exists(snapB) && fs.getFileStatus(snapB).getLen == 0)
+      fs.delete(snapB, false): Unit
     if (!fs.exists(snapB)) {
       val binsJson = (0 until r.numBins).mkString("[", ",", "]")
       val marksW = r.marks.map(m => MiniJson.render(MiniJson.JStr(m._1))).mkString("[", ",", "]")
@@ -716,18 +767,29 @@ object Maintenance {
     // an empty file is claimed by no manifest row, so every later pruned
     // plan would keep it conservatively forever — one wasted task per empty
     // file per point read.
-    val staged = fs
+    val stagedAll = fs
       .listStatus(tmpDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
       .sortBy(_.getName)
-      .filter { p =>
+    // footer reads in parallel (a corpus-wide rebin stages thousands of
+    // parts; serial opens would widen the pre-commit window by O(files)
+    // round-trips on an object store)
+    val emptyFlags = java.util.Arrays
+      .stream(stagedAll.asInstanceOf[Array[AnyRef]])
+      .parallel()
+      .map { p =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, fs.getConf)
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p.asInstanceOf[Path], fs.getConf)
         )
         val n = try r.getRecordCount finally r.close()
-        if (n == 0L) { fs.delete(p, false): Unit; false } else true
+        java.lang.Boolean.valueOf(n == 0L): AnyRef
       }
+      .toArray
+      .map(_.asInstanceOf[java.lang.Boolean].booleanValue())
+    val staged = stagedAll.zip(emptyFlags).filter { case (p, empty) =>
+      if (empty) { fs.delete(p, false): Unit; false } else true
+    }.map(_._1)
     val added = staged.zipWithIndex.map { case (p, k) =>
       val dest = new Path(tmpDir, s"c$cid-$k.parquet")
       require(fs.rename(p, dest), s"rename $p -> $dest failed")
@@ -1233,23 +1295,21 @@ object Maintenance {
     if (snaps.size <= keepLast) return ExpireResult(Seq.empty, None)
 
     // tagged snapshots are retention anchors ([[Refs]]): the cut never
-    // crosses the oldest tagged id — folding INTO a tagged snapshot is fine
-    // (reads as of retained ids are unchanged by the fold), folding it AWAY
-    // is exactly what a tag exists to prevent. Iceberg's expire gives tags
-    // the same immunity.
+    // crosses the oldest tagged id that IS in the lineage — folding INTO a
+    // tagged snapshot is fine (reads as of retained ids are unchanged by
+    // the fold), folding it AWAY is exactly what a tag exists to prevent.
+    // Iceberg's expire gives tags the same immunity. The listing is STRICT
+    // (an unparseable tag refuses the expiry — proceeding off a partial tag
+    // read is how an anchor gets silently destroyed); a DANGLING tag (id
+    // not in the lineage) is already broken at read time and must neither
+    // disable expiry forever nor — by being the minimum — unprotect the
+    // live tags behind it, so the cap is the min over FOUND indexes.
     val requested = snaps.size - keepLast
-    val oldestTagged = Refs
-      .listTags(outDir, conf)
-      .map(_._2)
-      .minOption
-    val cut = oldestTagged match {
-      case Some(t) =>
-        val idx = snaps.indexWhere(_._1 == t)
-        // a tag to an id no longer in the lineage is operator-visible at
-        // read time; it must not silently disable expiry forever
-        if (idx < 0) requested else math.min(requested, idx)
-      case None => requested
-    }
+    val taggedIdxs = Refs
+      .listTags(outDir, conf, strict = true)
+      .map(t => snaps.indexWhere(_._1 == t._2))
+      .filter(_ >= 0)
+    val cut = taggedIdxs.minOption.fold(requested)(math.min(requested, _))
     if (cut <= 0) return ExpireResult(Seq.empty, None)
     val expired = snaps.take(cut)
     val (baseId, baseBins) = snaps(cut)

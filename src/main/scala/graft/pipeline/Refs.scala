@@ -70,32 +70,15 @@ object Refs {
     val dest = refPath(outDir, name)
     // reclaim a zero-length claim from a crashed create (uncommitted)
     if (fs.exists(dest) && fs.getFileStatus(dest).getLen == 0) fs.delete(dest, false): Unit
-    val out: java.io.OutputStream =
-      if (fs.getScheme == "file") {
-        val local = java.nio.file.Paths.get(dest.toUri.getPath)
-        try
-          java.nio.file.Files.newOutputStream(
-            local,
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE
-          )
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            throw new IllegalStateException(
-              s"tag '$name' already exists under $outDir (at snapshot ${resolve(outDir, conf, name).getOrElse(-1L)}) — drop it first"
-            )
-        }
-      } else {
-        try fs.create(dest, false)
-        catch {
-          case e: java.io.IOException =>
-            if (fs.exists(dest))
-              throw new IllegalStateException(
-                s"tag '$name' already exists under $outDir (at snapshot ${resolve(outDir, conf, name).getOrElse(-1L)}) — drop it first"
-              )
-            else throw e
-        }
-      }
+    // same kernel-arbitrated exclusive-create primitive the snapshot CAS
+    // uses (one implementation of the scheme dispatch, not two to drift)
+    val out: java.io.OutputStream = EncodeJob
+      .exclusiveCreate(fs, dest)
+      .getOrElse(
+        throw new IllegalStateException(
+          s"tag '$name' already exists under $outDir (at snapshot ${resolve(outDir, conf, name).getOrElse(-1L)}) — drop it first"
+        )
+      )
     try out.write(
       s"""{"name":${MiniJson.render(MiniJson.JStr(name))},"snapshot_id":$snapshotId}"""
         .getBytes(StandardCharsets.UTF_8)
@@ -111,12 +94,21 @@ object Refs {
     fs.exists(p) && fs.delete(p, false)
   }
 
-  /** All committed tags, (name, snapshot id), sorted by name. Unreadable or
-    * in-flight files are skipped (same tolerance as the lineage loader);
-    * content whose name disagrees with the file name is untrustworthy and
-    * skipped too.
+  /** All committed tags, (name, snapshot id), sorted by name. Zero-length
+    * files are uncommitted claims and always skipped. With
+    * `strict = false`, corrupt non-empty files are skipped too (the
+    * read-tolerance the lineage loader applies); DESTRUCTIVE callers —
+    * anything about to fold or delete history a tag may pin — must pass
+    * `strict = true`, which fails loudly on an unparseable tag instead:
+    * proceeding off a partial tag read is exactly how a retention anchor
+    * gets silently destroyed (the lineage side guards its own destructive
+    * paths the same way, with the records-vs-ids gate).
     */
-  def listTags(outDir: String, conf: Configuration): Seq[(String, Long)] = {
+  def listTags(
+      outDir: String,
+      conf: Configuration,
+      strict: Boolean = false
+  ): Seq[(String, Long)] = {
     val fs = fsOf(outDir, conf)
     val dir = new Path(s"$outDir/_refs")
     if (!fs.exists(dir)) return Seq.empty
@@ -128,14 +120,20 @@ object Refs {
         val txt =
           try new String(in.readAllBytes(), StandardCharsets.UTF_8)
           finally in.close()
-        scala.util.Try {
+        val parsed = scala.util.Try {
           val o = MiniJson.parseObject(txt, where = st.getPath.toString)
           val n = o
             .strOpt("name")
             .getOrElse(throw new IllegalArgumentException("name absent"))
           require(s"$n.json" == st.getPath.getName, "tag name/file mismatch")
           (n, o.long("snapshot_id"))
-        }.toOption
+        }
+        if (strict && parsed.isFailure)
+          throw new IllegalStateException(
+            s"tag file ${st.getPath} is unreadable (${parsed.failed.get.getMessage}) — " +
+              "refusing a destructive operation off a partial tag read; repair or delete the file"
+          )
+        parsed.toOption
       }
       .sortBy(_._1)
   }

@@ -76,6 +76,14 @@ private[sources] final class GraftWriteBuilder(
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
 
+    // an interrupted rebin must fold before validation: the coverage check
+    // below reads the (marker-overridden) NEW layout but would see the
+    // pre-fold lineage — a routine append entering the commit-to-heal crash
+    // window completes the heal instead of failing on the mismatch (gated
+    // no-op on healthy dirs; commit() heals again as a backstop for
+    // builders created before the rebin committed)
+    Maintenance.healRebin(spark, path)
+
     // --- dir validation (driver, at planning time: fail before any task) ---
     val meta = EncodeJob
       .loadMeta(spark, path)
@@ -324,6 +332,13 @@ private[sources] object GraftAppendCommit {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
+
+    // an interrupted rebin must fold before this append's snapshot commits
+    // — its base id is reserved (EncodeJob.nextSnapshotId), but committing
+    // around a half-folded history would still interleave with the heal's
+    // snapshot deletions; completing it first is cheap (gated no-op) and
+    // makes the lineage this commit reads self-consistent
+    Maintenance.healRebin(spark, path)
 
     // streaming exactly-once: a retried epoch whose snapshot already
     // committed must not append its rows again. Epochs are monotonic per

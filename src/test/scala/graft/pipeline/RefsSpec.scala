@@ -98,6 +98,38 @@ class RefsSpec extends AnyFunSuite {
     assert(Maintenance.expireSnapshots(spark, d, keepLast = 1).snapshotsExpired == Seq(1L))
   }
 
+  test("a dangling tag neither blocks expiry nor unprotects live tags behind it") {
+    val d = encodedDir() // snapshots 0, 1, 2
+    val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(conf)
+    Refs.createTag(d, conf, "dangling-a", 0L)
+    Refs.createTag(d, conf, "live-b", 1L)
+    // snapshot 0 disappears out-of-band → tag A dangles; the old min-raw-id
+    // cap would have fallen back to the FULL cut and expired live-b's pin
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$d/_snapshots/snap-0.json"), false))
+
+    val res = Maintenance.expireSnapshots(spark, d, keepLast = 1)
+    assert(res.snapshotsExpired.isEmpty) // live-b pins snapshot 1, the cut floor
+    assert(EncodeJob.listSnapshotIds(d, conf) == Seq(1L, 2L))
+  }
+
+  test("destructive paths refuse on an unreadable tag file (strict listing)") {
+    val d = encodedDir()
+    val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(conf)
+    Refs.createTag(d, conf, "ok-tag", 1L)
+    val bad = new org.apache.hadoop.fs.Path(s"$d/_refs/bad.json")
+    val out = fs.create(bad, true)
+    out.write("{not json".getBytes); out.close()
+
+    val e1 = intercept[IllegalStateException](Maintenance.rebin(spark, d, newNumBins = 16))
+    assert(e1.getMessage.contains("unreadable"))
+    val e2 = intercept[IllegalStateException](Maintenance.expireSnapshots(spark, d, keepLast = 1))
+    assert(e2.getMessage.contains("unreadable"))
+    // the tolerant read surface still works (bad file skipped)
+    assert(Refs.listTags(d, conf).map(_._1) == Seq("ok-tag"))
+    fs.delete(bad, false)
+    assert(Maintenance.expireSnapshots(spark, d, keepLast = 1).snapshotsExpired == Seq(0L))
+  }
+
   test("rebin refuses while tags exist; SQL procedures drive the lifecycle") {
     val d = encodedDir()
     spark.sql("SELECT 1").collect()

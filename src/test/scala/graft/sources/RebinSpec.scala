@@ -166,6 +166,65 @@ class RebinSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(d).count() == input.count())
   }
 
+  test("crash window: a routine append heals first and never claims the reserved base id") {
+    import spark.implicits._
+    val d = encodedDir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val res = Maintenance.rebin(spark, d, newNumBins = 9, healAfterCommit = false).get
+
+    // the base id is reserved even before snap-<base> exists
+    assert(EncodeJob.nextSnapshotId(spark, d)._1 == res.baseSnapshot + 1)
+
+    // a routine DSv2 append in the window completes the heal, then commits
+    // UNDER the folded base — never inside the pre-rebin history
+    val extra = TokenTables.synthetic(spark, 10L, seed = 7L)
+      .withColumn("doc_id", concat(lit("cw-"), $"doc_id"))
+      .as[graft.pipeline.TokenRow]
+    extra.toDF().write.format("graft").mode("append").save(d)
+    assert(
+      EncodeJob.listSnapshotIds(d, conf) == Seq(res.baseSnapshot, res.baseSnapshot + 1)
+    )
+    assert(spark.read.format("graft").load(d).count() == input.count() + 10)
+    // full replay sees the folded base + the append delta
+    assert(
+      spark.read.format("graft").option("fromSnapshot", "-1").load(d).count() ==
+        input.count() + 10
+    )
+  }
+
+  test("heal recovers its own crash windows: zero-length base claim, torn meta swap") {
+    import graft.core.MiniJson.ObjOps
+    val d = encodedDir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(conf)
+    val res = Maintenance.rebin(spark, d, newNumBins = 6, healAfterCommit = false).get
+
+    // crashed heal attempt 1: exclusive create of snap-<base> succeeded,
+    // content write did not (zero-length claim)
+    val snapB = new org.apache.hadoop.fs.Path(s"$d/_snapshots/snap-${res.baseSnapshot}.json")
+    fs.create(snapB, false).close()
+    assert(fs.getFileStatus(snapB).getLen == 0)
+    // crashed heal attempt 2: meta.json swap interrupted between delete and
+    // rename (staged copy present, meta.json gone)
+    val metaP = new org.apache.hadoop.fs.Path(s"$d/_tables/meta.json")
+    val tmpP = new org.apache.hadoop.fs.Path(s"$d/_tables/.tmp-meta.json")
+    require(fs.rename(metaP, tmpP))
+
+    // vacuum with a LONG grace window (its own zero-length sweep skips the
+    // fresh claim) must still complete the fold correctly
+    Maintenance.vacuum(spark, d, olderThanMs = 3600000L)
+    assert(EncodeJob.listSnapshotIds(d, conf) == Seq(res.baseSnapshot))
+    assert(fs.getFileStatus(snapB).getLen > 0)
+    val meta = EncodeJob.loadMeta(spark, d).get
+    assert(meta.long("num_bins") == 6L)
+    import spark.implicits._
+    val decoded = spark.read.format("graft").load(d).as[graft.pipeline.TokenRow]
+    assert(GraftPipeline.verify(input, decoded) == 0L)
+    assert(
+      spark.read.format("graft").option("fromSnapshot", "-1").load(d).count() == input.count()
+    )
+  }
+
   test("rebin refuses under live deletes; retired delete names fold forward") {
     import spark.implicits._
     val d = encodedDir()
