@@ -250,6 +250,67 @@ class RebinSpec extends AnyFunSuite {
     assert(ids.size == input.count() - victim.size)
   }
 
+  test("a stream checkpointed before a rebin refuses at restart; a fresh one replays once") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-rebin-stream").toString
+    EncodeJob.run(input, d, cfg, onlyBins = Some(Set(0, 1))) // snapshot 0
+    val out = Files.createTempDirectory("graft-rebin-sink").toString
+    val ckpt = Files.createTempDirectory("graft-rebin-ckpt").toString
+    def start(cp: String) = spark.readStream
+      .format("graft")
+      .load(d)
+      .select($"doc_id", $"n_tok")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .start()
+
+    val q1 = start(ckpt)
+    try q1.processAllAvailable()
+    finally q1.stop()
+    val first = spark.read.parquet(out).count()
+    assert(first > 0 && first < input.count())
+
+    EncodeJob.run(input, d, cfg) // snapshot 1: the rest
+    val base = Maintenance.rebin(spark, d, newNumBins = 14).get.baseSnapshot
+    assert(base == 2L)
+
+    // the old checkpoint's offset (snapshot 0) predates the fold — the
+    // restarted stream must fail loudly, never re-read bins reinterpreted
+    // in the new layout
+    val q2 = start(ckpt)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(60000L)
+    }
+    q2.stop()
+    assert(
+      err.getMessage.contains("rebin") || Option(err.getCause).exists(_.getMessage.contains("rebin")),
+      s"unexpected stream failure: ${err.getMessage}"
+    )
+
+    // a FRESH checkpoint replays the folded corpus exactly once
+    val out2 = Files.createTempDirectory("graft-rebin-sink2").toString
+    val q3 = spark.readStream
+      .format("graft")
+      .load(d)
+      .select($"doc_id", $"n_tok")
+      .writeStream
+      .format("parquet")
+      .option("path", out2)
+      .option("checkpointLocation", Files.createTempDirectory("graft-rebin-ckpt2").toString)
+      .outputMode("append")
+      .start()
+    try q3.processAllAvailable()
+    finally q3.stop()
+    assert(spark.read.parquet(out2).count() == input.count())
+    assert(
+      spark.read.parquet(out2).select($"doc_id").distinct().count() == input.count()
+    )
+  }
+
   test("same-layout rebin is a no-op; later encodes resume under the new layout") {
     import spark.implicits._
     val d = encodedDir()
