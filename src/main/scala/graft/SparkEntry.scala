@@ -161,6 +161,21 @@ object SparkEntry {
   private val corpusCache =
     scala.collection.concurrent.TrieMap[(Int, String), EncodedCorpus]()
 
+  /** Release handles of Packing intermediates created by the q_pack_*
+    * queries, drained by [[releaseCorpora]] so Verify's leak check stays
+    * clean.
+    */
+  private val packHandles =
+    scala.collection.concurrent.TrieMap[Int, List[() => Unit]]()
+
+  private def trackPackHandle(s: SparkSession, release: () => Unit): Unit = {
+    val id = System.identityHashCode(s)
+    packHandles.updateWith(id) {
+      case Some(rest) => Some(release :: rest)
+      case None       => Some(release :: Nil)
+    }: Unit
+  }
+
   /** ONE shared encode of the derived corpus per (session, sfDir) — every
     * compressed-corpus query (q_roundtrip_verify, q_point_lookup,
     * q_context_bits) reuses it, so a Verify run pays exactly one
@@ -204,6 +219,7 @@ object SparkEntry {
     graftSqlDeleteDirCache.keys.filter(_._1 == id).foreach { k =>
       graftSqlDeleteDirCache.remove(k).foreach(deleteDir)
     }
+    packHandles.remove(id).foreach(_.foreach(_.apply()))
   }
 
   private def deleteDir(dir: String): Unit = {
@@ -584,6 +600,43 @@ object SparkEntry {
         .withColumn("tok_offset", coalesce(sum($"n_tok").over(w), lit(0L)))
         .where($"doc_id" % 97 === 0)
         .orderBy($"source", $"doc_id")
+    }),
+
+    // Sequence packing (pretraining chunker): concat docs in doc_id order,
+    // cut into 64-token examples, drop the tail — sampled examples exploded
+    // to (example_id, off, token) so the oracle hashes every packed value
+    "q_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val (packed, release) =
+        graft.ops.Packing.packSequencesWithHandle(docTable(s, dir), seqLen = 64)
+      trackPackHandle(s, release)
+      packed
+        .where($"example_id" % 41 === 0)
+        .select($"example_id", posexplode($"tokens").as(Seq("off", "token")))
+        .select(
+          $"example_id",
+          $"off".cast("long").as("off"),
+          $"token".cast("long").as("token")
+        )
+        .orderBy($"example_id", $"off")
+    }),
+
+    // Packing with a document separator (EOS convention): whole-corpus
+    // accounting — every packed token participates in the checksum, the
+    // separator count pins the per-doc insertion rule
+    "q_pack_stats" -> ((s, dir) => {
+      import s.implicits._
+      val (packed, release) = graft.ops.Packing
+        .packSequencesWithHandle(docTable(s, dir), seqLen = 96, sepToken = Some(99991))
+      trackPackHandle(s, release)
+      packed
+        .select($"example_id", posexplode($"tokens").as(Seq("off", "token")))
+        .agg(
+          countDistinct($"example_id").as("n_examples"),
+          count(lit(1)).as("n_tokens"),
+          sum($"token".cast("long") * ($"off" + 1)).as("checksum"),
+          sum(when($"token" === 99991, 1L).otherwise(0L)).as("n_seps")
+        )
     }),
 
     // O12: entropy cost model from the production Histograms.costModel
@@ -1547,6 +1600,48 @@ object SparkEntry {
          | CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
          |FROM docs QUALIFY doc_id % 97 = 0 ORDER BY source, doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""$CTE, doclen AS (
+         | SELECT DISTINCT doc_id, n_tok FROM tok
+         |), docstart AS (
+         | SELECT doc_id, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dstart
+         | FROM doclen
+         |), gtok AS (
+         | SELECT d.dstart + t.pos - 1 AS gpos, t.token
+         | FROM tok t JOIN docstart d USING (doc_id)
+         |)
+         |SELECT CAST(gpos // 64 AS BIGINT) AS example_id,
+         |       CAST(gpos % 64 AS BIGINT) AS off,
+         |       CAST(token AS BIGINT) AS token
+         |FROM gtok
+         |WHERE (gpos // 64) % 41 = 0 AND gpos // 64 < (SELECT COUNT(*) FROM gtok) // 64
+         |ORDER BY example_id, off""".stripMargin,
+
+    "q_pack_stats" ->
+      s"""$CTE, docsep AS (
+         | SELECT doc_id, pos, token FROM tok
+         | UNION ALL
+         | SELECT DISTINCT doc_id, n_tok + 1 AS pos, 99991 AS token FROM tok
+         |), doclen AS (
+         | SELECT DISTINCT doc_id, n_tok + 1 AS len FROM tok
+         |), docstart AS (
+         | SELECT doc_id, COALESCE(SUM(len) OVER (ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dstart
+         | FROM doclen
+         |), gtok AS (
+         | SELECT d.dstart + t.pos - 1 AS gpos, t.token
+         | FROM docsep t JOIN docstart d USING (doc_id)
+         |), full_ex AS (
+         | SELECT gpos // 96 AS eid, gpos % 96 AS off, token FROM gtok
+         | WHERE gpos // 96 < (SELECT COUNT(*) FROM gtok) // 96
+         |)
+         |SELECT CAST(COUNT(DISTINCT eid) AS BIGINT) AS n_examples,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(token * (off + 1)) AS BIGINT) AS checksum,
+         |       CAST(SUM(CASE WHEN token = 99991 THEN 1 ELSE 0 END) AS BIGINT) AS n_seps
+         |FROM full_ex""".stripMargin,
 
     "q_cost_model" ->
       s"""$CTE, hist AS (

@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sequence packing — the pretraining chunker: concatenate every document's
+  * tokens in global `doc_id` order (optionally inserting a separator token
+  * after each document) and cut the resulting stream into fixed-length
+  * training examples of exactly `seqLen` tokens, dropping the final partial
+  * example. This is the standard "concat-and-chunk" batch layout a language
+  * model trainer consumes, and the one whole-corpus operation the engine's
+  * per-document surfaces could not express: its output row `e` depends on the
+  * total token count of every document before it.
+  *
+  * Shaped for 100 TB, where the naive formulations die:
+  *
+  *   - per-token `posexplode` + `groupBy(example_id)` shuffles one row PER
+  *     TOKEN (the whole corpus exploded ~28 bytes/token onto the wire);
+  *   - a global `Window.orderBy(doc_id)` prefix sum plans ONE partition.
+  *
+  * Instead the packer moves the payload once and keeps every per-token loop
+  * partition-local:
+  *
+  *   1. range-repartition by `doc_id` + sort within partitions (the one
+  *      payload shuffle), persisted so both passes see identical partitions;
+  *   2. a metadata-only aggregate collects per-partition token counts
+  *      (`O(partitions)` driver rows) → prefix sums give each partition its
+  *      exact global start offset;
+  *   3. `mapPartitions` packs tokens into a rolling `seqLen` buffer: every
+  *      example fully contained in the partition is emitted COMPLETE in
+  *      place; only the partition-boundary leftovers (at most a leading and
+  *      a trailing fragment per partition, however many documents they span)
+  *      become fragments;
+  *   4. the `O(partitions)` fragments — not the corpus — shuffle once more
+  *      and are assembled by `example_id` (a fragment chain spanning k tiny
+  *      partitions assembles from k pieces; the global tail drops out of the
+  *      exactly-`seqLen` check).
+  *
+  * The output is a pure function of the global document order: partition
+  * count and boundaries only decide which examples travel as fragments,
+  * never their content (pinned by a partitioning-invariance test).
+  *
+  * Failure-model caveat (documented, not hidden): pass 2/3 rely on the
+  * persisted layout of step 1. `MEMORY_AND_DISK` survives eviction, but an
+  * executor LOSS would recompute the stage, and `repartitionByRange`
+  * re-samples boundaries — for production runs over unreliable fleets,
+  * checkpoint the sorted input (the same contract as
+  * [[Dedup.resolveClusters]]'s localCheckpoint rounds).
+  *
+  * Reference tie-in: the reference packs variable-length adjacency lists
+  * into one continuous bitstream with per-node offsets
+  * (/root/reference/src/graphs/offsets.rs:19-58); this is the row-level
+  * analog over token arrays, with the offsets replaced by the fixed example
+  * grid.
+  */
+object Packing {
+
+  /** One packed piece: a complete example (`complete = true`, `off = 0`,
+    * `frag.length == seqLen`) or a partition-boundary fragment to be
+    * assembled by `example_id`.
+    */
+  final case class Piece(example_id: Long, off: Int, frag: Array[Int], complete: Boolean)
+
+  /** Pack `docs` (`doc_id` orderable, `tokens array<int>`-castable) into
+    * examples of exactly `seqLen` tokens. Returns `(example_id bigint,
+    * tokens array<int>)`, one row per full example, `example_id` dense from
+    * 0 in stream order; the trailing partial example is dropped.
+    *
+    * @param sepToken if set, appended after EVERY document (the EOS/document
+    *                 separator convention), including the last.
+    * @param numPartitions width of the range shuffle; defaults to
+    *                      `spark.sql.shuffle.partitions`.
+    * @return the packed examples plus a release handle that unpersists the
+    *         sorted intermediate — call it once the result is consumed.
+    */
+  def packSequencesWithHandle(
+      docs: DataFrame,
+      seqLen: Int,
+      sepToken: Option[Int] = None,
+      numPartitions: Int = 0
+  ): (DataFrame, () => Unit) = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = docs.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val prepared = docs
+      .select(col("doc_id"), col("tokens").cast("array<int>").as("tokens"))
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val sepAdd = if (sepToken.isDefined) 1 else 0
+
+    // Pass 2: per-partition token totals. spark_partition_id() is evaluated
+    // while scanning the persisted layout (before the aggregate's exchange),
+    // so the ids match pass 3's mapPartitionsWithIndex over the same RDD.
+    val counts: Map[Int, Long] = prepared
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(size(col("tokens")) + lit(sepAdd)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+
+    val tokensOnly = prepared.select(col("tokens")).queryExecution.toRdd
+    val nParts = tokensOnly.getNumPartitions
+    val starts = new Array[Long](nParts)
+    var acc = 0L
+    var i = 0
+    while (i < nParts) {
+      starts(i) = acc
+      acc += counts.getOrElse(i, 0L)
+      i += 1
+    }
+
+    val bStarts = spark.sparkContext.broadcast(starts)
+    val l = seqLen
+    val sep = sepToken
+
+    // Pass 3: partition-local rolling-buffer packing (streaming — never
+    // buffers more than one example).
+    val piecesRdd = tokensOnly.mapPartitionsWithIndex { (pid, rows) =>
+      new Iterator[Piece] {
+        private var pos = bStarts.value(pid)
+        private val buf = new Array[Int](l)
+        // offset within the current example at which THIS partition began
+        // contributing (non-zero only for the partition's first example)
+        private var exStart = (pos % l).toInt
+        private var fill = exStart
+        private var exampleId = pos / l
+        private val queue = new scala.collection.mutable.Queue[Piece]
+        private var drained = false
+
+        private def flush(): Unit = {
+          queue.enqueue(
+            Piece(exampleId, exStart, java.util.Arrays.copyOfRange(buf, exStart, l), exStart == 0)
+          )
+          exampleId += 1
+          exStart = 0
+          fill = 0
+        }
+
+        private def feed(arr: Array[Int]): Unit = {
+          var i = 0
+          while (i < arr.length) {
+            val take = math.min(arr.length - i, l - fill)
+            System.arraycopy(arr, i, buf, fill, take)
+            fill += take
+            i += take
+            if (fill == l) flush()
+          }
+        }
+
+        private def refill(): Unit = {
+          while (queue.isEmpty && rows.hasNext) {
+            feed(rows.next().getArray(0).toIntArray())
+            sep.foreach { s =>
+              if (fill == l) flush() // cannot happen (feed flushed), defensive
+              buf(fill) = s
+              fill += 1
+              if (fill == l) flush()
+            }
+          }
+          if (queue.isEmpty && !rows.hasNext && !drained) {
+            drained = true
+            if (fill > exStart) {
+              queue.enqueue(
+                Piece(exampleId, exStart, java.util.Arrays.copyOfRange(buf, exStart, fill), complete = false)
+              )
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          refill()
+          queue.nonEmpty
+        }
+
+        override def next(): Piece = {
+          refill()
+          queue.dequeue()
+        }
+      }
+    }
+
+    val pieces = spark.createDataset(piecesRdd)(Encoders.product[Piece]).toDF()
+
+    val completes = pieces
+      .where(col("complete"))
+      .select(col("example_id"), col("frag").as("tokens"))
+
+    // Fragment assembly: O(partitions) rows, one tiny shuffle. array_sort on
+    // (off, frag) structs orders by the unique offsets; the exactly-seqLen
+    // check drops the global tail (the only example that can come up short).
+    val assembled = pieces
+      .where(!col("complete"))
+      .groupBy(col("example_id"))
+      .agg(array_sort(collect_list(struct(col("off"), col("frag")))).as("ps"))
+      .select(col("example_id"), flatten(expr("transform(ps, x -> x.frag)")).as("tokens"))
+      .where(size(col("tokens")) === l)
+
+    val out = completes.unionByName(assembled)
+    (out, () => { prepared.unpersist(); bStarts.destroy() })
+  }
+
+  /** [[packSequencesWithHandle]] without the lifecycle handle: the sorted
+    * intermediate stays persisted for the session (matching the shared
+    * encoded-corpus cache pattern in SparkEntry); prefer the handle variant
+    * in long-lived drivers.
+    */
+  def packSequences(
+      docs: DataFrame,
+      seqLen: Int,
+      sepToken: Option[Int] = None,
+      numPartitions: Int = 0
+  ): DataFrame =
+    packSequencesWithHandle(docs, seqLen, sepToken, numPartitions)._1
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.pipeline.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def docsDf(rows: Seq[(String, Seq[Int])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "tokens")
+  }
+
+  /** Reference packing: concat in doc_id order, chunk, drop tail. */
+  private def expected(
+      rows: Seq[(String, Seq[Int])],
+      l: Int,
+      sep: Option[Int]
+  ): Seq[(Long, Seq[Int])] = {
+    val stream = rows.sortBy(_._1).flatMap { case (_, t) => t ++ sep.toSeq }
+    stream.grouped(l).zipWithIndex.collect {
+      case (g, i) if g.length == l => (i.toLong, g)
+    }.toSeq
+  }
+
+  private def collectPacked(df: DataFrame): Seq[(Long, Seq[Int])] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+      .toSeq
+      .sortBy(_._1)
+
+  test("packs the concatenated stream into exact seqLen examples, drops the tail") {
+    val rows = Seq(
+      "d1" -> Seq(1, 2, 3),
+      "d2" -> Seq(4, 5),
+      "d3" -> Seq(6, 7, 8, 9, 10),
+      "d4" -> Seq(11)
+    )
+    val (out, release) = Packing.packSequencesWithHandle(docsDf(rows), seqLen = 4)
+    val got = collectPacked(out)
+    assert(got == expected(rows, 4, None))
+    assert(got.forall(_._2.length == 4))
+    // 11 tokens → 2 full examples, 3-token tail dropped
+    assert(got.map(_._1) == Seq(0L, 1L))
+    release()
+  }
+
+  test("separator token is appended after every document, including the last") {
+    val rows = Seq("a" -> Seq(1, 2), "b" -> Seq(3), "c" -> Seq(4, 5, 6))
+    val (out, release) =
+      Packing.packSequencesWithHandle(docsDf(rows), seqLen = 3, sepToken = Some(0))
+    val got = collectPacked(out)
+    // stream: 1 2 0 | 3 0 4 | 5 6 0  (9 tokens, 3 examples, no tail)
+    assert(got == expected(rows, 3, Some(0)))
+    assert(got.flatMap(_._2).count(_ == 0) == 3)
+    release()
+  }
+
+  test("output is invariant to partition count (fragment chains across tiny partitions)") {
+    val rows = (0 until 37).map(i => (f"doc-$i%04d", Seq.tabulate(1 + i % 7)(j => i * 100 + j)))
+    val base = expected(rows, 16, Some(-1))
+    for (p <- Seq(1, 3, 20)) {
+      val (out, release) =
+        Packing.packSequencesWithHandle(docsDf(rows), seqLen = 16, sepToken = Some(-1), numPartitions = p)
+      assert(collectPacked(out) == base, s"mismatch at numPartitions=$p")
+      release()
+    }
+  }
+
+  test("a document longer than many examples spans them contiguously") {
+    val big = Seq.tabulate(53)(identity)
+    val rows = Seq("a" -> Seq(900, 901), "b" -> big, "c" -> Seq(990))
+    val (out, release) =
+      Packing.packSequencesWithHandle(docsDf(rows), seqLen = 8, numPartitions = 4)
+    val got = collectPacked(out)
+    assert(got == expected(rows, 8, None))
+    // token stream equality: concat of packed examples is a prefix of the
+    // concatenated input stream
+    val stream = rows.sortBy(_._1).flatMap(_._2)
+    assert(got.flatMap(_._2) == stream.take((stream.length / 8) * 8))
+    release()
+  }
+
+  test("empty documents contribute only their separator") {
+    val rows = Seq("a" -> Seq.empty[Int], "b" -> Seq(1, 2, 3), "c" -> Seq.empty[Int])
+    val (out, release) =
+      Packing.packSequencesWithHandle(docsDf(rows), seqLen = 2, sepToken = Some(7))
+    // stream: 7 | 1 2 3 7 | 7 → 7 1 | 2 3 | 7 7
+    assert(collectPacked(out) == expected(rows, 2, Some(7)))
+    release()
+  }
+
+  test("corpus smaller than one example emits nothing") {
+    val (out, release) =
+      Packing.packSequencesWithHandle(docsDf(Seq("a" -> Seq(1, 2))), seqLen = 10)
+    assert(out.count() == 0)
+    release()
+  }
+
+  test("release handle unpersists the sorted intermediate") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, release) =
+      Packing.packSequencesWithHandle(docsDf(Seq("a" -> Seq(1, 2, 3, 4))), seqLen = 2)
+    assert(out.count() == 2)
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "expected the sorted intermediate to be persisted")
+    release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"intermediate RDDs leaked past release(): $after")
+  }
+}

@@ -31,6 +31,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nExchanges == 1, s"cap added an exchange:\n$plan")
   }
 
+  test("plan audit: packSequences shuffles the payload once") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (f"d$i%03d", Seq.tabulate(5)(_ + i))).toDF("doc_id", "tokens")
+    val (out, release) = Packing.packSequencesWithHandle(docs, seqLen = 16, numPartitions = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    val nRange = "Exchange rangepartitioning".r.findAllIn(plan).size
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    println(s"PLANAUDIT pack rangeExchanges=$nRange hashExchanges=$nHash")
+    // the payload moves in the ONE range exchange feeding the persisted
+    // sort (shared by both downstream branches via InMemoryRelation);
+    // everything else is O(partitions): the fragment-assembly aggregate's
+    // exchange (+ its partial agg pair counted once). A second payload-wide
+    // exchange here is the 100 TB regression this audit exists to catch.
+    assert(nRange <= 1, s"payload shuffled more than once:\n$plan")
+    assert(nHash <= 1, s"unexpected hash exchanges (fragments only expected):\n$plan")
+    release()
+  }
+
   test("plan audit: lookupDocs bin filter pushes to parquet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan-audit").toString
