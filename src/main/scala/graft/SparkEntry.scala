@@ -767,6 +767,28 @@ object SparkEntry {
         .orderBy($"doc_id", $"pos")
     }),
 
+    // Deterministic corpus sampling at the source (option("sampleDocs")):
+    // the reader decodes only the doc_id metadata stream, keeps the
+    // hash-selected rows, and row-seeks just their payload — the
+    // reproducible training-mix sample. token_sum proves the seeked payload
+    // decode; DuckDB recomputes membership with the same 62-bit hash over
+    // the decimal doc_id string
+    "q_sample_scan" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .format("graft")
+        .option("sampleDocs", "0.05")
+        .option("sampleSeed", "7")
+        .load(graftScanDir(s, dir))
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          $"source",
+          $"n_tok".cast("long").as("n_tok"),
+          graft.functions.TokenSum.token_sum($"tokens").as("token_sum")
+        )
+        .orderBy($"doc_id")
+    }),
+
     // the codegen'd token-reduction kernel (graft_token_sum) over the full
     // decode scan: per-source totals of every token value, recomputed by
     // DuckDB from the raw derivation — pins the unboxed array loop (and the
@@ -1686,6 +1708,24 @@ object SparkEntry {
       s"""$CTE
          |SELECT source, CAST(sum(token) AS BIGINT) AS token_sum, count(*) AS n_values
          |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_sample_scan" -> {
+      // same mixed seed the reader bakes in (DocSample: mix62(seed))
+      val mixedSeed = X.mix62(7L)
+      s"""$CTE, ids AS (
+         | SELECT doc_id, min(source) AS source, CAST(min(n_tok) AS BIGINT) AS n_tok,
+         |        CAST(sum(token) AS BIGINT) AS token_sum
+         | FROM tok GROUP BY doc_id
+         |), hraw AS (
+         | SELECT *, ${X.sqlHashCharsRaw("CAST(doc_id AS VARCHAR)")} AS hr FROM ids
+         |), h1 AS (
+         | SELECT *, ${X.sqlMix62("hr")} AS h FROM hraw
+         |), h2 AS (
+         | SELECT *, ${X.sqlMix62(s"xor(h, $mixedSeed)")} AS hs FROM h1
+         |)
+         |SELECT doc_id, source, n_tok, token_sum
+         |FROM h2 WHERE hs % 1000000 < 50000 ORDER BY doc_id""".stripMargin
+    },
 
     "q_graft_meta" ->
       s"""$CTE

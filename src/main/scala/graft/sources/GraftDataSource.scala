@@ -321,7 +321,11 @@ private[sources] class GraftTable(
       //   containsAnyToken   = v1,v2,…  rows containing AT LEAST ONE
       //   containsAllTokens  = v1,v2,…  rows containing EVERY needle
       //   containsSeq        = v1,v2,…  rows containing them CONSECUTIVELY
-      TokenNeedles.fromOptions(options)
+      TokenNeedles.fromOptions(options),
+      // sampleDocs/sampleSeed: deterministic hash sample of doc_ids,
+      // evaluated on the doc_id metadata stream (payload row-seeked for
+      // kept rows only) — see [[DocSample]]
+      DocSample.fromOptions(options)
     )
   }
 
@@ -517,12 +521,49 @@ private[sources] object TokenNeedles {
   }
 }
 
+/** Deterministic doc-level corpus sample, pushed to the readers: keep a row
+  * iff `mix62(hashChars(doc_id) ^ mix62(seed)) ppm-bucket < ppm` — the
+  * training-mix experiment query ("a reproducible 1% of the corpus") at
+  * metadata cost: readers decode only the doc_id stream for every block and
+  * row-seek the payload of sampled rows, instead of full-decoding 100 TB and
+  * filtering above the scan. The hash is the cross-engine 62-bit family
+  * ([[graft.ops.XHash]]), so the DuckDB oracle recomputes membership exactly;
+  * the same doc_id samples identically at any parallelism, snapshot, or bin
+  * layout (sampling commutes with time travel, appends and rebin). Like
+  * containsToken this is an EXACT filter at the source (not advisory — Spark
+  * never sees the dropped rows), so metadata aggregate pushdown and exact
+  * numRows gate themselves off under it.
+  */
+private[sources] final case class DocSample(ppm: Int, seed: Long) {
+  require(ppm > 0 && ppm < 1000000, s"sample ppm must be in (0, 1e6), got $ppm")
+  private val mixedSeed = graft.ops.XHash.mix62(seed & graft.ops.XHash.Mask62)
+  def keep(docId: String): Boolean =
+    graft.ops.XHash.mix62(graft.ops.XHash.hashChars(docId) ^ mixedSeed) % 1000000L < ppm
+  def describe: String = s"ppm=$ppm,seed=$seed"
+}
+
+private[sources] object DocSample {
+  /** `sampleDocs` = fraction in (0,1) (rounded to ppm), `sampleSeed` = long
+    * (default 0) — seed variation reshuffles membership for repeated
+    * experiments.
+    */
+  def fromOptions(options: CaseInsensitiveStringMap): Option[DocSample] = {
+    val seed = Option(options.get("sampleSeed")).map(_.toLong).getOrElse(0L)
+    Option(options.get("sampleDocs")).map { v =>
+      val frac = v.toDouble
+      require(frac > 0.0 && frac < 1.0, s"sampleDocs must be a fraction in (0,1), got $v")
+      DocSample(math.max(1, math.round(frac * 1e6).toInt), seed)
+    }
+  }
+}
+
 private[sources] class GraftScanBuilder(
     path: String,
     snapshot: Option[Long] = None,
     maxSnapshotsPerBatch: Option[Int] = None,
     fromSnapshot: Option[Long] = None,
-    containsToken: Option[TokenNeedles] = None
+    containsToken: Option[TokenNeedles] = None,
+    sample: Option[DocSample] = None
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -615,7 +656,7 @@ private[sources] class GraftScanBuilder(
     // read sees a snapshot-range subset, so whole-file metadata would
     // over-count the same way
     if (pushed.nonEmpty || hasLiveDeletes || containsToken.isDefined ||
-      fromSnapshot.isDefined) return false
+      sample.isDefined || fromSnapshot.isDefined) return false
     // the only grouping the block metadata can answer is BY SOURCE (the
     // sources stream); anything else (doc_id, n_tok expressions, multiple
     // keys) stays in Spark
@@ -649,7 +690,7 @@ private[sources] class GraftScanBuilder(
   override def build(): Scan =
     new GraftScan(
       path, required, pushed, pushedAgg, snapshot, limit, maxSnapshotsPerBatch, containsToken,
-      aggGroupBySource = aggBySource, fromSnapshot = fromSnapshot)
+      aggGroupBySource = aggBySource, fromSnapshot = fromSnapshot, sample = sample)
 }
 
 /** Conjunction of pushed n_tok comparison predicates in serializable data
@@ -714,7 +755,8 @@ private[sources] class GraftScan(
     maxSnapshotsPerBatch: Option[Int] = None,
     containsToken: Option[TokenNeedles] = None,
     aggGroupBySource: Boolean = false,
-    fromSnapshot: Option[Long] = None
+    fromSnapshot: Option[Long] = None,
+    sample: Option[DocSample] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -972,6 +1014,7 @@ private[sources] class GraftScan(
         s", pushedAggregates=[${k.mkString(",")}]" +
           (if (aggGroupBySource) ", groupedBy=[source]" else "")).getOrElse("") +
       containsToken.map(t => s", containsTokens=${t.describe}").getOrElse("") +
+      sample.map(sp => s", sampleDocs=${sp.describe}").getOrElse("") +
       snapshot.map(s => s", snapshot=$s").getOrElse("") +
       fromSnapshot.map(s => s", fromSnapshot=$s").getOrElse("") +
       docIdBins.map(b => s", prunedBins=[${brief(b.toSeq.sorted)}]").getOrElse("") +
@@ -1222,6 +1265,7 @@ private[sources] class GraftScan(
         .getOption("spark.graft.columnarScan")
         .forall(_.toBoolean),
       containsToken = containsToken,
+      sample = sample,
       tablePath = path
     )
 
@@ -1238,7 +1282,7 @@ private[sources] class GraftScan(
       // the manifest total is exact.
       // fromSnapshot sees a snapshot-range subset, like the other gates
       if (filters.isEmpty && snapshot.isEmpty && deleteState.isEmpty && containsToken.isEmpty &&
-        fromSnapshot.isEmpty)
+        sample.isEmpty && fromSnapshot.isEmpty)
         GraftScan
           .manifestIndex(path, hadoopConf)
           .fold(OptionalLong.empty())(ix => OptionalLong.of(ix.numRows))
@@ -1745,6 +1789,11 @@ private[sources] final case class GraftReaderFactory(
       * and complete for their file) to skip blocks that provably cannot.
       */
     containsToken: Option[TokenNeedles] = None,
+    /** Exact deterministic doc-level sample ([[DocSample]]): readers decode
+      * the doc_id metadata stream, keep hash-selected rows, and row-seek
+      * only their payload.
+      */
+    sample: Option[DocSample] = None,
     /** Table root — where the readers find `_token_index/`. */
     tablePath: String = ""
 ) extends PartitionReaderFactory {
@@ -1777,6 +1826,10 @@ private[sources] final case class GraftReaderFactory(
         require(
           containsToken.isEmpty,
           "internal error: metadata aggregate planned under a containsToken filter"
+        )
+        require(
+          sample.isEmpty,
+          "internal error: metadata aggregate planned under a sampleDocs filter"
         )
         new GraftAggReader(p.file, kinds, bins, conf, aggBySource)
       case None =>
@@ -2041,7 +2094,8 @@ private[sources] abstract class GraftBlockReaderBase(
     }
 
   private val needDocIds =
-    f.requiredFields.contains("doc_id") || docFilter.isDefined || deletesPossible
+    f.requiredFields.contains("doc_id") || docFilter.isDefined || deletesPossible ||
+      f.sample.isDefined
   private val needSources = f.requiredFields.contains("source") || f.sourceFilter.isDefined
   // a containsToken needle must decode tokens even when the projection
   // doesn't keep them — containment is checked on the decoded rows
@@ -2175,6 +2229,7 @@ private[sources] abstract class GraftBlockReaderBase(
           docFilter.forall(s => s.contains(docIds(r))) &&
             f.sourceFilter.forall(s => s.contains(sources(r))) &&
             f.ntokPred.forall(_.ok(nToks(r))) &&
+            f.sample.forall(_.keep(docIds(r))) &&
             (del == null || !del.contains(docIds(r)))
         if (ok) b += r
         r += 1

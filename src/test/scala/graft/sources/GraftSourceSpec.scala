@@ -695,4 +695,67 @@ class GraftSourceSpec extends AnyFunSuite {
     // only the hit rows' token values were entropy-decoded
     assert(metric(scan, GraftMetrics.TokenValuesDecoded) == ids.map(_._2.toLong).sum)
   }
+
+  test("sampleDocs: exact deterministic membership, identical values, seed reshuffles") {
+    import spark.implicits._
+    val full = spark.read.format("graft").load(dirB).as[graft.pipeline.TokenRow].collect()
+    val df = spark.read
+      .format("graft")
+      .option("sampleDocs", "0.2")
+      .option("sampleSeed", "7")
+      .load(dirB)
+      .as[graft.pipeline.TokenRow]
+    val got = df.collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    val spec = DocSample(200000, 7L)
+    val want = full.filter(r => spec.keep(r.doc_id)).map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(got == want, "sampled rows must be exactly the hash-selected subset, values intact")
+    assert(got.nonEmpty && got.size < full.length, s"degenerate sample: ${got.size} of ${full.length}")
+    val other = spark.read
+      .format("graft")
+      .option("sampleDocs", "0.2")
+      .option("sampleSeed", "8")
+      .load(dirB)
+      .select($"doc_id").as[String].collect().toSet
+    assert(other != got.keySet, "a different seed must select a different membership")
+  }
+
+  test("sampleDocs decodes only the sampled rows' payload (row-seek path)") {
+    import spark.implicits._
+    val df = spark.read
+      .format("graft")
+      .option("sampleDocs", "0.05")
+      .option("sampleSeed", "3")
+      .load(dirB) // pure hybrid + row-bit index: the seek path is available
+      .select($"doc_id", $"tokens")
+    val rows = df.collect()
+    val sampledTokens = rows.map(_.getSeq[Int](1).length.toLong).sum
+    val scan = findScan(df.queryExecution.executedPlan)
+    assert(metric(scan, GraftMetrics.TokenValuesDecoded) == sampledTokens,
+      "sample scan must entropy-decode exactly the kept rows' token values")
+  }
+
+  test("sampleDocs gates metadata aggregate pushdown and exact numRows") {
+    import spark.implicits._
+    val sampled = spark.read
+      .format("graft")
+      .option("sampleDocs", "0.2")
+      .option("sampleSeed", "7")
+      .load(dirA)
+    val n = sampled.agg(count(lit(1))).head().getLong(0)
+    val expected = spark.read.format("graft").load(dirA)
+      .select($"doc_id").as[String].collect().count(DocSample(200000, 7L).keep)
+    // if the metadata COUNT pushdown failed to gate itself off, this would
+    // report the FULL corpus row count
+    assert(n == expected.toLong, s"count under sample: got $n want $expected")
+    val plan = sampled.agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(!plan.contains("pushedAggregates"), s"aggregate pushed under sample:\n$plan")
+    assert(plan.contains("sampleDocs=ppm=200000,seed=7"), s"sample missing from scan description:\n$plan")
+  }
+
+  test("sampleDocs rejects out-of-range fractions loudly") {
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("sampleDocs", "1.5").load(dirA).collect()
+    }
+    assert(e.getMessage.contains("sampleDocs"), e.getMessage)
+  }
 }
