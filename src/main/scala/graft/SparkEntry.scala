@@ -789,6 +789,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Stratified per-source sampling (option("sampleBySource")): the
+    // training-mix curation read — thin source A to 2%, N to 30%, keep the
+    // rest whole, in one pass at the source. Same doc_id hash as
+    // q_sample_scan, so rates nest; oracle recomputes the per-source
+    // thresholds over the same hash chain
+    "q_sample_mix" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .format("graft")
+        .option("sampleBySource", "A:0.02,N:0.3")
+        .option("sampleSeed", "11")
+        .load(graftScanDir(s, dir))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok".cast("long")).as("sum_n_tok"),
+          sum(graft.functions.TokenSum.token_sum($"tokens")).as("token_sum")
+        )
+        .orderBy($"source")
+    }),
+
     // the codegen'd token-reduction kernel (graft_token_sum) over the full
     // decode scan: per-source totals of every token value, recomputed by
     // DuckDB from the raw derivation — pins the unboxed array loop (and the
@@ -1725,6 +1746,28 @@ object SparkEntry {
          |)
          |SELECT doc_id, source, n_tok, token_sum
          |FROM h2 WHERE hs % 1000000 < 50000 ORDER BY doc_id""".stripMargin
+    },
+
+    "q_sample_mix" -> {
+      val mixedSeed = X.mix62(11L)
+      s"""$CTE, ids AS (
+         | SELECT doc_id, min(source) AS source, CAST(min(n_tok) AS BIGINT) AS n_tok,
+         |        CAST(sum(token) AS BIGINT) AS tsum
+         | FROM tok GROUP BY doc_id
+         |), hraw AS (
+         | SELECT *, ${X.sqlHashCharsRaw("CAST(doc_id AS VARCHAR)")} AS hr FROM ids
+         |), h1 AS (
+         | SELECT *, ${X.sqlMix62("hr")} AS h FROM hraw
+         |), h2 AS (
+         | SELECT *, ${X.sqlMix62(s"xor(h, $mixedSeed)")} AS hs FROM h1
+         |), kept AS (
+         | SELECT * FROM h2
+         | WHERE hs % 1000000 <
+         |   CASE source WHEN 'A' THEN 20000 WHEN 'N' THEN 300000 ELSE 1000000 END
+         |)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+         |       CAST(sum(tsum) AS BIGINT) AS token_sum
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
     },
 
     "q_graft_meta" ->

@@ -534,26 +534,72 @@ private[sources] object TokenNeedles {
   * never sees the dropped rows), so metadata aggregate pushdown and exact
   * numRows gate themselves off under it.
   */
-private[sources] final case class DocSample(ppm: Int, seed: Long) {
-  require(ppm > 0 && ppm < 1000000, s"sample ppm must be in (0, 1e6), got $ppm")
+private[sources] final case class DocSample(
+    ppm: Int,
+    seed: Long,
+    /** Stratified rates: per-source ppm overriding `ppm` (which then acts as
+      * the `*` default). The hash is doc_id-only either way, so samples at
+      * different rates NEST: every doc kept at 1% is kept at 10% — raising a
+      * source's rate only ADDS documents, the property a mix experiment
+      * sweep relies on.
+      */
+    bySource: Map[String, Int] = Map.empty
+) {
+  require(ppm >= 0 && ppm <= 1000000, s"sample ppm must be in [0, 1e6], got $ppm")
+  bySource.foreach { case (src, p) =>
+    require(p >= 0 && p <= 1000000, s"sample ppm for source '$src' must be in [0, 1e6], got $p")
+  }
   private val mixedSeed = graft.ops.XHash.mix62(seed & graft.ops.XHash.Mask62)
-  def keep(docId: String): Boolean =
-    graft.ops.XHash.mix62(graft.ops.XHash.hashChars(docId) ^ mixedSeed) % 1000000L < ppm
-  def describe: String = s"ppm=$ppm,seed=$seed"
+  def needsSource: Boolean = bySource.nonEmpty
+  def keep(docId: String, source: String): Boolean = {
+    val p = if (bySource.isEmpty) ppm else bySource.getOrElse(source, ppm)
+    p > 0 && (p == 1000000 ||
+      graft.ops.XHash.mix62(graft.ops.XHash.hashChars(docId) ^ mixedSeed) % 1000000L < p)
+  }
+  def describe: String =
+    s"ppm=$ppm,seed=$seed" +
+      (if (bySource.isEmpty) ""
+       else bySource.toSeq.sorted.map { case (s, p) => s"$s:$p" }.mkString(",bySource=[", ",", "]"))
 }
 
 private[sources] object DocSample {
-  /** `sampleDocs` = fraction in (0,1) (rounded to ppm), `sampleSeed` = long
-    * (default 0) — seed variation reshuffles membership for repeated
-    * experiments.
+  /** `sampleDocs` = uniform fraction in (0,1);
+    * `sampleBySource` = `src:frac,…[,*:frac]` — per-source fractions in
+    * [0,1] (1 keeps the source whole, 0 drops it), `*` the default for
+    * unlisted sources (absent → unlisted sources are kept whole);
+    * `sampleSeed` = long (default 0) — reshuffles membership for repeated
+    * experiments. The two sample options are mutually exclusive.
     */
   def fromOptions(options: CaseInsensitiveStringMap): Option[DocSample] = {
     val seed = Option(options.get("sampleSeed")).map(_.toLong).getOrElse(0L)
-    Option(options.get("sampleDocs")).map { v =>
+    def ppmOf(v: String, what: String, openRange: Boolean): Int = {
       val frac = v.toDouble
-      require(frac > 0.0 && frac < 1.0, s"sampleDocs must be a fraction in (0,1), got $v")
-      DocSample(math.max(1, math.round(frac * 1e6).toInt), seed)
+      if (openRange)
+        require(frac > 0.0 && frac < 1.0, s"$what must be a fraction in (0,1), got $v")
+      else
+        require(frac >= 0.0 && frac <= 1.0, s"$what must be a fraction in [0,1], got $v")
+      if (openRange) math.max(1, math.round(frac * 1e6).toInt)
+      else math.round(frac * 1e6).toInt
     }
+    val uniform = Option(options.get("sampleDocs"))
+      .map(v => DocSample(ppmOf(v, "sampleDocs", openRange = true), seed))
+    val stratified = Option(options.get("sampleBySource")).map { spec =>
+      val entries = spec.split(",").map(_.trim).filter(_.nonEmpty).map { e =>
+        e.split(":") match {
+          case Array(src, f) => src.trim -> ppmOf(f.trim, s"sampleBySource $src", openRange = false)
+          case _ => throw new IllegalArgumentException(
+            s"sampleBySource entries must be src:fraction, got '$e'")
+        }
+      }
+      require(entries.nonEmpty, "sampleBySource must list at least one src:fraction")
+      val (dflt, named) = entries.partition(_._1 == "*")
+      DocSample(dflt.lastOption.map(_._2).getOrElse(1000000), seed, named.toMap)
+    }
+    require(
+      uniform.isEmpty || stratified.isEmpty,
+      "options sampleDocs and sampleBySource are mutually exclusive"
+    )
+    uniform.orElse(stratified)
   }
 }
 
@@ -2096,7 +2142,8 @@ private[sources] abstract class GraftBlockReaderBase(
   private val needDocIds =
     f.requiredFields.contains("doc_id") || docFilter.isDefined || deletesPossible ||
       f.sample.isDefined
-  private val needSources = f.requiredFields.contains("source") || f.sourceFilter.isDefined
+  private val needSources = f.requiredFields.contains("source") || f.sourceFilter.isDefined ||
+    f.sample.exists(_.needsSource)
   // a containsToken needle must decode tokens even when the projection
   // doesn't keep them — containment is checked on the decoded rows
   private val needTokens = f.requiredFields.contains("tokens") || f.containsToken.isDefined
@@ -2229,7 +2276,7 @@ private[sources] abstract class GraftBlockReaderBase(
           docFilter.forall(s => s.contains(docIds(r))) &&
             f.sourceFilter.forall(s => s.contains(sources(r))) &&
             f.ntokPred.forall(_.ok(nToks(r))) &&
-            f.sample.forall(_.keep(docIds(r))) &&
+            f.sample.forall(sp => sp.keep(docIds(r), if (sp.needsSource) sources(r) else null)) &&
             (del == null || !del.contains(docIds(r)))
         if (ok) b += r
         r += 1

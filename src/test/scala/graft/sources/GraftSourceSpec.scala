@@ -707,7 +707,7 @@ class GraftSourceSpec extends AnyFunSuite {
       .as[graft.pipeline.TokenRow]
     val got = df.collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
     val spec = DocSample(200000, 7L)
-    val want = full.filter(r => spec.keep(r.doc_id)).map(r => r.doc_id -> r.tokens.toSeq).toMap
+    val want = full.filter(r => spec.keep(r.doc_id, null)).map(r => r.doc_id -> r.tokens.toSeq).toMap
     assert(got == want, "sampled rows must be exactly the hash-selected subset, values intact")
     assert(got.nonEmpty && got.size < full.length, s"degenerate sample: ${got.size} of ${full.length}")
     val other = spark.read
@@ -743,7 +743,7 @@ class GraftSourceSpec extends AnyFunSuite {
       .load(dirA)
     val n = sampled.agg(count(lit(1))).head().getLong(0)
     val expected = spark.read.format("graft").load(dirA)
-      .select($"doc_id").as[String].collect().count(DocSample(200000, 7L).keep)
+      .select($"doc_id").as[String].collect().count(DocSample(200000, 7L).keep(_, null))
     // if the metadata COUNT pushdown failed to gate itself off, this would
     // report the FULL corpus row count
     assert(n == expected.toLong, s"count under sample: got $n want $expected")
@@ -757,5 +757,62 @@ class GraftSourceSpec extends AnyFunSuite {
       spark.read.format("graft").option("sampleDocs", "1.5").load(dirA).collect()
     }
     assert(e.getMessage.contains("sampleDocs"), e.getMessage)
+  }
+
+  test("sampleBySource: per-source rates, unlisted kept whole, * default honored") {
+    import spark.implicits._
+    val full = spark.read.format("graft").load(dirA).as[graft.pipeline.TokenRow].collect()
+    val got = spark.read
+      .format("graft")
+      .option("sampleBySource", "web:0.1, chat:0, code:1.0")
+      .option("sampleSeed", "5")
+      .load(dirA)
+      .as[graft.pipeline.TokenRow]
+      .collect()
+      .map(r => r.doc_id -> r.source)
+      .toMap
+    val spec = DocSample(1000000, 5L, Map("web" -> 100000, "chat" -> 0, "code" -> 1000000))
+    val want = full.filter(r => spec.keep(r.doc_id, r.source)).map(r => r.doc_id -> r.source).toMap
+    assert(got == want)
+    val bySrc = got.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    val fullBySrc = full.groupBy(_.source).map { case (k, v) => k -> v.size }
+    assert(bySrc.getOrElse("chat", 0) == 0, "rate 0 must drop the source entirely")
+    assert(bySrc("code") == fullBySrc("code"), "rate 1.0 must keep the source whole")
+    assert(bySrc("wiki") == fullBySrc("wiki"), "unlisted sources are kept whole without *")
+    assert(bySrc("web") > 0 && bySrc("web") < fullBySrc("web"), "web must be thinned")
+    // with *:0 every unlisted source drops
+    val starred = spark.read
+      .format("graft")
+      .option("sampleBySource", "web:0.1,*:0")
+      .option("sampleSeed", "5")
+      .load(dirA)
+      .select($"source").as[String].collect().toSet
+    assert(starred == Set("web"), s"*:0 must drop unlisted sources, saw $starred")
+  }
+
+  test("samples NEST across rates: every doc kept at 5% is kept at 20%") {
+    import spark.implicits._
+    def ids(f: String) = spark.read
+      .format("graft")
+      .option("sampleDocs", f)
+      .option("sampleSeed", "7")
+      .load(dirA)
+      .select($"doc_id").as[String].collect().toSet
+    val small = ids("0.05")
+    val large = ids("0.2")
+    assert(small.nonEmpty && small.subsetOf(large),
+      s"${(small -- large).size} docs of the 5% sample missing from the 20% sample")
+  }
+
+  test("sampleDocs and sampleBySource are mutually exclusive") {
+    val e = intercept[Exception] {
+      spark.read
+        .format("graft")
+        .option("sampleDocs", "0.1")
+        .option("sampleBySource", "web:0.5")
+        .load(dirA)
+        .collect()
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
   }
 }
