@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   scan_meta  — agg(sum(n_tok)): metadata-only (pruning floor)
   *   scan_ksum  — scan_sum through the codegen'd graft_token_sum kernel
   *   scan_lenflt— pushed p99 n_tok filter + kernel sum: row-seek pruning
+  *   scan_sample— deterministic 1% doc sample: doc_id-stream + row-seek cost
   */
 object ScanBench {
   def main(args: Array[String]): Unit = {
@@ -124,6 +125,32 @@ object ScanBench {
       }
       rep("scan_lenflt", lenSum($"n_tok" >= thr))(scanLenSum($"n_tok" >= thr))
       rep("scan_leneq", lenSum($"n_tok" === exact))(scanLenSum($"n_tok" === exact))
+
+      // deterministic 1% sample (option("sampleDocs")): doc_ids decode for
+      // every block, payload row-seeks only the kept rows — should land
+      // near the scan_meta floor plus ~1% of scan_ksum's decode, far from
+      // the full-decode-then-filter cost a naive sample pays
+      val keepUdf = udf { id: String =>
+        graft.ops.XHash.mix62(
+          graft.ops.XHash.hashChars(id) ^ graft.ops.XHash.mix62(9L)) % 1000000L < 10000
+      }
+      val expSample = {
+        val r = input.toDF
+          .where(keepUdf($"doc_id"))
+          .select(expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("s"))
+          .agg(sum($"s")).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      rep("scan_sample", expSample) {
+        val r = spark.read
+          .format("graft")
+          .option("sampleDocs", "0.01")
+          .option("sampleSeed", "9")
+          .load(encDir)
+          .select(graft.functions.TokenSum.token_sum($"tokens").as("s"))
+          .agg(sum($"s")).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
 
       // token needle search — the content query the _token_index sidecar
       // exists for: "which docs contain token X" (needle selection and the
