@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * the reference's read/inspect CLIs (/root/reference/src/main.rs:686-718)
   * lifted to SQL:
   *
-  *   runMain graft.tools.SqlCli <sfDir> [graft:<encodeOutDir>] -e "<SQL>" [-e "<SQL>"]...
+  *   runMain graft.tools.SqlCli <sfDir> [graft:<encodeOutDir>[@snap|@a..b][?opt=v&…]] -e "<SQL>" [-e "<SQL>"]...
   *
   * `-e` may repeat: statements run in order in ONE session (spark.sql is
   * single-statement), so a temp view created by one feeds the next —
@@ -66,7 +66,25 @@ object SqlCli {
         .foreach { p =>
           spark.read.parquet(p.toString).createOrReplaceTempView(p.getName.stripSuffix(".parquet"))
         }
-      graftDir.foreach { d =>
+      graftDir.foreach { d0 =>
+        // graft:<dir>?opt=v&opt2=v2 passes arbitrary DSv2 scan options to
+        // the mounted view (sampleDocs / sampleBySource / sampleSeed /
+        // containsToken / tag / timestampAsOf, …) — the SQL face of the
+        // reader options, e.g. graft:<dir>?sampleBySource=web:0.01,code:1
+        // mounts the deterministic training-mix sample. Only a suffix
+        // after the LAST '?' whose every '&'-segment is key=value counts,
+        // so paths that legitimately contain '?' pass through.
+        val kvRe = raw"[A-Za-z][A-Za-z0-9]*=[^&]*".r
+        val (d, mountOpts) = d0.lastIndexOf('?') match {
+          case i if i > 0 =>
+            val segs = d0.substring(i + 1).split("&").toSeq
+            if (segs.nonEmpty && segs.forall(s => kvRe.pattern.matcher(s).matches()))
+              (d0.substring(0, i), segs.map { s =>
+                val j = s.indexOf('='); s.take(j) -> s.drop(j + 1)
+              })
+            else (d0, Seq.empty[(String, String)])
+          case _ => (d0, Seq.empty[(String, String)])
+        }
         // graft:<dir>@<snapshot> time-travels to that snapshot's bin set;
         // graft:<dir>@<from>..<to> (and @<from>.. = to latest) mounts the
         // INCREMENTAL read — only the rows snapshots in (from, to] added.
@@ -85,6 +103,7 @@ object SqlCli {
           case _ => (d, None, None)
         }
         val reader = spark.read.format("graft")
+        mountOpts.foreach { case (k, v) => reader.option(k, v) }
         snap.foreach(reader.option("snapshot", _))
         range.foreach { case (from, to) =>
           reader.option("fromSnapshot", from)

@@ -804,6 +804,29 @@ class GraftSourceSpec extends AnyFunSuite {
       s"${(small -- large).size} docs of the 5% sample missing from the 20% sample")
   }
 
+  test("streaming read honors sampleDocs (the sampled continuous pipeline)") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-sample-ckpt").toString
+    val q = spark.readStream
+      .format("graft")
+      .option("sampleDocs", "0.2")
+      .option("sampleSeed", "7")
+      .load(dirA)
+      .writeStream
+      .format("memory")
+      .queryName("graft_sample_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_sample_stream")
+        .select($"doc_id").as[String].collect().toSet
+      val want = input.collect().map(_.doc_id).filter(DocSample(200000, 7L).keep(_, null)).toSet
+      assert(got == want, "streamed batch must apply the same deterministic sample")
+    } finally q.stop()
+  }
+
   test("sampleDocs and sampleBySource are mutually exclusive") {
     val e = intercept[Exception] {
       spark.read
