@@ -621,6 +621,27 @@ object SparkEntry {
         .orderBy($"example_id", $"off")
     }),
 
+    // Packing doc-boundary spans: each document's contiguous run inside an
+    // example (the attention-mask metadata a trainer consumes) — the oracle
+    // recomputes every sampled example's (doc, off, len) tiling from the
+    // global token positions
+    "q_pack_spans" -> ((s, dir) => {
+      import s.implicits._
+      val (packed, release) = graft.ops.Packing
+        .packSequencesWithHandle(docTable(s, dir), seqLen = 64, withSpans = true)
+      trackPackHandle(s, release)
+      packed
+        .where($"example_id" % 59 === 0)
+        .select($"example_id", explode($"spans").as("s"))
+        .select(
+          $"example_id",
+          $"s.doc_id".cast("long").as("doc_id"),
+          $"s.off".cast("long").as("off"),
+          $"s.len".cast("long").as("len")
+        )
+        .orderBy($"example_id", $"off")
+    }),
+
     // Packing with a document separator (EOS convention): whole-corpus
     // accounting — every packed token participates in the checksum, the
     // separator count pins the per-doc insertion rule
@@ -1661,6 +1682,27 @@ object SparkEntry {
          |FROM gtok
          |WHERE (gpos // 64) % 41 = 0 AND gpos // 64 < (SELECT COUNT(*) FROM gtok) // 64
          |ORDER BY example_id, off""".stripMargin,
+
+    "q_pack_spans" ->
+      s"""$CTE, doclen AS (
+         | SELECT DISTINCT doc_id, n_tok FROM tok
+         |), docstart AS (
+         | SELECT doc_id, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dstart
+         | FROM doclen
+         |), gtok AS (
+         | SELECT t.doc_id, d.dstart + t.pos - 1 AS gpos
+         | FROM tok t JOIN docstart d USING (doc_id)
+         |), spans AS (
+         | SELECT gpos // 64 AS example_id, doc_id,
+         |        MIN(gpos % 64) AS off, COUNT(*) AS len
+         | FROM gtok
+         | WHERE gpos // 64 < (SELECT COUNT(*) FROM gtok) // 64
+         | GROUP BY 1, 2
+         |)
+         |SELECT CAST(example_id AS BIGINT) AS example_id, CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(off AS BIGINT) AS off, CAST(len AS BIGINT) AS len
+         |FROM spans WHERE example_id % 59 = 0 ORDER BY example_id, off""".stripMargin,
 
     "q_pack_stats" ->
       s"""$CTE, docsep AS (

@@ -60,7 +60,21 @@ object Packing {
     * `frag.length == seqLen`) or a partition-boundary fragment to be
     * assembled by `example_id`.
     */
-  final case class Piece(example_id: Long, off: Int, frag: Array[Int], complete: Boolean)
+  final case class Piece(
+      example_id: Long,
+      off: Int,
+      frag: Array[Int],
+      complete: Boolean,
+      spans: Array[Span]
+  )
+
+  /** One document's contiguous run inside an example: `off`/`len` in example
+    * coordinates ([0, seqLen)). A document's separator token (when
+    * configured) counts into ITS span, so spans tile every example exactly.
+    * These are the attention/loss-mask boundaries a trainer consumes —
+    * "don't attend across documents" needs exactly (off, len) per doc.
+    */
+  final case class Span(doc_id: String, off: Int, len: Int)
 
   /** Pack `docs` (`doc_id` orderable, `tokens array<int>`-castable) into
     * examples of exactly `seqLen` tokens. Returns `(example_id bigint,
@@ -71,6 +85,12 @@ object Packing {
     *                 separator convention), including the last.
     * @param numPartitions width of the range shuffle; defaults to
     *                      `spark.sql.shuffle.partitions`.
+    * @param withSpans additionally emit `spans array<struct<doc_id string,
+    *                  off int, len int>>` — each document's contiguous run
+    *                  inside the example (separator counted into its doc),
+    *                  tiling [0, seqLen) exactly: the attention/loss-mask
+    *                  boundaries a trainer needs to not attend across
+    *                  documents. doc_id is cast to string in the span.
     * @return the packed examples plus a release handle that unpersists the
     *         sorted intermediate — call it once the result is consumed.
     */
@@ -78,7 +98,8 @@ object Packing {
       docs: DataFrame,
       seqLen: Int,
       sepToken: Option[Int] = None,
-      numPartitions: Int = 0
+      numPartitions: Int = 0,
+      withSpans: Boolean = false
   ): (DataFrame, () => Unit) = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val spark = docs.sparkSession
@@ -104,7 +125,10 @@ object Packing {
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
 
-    val tokensOnly = prepared.select(col("tokens")).queryExecution.toRdd
+    val tokensOnly = prepared
+      .select(col("doc_id").cast("string").as("doc_id"), col("tokens"))
+      .queryExecution
+      .toRdd
     val nParts = tokensOnly.getNumPartitions
     val starts = new Array[Long](nParts)
     var acc = 0L
@@ -131,22 +155,39 @@ object Packing {
         private var fill = exStart
         private var exampleId = pos / l
         private val queue = new scala.collection.mutable.Queue[Piece]
+        private val spanBuf = scala.collection.mutable.ArrayBuffer.empty[Span]
         private var drained = false
 
         private def flush(): Unit = {
           queue.enqueue(
-            Piece(exampleId, exStart, java.util.Arrays.copyOfRange(buf, exStart, l), exStart == 0)
+            Piece(
+              exampleId, exStart, java.util.Arrays.copyOfRange(buf, exStart, l),
+              exStart == 0, spanBuf.toArray
+            )
           )
           exampleId += 1
           exStart = 0
           fill = 0
+          spanBuf.clear()
         }
 
-        private def feed(arr: Array[Int]): Unit = {
+        /** Record `take` tokens of `docId` landing at offset `fill`; a run
+          * adjacent to the doc's previous chunk (its separator, or a doc
+          * wider than one feed) extends that span in place.
+          */
+        private def noteSpan(docId: String, take: Int): Unit =
+          if (spanBuf.nonEmpty && spanBuf.last.doc_id == docId &&
+            spanBuf.last.off + spanBuf.last.len == fill) {
+            val last = spanBuf.last
+            spanBuf(spanBuf.length - 1) = Span(last.doc_id, last.off, last.len + take)
+          } else spanBuf += Span(docId, fill, take)
+
+        private def feed(docId: String, arr: Array[Int]): Unit = {
           var i = 0
           while (i < arr.length) {
             val take = math.min(arr.length - i, l - fill)
             System.arraycopy(arr, i, buf, fill, take)
+            noteSpan(docId, take)
             fill += take
             i += take
             if (fill == l) flush()
@@ -155,10 +196,12 @@ object Packing {
 
         private def refill(): Unit = {
           while (queue.isEmpty && rows.hasNext) {
-            feed(rows.next().getArray(0).toIntArray())
+            val row = rows.next()
+            val docId = row.getUTF8String(0).toString
+            feed(docId, row.getArray(1).toIntArray())
             sep.foreach { s =>
-              if (fill == l) flush() // cannot happen (feed flushed), defensive
               buf(fill) = s
+              noteSpan(docId, 1) // the separator counts into ITS doc's span
               fill += 1
               if (fill == l) flush()
             }
@@ -167,7 +210,10 @@ object Packing {
             drained = true
             if (fill > exStart) {
               queue.enqueue(
-                Piece(exampleId, exStart, java.util.Arrays.copyOfRange(buf, exStart, fill), complete = false)
+                Piece(
+                  exampleId, exStart, java.util.Arrays.copyOfRange(buf, exStart, fill),
+                  complete = false, spanBuf.toArray
+                )
               )
             }
           }
@@ -185,23 +231,45 @@ object Packing {
       }
     }
 
-    val pieces = spark.createDataset(piecesRdd)(Encoders.product[Piece]).toDF()
+    val pieces = spark.createDataset(piecesRdd)(Encoders.product[Piece])
 
     val completes = pieces
+      .toDF()
       .where(col("complete"))
-      .select(col("example_id"), col("frag").as("tokens"))
+      .select(col("example_id"), col("frag").as("tokens"), col("spans"))
 
-    // Fragment assembly: O(partitions) rows, one tiny shuffle. array_sort on
-    // (off, frag) structs orders by the unique offsets; the exactly-seqLen
-    // check drops the global tail (the only example that can come up short).
+    // Fragment assembly: O(partitions) rows, one tiny shuffle. Pieces sort
+    // by their unique offsets; a document cut by a partition boundary left a
+    // span tail in one piece and a head in the next, merged back here. The
+    // exactly-seqLen check drops the global tail (the only example that can
+    // come up short).
+    import spark.implicits._
     val assembled = pieces
-      .where(!col("complete"))
-      .groupBy(col("example_id"))
-      .agg(array_sort(collect_list(struct(col("off"), col("frag")))).as("ps"))
-      .select(col("example_id"), flatten(expr("transform(ps, x -> x.frag)")).as("tokens"))
+      .filter(!_.complete)
+      .groupByKey(_.example_id)
+      .mapGroups { (eid, it) =>
+        val ps = it.toArray.sortBy(_.off)
+        val tokens = new Array[Int](ps.map(_.frag.length).sum)
+        var at = 0
+        val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+        ps.foreach { p =>
+          System.arraycopy(p.frag, 0, tokens, at, p.frag.length)
+          at += p.frag.length
+          p.spans.foreach { s =>
+            if (spans.nonEmpty && spans.last.doc_id == s.doc_id &&
+              spans.last.off + spans.last.len == s.off) {
+              val last = spans.last
+              spans(spans.length - 1) = Span(last.doc_id, last.off, last.len + s.len)
+            } else spans += s
+          }
+        }
+        (eid, tokens, spans.toArray)
+      }
+      .toDF("example_id", "tokens", "spans")
       .where(size(col("tokens")) === l)
 
-    val out = completes.unionByName(assembled)
+    val withAll = completes.unionByName(assembled)
+    val out = if (withSpans) withAll else withAll.drop("spans")
     (out, () => { prepared.unpersist(); bStarts.destroy() })
   }
 
@@ -214,7 +282,8 @@ object Packing {
       docs: DataFrame,
       seqLen: Int,
       sepToken: Option[Int] = None,
-      numPartitions: Int = 0
+      numPartitions: Int = 0,
+      withSpans: Boolean = false
   ): DataFrame =
-    packSequencesWithHandle(docs, seqLen, sepToken, numPartitions)._1
+    packSequencesWithHandle(docs, seqLen, sepToken, numPartitions, withSpans)._1
 }

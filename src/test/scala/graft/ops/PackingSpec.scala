@@ -99,6 +99,83 @@ class PackingSpec extends AnyFunSuite {
     release()
   }
 
+  /** Collect (example_id -> spans) with spans as (doc_id, off, len). */
+  private def collectSpans(df: DataFrame): Map[Long, Seq[(String, Int, Int)]] =
+    df.collect().map { r =>
+      r.getLong(0) -> r
+        .getSeq[org.apache.spark.sql.Row](r.fieldIndex("spans"))
+        .map(s => (s.getString(0), s.getInt(1), s.getInt(2)))
+    }.toMap
+
+  test("spans tile every example exactly and mark document boundaries") {
+    val rows = Seq(
+      "a" -> Seq(1, 2, 3),
+      "b" -> Seq(4, 5),
+      "c" -> (100 to 112).toSeq, // spans two whole examples and change
+      "d" -> Seq(9)
+    )
+    val l = 6
+    val (out, release) =
+      Packing.packSequencesWithHandle(docsDf(rows), seqLen = l, withSpans = true, numPartitions = 3)
+    val spans = collectSpans(out)
+    assert(spans.nonEmpty)
+    spans.foreach { case (eid, ss) =>
+      // disjoint, ordered, tiling [0, l)
+      assert(ss.head._2 == 0, s"example $eid spans must start at 0: $ss")
+      assert(ss.map(_._3).sum == l, s"example $eid spans must sum to $l: $ss")
+      ss.sliding(2).foreach {
+        case Seq((_, o1, n1), (d2, o2, _)) =>
+          assert(o1 + n1 == o2, s"example $eid spans must be contiguous: $ss")
+          assert(ss.count(_._1 == d2) >= 1)
+        case _ => ()
+      }
+      // adjacent spans never share a doc (they would have been merged)
+      ss.sliding(2).foreach {
+        case Seq((d1, _, _), (d2, _, _)) => assert(d1 != d2, s"unmerged spans in $eid: $ss")
+        case _                           => ()
+      }
+    }
+    // doc c (13 tokens) must appear in more than one example
+    val cExamples = spans.filter(_._2.exists(_._1 == "c")).keys
+    assert(cExamples.size >= 2, s"doc c should span examples, saw $cExamples")
+    // token content agrees with the span map: tokens under each span belong
+    // to that doc's stream slice
+    val byId = out.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val docTok = rows.toMap
+    val seen = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    spans.toSeq.sortBy(_._1).foreach { case (eid, ss) =>
+      ss.foreach { case (d, off, len) =>
+        val got = byId(eid).slice(off, off + len)
+        val want = docTok(d).slice(seen(d), seen(d) + len)
+        assert(got == want, s"example $eid span ($d,$off,$len): $got != $want")
+        seen(d) += len
+      }
+    }
+    release()
+  }
+
+  test("spans include the separator in its document and survive tiny partitions") {
+    val rows = (0 until 23).map(i => (f"doc-$i%04d", Seq.tabulate(2 + i % 3)(j => i * 10 + j)))
+    val l = 7
+    val base = {
+      val (out, rel) = Packing.packSequencesWithHandle(
+        docsDf(rows), seqLen = l, sepToken = Some(-1), withSpans = true, numPartitions = 1)
+      val m = collectSpans(out); rel(); m
+    }
+    // separator accounting: every doc's total span length across examples =
+    // n_tok + 1
+    val totalByDoc = base.values.flatten
+      .groupBy(_._1).map { case (d, ss) => d -> ss.map(_._3).sum }
+    rows.foreach { case (d, t) =>
+      totalByDoc.get(d).foreach(n => assert(n == t.length + 1, s"$d: $n != ${t.length} + 1"))
+    }
+    // fragment chains across 20 tiny partitions assemble the same spans
+    val (out20, rel20) = Packing.packSequencesWithHandle(
+      docsDf(rows), seqLen = l, sepToken = Some(-1), withSpans = true, numPartitions = 20)
+    assert(collectSpans(out20) == base, "spans must be invariant to partitioning")
+    rel20()
+  }
+
   test("release handle unpersists the sorted intermediate") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) =
