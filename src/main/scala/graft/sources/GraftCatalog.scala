@@ -516,6 +516,59 @@ private object GraftCatalog {
       throw new IllegalStateException("files overrides call() directly")
   }
 
+  private val tokenStatsSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("indexed", BooleanType, nullable = false),
+    StructField("tok_min", IntegerType, nullable = true),
+    StructField("tok_max", IntegerType, nullable = true),
+    StructField("indexed_blocks", IntegerType, nullable = true)
+  ))
+
+  /** Token-index coverage report: one row per LIVE block file with its
+    * sidecar summary (token value range + indexed block count) or
+    * indexed=false when the file has no entry — the query an operator runs
+    * before relying on needle pruning ("did the last build cover the files
+    * appends/compaction added since?"; unindexed files are still read
+    * exactly, just never skipped). Driver metadata only: the file listing
+    * plus the O(files) summary rows the scan planner already loads.
+    */
+  private val tokenStats = new MaintenanceProcedure(
+    "token_stats",
+    Array(in("path", StringType)),
+    tokenStatsSchema
+  ) {
+    override def description(): String =
+      "per-file token-index coverage: value range, indexed blocks, stale files"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val conf = spark.sparkContext.hadoopConfiguration
+      val path = pathOf(input)
+      val live = Maintenance.liveBlockFiles(path, conf)
+      val summaries = TokenIndex.fileSummaries(path, conf).getOrElse(Map.empty)
+      val out = live.map { case (f, len) =>
+        val name = GraftScan.nameOf(f)
+        val s = summaries.get(name)
+        InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(name),
+          len,
+          s.isDefined,
+          s.map(x => java.lang.Integer.valueOf(x.tokMin)).orNull,
+          s.map(x => java.lang.Integer.valueOf(x.tokMax)).orNull,
+          s.map(x => java.lang.Integer.valueOf(x.nBlocks)).orNull
+        )
+      }
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = tokenStatsSchema
+        override def description(): String = "graft.system.token_stats result"
+      }
+      Collections.singletonList(scan).iterator()
+    }
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      throw new IllegalStateException("token_stats overrides call() directly")
+  }
+
   private val codecStatsSchema = StructType(Seq(
     StructField("codec", StringType, nullable = false),
     StructField("n_blocks", LongType, nullable = false),
@@ -807,6 +860,7 @@ private object GraftCatalog {
     "tags" -> tags,
     "files" -> files,
     "codec_stats" -> codecStats,
+    "token_stats" -> tokenStats,
     "snapshots" -> snapshots,
     "vacuum" -> vacuum,
     "expire_snapshots" -> expireSnapshots,

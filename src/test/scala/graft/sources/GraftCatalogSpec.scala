@@ -182,6 +182,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL token_stats reports index coverage and flags unindexed files") {
+    import spark.implicits._
+    val dir = freshDir()
+    // no index yet: every live file present, none indexed
+    val before = spark.sql(s"CALL graft.system.token_stats(path => '$dir')").collect()
+    assert(before.nonEmpty && before.forall(!_.getAs[Boolean]("indexed")))
+    spark.sql(s"CALL graft.system.build_token_index(path => '$dir')").collect()
+    val after = spark.sql(s"CALL graft.system.token_stats(path => '$dir')").collect()
+    assert(after.length == before.length)
+    assert(after.forall(_.getAs[Boolean]("indexed")), "all live files must be covered")
+    input.toDF.createOrReplaceTempView("__cat_input")
+    // corpus vocab range from the per-file summaries matches the data
+    val lo = after.map(_.getAs[Int]("tok_min")).min
+    val hi = after.map(_.getAs[Int]("tok_max")).max
+    val (wantLo, wantHi) = {
+      val m = spark
+        .sql("SELECT min(array_min(tokens)), max(array_max(tokens)) FROM __cat_input")
+        .head()
+      (m.getInt(0), m.getInt(1))
+    }
+    assert(lo == wantLo && hi == wantHi, s"vocab range ($lo,$hi) != ($wantLo,$wantHi)")
+  }
+
   test("CALL snapshots lists the lineage with per-snapshot deltas and commit clocks") {
     import spark.implicits._
     val dir = freshDir() // snapshots 0,1,2 (three incremental EncodeJob runs)
@@ -237,7 +260,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq("build_token_index", "codec_stats", "compact", "create_tag",
         "delete_docs", "drop_tag", "expire_snapshots", "files",
         "purge_deletes", "rebin", "recompress", "replace_docs",
-        "rewrite_manifests", "snapshots", "tags", "vacuum"))
+        "rewrite_manifests", "snapshots", "tags", "token_stats", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
 
