@@ -376,6 +376,25 @@ object Bench {
         queries("point_lookup") = tLookup
         queries("point_lookup_ids") = ids.size.toDouble
       }
+
+      // sequence packing throughput (the pretraining chunker): concat the
+      // synthetic corpus in doc order with separators and chunk into
+      // 2048-token examples — one range shuffle + partition-local packing;
+      // count() drives the full pipeline including fragment assembly
+      {
+        val nDocs = input.count()
+        val ((nEx, release), tPack) = time {
+          val (packed, rel) = graft.ops.Packing
+            .packSequencesWithHandle(input.toDF, seqLen = 2048, sepToken = Some(0))
+          (packed.count(), rel)
+        }
+        val expected = (tokens + nDocs) / 2048
+        if (nEx != expected)
+          System.err.println(s"WARN pack_sequences produced $nEx examples, expected $expected")
+        queries("pack_sequences") = tPack
+        queries("pack_mtok_per_s") = (tokens + nDocs).toDouble / tPack / 1e6
+        release()
+      }
     } finally spark32.stop()
 
     // ---- scaling pair on the same input: N=4 vs 4N=16 cores. Levels are

@@ -231,7 +231,12 @@ object Packing {
       }
     }
 
-    val pieces = spark.createDataset(piecesRdd)(Encoders.product[Piece])
+    // persisted: the completes/assembled branches below would otherwise
+    // each recompute the packing pass (and re-read the range-shuffled
+    // corpus) — one pack, two cheap cached scans
+    val pieces = spark
+      .createDataset(piecesRdd)(Encoders.product[Piece])
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val completes = pieces
       .toDF()
@@ -270,7 +275,7 @@ object Packing {
 
     val withAll = completes.unionByName(assembled)
     val out = if (withSpans) withAll else withAll.drop("spans")
-    (out, () => { prepared.unpersist(); bStarts.destroy() })
+    (out, () => { prepared.unpersist(); pieces.unpersist(); bStarts.destroy() })
   }
 
   /** [[packSequencesWithHandle]] without the lifecycle handle: the sorted
