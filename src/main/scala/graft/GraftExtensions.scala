@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HieToken, PackVarInt, TokenSum}
+import graft.functions.{HieToken, PackVarInt, SampleDoc, TokenSum}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -48,6 +48,20 @@ object GraftExtensions {
       FunctionIdentifier("graft_token_sum"),
       new ExpressionInfo(classOf[TokenSum].getName, "graft_token_sum"),
       (args: Seq[Expression]) => TokenSum(one(args, "graft_token_sum"))
+    ),
+    (
+      FunctionIdentifier("graft_sample"),
+      new ExpressionInfo(classOf[SampleDoc].getName, "graft_sample"),
+      (args: Seq[Expression]) => {
+        require(
+          args.length == 2 || args.length == 3,
+          s"graft_sample expects (doc_id, fraction[, seed]), got ${args.length} arguments"
+        )
+        val seed =
+          if (args.length == 3) args(2)
+          else org.apache.spark.sql.catalyst.expressions.Literal(0L)
+        SampleDoc(Cast(args.head, org.apache.spark.sql.types.StringType), args(1), seed)
+      }
     )
   )
 

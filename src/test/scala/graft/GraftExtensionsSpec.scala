@@ -56,10 +56,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(pair.getLong(0) == pair.getLong(1))
   }
 
+  test("graft_sample in SQL: same membership as the scan option's hash, nests, defaults seed") {
+    GraftExtensions.register(spark)
+    val rows = spark
+      .sql(
+        """SELECT id, graft_sample(id, 0.2, 7) AS k20, graft_sample(id, 0.05, 7) AS k5,
+          |       graft_sample(id, 0.2) AS k20s0
+          |FROM (SELECT cast(id AS string) AS id FROM range(0, 5000))""".stripMargin
+      )
+      .collect()
+    // twin of sources.DocSample.keep: mix62(hashChars(id) ^ mix62(seed)) ppm test
+    def keep(id: String, ppm: Int, seed: Long): Boolean =
+      graft.ops.XHash.mix62(
+        graft.ops.XHash.hashChars(id) ^ graft.ops.XHash.mix62(seed)) % 1000000L < ppm
+    rows.foreach { r =>
+      assert(r.getBoolean(1) == keep(r.getString(0), 200000, 7L), r.getString(0))
+      assert(r.getBoolean(3) == keep(r.getString(0), 200000, 0L), r.getString(0))
+      // nesting: 5% membership is a subset of 20%
+      if (r.getBoolean(2)) assert(r.getBoolean(1), s"${r.getString(0)} kept at 5% but not 20%")
+    }
+    val kept = rows.count(_.getBoolean(1))
+    assert(kept > 700 && kept < 1300, s"~20% of 5000 expected, got $kept")
+    // integer doc_ids are cast to the same decimal-string hash domain
+    val viaInt = spark
+      .sql("SELECT count(*) FROM range(0, 5000) WHERE graft_sample(id, 0.2, 7)")
+      .head().getLong(0)
+    assert(viaInt == kept.toLong)
+    // non-literal fraction is refused at analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_sample('x', rand(), 1)").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("extension object injects the same builders without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder-time injection path
     assert(GraftExtensions.all.map(_._1.funcName).sorted ==
-      Seq("graft_pack_varint", "graft_token_sum", "hie_token"))
+      Seq("graft_pack_varint", "graft_sample", "graft_token_sum", "hie_token"))
   }
 }
