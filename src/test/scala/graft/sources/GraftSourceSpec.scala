@@ -827,6 +827,29 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pipeline composition: sampled graft scan feeds sequence packing") {
+    import spark.implicits._
+    val sampled = spark.read
+      .format("graft")
+      .option("sampleDocs", "0.3")
+      .option("sampleSeed", "13")
+      .load(dirA)
+    val (packed, release) = graft.ops.Packing
+      .packSequencesWithHandle(sampled, seqLen = 512, sepToken = Some(0), withSpans = true)
+    val got = packed.orderBy($"example_id").collect()
+    // reference: same sample + pack computed from the raw corpus
+    val spec = DocSample(300000, 13L)
+    val keptRows = input.collect().filter(r => spec.keep(r.doc_id, null)).sortBy(_.doc_id)
+    val stream = keptRows.flatMap(r => r.tokens :+ 0)
+    val wantN = stream.length / 512
+    assert(got.length == wantN, s"${got.length} examples, want $wantN")
+    assert(got.flatMap(_.getSeq[Int](1)).toSeq == stream.take(wantN * 512).toSeq)
+    // spans only reference sampled docs
+    val spanDocs = got.flatMap(_.getSeq[org.apache.spark.sql.Row](2).map(_.getString(0))).toSet
+    assert(spanDocs.subsetOf(keptRows.map(_.doc_id).toSet))
+    release()
+  }
+
   test("sampleDocs and sampleBySource are mutually exclusive") {
     val e = intercept[Exception] {
       spark.read
