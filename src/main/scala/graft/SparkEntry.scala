@@ -176,6 +176,24 @@ object SparkEntry {
     }: Unit
   }
 
+  /** ONE seqLen=64 spans pack of the derived corpus per (session, sfDir),
+    * shared by q_pack_sequences (spans dropped) and q_pack_spans — the
+    * shuffle + pack + persisted intermediates are paid once per Verify run
+    * (the corpusCache pattern).
+    */
+  private val packCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  private def packed64(s: SparkSession, dir: String): DataFrame =
+    packCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir), {
+        val (df, release) = graft.ops.Packing
+          .packSequencesWithHandle(docTable(s, dir), seqLen = 64, withSpans = true)
+        trackPackHandle(s, release)
+        df
+      }
+    )
+
   /** ONE shared encode of the derived corpus per (session, sfDir) — every
     * compressed-corpus query (q_roundtrip_verify, q_point_lookup,
     * q_context_bits) reuses it, so a Verify run pays exactly one
@@ -219,6 +237,7 @@ object SparkEntry {
     graftSqlDeleteDirCache.keys.filter(_._1 == id).foreach { k =>
       graftSqlDeleteDirCache.remove(k).foreach(deleteDir)
     }
+    packCache.keys.filter(_._1 == id).foreach(packCache.remove)
     packHandles.remove(id).foreach(_.foreach(_.apply()))
   }
 
@@ -607,10 +626,8 @@ object SparkEntry {
     // to (example_id, off, token) so the oracle hashes every packed value
     "q_pack_sequences" -> ((s, dir) => {
       import s.implicits._
-      val (packed, release) =
-        graft.ops.Packing.packSequencesWithHandle(docTable(s, dir), seqLen = 64)
-      trackPackHandle(s, release)
-      packed
+      packed64(s, dir)
+        .drop("spans")
         .where($"example_id" % 41 === 0)
         .select($"example_id", posexplode($"tokens").as(Seq("off", "token")))
         .select(
@@ -627,10 +644,7 @@ object SparkEntry {
     // global token positions
     "q_pack_spans" -> ((s, dir) => {
       import s.implicits._
-      val (packed, release) = graft.ops.Packing
-        .packSequencesWithHandle(docTable(s, dir), seqLen = 64, withSpans = true)
-      trackPackHandle(s, release)
-      packed
+      packed64(s, dir)
         .where($"example_id" % 59 === 0)
         .select($"example_id", explode($"spans").as("s"))
         .select(
@@ -1704,6 +1718,11 @@ object SparkEntry {
          |       CAST(off AS BIGINT) AS off, CAST(len AS BIGINT) AS len
          |FROM spans WHERE example_id % 59 = 0 ORDER BY example_id, off""".stripMargin,
 
+    // NOTE: docsep derives the separator rows from tok (one row per token),
+    // which only works because the derived corpus guarantees n_tok >= 1
+    // ((l_linenumber*7) % 23 + 1) — a zero-token document would get a
+    // separator from Packing but none here. If the corpus derivation ever
+    // admits empty docs, derive docsep from a DISTINCT doc list instead.
     "q_pack_stats" ->
       s"""$CTE, docsep AS (
          | SELECT doc_id, pos, token FROM tok

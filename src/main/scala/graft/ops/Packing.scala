@@ -194,10 +194,21 @@ object Packing {
           }
         }
 
+        private var prevDocId: String = null
+
         private def refill(): Unit = {
           while (queue.isEmpty && rows.hasNext) {
             val row = rows.next()
             val docId = row.getUTF8String(0).toString
+            // duplicate doc_ids would make the pack order (and span merging)
+            // ill-defined — range partitioning routes equal keys to ONE
+            // partition and the sort makes them adjacent, so this local
+            // check is an exact global uniqueness guard at zero extra cost
+            require(
+              docId != prevDocId,
+              s"packSequences requires unique doc_ids; '$docId' appears more than once"
+            )
+            prevDocId = docId
             feed(docId, row.getArray(1).toIntArray())
             sep.foreach { s =>
               buf(fill) = s

@@ -578,8 +578,11 @@ private[sources] object DocSample {
         require(frac > 0.0 && frac < 1.0, s"$what must be a fraction in (0,1), got $v")
       else
         require(frac >= 0.0 && frac <= 1.0, s"$what must be a fraction in [0,1], got $v")
-      if (openRange) math.max(1, math.round(frac * 1e6).toInt)
-      else math.round(frac * 1e6).toInt
+      // any POSITIVE fraction clamps to >=1 ppm (matching sampleDocs and the
+      // graft_sample SQL function) — only an explicit 0 drops a source;
+      // sub-ppm rates must not silently round a kept source to dropped
+      if (frac > 0.0) math.max(1, math.round(frac * 1e6).toInt)
+      else 0
     }
     val uniform = Option(options.get("sampleDocs"))
       .map(v => DocSample(ppmOf(v, "sampleDocs", openRange = true), seed))

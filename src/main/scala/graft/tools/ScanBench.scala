@@ -130,9 +130,12 @@ object ScanBench {
       // every block, payload row-seeks only the kept rows — should land
       // near the scan_meta floor plus ~1% of scan_ksum's decode, far from
       // the full-decode-then-filter cost a naive sample pays
+      // the production membership rule itself (not a re-derivation), so a
+      // rule change cannot silently diverge this row's expected value
+      val sampleSeed = graft.ops.XHash.mix62(9L)
       val keepUdf = udf { id: String =>
-        graft.ops.XHash.mix62(
-          graft.ops.XHash.hashChars(id) ^ graft.ops.XHash.mix62(9L)) % 1000000L < 10000
+        graft.functions.SampleDoc.keep(
+          org.apache.spark.unsafe.types.UTF8String.fromString(id), 10000, sampleSeed)
       }
       val expSample = {
         val r = input.toDF

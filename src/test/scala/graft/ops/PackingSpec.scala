@@ -176,6 +176,16 @@ class PackingSpec extends AnyFunSuite {
     rel20()
   }
 
+  test("duplicate doc_ids are refused loudly (pack order would be ill-defined)") {
+    val rows = Seq("a" -> Seq(1, 2), "a" -> Seq(3, 4), "b" -> Seq(5))
+    val e = intercept[Exception] {
+      val (out, release) = Packing.packSequencesWithHandle(docsDf(rows), seqLen = 2)
+      try out.collect()
+      finally release()
+    }
+    assert(e.getMessage.contains("unique doc_ids"), e.getMessage)
+  }
+
   test("release handle unpersists the sorted intermediate") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) =

@@ -850,6 +850,17 @@ class GraftSourceSpec extends AnyFunSuite {
     release()
   }
 
+  test("sampleBySource clamps sub-ppm positive rates to 1 ppm (only explicit 0 drops)") {
+    import scala.jdk.CollectionConverters._
+    def parse(spec: String) = DocSample
+      .fromOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("sampleBySource" -> spec).asJava))
+      .get
+    val d = parse("web:0.0000004, chat:0")
+    assert(d.bySource("web") == 1, "a positive fraction must never round to dropped")
+    assert(d.bySource("chat") == 0, "an explicit 0 drops the source")
+  }
+
   test("sampleDocs and sampleBySource are mutually exclusive") {
     val e = intercept[Exception] {
       spark.read
