@@ -186,6 +186,32 @@ class PackingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unique doc_ids"), e.getMessage)
   }
 
+  test("the pretraining loop closes: packed examples encode as a graft corpus and decode back") {
+    import spark.implicits._
+    val docs = graft.pipeline.TokenTables.synthetic(spark, 120L, seed = 23L).toDF()
+    val (packed, release) =
+      Packing.packSequencesWithHandle(docs, seqLen = 256, sepToken = Some(0))
+    // packed examples ARE corpus rows: example_id -> doc_id, fixed n_tok
+    val asCorpus = packed
+      .select(
+        format_string("ex-%08d", $"example_id").as("doc_id"),
+        $"tokens",
+        lit(256).as("n_tok"),
+        lit("packed").as("source")
+      )
+      .as[graft.pipeline.TokenRow]
+    val dir = java.nio.file.Files.createTempDirectory("graft-packed").toString
+    graft.pipeline.EncodeJob.run(
+      asCorpus, dir, graft.pipeline.GraftPipeline.Config(numContexts = 16, numBins = 4))
+    val decoded = spark.read.format("graft").load(dir)
+      .select($"doc_id", $"tokens").collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val want = packed.collect()
+      .map(r => f"ex-${r.getLong(0)}%08d" -> r.getSeq[Int](1)).toMap
+    assert(decoded == want, "decoded packed corpus must be bit-identical to the pack output")
+    release()
+  }
+
   test("release handle unpersists the sorted intermediate") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) =
