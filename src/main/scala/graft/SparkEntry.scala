@@ -862,6 +862,27 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Context-window truncation at the source (option("tokenPrefix", k)):
+    // the tokens column is each row's first min(n_tok, k) values — seekable
+    // blocks entropy-decode exactly k values per row and stop — while n_tok
+    // keeps the stored FULL length. The per-source sums pin every row's
+    // truncated content AND the full-length n_tok semantics; DuckDB
+    // recomputes both from the raw derivation with pos <= k.
+    "q_prefix_scan" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .format("graft")
+        .option("tokenPrefix", 8)
+        .load(graftScanDir(s, dir))
+        .groupBy($"source")
+        .agg(
+          sum(graft.functions.TokenSum.token_sum($"tokens")).as("token_sum"),
+          sum(size($"tokens").cast("long")).as("n_prefix_values"),
+          sum($"n_tok".cast("long")).as("n_tok_total")
+        )
+        .orderBy($"source")
+    }),
+
     // DSv2 source, metadata-only path: the aggregate needs no `tokens`, so
     // the scan never reads the entropy payload pages or runs the decoder
     // (column pruning through the blocks parquet) — totals must still match
@@ -1790,6 +1811,18 @@ object SparkEntry {
       s"""$CTE
          |SELECT source, CAST(sum(token) AS BIGINT) AS token_sum, count(*) AS n_values
          |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_prefix_scan" ->
+      s"""$CTE, pd AS (
+         |  SELECT doc_id, min(source) AS source, CAST(min(n_tok) AS BIGINT) AS n_tok,
+         |         CAST(sum(CASE WHEN pos <= 8 THEN token ELSE 0 END) AS BIGINT) AS ptoken_sum,
+         |         CAST(sum(CASE WHEN pos <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix
+         |  FROM tok GROUP BY doc_id
+         |)
+         |SELECT source, CAST(sum(ptoken_sum) AS BIGINT) AS token_sum,
+         |       CAST(sum(n_prefix) AS BIGINT) AS n_prefix_values,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tok_total
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
 
     "q_sample_scan" -> {
       // same mixed seed the reader bakes in (DocSample: mix62(seed))

@@ -325,7 +325,20 @@ private[sources] class GraftTable(
       // sampleDocs/sampleSeed: deterministic hash sample of doc_ids,
       // evaluated on the doc_id metadata stream (payload row-seeked for
       // kept rows only) — see [[DocSample]]
-      DocSample.fromOptions(options)
+      DocSample.fromOptions(options),
+      // tokenPrefix = k: the `tokens` column returns only each row's FIRST
+      // min(n_tok, k) values — context-window truncation evaluated at the
+      // source. Seekable blocks (hybrid/dhybrid with a row-bits index)
+      // entropy-decode exactly k values per row and stop, so "first 2048
+      // tokens of every doc" never pays a full-corpus decode; `n_tok` keeps
+      // the ORIGINAL stored length (so truncation stats stay computable).
+      // containsToken filters compose as truncate-then-filter: containment
+      // is evaluated on the truncated view the scan emits.
+      Option(options.get("tokenPrefix")).map { v =>
+        val k = v.toInt
+        require(k > 0, s"tokenPrefix must be positive, got $k")
+        k
+      }
     )
   }
 
@@ -612,7 +625,8 @@ private[sources] class GraftScanBuilder(
     maxSnapshotsPerBatch: Option[Int] = None,
     fromSnapshot: Option[Long] = None,
     containsToken: Option[TokenNeedles] = None,
-    sample: Option[DocSample] = None
+    sample: Option[DocSample] = None,
+    tokenPrefix: Option[Int] = None
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -739,7 +753,8 @@ private[sources] class GraftScanBuilder(
   override def build(): Scan =
     new GraftScan(
       path, required, pushed, pushedAgg, snapshot, limit, maxSnapshotsPerBatch, containsToken,
-      aggGroupBySource = aggBySource, fromSnapshot = fromSnapshot, sample = sample)
+      aggGroupBySource = aggBySource, fromSnapshot = fromSnapshot, sample = sample,
+      tokenPrefix = tokenPrefix)
 }
 
 /** Conjunction of pushed n_tok comparison predicates in serializable data
@@ -805,7 +820,8 @@ private[sources] class GraftScan(
     containsToken: Option[TokenNeedles] = None,
     aggGroupBySource: Boolean = false,
     fromSnapshot: Option[Long] = None,
-    sample: Option[DocSample] = None
+    sample: Option[DocSample] = None,
+    tokenPrefix: Option[Int] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -1315,7 +1331,8 @@ private[sources] class GraftScan(
         .forall(_.toBoolean),
       containsToken = containsToken,
       sample = sample,
-      tablePath = path
+      tablePath = path,
+      tokenPrefix = tokenPrefix
     )
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -1844,7 +1861,12 @@ private[sources] final case class GraftReaderFactory(
       */
     sample: Option[DocSample] = None,
     /** Table root — where the readers find `_token_index/`. */
-    tablePath: String = ""
+    tablePath: String = "",
+    /** Emit only each row's first min(n_tok, k) tokens (context-window
+      * truncation at the source). Seekable blocks decode exactly k values
+      * per row; `n_tok` keeps the original stored length.
+      */
+    tokenPrefix: Option[Int] = None
 ) extends PartitionReaderFactory {
 
   /** The most restrictive correct (bins, docs) for a partition: a
@@ -2076,9 +2098,9 @@ private[sources] class GraftAggReader(
   * column arrays both reader shapes (row and columnar) materialize from.
   * `tokenValues` is a single contiguous buffer — the full block decode in
   * dense mode, the concatenated hit rows in sparse point-read mode — with
-  * `tokenStarts(j)` the start of hit `j`'s slice (its length is
-  * `nToks(hits(j))`). Column arrays are null when the query doesn't need
-  * them.
+  * `tokenStarts(j)` the start of hit `j`'s slice and `emitLens(j)` its
+  * length (`nToks(hits(j))`, or its truncation under tokenPrefix). Column
+  * arrays are null when the query doesn't need them.
   */
 private[sources] final class DecodedBlock(
     val bin: Int,
@@ -2087,7 +2109,12 @@ private[sources] final class DecodedBlock(
     val sources: Array[String],
     val nToks: Array[Int],
     val tokenValues: Array[Int],
-    val tokenStarts: Array[Int]
+    val tokenStarts: Array[Int],
+    /** Per-hit emitted `tokens` length: nToks(hits(i)) normally, its
+      * tokenPrefix-truncated value under `option("tokenPrefix", k)`. Null
+      * when the projection never materializes tokens (like tokenStarts).
+      */
+    val emitLens: Array[Int]
 )
 
 /** Executor-side block reader for one blocks parquet file — the shared
@@ -2291,6 +2318,7 @@ private[sources] abstract class GraftBlockReaderBase(
 
     var tokenValues: Array[Int] = null
     var tokenStarts: Array[Int] = null
+    var emitLens: Array[Int] = null
     if (needTokens) {
       val payload = bytesOf(g, "payload")
       val rowBitsCodec = stringOf(g, "row_bits_codec")
@@ -2300,9 +2328,27 @@ private[sources] abstract class GraftBlockReaderBase(
         s"block written with tables ${g.getLong("table_hash", 0)}, reader has ${tables.tableHash}"
       )
       tokenStarts = new Array[Int](hits.length)
+      // per-hit emitted length: the full row normally, min(n_tok, k) under
+      // option("tokenPrefix", k) — context-window truncation at the source
+      emitLens = new Array[Int](hits.length)
+      val prefix = f.tokenPrefix.getOrElse(Int.MaxValue)
+      var truncates = false
+      var h = 0
+      while (h < hits.length) {
+        val full = nToks(hits(h))
+        val m = if (full < prefix) full else prefix
+        emitLens(h) = m
+        if (m < full) truncates = true
+        h += 1
+      }
       val sparse = hits.length * 4 < nRows // point-seek pays off on sparse hits
-      if (codecName == "dhybrid" && rowBitsCodec != "none" && sparse) {
-        // dhybrid sparse path: parse the block's own residual tables, then
+      // a truncating prefix routes seekable blocks through the row-seek path
+      // even when hits are dense: entropy-decoding exactly k values per row
+      // (the row chain starts at the seeked bit, so a prefix is decodable
+      // without the tail) beats a full-block decode as soon as tails skip
+      val seek = sparse || truncates
+      if (codecName == "dhybrid" && rowBitsCodec != "none" && seek) {
+        // dhybrid seek path: parse the block's own residual tables, then
         // bit-seek each hit row (same shape as the hybrid path below)
         val rows = new graft.codec.DeltaHybrid.RowReader(new BitReader(payload))
         val rowBits =
@@ -2313,19 +2359,19 @@ private[sources] abstract class GraftBlockReaderBase(
         while (i < nRows) { startBit(i) = acc; acc += rowBits(i); i += 1 }
         var total = 0
         i = 0
-        while (i < hits.length) { total += nToks(hits(i)); i += 1 }
+        while (i < hits.length) { total += emitLens(i); i += 1 }
         tokenValues = new Array[Int](total)
         var off = 0
         i = 0
         while (i < hits.length) {
           val r = hits(i)
           tokenStarts(i) = off
-          rows.decodeRow(new BitReader(payload, startBit(r)), tokenValues, off, off + nToks(r))
-          off += nToks(r)
+          rows.decodeRow(new BitReader(payload, startBit(r)), tokenValues, off, off + emitLens(i))
+          off += emitLens(i)
           i += 1
         }
         tokenValuesDecoded += total
-      } else if (codecName == "hybrid" && rowBitsCodec != "none" && sparse) {
+      } else if (codecName == "hybrid" && rowBitsCodec != "none" && seek) {
         // random-access path: prefix-sum the per-row bit index, seek per
         // hit, decoding each hit row straight into one contiguous buffer
         checkTableHash()
@@ -2343,21 +2389,23 @@ private[sources] abstract class GraftBlockReaderBase(
         while (i < nRows) { startBit(i) = acc; acc += rowBits(i); i += 1 }
         var total = 0
         i = 0
-        while (i < hits.length) { total += nToks(hits(i)); i += 1 }
+        while (i < hits.length) { total += emitLens(i); i += 1 }
         tokenValues = new Array[Int](total)
         var off = 0
         i = 0
         while (i < hits.length) {
           val r = hits(i)
           tokenStarts(i) = off
-          codec.decodeRow(new BitReader(payload, startBit(r)), nToks(r), tokenValues, off)
-          off += nToks(r)
+          codec.decodeRow(new BitReader(payload, startBit(r)), emitLens(i), tokenValues, off)
+          off += emitLens(i)
           i += 1
         }
         tokenValuesDecoded += total
       } else {
-        // full-block decode (dense hits or lightweight codec); hit rows are
-        // zero-copy slices of the block buffer
+        // full-block decode (dense hits on a non-seekable codec); hit rows
+        // are zero-copy slices of the block buffer — under a prefix the
+        // emitted slice is the row's HEAD, which starts at the row start,
+        // so truncation is pure emitLens bookkeeping here
         val rowOffsets = new Array[Int](nRows + 1)
         var off = 0
         var i = 0
@@ -2373,28 +2421,33 @@ private[sources] abstract class GraftBlockReaderBase(
     }
 
     // exact containment filter for pushed needles: keep only hit rows
-    // whose decoded slice satisfies them. tokenStarts entries keep
+    // whose decoded slice satisfies them. Evaluated on the emitted window
+    // (truncate-then-filter under tokenPrefix — the scan behaves as a table
+    // whose tokens column IS the prefix). tokenStarts entries keep
     // pointing into the SAME decoded buffer, so the surviving subset is a
-    // plain (hits, starts) re-pack — no copies.
+    // plain (hits, starts, lens) re-pack — no copies.
     var outHits = hits
     var outStarts = tokenStarts
+    var outLens = emitLens
     f.containsToken.foreach { t =>
       val keepH = Array.newBuilder[Int]
       val keepS = Array.newBuilder[Int]
+      val keepL = Array.newBuilder[Int]
       var i = 0
       while (i < hits.length) {
         val start = tokenStarts(i)
-        if (t.rowMatches(tokenValues, start, start + nToks(hits(i)))) {
-          keepH += hits(i); keepS += start
+        if (t.rowMatches(tokenValues, start, start + emitLens(i))) {
+          keepH += hits(i); keepS += start; keepL += emitLens(i)
         }
         i += 1
       }
       outHits = keepH.result()
       outStarts = keepS.result()
+      outLens = keepL.result()
     }
     if (outHits.isEmpty) return null
 
-    new DecodedBlock(bin, outHits, docIds, sources, nToks, tokenValues, outStarts)
+    new DecodedBlock(bin, outHits, docIds, sources, nToks, tokenValues, outStarts, outLens)
   }
 }
 
@@ -2453,7 +2506,7 @@ private[sources] class GraftPartitionReader(
             UnsafeArrayData.fromPrimitiveArray(
               b.tokenValues,
               Math.toIntExact(Platform.INT_ARRAY_OFFSET + 4L * b.tokenStarts(j)),
-              b.nToks(r),
+              b.emitLens(j),
               4)
           )
         case "n_tok"  => out.setInt(i, b.nToks(r))
@@ -2504,8 +2557,7 @@ private[sources] class GraftColumnarReader(
         new GraftTokenArrayVector(
           new GraftIntsVector(blk.tokenValues),
           blk.tokenStarts,
-          blk.nToks,
-          blk.hits)
+          blk.emitLens)
       case "n_tok"  => new GraftHitIntVector(blk.nToks, blk.hits)
       case "source" => new GraftStringVector(blk.sources, blk.hits)
       case "_bin"   => new GraftConstIntVector(blk.bin)
@@ -2581,16 +2633,16 @@ private[sources] final class GraftStringVector(vals: Array[String], hits: Array[
 }
 
 /** The `tokens` array column: batch row `i` is the slice
-  * [starts(i), starts(i) + nToks(hits(i))) of the shared element vector.
+  * [starts(i), starts(i) + lens(i)) of the shared element vector (lens is
+  * the emitted length — the full row, or its tokenPrefix truncation).
   */
 private[sources] final class GraftTokenArrayVector(
     child: GraftIntsVector,
     starts: Array[Int],
-    nToks: Array[Int],
-    hits: Array[Int]
+    lens: Array[Int]
 ) extends GraftVector(ArrayType(IntegerType, containsNull = false)) {
   override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
-    new org.apache.spark.sql.vectorized.ColumnarArray(child, starts(i), nToks(hits(i)))
+    new org.apache.spark.sql.vectorized.ColumnarArray(child, starts(i), lens(i))
   override def getChild(i: Int): org.apache.spark.sql.vectorized.ColumnVector = child
 }
 

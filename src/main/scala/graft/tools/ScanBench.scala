@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   scan_meta  — agg(sum(n_tok)): metadata-only (pruning floor)
   *   scan_ksum  — scan_sum through the codegen'd graft_token_sum kernel
   *   scan_lenflt— pushed p99 n_tok filter + kernel sum: row-seek pruning
+  *   scan_prefix— tokenPrefix=16 truncation: per-row k-value decode floor
   *   scan_sample— deterministic 1% doc sample: doc_id-stream + row-seek cost
   */
 object ScanBench {
@@ -125,6 +126,20 @@ object ScanBench {
       }
       rep("scan_lenflt", lenSum($"n_tok" >= thr))(scanLenSum($"n_tok" >= thr))
       rep("scan_leneq", lenSum($"n_tok" === exact))(scanLenSum($"n_tok" === exact))
+
+      // context-window truncation (option("tokenPrefix", k)): seekable
+      // blocks entropy-decode exactly k values per row and stop, so the
+      // row should land well below scan_ksum's full decode (the emitted
+      // mass is ~k/avg_len of the corpus; non-seekable lightweight blocks
+      // still decode fully and slice — the honest mixed-codec cost)
+      val prefK = 16
+      val expPrefix = input.toDF
+        .select(expr(s"aggregate(slice(tokens, 1, $prefK), 0L, (a, x) -> a + x)").as("s"))
+        .agg(sum($"s")).collect()(0).getLong(0)
+      rep("scan_prefix", expPrefix)(
+        spark.read.format("graft").option("tokenPrefix", prefK.toString).load(encDir)
+          .select(graft.functions.TokenSum.token_sum($"tokens").as("s"))
+          .agg(sum($"s")).collect()(0).getLong(0))
 
       // deterministic 1% sample (option("sampleDocs")): doc_ids decode for
       // every block, payload row-seeks only the kept rows — should land

@@ -872,4 +872,105 @@ class GraftSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
   }
+
+  // ---- tokenPrefix: context-window truncation at the source ----
+
+  private def prefixExpected(k: Int) = {
+    import spark.implicits._
+    input
+      .select($"doc_id", slice($"tokens", 1, k).as("tokens"), $"n_tok", $"source")
+      .as[graft.pipeline.TokenRow]
+  }
+
+  test("tokenPrefix: truncated tokens, FULL n_tok, across mixed codecs (dirA) and pure hybrid (dirB)") {
+    import spark.implicits._
+    for (dir <- Seq(dirA, dirB)) {
+      val got = spark.read
+        .format("graft")
+        .option("tokenPrefix", 7)
+        .load(dir)
+        .as[graft.pipeline.TokenRow]
+      // verify compares n_tok AND tokens — n_tok must stay the stored full
+      // length while tokens is the 7-element head
+      assert(GraftPipeline.verify(prefixExpected(7), got) == 0L, s"prefix mismatch under $dir")
+    }
+  }
+
+  test("tokenPrefix through the row-shaped reader (columnarScan=false)") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.columnarScan", "false")
+    try {
+      val got = spark.read
+        .format("graft")
+        .option("tokenPrefix", 7)
+        .load(dirA)
+        .as[graft.pipeline.TokenRow]
+      assert(GraftPipeline.verify(prefixExpected(7), got) == 0L)
+    } finally spark.conf.unset("spark.graft.columnarScan")
+  }
+
+  test("tokenPrefix >= every n_tok is a no-op (dense full-block path)") {
+    import spark.implicits._
+    val got = spark.read
+      .format("graft")
+      .option("tokenPrefix", 1 << 20)
+      .load(dirA)
+      .as[graft.pipeline.TokenRow]
+    assert(GraftPipeline.verify(input, got) == 0L)
+  }
+
+  test("tokenPrefix decodes EXACTLY sum(min(n_tok, k)) token values on seekable blocks") {
+    import spark.implicits._
+    val k = 7
+    val df = spark.read.format("graft").option("tokenPrefix", k).load(dirB)
+    val q = df.select(sum(size($"tokens")).as("s"))
+    val out = q.collect().head.getLong(0)
+    val expected = input
+      .select(sum(least(col("n_tok"), lit(k))))
+      .collect()
+      .head
+      .getLong(0)
+    assert(out == expected, "emitted prefix sizes wrong")
+    val scan = findScan(q.queryExecution.executedPlan)
+    // every dirB block carries a row-bits index, so a truncating prefix
+    // routes through the seek path: decoded values == emitted values, not
+    // the corpus total (the heavy-tail rows alone would dwarf this)
+    assert(
+      metric(scan, "graftTokenValuesDecoded") == expected,
+      s"seek path decoded more than the prefix: ${metric(scan, "graftTokenValuesDecoded")} vs $expected"
+    )
+  }
+
+  test("tokenPrefix + containsToken composes as truncate-then-filter") {
+    import spark.implicits._
+    val k = 5
+    // needle drawn from a real row so both the in-prefix and beyond-prefix
+    // cases exist in the corpus
+    val sampleRow = input.filter(size($"tokens") > k).head()
+    val needle = sampleRow.tokens(k - 1) // inside the prefix for this row
+    val got = spark.read
+      .format("graft")
+      .option("tokenPrefix", k)
+      .option("containsToken", needle.toString)
+      .load(dirA)
+      .select($"doc_id")
+      .as[String]
+      .collect()
+      .toSet
+    val expected = input
+      .filter(array_contains(slice($"tokens", 1, k), needle))
+      .select($"doc_id")
+      .as[String]
+      .collect()
+      .toSet
+    assert(got == expected, "containment must evaluate on the truncated view")
+    assert(expected.contains(sampleRow.doc_id))
+  }
+
+  test("tokenPrefix must be positive") {
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("tokenPrefix", "0").load(dirA).collect()
+    }
+    assert(e.getMessage.contains("tokenPrefix"), e.getMessage)
+  }
 }
