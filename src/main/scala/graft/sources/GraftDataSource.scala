@@ -1080,6 +1080,7 @@ private[sources] class GraftScan(
           (if (aggGroupBySource) ", groupedBy=[source]" else "")).getOrElse("") +
       containsToken.map(t => s", containsTokens=${t.describe}").getOrElse("") +
       sample.map(sp => s", sampleDocs=${sp.describe}").getOrElse("") +
+      tokenPrefix.map(k => s", tokenPrefix=$k").getOrElse("") +
       snapshot.map(s => s", snapshot=$s").getOrElse("") +
       fromSnapshot.map(s => s", fromSnapshot=$s").getOrElse("") +
       docIdBins.map(b => s", prunedBins=[${brief(b.toSeq.sorted)}]").getOrElse("") +

@@ -967,6 +967,26 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(expected.contains(sampleRow.doc_id))
   }
 
+  test("tokenPrefix composes with sequence packing (truncate-then-pack)") {
+    import spark.implicits._
+    val truncated = spark.read
+      .format("graft")
+      .option("tokenPrefix", 4)
+      .load(dirA)
+      .select($"doc_id", $"tokens")
+    val (got, rel1) =
+      graft.ops.Packing.packSequencesWithHandle(truncated, seqLen = 64, sepToken = Some(0))
+    val ref = input.toDF.select($"doc_id", slice($"tokens", 1, 4).as("tokens"))
+    val (want, rel2) =
+      graft.ops.Packing.packSequencesWithHandle(ref, seqLen = 64, sepToken = Some(0))
+    // packing is a pure function of the doc stream, so the truncated graft
+    // read must yield byte-identical examples to packing the sliced source
+    val g = got.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq
+    val w = want.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq
+    assert(g.nonEmpty && g == w)
+    rel1(); rel2()
+  }
+
   test("tokenPrefix must be positive") {
     val e = intercept[Exception] {
       spark.read.format("graft").option("tokenPrefix", "0").load(dirA).collect()
