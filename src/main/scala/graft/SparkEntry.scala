@@ -656,6 +656,28 @@ object SparkEntry {
         .orderBy($"example_id", $"off")
     }),
 
+    // EPOCH SHUFFLING: packing in the seeded hash permutation
+    // (orderSeed) — the per-epoch document reorder a trainer wants without
+    // materializing a shuffled corpus copy. The oracle recomputes the SAME
+    // 62-bit cross-engine permutation (the sampling hash chain) in DuckDB
+    // and re-derives every sampled example position from it, so a drift in
+    // either the hash or the pack order fails the comparison.
+    "q_pack_epoch" -> ((s, dir) => {
+      import s.implicits._
+      val (packed, release) = graft.ops.Packing.packSequencesWithHandle(
+        docTable(s, dir), seqLen = 48, orderSeed = Some(3L))
+      trackPackHandle(s, release)
+      packed
+        .where($"example_id" % 37 === 0)
+        .select($"example_id", posexplode($"tokens").as(Seq("off", "token")))
+        .select(
+          $"example_id",
+          $"off".cast("long").as("off"),
+          $"token".cast("long").as("token")
+        )
+        .orderBy($"example_id", $"off")
+    }),
+
     // Packing with a document separator (EOS convention): whole-corpus
     // accounting — every packed token participates in the checksum, the
     // separator count pins the per-doc insertion rule
@@ -1717,6 +1739,30 @@ object SparkEntry {
          |FROM gtok
          |WHERE (gpos // 64) % 41 = 0 AND gpos // 64 < (SELECT COUNT(*) FROM gtok) // 64
          |ORDER BY example_id, off""".stripMargin,
+
+    "q_pack_epoch" -> {
+      val ms = X.mix62(3L) // the packer's mixed seed for orderSeed = 3
+      s"""$CTE, doclen AS (
+         | SELECT DISTINCT doc_id, n_tok FROM tok
+         |), dh AS (
+         | SELECT doc_id, n_tok,
+         |        ${X.sqlMix62(s"xor(${X.sqlMix62(X.sqlHashCharsRaw("CAST(doc_id AS VARCHAR)"))}, $ms)")} AS ord
+         | FROM doclen
+         |), docstart AS (
+         | SELECT doc_id, COALESCE(SUM(n_tok) OVER (ORDER BY ord, doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dstart
+         | FROM dh
+         |), gtok AS (
+         | SELECT d.dstart + t.pos - 1 AS gpos, t.token
+         | FROM tok t JOIN docstart d USING (doc_id)
+         |)
+         |SELECT CAST(gpos // 48 AS BIGINT) AS example_id,
+         |       CAST(gpos % 48 AS BIGINT) AS off,
+         |       CAST(token AS BIGINT) AS token
+         |FROM gtok
+         |WHERE (gpos // 48) % 37 = 0 AND gpos // 48 < (SELECT COUNT(*) FROM gtok) // 48
+         |ORDER BY example_id, off""".stripMargin
+    },
 
     "q_pack_spans" ->
       s"""$CTE, doclen AS (

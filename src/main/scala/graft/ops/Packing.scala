@@ -91,6 +91,16 @@ object Packing {
     *                  tiling [0, seqLen) exactly: the attention/loss-mask
     *                  boundaries a trainer needs to not attend across
     *                  documents. doc_id is cast to string in the span.
+    * @param orderSeed EPOCH SHUFFLING: when set, documents concatenate in
+    *                  ascending `(mix62(hashChars(doc_id) ^ mix62(seed)),
+    *                  doc_id)` order — a deterministic seeded permutation —
+    *                  instead of plain doc_id order. A trainer packs each
+    *                  epoch with a different seed and gets a different
+    *                  (reproducible) document order without materializing a
+    *                  shuffled copy of the corpus; the hash chain is the
+    *                  SAME 62-bit cross-engine rule the sampling surfaces
+    *                  use, so an oracle (or a second engine) can recompute
+    *                  the permutation exactly.
     * @return the packed examples plus a release handle that unpersists the
     *         sorted intermediate — call it once the result is consumed.
     */
@@ -99,7 +109,8 @@ object Packing {
       seqLen: Int,
       sepToken: Option[Int] = None,
       numPartitions: Int = 0,
-      withSpans: Boolean = false
+      withSpans: Boolean = false,
+      orderSeed: Option[Long] = None
   ): (DataFrame, () => Unit) = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val spark = docs.sparkSession
@@ -107,11 +118,20 @@ object Packing {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val prepared = docs
-      .select(col("doc_id"), col("tokens").cast("array<int>").as("tokens"))
-      .repartitionByRange(p, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = docs.select(col("doc_id"), col("tokens").cast("array<int>").as("tokens"))
+    // the global concat order: doc_id, or the seeded epoch permutation
+    // (doc_id stays the tiebreak so equal hashes — and duplicate ids, for
+    // the uniqueness guard below — are still adjacent after the sort)
+    val prepared = (orderSeed match {
+      case None => base.repartitionByRange(p, col("doc_id")).sortWithinPartitions("doc_id")
+      case Some(seed) =>
+        val mixedSeed = XHash.mix62(seed)
+        val ord = udf((id: String) => XHash.mix62(XHash.hashChars(id) ^ mixedSeed))
+        base
+          .withColumn("__ord", ord(col("doc_id").cast("string")))
+          .repartitionByRange(p, col("__ord"), col("doc_id"))
+          .sortWithinPartitions("__ord", "doc_id")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     val sepAdd = if (sepToken.isDefined) 1 else 0
 
@@ -299,7 +319,8 @@ object Packing {
       seqLen: Int,
       sepToken: Option[Int] = None,
       numPartitions: Int = 0,
-      withSpans: Boolean = false
+      withSpans: Boolean = false,
+      orderSeed: Option[Long] = None
   ): DataFrame =
-    packSequencesWithHandle(docs, seqLen, sepToken, numPartitions, withSpans)._1
+    packSequencesWithHandle(docs, seqLen, sepToken, numPartitions, withSpans, orderSeed)._1
 }

@@ -212,6 +212,59 @@ class PackingSpec extends AnyFunSuite {
     release()
   }
 
+  /** Reference epoch order: the packer's seeded permutation, recomputed. */
+  private def epochOrder(rows: Seq[(String, Seq[Int])], seed: Long): Seq[(String, Seq[Int])] = {
+    val ms = XHash.mix62(seed)
+    rows.sortBy { case (id, _) => (XHash.mix62(XHash.hashChars(id) ^ ms), id) }
+  }
+
+  test("orderSeed packs in the seeded permutation, invariant to partitioning") {
+    val rows = (0 until 41).map(i => (f"doc-$i%04d", Seq.tabulate(1 + i % 5)(j => i * 100 + j)))
+    val seed = 3L
+    // reference: concat in hash order, chunk, drop tail
+    val stream = epochOrder(rows, seed).flatMap { case (_, t) => t :+ -1 }
+    val base = stream.grouped(8).zipWithIndex.collect {
+      case (g, i) if g.length == 8 => (i.toLong, g)
+    }.toSeq
+    assert(base != expected(rows, 8, Some(-1)), "fixture too small: permutation = identity")
+    for (p <- Seq(1, 4, 17)) {
+      val (out, release) = Packing.packSequencesWithHandle(
+        docsDf(rows), seqLen = 8, sepToken = Some(-1), numPartitions = p, orderSeed = Some(seed))
+      assert(collectPacked(out) == base, s"mismatch at numPartitions=$p")
+      release()
+    }
+    // a different seed is a different permutation, exactly its own reference
+    // (the dropped tail differs too — it is a different stream suffix)
+    val stream2 = epochOrder(rows, seed + 1).flatMap { case (_, t) => t :+ -1 }
+    val base2 = stream2.grouped(8).zipWithIndex.collect {
+      case (g, i) if g.length == 8 => (i.toLong, g)
+    }.toSeq
+    assert(base2 != base, "fixture too small: two seeds gave one order")
+    val (out2, release2) = Packing.packSequencesWithHandle(
+      docsDf(rows), seqLen = 8, sepToken = Some(-1), orderSeed = Some(seed + 1))
+    assert(collectPacked(out2) == base2)
+    release2()
+  }
+
+  test("orderSeed composes with spans (boundaries follow the epoch order)") {
+    val rows = Seq("a" -> Seq(1, 2, 3), "b" -> Seq(4, 5), "c" -> Seq(6, 7, 8, 9), "d" -> Seq(10))
+    val seed = 9L
+    val (out, release) = Packing.packSequencesWithHandle(
+      docsDf(rows), seqLen = 5, withSpans = true, orderSeed = Some(seed), numPartitions = 3)
+    val ordered = epochOrder(rows, seed)
+    val stream = ordered.flatMap { case (id, t) => t.map(v => (id, v)) }
+    val spans = collectSpans(out)
+    // every span's (doc, off, len) matches the permuted stream's tiling
+    spans.foreach { case (eid, ss) =>
+      assert(ss.map(_._3).sum == 5, s"example $eid spans must tile seqLen")
+      ss.foreach { case (doc, off, len) =>
+        val slice = stream.slice(eid.toInt * 5 + off, eid.toInt * 5 + off + len)
+        assert(slice.forall(_._1 == doc), s"span ($doc,$off,$len) of example $eid mislabeled")
+      }
+    }
+    release()
+  }
+
   test("release handle unpersists the sorted intermediate") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) =
