@@ -850,6 +850,93 @@ private object GraftCatalog {
     }
   }
 
+  /** The pretraining chunker as a SQL verb: pack a graft corpus into
+    * fixed-length training examples and write them to a NEW graft dir —
+    * the whole prepare-an-epoch step (`ops/Packing` + `EncodeJob`) as one
+    * `CALL`. Example ids become zero-padded doc_ids (`ex-000000000042`),
+    * so the examples' doc_id order IS the stream order; `order_seed` packs
+    * in the seeded epoch permutation; `sep_token` is the EOS convention.
+    * The output dir is sized via the metadata aggregate (zero payload
+    * reads) and must be fresh — packing over an existing corpus is almost
+    * certainly an operator mistake, refused rather than mixed.
+    */
+  private val pack = new MaintenanceProcedure(
+    "pack",
+    Array(
+      in("path", StringType),
+      in("out", StringType),
+      inDflt("seq_len", IntegerType, "2048"),
+      inDflt("sep_token", IntegerType, "NULL"),
+      inDflt("order_seed", LongType, "NULL")
+    ),
+    StructType(Seq(
+      StructField("n_examples", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("num_bins", IntegerType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "pack a corpus into fixed-length training examples written as a NEW " +
+        "graft dir (concat in doc_id or seeded-epoch order, chunk to " +
+        "seq_len, drop the tail); doc_id = ex-<example_id>"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      import org.apache.hadoop.fs.Path
+      import spark.implicits._
+      val src = pathOf(input)
+      require(!input.isNullAt(1), "out must not be null")
+      val out = input.getUTF8String(1).toString
+      val seqLen = input.getInt(2)
+      val sep = if (input.isNullAt(3)) None else Some(input.getInt(3))
+      val seed = if (input.isNullAt(4)) None else Some(input.getLong(4))
+      require(
+        new Path(out).toUri.getPath != new Path(src).toUri.getPath,
+        "out must differ from path — packing a corpus over itself would corrupt it"
+      )
+      val conf = spark.sparkContext.hadoopConfiguration
+      val outFs = new Path(out).getFileSystem(conf)
+      require(
+        !outFs.exists(new Path(out)) || outFs.listStatus(new Path(out)).isEmpty,
+        s"out dir $out is not empty — pack writes a NEW corpus, not an append"
+      )
+
+      val corpus = spark.read.format("graft").load(src)
+      // size the output's bins from source metadata (pushed aggregate —
+      // zero payload bytes): packed tokens ≈ source tokens + one separator
+      // per doc, minus the dropped tail
+      val (srcTokens, nDocs) = corpus
+        .agg(sum(col("n_tok").cast("long")), count(lit(1)))
+        .as[(Long, Long)]
+        .collect()
+        .head
+      val estTokens = srcTokens + (if (sep.isDefined) nDocs else 0L)
+      val cfg = graft.pipeline.GraftPipeline
+        .Config(numBins = graft.pipeline.GraftPipeline.Config.binsFor(estTokens))
+
+      val (packed, release) = graft.ops.Packing.packSequencesWithHandle(
+        corpus.select(col("doc_id"), col("tokens")), seqLen, sep, orderSeed = seed)
+      try {
+        val nExamples = packed.count() // cached pieces: a cheap second scan
+        require(
+          nExamples > 0,
+          s"corpus at $src packs to zero $seqLen-token examples — nothing to write"
+        )
+        val rows = packed
+          .select(
+            org.apache.spark.sql.functions
+              .format_string("ex-%012d", col("example_id"))
+              .as("doc_id"),
+            col("tokens"),
+            lit(seqLen).as("n_tok"),
+            lit("packed").as("source")
+          )
+          .as[graft.pipeline.TokenRow]
+        val res = graft.pipeline.EncodeJob.run(rows, out, cfg)
+        InternalRow(nExamples, nExamples * seqLen, res.snapshotId, cfg.numBins)
+      } finally release()
+    }
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
     "build_token_index" -> buildTokenIndex,
@@ -867,6 +954,7 @@ private object GraftCatalog {
     "rewrite_manifests" -> rewriteManifests,
     "delete_docs" -> deleteDocs,
     "purge_deletes" -> purgeDeletes,
-    "replace_docs" -> replaceDocs
+    "replace_docs" -> replaceDocs,
+    "pack" -> pack
   )
 }

@@ -259,7 +259,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("build_token_index", "codec_stats", "compact", "create_tag",
         "delete_docs", "drop_tag", "expire_snapshots", "files",
-        "purge_deletes", "rebin", "recompress", "replace_docs",
+        "pack", "purge_deletes", "rebin", "recompress", "replace_docs",
         "rewrite_manifests", "snapshots", "tags", "token_stats", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
   }
@@ -340,6 +340,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     val decoded = spark.read.format("graft").load(dir).as[TokenRow]
     assert(GraftPipeline.verify(want, decoded) == 0L)
     assert(decoded.toDF().where($"source" === "sql-upsert").count() == updates.count())
+  }
+
+  test("CALL pack: SQL-only epoch prep — packed examples land as a fresh graft corpus") {
+    import spark.implicits._
+    val dir = freshDir()
+    val out = Files.createTempDirectory("graft-catalog-pack").toString
+    val row = spark
+      .sql(s"CALL graft.system.pack(path => '$dir', out => '$out', seq_len => 32, " +
+        "sep_token => 0, order_seed => 5)")
+      .head()
+    val nEx = row.getAs[Long]("n_examples")
+    assert(nEx > 0 && row.getAs[Long]("n_tokens") == nEx * 32)
+
+    // the written corpus decodes to exactly the packer's output in the
+    // seeded epoch order (recompute the reference through the Scala face)
+    val (want, release) = graft.ops.Packing.packSequencesWithHandle(
+      spark.read.format("graft").load(dir).select($"doc_id", $"tokens"),
+      seqLen = 32, sepToken = Some(0), orderSeed = Some(5L))
+    val expected = want.collect()
+      .map(r => f"ex-${r.getLong(0)}%012d" -> r.getSeq[Int](1)).toMap
+    release()
+    val got = spark.read.format("graft").load(out)
+      .select($"doc_id", $"tokens", $"n_tok", $"source").collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1), r.getInt(2), r.getString(3)))
+    assert(got.length.toLong == nEx && expected.size.toLong == nEx)
+    got.foreach { case (id, toks, n, src) =>
+      assert(n == 32 && src == "packed", id)
+      assert(expected(id) == toks, s"example $id content drifted")
+    }
+
+    // guards: refuse self-pack and a non-empty output dir
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.pack(path => '$dir', out => '$dir')").head()
+    }
+    assert(e1.getMessage.contains("over itself"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.pack(path => '$dir', out => '$out')").head()
+    }
+    assert(e2.getMessage.contains("not empty"), e2.getMessage)
   }
 
   test("graft_bin SQL function matches the writer's routing and the _bin metadata column") {
