@@ -678,6 +678,36 @@ object SparkEntry {
         .orderBy($"example_id", $"off")
     }),
 
+    // THE full training-mix recipe as ONE oracled chain: deterministic 5%
+    // sample + per-doc 8-token prefix truncation + seeded-epoch packing
+    // with a separator — every stage evaluated AT THE SOURCE (sample
+    // membership on the doc_id metadata stream, prefix by per-row seek,
+    // permutation by the cross-engine hash), and DuckDB recomputes the
+    // whole composition from the raw derivation. A drift in any stage or
+    // in how they compose fails the position-exact comparison.
+    "q_pack_recipe" -> ((s, dir) => {
+      import s.implicits._
+      val (packed, release) = graft.ops.Packing.packSequencesWithHandle(
+        s.read
+          .format("graft")
+          .option("sampleDocs", "0.05")
+          .option("sampleSeed", "7")
+          .option("tokenPrefix", 8)
+          .load(graftScanDir(s, dir))
+          .select($"doc_id", $"tokens"),
+        seqLen = 32, sepToken = Some(99991), orderSeed = Some(11L))
+      trackPackHandle(s, release)
+      packed
+        .where($"example_id" % 13 === 0)
+        .select($"example_id", posexplode($"tokens").as(Seq("off", "token")))
+        .select(
+          $"example_id",
+          $"off".cast("long").as("off"),
+          $"token".cast("long").as("token")
+        )
+        .orderBy($"example_id", $"off")
+    }),
+
     // Packing with a document separator (EOS convention): whole-corpus
     // accounting — every packed token participates in the checksum, the
     // separator count pins the per-doc insertion rule
@@ -1761,6 +1791,38 @@ object SparkEntry {
          |       CAST(token AS BIGINT) AS token
          |FROM gtok
          |WHERE (gpos // 48) % 37 = 0 AND gpos // 48 < (SELECT COUNT(*) FROM gtok) // 48
+         |ORDER BY example_id, off""".stripMargin
+    },
+
+    "q_pack_recipe" -> {
+      val ms7 = X.mix62(7L)   // sampleSeed = 7 (DocSample's mixed seed)
+      val ms11 = X.mix62(11L) // orderSeed = 11 (the packer's mixed seed)
+      s"""$CTE, doclen AS (
+         | SELECT DISTINCT doc_id, n_tok FROM tok
+         |), dh AS (
+         | SELECT doc_id, n_tok, LEAST(n_tok, 8) AS eff,
+         |        ${X.sqlMix62(X.sqlHashCharsRaw("CAST(doc_id AS VARCHAR)"))} AS h
+         | FROM doclen
+         |), kept AS (
+         | SELECT doc_id, eff, ${X.sqlMix62(s"xor(h, $ms11)")} AS ord
+         | FROM dh
+         | WHERE ${X.sqlMix62(s"xor(h, $ms7)")} % 1000000 < 50000
+         |), docstart AS (
+         | SELECT doc_id, eff, COALESCE(SUM(eff + 1) OVER (ORDER BY ord, doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dstart
+         | FROM kept
+         |), gtok AS (
+         | SELECT d.dstart + t.pos - 1 AS gpos, t.token
+         | FROM tok t JOIN docstart d USING (doc_id)
+         | WHERE t.pos <= d.eff
+         | UNION ALL
+         | SELECT dstart + eff AS gpos, 99991 AS token FROM docstart
+         |)
+         |SELECT CAST(gpos // 32 AS BIGINT) AS example_id,
+         |       CAST(gpos % 32 AS BIGINT) AS off,
+         |       CAST(token AS BIGINT) AS token
+         |FROM gtok
+         |WHERE (gpos // 32) % 13 = 0 AND gpos // 32 < (SELECT COUNT(*) FROM gtok) // 32
          |ORDER BY example_id, off""".stripMargin
     },
 
