@@ -1078,6 +1078,20 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Eval-set decontamination — the multi-needle contamination screen: every
+    // 4-gram of the eval docs (doc_id % 211 = 3) is hashed into one broadcast
+    // set and the WHOLE corpus is screened in one shuffle-free pass. The
+    // oracle recomputes the identical 62-bit gram hashes per position on both
+    // sides and re-derives every hit's window/distinct-gram/first-position
+    // accounting, so a missed window, a phantom hit, or an off-by-one in the
+    // rolling window all fail the hash.
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = docTable(s, dir)
+      val evalSeqs = docs.where($"doc_id" % 211 === 3 && $"n_tok" >= 4)
+      graft.ops.Decontaminate.screen(docs, evalSeqs, n = 4).orderBy($"doc_id")
+    }),
+
     // DSv2 source under a broadcast join (the runtime-filtering shape: the
     // dim side's doc_ids can be pushed into the scan at execution time);
     // per-source totals must match DuckDB's raw recomputation
@@ -2025,6 +2039,34 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id, source, n_tok FROM tok
          |      WHERE doc_id IN (SELECT doc_id FROM matches))
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_decontaminate" -> {
+      // the 62-bit gram hash of toks[p..p+3] — the exact twin of
+      // Decontaminate.gramHash (XHash.fold over raw token values)
+      val gh =
+        s"CAST(list_reduce(list_prepend(CAST(${X.FoldInit} AS BIGINT), toks[p:p+3]), " +
+          s"(h, v) -> ${X.sqlFoldStep("h", "v")}) AS BIGINT)"
+      s"""$CTE, docs AS (
+         |  SELECT doc_id, n_tok, list(token ORDER BY pos) AS toks
+         |  FROM tok GROUP BY doc_id, n_tok
+         |), evalpos AS (
+         |  SELECT toks, unnest(generate_series(1, n_tok - 3)) AS p
+         |  FROM docs WHERE n_tok >= 4 AND doc_id % 211 = 3
+         |), eval_grams AS (
+         |  SELECT DISTINCT $gh AS g FROM evalpos
+         |), cpos AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, n_tok - 3)) AS p
+         |  FROM docs WHERE n_tok >= 4
+         |), cgrams AS (
+         |  SELECT doc_id, p, $gh AS g FROM cpos
+         |)
+         |SELECT c.doc_id AS doc_id,
+         |       count(*) AS n_hit_windows,
+         |       CAST(count(DISTINCT c.g) AS BIGINT) AS n_hit_grams,
+         |       CAST(min(c.p) AS BIGINT) AS first_pos
+         |FROM cgrams c JOIN eval_grams e ON c.g = e.g
+         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q_token_search" ->
       s"""$CTE
