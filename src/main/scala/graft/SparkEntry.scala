@@ -225,6 +225,9 @@ object SparkEntry {
     graftAppendDirCache.keys.filter(_._1 == id).foreach { k =>
       graftAppendDirCache.remove(k).foreach(deleteDir)
     }
+    graftAdoptDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftAdoptDirCache.remove(k).foreach(deleteDir)
+    }
     graftDeleteDirCache.keys.filter(_._1 == id).foreach { k =>
       graftDeleteDirCache.remove(k).foreach(deleteDir)
     }
@@ -373,6 +376,47 @@ object SparkEntry {
           .where($"doc_id".cast("long") % 7 === 3)
           .withColumn("doc_id", ($"doc_id".cast("long") + 1000000000000L).cast("string"))
           .write.format("graft").mode("append").save(out)
+    }
+
+  private val graftAdoptDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Like [[graftScanDir]], but a SECOND same-tables dir — a re-keyed slice
+    * of the corpus (docs with id % 7 == 2, re-keyed to id + 2*10^12),
+    * encoded through the SHARED symbol tables — is merged in through
+    * [[graft.pipeline.Maintenance.adopt]], the zero-recode merge. The
+    * adopted blocks cross dirs as verbatim bytes (no decode, no re-encode),
+    * so q_adopt_scan's point reads of both original and adopted docs pin
+    * the whole chain (second encode → layout validation → distributed copy
+    * → files_added snapshot commit → manifest heal → DSv2 decode of the
+    * adopted blocks) under the hard DuckDB oracle.
+    */
+  private def graftAdoptDir(s: SparkSession, dir: String): String =
+    cachedGraftDir(graftAdoptDirCache, s, dir, "graft-dsv2-adopt", withLineage = true) {
+      (out, ec) =>
+        import s.implicits._
+        val srcRows = ec.rows
+          .where($"doc_id".cast("long") % 7 === 2)
+          .withColumn("doc_id", ($"doc_id".cast("long") + 2000000000000L).cast("string"))
+          .as[TokenRow]
+        val src = java.nio.file.Files.createTempDirectory("graft-dsv2-adopt-src").toString
+        graft.pipeline.EncodeJob
+          .saveTables(s, src, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
+        GraftPipeline
+          .encode(srcRows, ec.tables, pipelineCfg)
+          .write.mode("overwrite").parquet(s"$src/blocks")
+        val snapDir = java.nio.file.Paths.get(src, "_snapshots")
+        java.nio.file.Files.createDirectories(snapDir)
+        java.nio.file.Files.write(
+          snapDir.resolve("snap-0.json"),
+          s"""{"snapshot_id":0,"parent_id":-1,"bins_added":[${(0 until pipelineCfg.numBins).mkString(",")}]}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ): Unit
+        graft.pipeline.EncodeJob
+          .appendManifest(s, src, (0 until pipelineCfg.numBins).toSet, snapshotId = 0L)
+        val res = graft.pipeline.Maintenance.adopt(s, src, out)
+        require(res.exists(_.filesAdopted > 0), s"adopt under test did not engage ($src -> $out)")
+        deleteDir(src) // adopt copied the bytes; the source fixture is done
     }
 
   private val graftDeleteDirCache =
@@ -1219,6 +1263,32 @@ object SparkEntry {
         .where($"doc_id" % 7 === 3 && $"doc_id" % 997 === 3)
         .select(($"doc_id" + 1000000000000L).cast("string"))
       val ids = baseIds.union(appendedIds).collect().map(_.getString(0))
+      s.read
+        .format("graft")
+        .load(out)
+        .where($"doc_id".isin(ids.toSeq: _*))
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // DSv2 read AFTER a zero-recode merge (Maintenance.adopt): point reads
+    // hit both original docs and docs whose blocks were adopted verbatim
+    // from a second same-tables dir — a mis-copied byte, a wrong bin claim,
+    // or a lineage slip in the files_added snapshot fails the hash
+    "q_adopt_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftAdoptDir(s, dir)
+      val baseIds = docTable(s, dir)
+        .where($"doc_id" % 997 === 0)
+        .select($"doc_id".cast("string"))
+      val adoptedIds = docTable(s, dir)
+        .where($"doc_id" % 7 === 2 && $"doc_id" % 997 === 2)
+        .select(($"doc_id" + 2000000000000L).cast("string"))
+      val ids = baseIds.union(adoptedIds).collect().map(_.getString(0))
       s.read
         .format("graft")
         .load(out)
@@ -2103,6 +2173,16 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id + 1000000000000 AS doc_id, pos, token FROM tok
          |  WHERE doc_id % 7 = 3 AND doc_id % 997 = 3
+         |)
+         |SELECT doc_id, pos, token FROM uni ORDER BY doc_id, pos""".stripMargin,
+
+    "q_adopt_scan" ->
+      s"""$CTE
+         |, uni AS (
+         |  SELECT doc_id, pos, token FROM tok WHERE doc_id % 997 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000000 AS doc_id, pos, token FROM tok
+         |  WHERE doc_id % 7 = 2 AND doc_id % 997 = 2
          |)
          |SELECT doc_id, pos, token FROM uni ORDER BY doc_id, pos""".stripMargin,
 

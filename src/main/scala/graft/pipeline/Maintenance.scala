@@ -1410,6 +1410,209 @@ object Maintenance {
     * delete them. If the snap file exists the tmp is pre-delete debris and
     * is discarded instead.
     */
+  final case class AdoptResult(
+      snapshotId: Long,
+      filesAdopted: Int,
+      bytesAdopted: Long,
+      rowsAdopted: Long,
+      valuesAdopted: Long
+  )
+
+  /** Zero-recode merge: adopt another encode dir's live block files into
+    * this one — the "union two crawls" step of a corpus lifecycle. At
+    * 100 TB, re-encoding a corpus to merge it is the wrong plan by ~five
+    * orders of magnitude: block files are self-contained (bin-keyed,
+    * per-row bit index, optional embedded tables), so a merge is pure byte
+    * movement — file copies (server-side on an object store) plus ONE
+    * snapshot commit. No decode, no entropy coding, no shuffle.
+    *
+    * Adoptability is a layout contract, validated before any byte moves:
+    * same `format_version`, same `(num_bins, salt)` (the bin column in
+    * adopted blocks must mean the same routing — point reads, SPJ and
+    * manifest pruning all key on it; [[rebin]] the source first if it
+    * differs), same `context_model` and `table_hash` (payloads reference
+    * the shared symbol tables; a source with different tables routes
+    * through the DSv2 append instead, which re-encodes). Both dirs must be
+    * fully encoded (every bin in snapshot lineage — the same rule the
+    * append builder enforces), and the SOURCE must have no live deletes
+    * (adopting its files verbatim would resurrect the deleted rows —
+    * [[purgeDeletes]] first). The destination MAY have live deletes:
+    * equality deletes are sequence-scoped, and adopted files postdate
+    * them, so they correctly do not apply to the adopted rows.
+    *
+    * Commit protocol mirrors the DSv2 append exactly: copy into
+    * `_write_staging/` (distributed, one task per file), verify the staged
+    * blocks' recorded `table_hash` against the destination tables
+    * (belt-and-braces against a source whose meta lies), rename into
+    * `blocks/`, then ONE CAS-claimed snapshot with the adopted names as
+    * `files_added` (consumed by time travel, incremental reads and the
+    * streaming source) and the source dir recorded as `adopted_from`.
+    * A pre-snapshot failure rolls the renames back; post-snapshot manifest
+    * claims are advisory (healed by the next append/compaction). The
+    * source dir is never written. Adopted files carry no token-index
+    * entries until the next `build_token_index` run (needle scans keep
+    * them conservatively — `token_stats` shows them as indexed=false).
+    */
+  def adopt(spark: SparkSession, srcDir: String, dstDir: String): Option[AdoptResult] = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = fsOf(srcDir, conf)
+    val dstFs = fsOf(dstDir, conf)
+    val srcQ = srcFs.makeQualified(new Path(srcDir))
+    val dstQ = dstFs.makeQualified(new Path(dstDir))
+    require(srcQ != dstQ, s"adopt: source and destination are the same dir ($srcQ)")
+
+    // complete any committed-but-unhealed rebin on either side first: the
+    // layout fields and live file sets read below must be post-fold
+    healRebin(spark, dstDir)
+    healRebin(spark, srcDir)
+
+    def metaOf(dir: String): MiniJson.JObj =
+      EncodeJob
+        .loadMeta(spark, dir)
+        .getOrElse(throw new IllegalArgumentException(s"$dir is not an encoded graft dir"))
+    val srcMeta = metaOf(srcDir)
+    val dstMeta = metaOf(dstDir)
+    def checkVersion(dir: String, m: MiniJson.JObj): Unit = {
+      val v = m.longOpt("format_version").map(_.toInt)
+      require(
+        v.contains(EncodeJob.FormatVersion),
+        s"$dir blocks format v${v.getOrElse(1)} != engine v${EncodeJob.FormatVersion}"
+      )
+    }
+    checkVersion(srcDir, srcMeta)
+    checkVersion(dstDir, dstMeta)
+    def layoutField(name: String): (Long, Long) = {
+      def of(dir: String, m: MiniJson.JObj) = m
+        .longOpt(name)
+        .getOrElse(throw new IllegalArgumentException(s"$dir records no $name (pre-layout tables)"))
+      (of(srcDir, srcMeta), of(dstDir, dstMeta))
+    }
+    Seq("num_bins", "salt", "table_hash").foreach { f =>
+      val (s, d) = layoutField(f)
+      require(
+        s == d,
+        s"adopt: $f mismatch (source $s, destination $d) — " +
+          (if (f == "table_hash")
+             "different symbol tables; route through the DSv2 append (re-encode) instead"
+           else "rebin the source into the destination's layout first")
+      )
+    }
+    val srcModel = srcMeta.strOpt("context_model").getOrElse("simple")
+    val dstModel = dstMeta.strOpt("context_model").getOrElse("simple")
+    require(
+      srcModel == dstModel,
+      s"adopt: context_model mismatch (source $srcModel, destination $dstModel)"
+    )
+    val numBins = layoutField("num_bins")._2.toInt
+    val expectedHash = layoutField("table_hash")._2
+
+    def checkCovered(dir: String): Unit = {
+      val covered = EncodeJob.loadSnapshots(dir, conf).flatMap(_._2).toSet
+      require(
+        (0 until numBins).forall(covered.contains),
+        s"adopt: $dir is not fully encoded (${(0 until numBins).count(!covered.contains(_))} of " +
+          s"$numBins bins missing from snapshot lineage) — finish EncodeJob.run first"
+      )
+    }
+    checkCovered(srcDir)
+    checkCovered(dstDir)
+
+    val srcDeletes = Deletes.liveDeletes(srcDir, conf, None)
+    require(
+      srcDeletes.isEmpty,
+      s"adopt: $srcDir has ${srcDeletes.totalIds} live deleted ids in ${srcDeletes.live.size} " +
+        "delete file(s) — adopting its blocks verbatim would resurrect them; purge_deletes first"
+    )
+
+    val srcFiles = liveBlockFiles(srcDir, conf)
+    if (srcFiles.isEmpty) return None
+
+    val uid = java.util.UUID.randomUUID().toString
+    val stagingDir = new Path(s"$dstDir/_write_staging/adopt-$uid")
+    dstFs.mkdirs(stagingDir): Unit
+    val plan = srcFiles.zipWithIndex.map { case ((path, size), i) =>
+      (path, f"w-adopt-$uid%s-f$i%05d.parquet", size)
+    }
+
+    // distributed byte copy — the only data movement of the whole merge
+    val stagingStr = stagingDir.toString
+    val sConf = new graft.sources.SerializableHadoopConf(conf)
+    spark.sparkContext
+      .parallelize(plan.toIndexedSeq, math.min(plan.length, spark.sparkContext.defaultParallelism * 2))
+      .foreach { case (src, name, _) =>
+        val c = sConf.value
+        val from = new Path(src)
+        val to = new Path(stagingStr, name)
+        val ok = org.apache.hadoop.fs.FileUtil
+          .copy(from.getFileSystem(c), from, to.getFileSystem(c), to, false, true, c)
+        require(ok, s"adopt: copy $from -> $to failed")
+      }
+
+    // staged-content check + the snapshot's exact row/value/bin accounting,
+    // in one column-pruned metadata pass over the staged files
+    val staged = plan.map(p => s"$stagingStr/${p._2}").toIndexedSeq
+    val stats = spark.read
+      .parquet(staged: _*)
+      .agg(
+        sum($"n_rows").cast("long"),
+        sum($"n_values").cast("long"),
+        min($"table_hash"),
+        max($"table_hash"),
+        collect_set($"bin")
+      )
+      .head()
+    val (rowsAdopted, valuesAdopted) = (stats.getLong(0), stats.getLong(1))
+    require(
+      stats.getLong(2) == expectedHash && stats.getLong(3) == expectedHash,
+      s"adopt: staged blocks record table_hash ${stats.getLong(2)}/${stats.getLong(3)} but the " +
+        s"shared tables hash to $expectedHash — $srcDir's meta.json does not match its blocks"
+    )
+    val binsTouched = stats.getSeq[Int](4).toSet
+
+    val renamed = scala.collection.mutable.ArrayBuffer[String]()
+    val snapshotId =
+      try {
+        plan.foreach { case (_, name, _) =>
+          val dst = new Path(s"$dstDir/blocks", name)
+          require(dstFs.rename(new Path(stagingDir, name), dst), s"adopt: rename to $dst failed")
+          renamed += name
+        }
+        val filesJson =
+          renamed.sorted.map(n => MiniJson.render(MiniJson.JStr(n))).mkString("[", ",", "]")
+        EncodeJob
+          .casWriteSnapshot(
+            spark,
+            dstDir,
+            () => EncodeJob.nextSnapshotId(spark, dstDir),
+            (id, parent) =>
+              s"""{"snapshot_id":$id,"parent_id":$parent,"bins_added":[],
+                 |"files_added":$filesJson,"writer_id":${MiniJson.render(MiniJson.JStr(s"adopt-$uid"))},
+                 |"adopted_from":${MiniJson.render(MiniJson.JStr(srcQ.toString))},
+                 |"n_rows_added":$rowsAdopted,"n_values_added":$valuesAdopted}""".stripMargin
+          )
+          ._1
+      } catch {
+        case err: Throwable =>
+          renamed.foreach(n => scala.util.Try(dstFs.delete(new Path(s"$dstDir/blocks", n), false)))
+          scala.util.Try(dstFs.delete(stagingDir, true))
+          throw err
+      }
+
+    // advisory claims — committed already, a failure here must not fail it
+    try EncodeJob.appendManifest(spark, dstDir, binsTouched, snapshotId)
+    catch {
+      case e: Exception =>
+        System.err.println(
+          s"adopt: snapshot $snapshotId committed but re-manifest failed (${e.getMessage}) — " +
+            "claims for the adopted files stay pending until the next append heals them"
+        )
+    }
+    dstFs.delete(stagingDir, true): Unit
+
+    Some(AdoptResult(snapshotId, renamed.size, plan.map(_._3).sum, rowsAdopted, valuesAdopted))
+  }
+
   private[graft] def repairRebase(fs: FileSystem, outDir: String): Unit = {
     val snapsDir = new Path(s"$outDir/_snapshots")
     if (!fs.exists(snapsDir)) return

@@ -860,6 +860,31 @@ private object GraftCatalog {
     * reads) and must be fresh — packing over an existing corpus is almost
     * certainly an operator mistake, refused rather than mixed.
     */
+  private val adopt = new MaintenanceProcedure(
+    "adopt",
+    Array(in("path", StringType), in("source", StringType)),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = true),
+      StructField("files_adopted", IntegerType, nullable = false),
+      StructField("bytes_adopted", LongType, nullable = false),
+      StructField("rows_adopted", LongType, nullable = false),
+      StructField("values_adopted", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "zero-recode merge: adopt another same-layout encode dir's live block files " +
+        "into this one (file copies + one snapshot commit — no decode/re-encode); " +
+        "requires matching format/bins/salt/tables and a purge-clean source"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      require(!input.isNullAt(1), "source must not be null")
+      Maintenance.adopt(spark, input.getUTF8String(1).toString, pathOf(input)) match {
+        case Some(r) =>
+          InternalRow(r.snapshotId, r.filesAdopted, r.bytesAdopted, r.rowsAdopted, r.valuesAdopted)
+        case None => InternalRow(null, 0, 0L, 0L, 0L)
+      }
+    }
+  }
+
   private val pack = new MaintenanceProcedure(
     "pack",
     Array(
@@ -955,6 +980,7 @@ private object GraftCatalog {
     "delete_docs" -> deleteDocs,
     "purge_deletes" -> purgeDeletes,
     "replace_docs" -> replaceDocs,
-    "pack" -> pack
+    "pack" -> pack,
+    "adopt" -> adopt
   )
 }

@@ -140,7 +140,7 @@ object GraftDataSource {
   * the driver's fs settings (spark.hadoop.*, credentials, endpoints) to the
   * executor-side readers, which would otherwise see only classpath defaults.
   */
-private[sources] final class SerializableHadoopConf(@transient var value: Configuration)
+private[graft] final class SerializableHadoopConf(@transient var value: Configuration)
     extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()

@@ -257,7 +257,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       .catalog("graft")
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("build_token_index", "codec_stats", "compact", "create_tag",
+      Seq("adopt", "build_token_index", "codec_stats", "compact", "create_tag",
         "delete_docs", "drop_tag", "expire_snapshots", "files",
         "pack", "purge_deletes", "rebin", "recompress", "replace_docs",
         "rewrite_manifests", "snapshots", "tags", "token_stats", "vacuum"))
@@ -379,6 +379,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql(s"CALL graft.system.pack(path => '$dir', out => '$out')").head()
     }
     assert(e2.getMessage.contains("not empty"), e2.getMessage)
+  }
+
+  test("CALL adopt: zero-recode merge of a same-layout dir through SQL") {
+    val dst = freshDir()
+    val src = freshDir() // same input + cfg -> identical tables/layout
+    val srcFiles = Maintenance
+      .liveBlockFiles(src, spark.sparkContext.hadoopConfiguration)
+      .length
+    val row = spark
+      .sql(s"CALL graft.system.adopt(path => '$dst', source => '$src')")
+      .head()
+    assert(!row.isNullAt(0)) // snapshot committed
+    assert(row.getInt(1) == srcFiles)
+    assert(row.getLong(3) == 600L)
+    assert(spark.read.format("graft").load(dst).count() == 1200L)
+    // the adopted union still decodes losslessly: distinct rows = the corpus
+    import spark.implicits._
+    val distinctRows = spark.read
+      .format("graft")
+      .load(dst)
+      .select("doc_id", "tokens", "n_tok", "source")
+      .distinct()
+      .as[TokenRow]
+    assert(GraftPipeline.verify(input, distinctRows) == 0L)
   }
 
   test("graft_bin SQL function matches the writer's routing and the _bin metadata column") {
