@@ -1466,6 +1466,80 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Gopher-style intra-document repetition accounting (duplicated words
+    // / word bigrams): one corpus map, NO shuffle — the per-source rollup
+    // is the screen's only aggregation
+    "q_repetition" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Scoring
+        .repetition(s.read.parquet(s"$dir/documents.parquet"), n = 2)
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_words").as("total_words"),
+          sum($"n_dup_words").as("total_dup_words"),
+          sum($"n_grams").as("total_grams"),
+          sum($"n_dup_grams").as("total_dup_grams"),
+          max($"top_gram_cnt").as("max_top_gram")
+        )
+        .orderBy($"source")
+    }),
+
+    // The repetition screen itself: the 10 most internally-repetitive
+    // documents (distributed TakeOrdered — no global sort materializes)
+    "q_repetition_docs" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Scoring
+        .repetition(s.read.parquet(s"$dir/documents.parquet"), n = 2)
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          $"n_grams",
+          $"n_dup_grams",
+          $"top_gram_cnt",
+          $"dup_gram_ppm"
+        )
+        .orderBy($"dup_gram_ppm".desc, $"doc_id")
+        .limit(10)
+    }),
+
+    // Compression cost as quality signal: per-doc quantized unigram
+    // log-loss (bits-per-token under the corpus's own token distribution —
+    // the estimator cost model the encoder runs anyway), rolled up per
+    // source. One 256-cell histogram pass + one map; integer-exact.
+    "q_doc_nll" -> ((s, dir) => {
+      import s.implicits._
+      val cfg1 = GraftPipeline.Config(numContexts = 1, maxBits = Hybrid.DefaultMaxBits)
+      val costs = GraftPipeline.analyze(tokenRows(s, dir), cfg1).costModel(0)
+      graft.ops.Scoring
+        .unigramLogLoss(docTable(s, dir), costs, $"tokens")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"cost_bits").as("sum_cost_bits"),
+          min($"bpt_ppm").as("min_bpt_ppm"),
+          max($"bpt_ppm").as("max_bpt_ppm")
+        )
+        .orderBy($"source")
+    }),
+
+    // Both tails of the bits-per-token distribution — the curation screen:
+    // LOW tail compresses suspiciously well (repetitive/templated), HIGH
+    // tail doesn't fit the corpus (junk/wrong-language). Two distributed
+    // TakeOrdered passes, never a single-partition global sort.
+    "q_nll_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val cfg1 = GraftPipeline.Config(numContexts = 1, maxBits = Hybrid.DefaultMaxBits)
+      val costs = GraftPipeline.analyze(tokenRows(s, dir), cfg1).costModel(0)
+      val scored = graft.ops.Scoring
+        .unigramLogLoss(docTable(s, dir), costs, $"tokens")
+        .select($"doc_id", $"n_tok".cast("long").as("n_tok"), $"cost_bits", $"bpt_ppm")
+      val hi = scored.orderBy($"bpt_ppm".desc, $"doc_id".asc).limit(4).withColumn("tail", lit("high"))
+      val lo = scored.orderBy($"bpt_ppm".asc, $"doc_id".asc).limit(4).withColumn("tail", lit("low"))
+      hi.union(lo)
+        .select($"tail", $"doc_id", $"n_tok", $"cost_bits", $"bpt_ppm")
+        .orderBy($"tail", $"bpt_ppm", $"doc_id")
+    }),
+
     // Training-data ops: BPE-ish subword token counting per language
     "q_subword_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2249,6 +2323,94 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN w.chars_nospace * 100 // w.word_count > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_worded
         |FROM w LEFT JOIN sw USING (doc_id)
         |GROUP BY w.source ORDER BY w.source""".stripMargin,
+
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |wstat AS (
+        |  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_words,
+        |         CAST(len(ws) - len(list_distinct(ws)) AS BIGINT) AS n_dup_words
+        |  FROM w
+        |), g AS (
+        |  SELECT doc_id, ws[j] || ' ' || ws[j+1] AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS j FROM w)
+        |), gcnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |gdoc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |         CAST(sum(c) - count(*) AS BIGINT) AS n_dup_grams,
+        |         CAST(max(c) AS BIGINT) AS top FROM gcnt GROUP BY 1
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST(sum(n_dup_words) AS BIGINT) AS total_dup_words,
+        |  CAST(sum(coalesce(n_grams, 0)) AS BIGINT) AS total_grams,
+        |  CAST(sum(coalesce(n_dup_grams, 0)) AS BIGINT) AS total_dup_grams,
+        |  CAST(max(coalesce(top, 0)) AS BIGINT) AS max_top_gram
+        |FROM wstat LEFT JOIN gdoc USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_repetition_docs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws[j] || ' ' || ws[j+1] AS gram
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS j FROM w)
+        |), gcnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |gdoc AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |         CAST(sum(c) - count(*) AS BIGINT) AS n_dup_grams,
+        |         CAST(max(c) AS BIGINT) AS top FROM gcnt GROUP BY 1
+        |)
+        |SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+        |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |  CAST(coalesce(top, 0) AS BIGINT) AS top_gram_cnt,
+        |  CAST(CASE WHEN coalesce(n_grams, 0) > 0 THEN n_dup_grams * 1000000 // n_grams ELSE 0 END AS BIGINT) AS dup_gram_ppm
+        |FROM w LEFT JOIN gdoc ON w.doc_id = gdoc.doc_id
+        |ORDER BY dup_gram_ppm DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_doc_nll" ->
+      s"""$CTE, hist AS (
+         | SELECT ${duckHybridToken("token")} AS ht, count(*) AS freq FROM tok GROUP BY 1
+         |), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM hist),
+         |costs AS (
+         | SELECT ht, CAST(length(bin(greatest(CAST(floor(total / freq) AS BIGINT), 2))) - 1 AS BIGINT) AS cb
+         | FROM hist, tot
+         |), doc AS (
+         | SELECT t.doc_id, t.source, CAST(max(t.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(c.cb + CASE WHEN t.token < 16 THEN 0 ELSE length(bin(t.token)) - 4 END) AS BIGINT) AS cost_bits
+         | FROM tok t JOIN costs c ON ${duckHybridToken("t.token")} = c.ht
+         | GROUP BY 1, 2
+         |)
+         |SELECT source, count(*) AS n_docs, CAST(sum(cost_bits) AS BIGINT) AS sum_cost_bits,
+         | CAST(min(cost_bits * 1000000 // n_tok) AS BIGINT) AS min_bpt_ppm,
+         | CAST(max(cost_bits * 1000000 // n_tok) AS BIGINT) AS max_bpt_ppm
+         |FROM doc GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_nll_outliers" ->
+      s"""$CTE, hist AS (
+         | SELECT ${duckHybridToken("token")} AS ht, count(*) AS freq FROM tok GROUP BY 1
+         |), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM hist),
+         |costs AS (
+         | SELECT ht, CAST(length(bin(greatest(CAST(floor(total / freq) AS BIGINT), 2))) - 1 AS BIGINT) AS cb
+         | FROM hist, tot
+         |), doc AS (
+         | SELECT t.doc_id, CAST(max(t.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(c.cb + CASE WHEN t.token < 16 THEN 0 ELSE length(bin(t.token)) - 4 END) AS BIGINT) AS cost_bits
+         | FROM tok t JOIN costs c ON ${duckHybridToken("t.token")} = c.ht
+         | GROUP BY 1
+         |), scored AS (
+         | SELECT doc_id, n_tok, cost_bits,
+         |        CAST(cost_bits * 1000000 // n_tok AS BIGINT) AS bpt_ppm FROM doc
+         |), hi AS (
+         | SELECT 'high' AS tail, doc_id, n_tok, cost_bits, bpt_ppm,
+         |        row_number() OVER (ORDER BY bpt_ppm DESC, doc_id) AS r FROM scored
+         |), lo AS (
+         | SELECT 'low' AS tail, doc_id, n_tok, cost_bits, bpt_ppm,
+         |        row_number() OVER (ORDER BY bpt_ppm ASC, doc_id) AS r FROM scored
+         |)
+         |SELECT tail, doc_id, n_tok, cost_bits, bpt_ppm FROM hi WHERE r <= 4
+         |UNION ALL
+         |SELECT tail, doc_id, n_tok, cost_bits, bpt_ppm FROM lo WHERE r <= 4
+         |ORDER BY tail, bpt_ppm, doc_id""".stripMargin,
 
     "q_fingerprints" ->
       s"""WITH fr AS (SELECT doc_id, ${X.sqlHashCharsRaw("text")} AS hr FROM documents)
