@@ -253,13 +253,30 @@ private[sources] class GraftTable(
     * `bin` column for pruning anyway).
     */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_bin"
-      override def dataType(): org.apache.spark.sql.types.DataType = IntegerType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "writer-assigned salted bin: pmod(xxhash64(doc_id, salt), num_bins)"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_bin"
+        override def dataType(): org.apache.spark.sql.types.DataType = IntegerType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "writer-assigned salted bin: pmod(xxhash64(doc_id, salt), num_bins)"
+      },
+      // `_row_bits` — the row's STORED compressed payload size in bits,
+      // straight from the seekable codecs' per-row bit index (O25): the
+      // real compression-cost-per-document signal (`_row_bits / n_tok` =
+      // exact bits-per-token as encoded), read WITHOUT touching the
+      // entropy payload. NULL on blocks whose codec has no per-row index
+      // (lightweight block-level codecs — their per-row size is not
+      // defined); excludes per-block overhead (embedded table headers).
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_row_bits"
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "stored compressed bits of this row's token payload (per-row bit index); " +
+            "null on block-level (non-seekable) codecs"
+      }
+    )
   override def schema(): StructType = GraftDataSource.Schema
   // ACCEPT_ANY_SCHEMA: Spark's byName append check would reject the common
   // nullable-column DataFrame against this non-null schema; the write
@@ -2115,7 +2132,12 @@ private[sources] final class DecodedBlock(
       * tokenPrefix-truncated value under `option("tokenPrefix", k)`. Null
       * when the projection never materializes tokens (like tokenStarts).
       */
-    val emitLens: Array[Int]
+    val emitLens: Array[Int],
+    /** The block's stored per-row bit index (all nRows, indexed by hit row),
+      * only decoded when `_row_bits` is projected; null when not requested
+      * OR the block's codec carries no index (block-level codecs).
+      */
+    val rowBits: Array[Int]
 )
 
 /** Executor-side block reader for one blocks parquet file — the shared
@@ -2180,6 +2202,9 @@ private[sources] abstract class GraftBlockReaderBase(
   private val needTokens = f.requiredFields.contains("tokens") || f.containsToken.isDefined
   private val needNToks =
     needTokens || f.requiredFields.contains("n_tok") || f.ntokPred.isDefined
+  // the _row_bits metadata column reads the per-row bit index WITHOUT the
+  // entropy payload — a metadata-only compression-cost query stays one
+  private val needRowBits = f.requiredFields.contains("_row_bits")
 
   /** This file's token-index entries, multi-valued by (bin, block_seq);
     * None = no complete index → no block skipping (decode everything the
@@ -2207,6 +2232,7 @@ private[sources] abstract class GraftBlockReaderBase(
     if (needDocIds) { wanted += "doc_ids_codec"; wanted += "doc_ids_payload" }
     if (needSources) { wanted += "sources_codec"; wanted += "sources_payload" }
     if (needNToks) { wanted += "n_toks_codec"; wanted += "n_toks_payload" }
+    if (needRowBits) { wanted += "row_bits_codec"; wanted += "row_bits_payload" }
     if (needTokens) {
       wanted += "payload"; wanted += "row_bits_codec"; wanted += "row_bits_payload"
       wanted += "embedded_tables"; wanted += "table_hash"
@@ -2316,6 +2342,14 @@ private[sources] abstract class GraftBlockReaderBase(
     }
     if (hits.isEmpty) return null
     if (nToks == null && needNToks) nToks = decodeNToks()
+
+    // _row_bits projection: the stored per-row bit index, payload untouched
+    var metaRowBits: Array[Int] = null
+    if (needRowBits) {
+      val rbc = stringOf(g, "row_bits_codec")
+      if (rbc != "none")
+        metaRowBits = CodecSelector.decodeIntColumn(rbc, bytesOf(g, "row_bits_payload"), nRows)
+    }
 
     var tokenValues: Array[Int] = null
     var tokenStarts: Array[Int] = null
@@ -2448,7 +2482,7 @@ private[sources] abstract class GraftBlockReaderBase(
     }
     if (outHits.isEmpty) return null
 
-    new DecodedBlock(bin, outHits, docIds, sources, nToks, tokenValues, outStarts, outLens)
+    new DecodedBlock(bin, outHits, docIds, sources, nToks, tokenValues, outStarts, outLens, metaRowBits)
   }
 }
 
@@ -2513,6 +2547,8 @@ private[sources] class GraftPartitionReader(
         case "n_tok"  => out.setInt(i, b.nToks(r))
         case "source" => out.update(i, UTF8String.fromString(b.sources(r)))
         case "_bin"   => out.setInt(i, b.bin) // metadata column
+        case "_row_bits" =>
+          if (b.rowBits == null) out.setNullAt(i) else out.setLong(i, b.rowBits(r).toLong)
         case other    => throw new IllegalArgumentException(s"unknown column $other")
       }
       i += 1
@@ -2562,6 +2598,9 @@ private[sources] class GraftColumnarReader(
       case "n_tok"  => new GraftHitIntVector(blk.nToks, blk.hits)
       case "source" => new GraftStringVector(blk.sources, blk.hits)
       case "_bin"   => new GraftConstIntVector(blk.bin)
+      case "_row_bits" =>
+        if (blk.rowBits == null) new GraftNullLongVector(nHits)
+        else new GraftHitLongVector(blk.rowBits, blk.hits)
       case other    => throw new IllegalArgumentException(s"unknown column $other")
     }
     batch = new ColumnarBatch(cols, nOut)
@@ -2625,6 +2664,24 @@ private[sources] final class GraftHitIntVector(vals: Array[Int], hits: Array[Int
 /** The `_bin` metadata column: constant within one block's batch. */
 private[sources] final class GraftConstIntVector(v: Int) extends GraftVector(IntegerType) {
   override def getInt(i: Int): Int = v
+}
+
+/** The `_row_bits` metadata column on a seekable block: the stored per-row
+  * bit index widened to long, subject to the hit filter.
+  */
+private[sources] final class GraftHitLongVector(vals: Array[Int], hits: Array[Int])
+    extends GraftVector(LongType) {
+  override def getLong(i: Int): Long = vals(hits(i)).toLong
+}
+
+/** `_row_bits` on a block-level (non-seekable) codec: all null — per-row
+  * compressed size is not defined there.
+  */
+private[sources] final class GraftNullLongVector(n: Int) extends GraftVector(LongType) {
+  override def hasNull: Boolean = true
+  override def numNulls: Int = n
+  override def isNullAt(i: Int): Boolean = true
+  override def getLong(i: Int): Long = 0L // null slot; value unread by contract
 }
 
 /** A string column subject to the hit filter (`doc_id`, `source`). */

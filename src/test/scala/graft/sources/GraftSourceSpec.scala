@@ -89,6 +89,44 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(byBin.forall(_.getLong(1) > 0L) && byBin.length <= 8)
   }
 
+  test("_row_bits metadata column: stored per-row index, payload never decoded") {
+    import spark.implicits._
+    // expectation straight from the raw blocks parquet: per doc, the stored
+    // row_bits entry (None on block-level codecs, which carry no index)
+    def expected(dir: String): Map[String, Option[Long]] =
+      spark.read
+        .parquet(s"$dir/blocks")
+        .select("doc_ids_codec", "doc_ids_payload", "row_bits_codec", "row_bits_payload", "n_rows")
+        .collect()
+        .flatMap { r =>
+          val n = r.getInt(4)
+          val ids = graft.codec.StringCodecs.decode(r.getString(0), r.getAs[Array[Byte]](1), n)
+          if (r.getString(2) == "none") ids.map(_ -> (None: Option[Long])).toSeq
+          else {
+            val rb = graft.codec.CodecSelector
+              .decodeIntColumn(r.getString(2), r.getAs[Array[Byte]](3), n)
+            ids.zip(rb.map(b => Option(b.toLong))).toSeq
+          }
+        }
+        .toMap
+    for (dir <- Seq(dirA, dirB)) {
+      val df = spark.read.format("graft").load(dir).select($"doc_id", $"_row_bits")
+      assert(!spark.read.format("graft").load(dir).columns.contains("_row_bits")) // hidden from *
+      val got = df
+        .collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got == expected(dir), s"dir $dir")
+      val scan = findScan(df.queryExecution.executedPlan)
+      assert(metric(scan, GraftMetrics.TokenValuesDecoded) == 0L, "payload must stay untouched")
+    }
+    // dirB is pure hybrid: every row has a stored size — the exact
+    // bits-per-token-as-encoded signal is a metadata-only aggregate
+    val all = spark.read.format("graft").load(dirB).select($"n_tok", $"_row_bits").collect()
+    assert(all.nonEmpty && all.forall(!_.isNullAt(1)))
+    assert(all.map(_.getLong(1)).sum > 0L)
+  }
+
   test("metadata-only query never runs the entropy decoder") {
     import spark.implicits._
     val df = spark.read.format("graft").load(dirA).groupBy($"source").agg(sum($"n_tok").as("t"))
