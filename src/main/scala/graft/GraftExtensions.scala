@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HieToken, PackVarInt, SampleDoc, TokenSum}
+import graft.functions.{HieToken, PackVarInt, SampleDoc, TokenFold, TokenSum}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
@@ -21,6 +21,11 @@ import org.apache.spark.sql.types.LongType
   *                             DuckDB list_sum semantics), codegen'd: the
   *                             unboxed form of
   *                             `aggregate(a, 0L, (s, x) -> s + x)`.
+  *   - `graft_token_fold(a[, seed])` — 62-bit content hash of an array<int>
+  *                             (FNV-1a chain + avalanche in the XHash
+  *                             cross-engine domain), codegen'd: the
+  *                             content-addressing key behind exact corpus
+  *                             dedup; two seeds give a 124-bit key.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -48,6 +53,21 @@ object GraftExtensions {
       FunctionIdentifier("graft_token_sum"),
       new ExpressionInfo(classOf[TokenSum].getName, "graft_token_sum"),
       (args: Seq[Expression]) => TokenSum(one(args, "graft_token_sum"))
+    ),
+    (
+      FunctionIdentifier("graft_token_fold"),
+      new ExpressionInfo(classOf[TokenFold].getName, "graft_token_fold"),
+      (args: Seq[Expression]) => {
+        require(
+          args.length == 1 || args.length == 2,
+          s"graft_token_fold expects (tokens[, seed]), got ${args.length} arguments"
+        )
+        val seed =
+          if (args.length == 2)
+            Cast(args(1), LongType)
+          else org.apache.spark.sql.catalyst.expressions.Literal(0L)
+        TokenFold(args.head, seed)
+      }
     ),
     (
       FunctionIdentifier("graft_sample"),

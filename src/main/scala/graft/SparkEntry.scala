@@ -240,6 +240,12 @@ object SparkEntry {
     graftSqlDeleteDirCache.keys.filter(_._1 == id).foreach { k =>
       graftSqlDeleteDirCache.remove(k).foreach(deleteDir)
     }
+    graftDedupDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftDedupDirCache.remove(k).foreach(deleteDir)
+    }
+    graftRebinDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftRebinDirCache.remove(k).foreach(deleteDir)
+    }
     packCache.keys.filter(_._1 == id).foreach(packCache.remove)
     packHandles.remove(id).foreach(_.foreach(_.apply()))
   }
@@ -503,6 +509,35 @@ object SparkEntry {
           .as[graft.pipeline.TokenRow]
         val res = graft.pipeline.Deletes.replaceDocs(s, out, replacements)
         require(res.exists(_.nDocs > 0), s"replace under test touched no docs on $out")
+    }
+
+  private val graftDedupDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Like [[graftAppendDir]], but the appended slice (id % 23 == 1, re-keyed
+    * to id + 3·10^12) carries IDENTICAL token content — planted exact
+    * duplicates — and then [[graft.pipeline.Maintenance.dedupExact]] runs:
+    * per identical-token group only the lexicographically-smallest doc_id
+    * survives (plain string order, so ids starting '1'/'2' keep the
+    * original and ids starting '4'..'9' keep the '3…' copy — both keeper
+    * directions occur). q_corpus_dedup reads the survivors back token-for-
+    * token, so the whole chain (content hashing via the codegen'd
+    * token_fold, the 124-bit group-by, the min-id keeper rule, the
+    * equality-delete commit, and the scan's delete application) sits under
+    * the hard DuckDB oracle, which recomputes the keeper set by grouping on
+    * the token LISTS themselves — a degenerate hash (collisions) or a
+    * wrong keeper rule fails the comparison.
+    */
+  private def graftDedupDir(s: SparkSession, dir: String): String =
+    cachedGraftDir(graftDedupDirCache, s, dir, "graft-dsv2-dedup", withLineage = true) {
+      (out, ec) =>
+        import s.implicits._
+        ec.rows
+          .where($"doc_id".cast("long") % 23 === 1)
+          .withColumn("doc_id", ($"doc_id".cast("long") + 3000000000000L).cast("string"))
+          .write.format("graft").mode("append").save(out)
+        val res = graft.pipeline.Maintenance.dedupExact(s, out)
+        require(res.docsDeleted > 0, s"dedup under test deleted nothing on $out")
     }
 
   /** Full encode->decode->verify of the derived token table; the engine's
@@ -956,6 +991,50 @@ object SparkEntry {
           sum(size($"tokens").cast("long")).as("n_values")
         )
         .orderBy($"source")
+    }),
+
+    // the content-addressing hash (graft_token_fold, two seeds = the
+    // 124-bit exact-dedup key) over the full decode scan for a sampled doc
+    // set — DuckDB recomputes the unsigned-widened FNV chain + avalanche
+    // finisher with list_reduce/HUGEINT arithmetic, pinning the codegen'd
+    // fold value-for-value in the 62-bit cross-engine domain
+    "q_token_fold" -> ((s, dir) => {
+      import s.implicits._
+      s.read
+        .format("graft")
+        .load(graftScanDir(s, dir))
+        .where($"doc_id".cast("long") % 97 === 0)
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          graft.functions.TokenFold.token_fold($"tokens", 0L).as("h0"),
+          graft.functions.TokenFold.token_fold($"tokens", 7L).as("h7")
+        )
+        .orderBy($"doc_id")
+    }),
+
+    // exact corpus dedup end-to-end: planted duplicate docs (id % 23 == 1
+    // re-keyed to id + 3e12, same tokens) are appended, then
+    // CALL graft.system.dedup_exact-equivalent runs (content hash group-by,
+    // min-doc_id keeper, ONE equality-delete snapshot) and the survivors are
+    // read back token-for-token. DuckDB recomputes the keeper set by
+    // grouping on the token LISTS themselves — hash collisions, a wrong
+    // keeper rule, or a mis-applied delete all fail the hash comparison
+    "q_corpus_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftDedupDir(s, dir)
+      s.read
+        .format("graft")
+        .load(out)
+        .where(
+          ($"doc_id".cast("long") % 3000000000000L) % 23 === 1 ||
+            $"doc_id".cast("long") % 599 === 0
+        )
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
     }),
 
     // Context-window truncation at the source (option("tokenPrefix", k)):
@@ -2077,6 +2156,42 @@ object SparkEntry {
       s"""$CTE
          |SELECT source, CAST(sum(token) AS BIGINT) AS token_sum, count(*) AS n_values
          |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_token_fold" -> {
+      import graft.functions.TokenFold
+      s"""$CTE
+         |, docs AS (
+         |  SELECT doc_id, list(token ORDER BY pos) AS toks
+         |  FROM tok WHERE doc_id % 97 = 0 GROUP BY doc_id
+         |), raws AS (
+         |  SELECT doc_id,
+         |         ${TokenFold.oracleSqlRawExpr("toks", 0L)} AS r0,
+         |         ${TokenFold.oracleSqlRawExpr("toks", 7L)} AS r7
+         |  FROM docs
+         |)
+         |SELECT doc_id, ${graft.ops.XHash.sqlMix62("r0")} AS h0,
+         |       ${graft.ops.XHash.sqlMix62("r7")} AS h7
+         |FROM raws ORDER BY doc_id""".stripMargin
+    },
+
+    "q_corpus_dedup" ->
+      s"""$CTE
+         |, uni AS (
+         |  SELECT doc_id, pos, token, n_tok FROM tok
+         |  UNION ALL
+         |  SELECT doc_id + 3000000000000 AS doc_id, pos, token, n_tok
+         |  FROM tok WHERE doc_id % 23 = 1
+         |), docs AS (
+         |  SELECT doc_id, n_tok, list(token ORDER BY pos) AS toks
+         |  FROM uni GROUP BY doc_id, n_tok
+         |), keepers AS (
+         |  SELECT min(CAST(doc_id AS VARCHAR)) AS keeper
+         |  FROM docs GROUP BY toks, n_tok
+         |)
+         |SELECT doc_id, pos, token FROM uni
+         |WHERE CAST(doc_id AS VARCHAR) IN (SELECT keeper FROM keepers)
+         |  AND ((doc_id % 3000000000000) % 23 = 1 OR doc_id % 599 = 0)
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_prefix_scan" ->
       s"""$CTE, pd AS (

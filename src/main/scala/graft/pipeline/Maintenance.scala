@@ -1613,6 +1613,85 @@ object Maintenance {
     Some(AdoptResult(snapshotId, renamed.size, plan.map(_._3).sum, rowsAdopted, valuesAdopted))
   }
 
+  /** Exact-duplicate corpus dedup as ONE maintenance verb: find every group
+    * of documents whose `tokens` arrays are identical and commit an equality
+    * delete of all but one (`CALL graft.system.dedup_exact(path)`) — the
+    * first pass of a web-scale curation pipeline (empty pages, error pages,
+    * boilerplate mirrors), composed from the engine's own primitives so it
+    * inherits their scale posture:
+    *
+    *   - Content identity is a 124-bit key: two independent
+    *     [[graft.functions.TokenFold]] 62-bit chains (seeds 0 and 1) plus
+    *     `n_tok`. The group-by therefore shuffles ~30 bytes per document —
+    *     never the token payload (grouping by the arrays themselves would
+    *     ship the corpus). At 10^12 docs the expected hash-collision count
+    *     is ~5e-14; a collision's cost is one wrongly-deleted doc, the
+    *     tradeoff every web-scale dedup (MinHash included) already makes.
+    *   - KEEPER RULE: the lexicographically smallest `doc_id` per group
+    *     (plain ASCII string order — deterministic, engine-independent, and
+    *     recomputable by the DuckDB oracle with `min(doc_id)` on VARCHAR).
+    *   - Hot keys (a boilerplate doc duplicated 10^8 times) stream: the
+    *     keeper/count aggregate combines map-side, and the join-back that
+    *     names the losers builds on the ONE keeper row per group while the
+    *     member stream flows through — no per-group materialization
+    *     (the round-3 `collect_list` lesson).
+    *   - The commit is a merge-on-read equality delete
+    *     ([[Deletes.deleteDocs]], one bin-sorted parquet + one CAS-claimed
+    *     snapshot): no data file moves, readers hide the losers immediately,
+    *     the physical rewrite is [[purgeDeletes]]' amortized job — exactly
+    *     how a 100 TB dedup must land (rewriting half the corpus inline
+    *     would be the week-long job this engine exists to avoid).
+    *
+    * Reads through the DSv2 relation, so live deletes are respected (an
+    * already-deleted doc can neither keep nor lose) and time travel still
+    * shows the pre-dedup corpus at earlier snapshots. Idempotent: a second
+    * run finds no groups and commits nothing. The per-doc hash pass is one
+    * full decode scan — the same cost any content pass pays.
+    */
+  final case class DedupExactResult(
+      snapshotId: Option[Long],
+      dupGroups: Long,
+      docsDeleted: Long
+  )
+
+  def dedupExact(spark: SparkSession, outDir: String): DedupExactResult = {
+    import spark.implicits._
+    val hashed = spark.read
+      .format("graft")
+      .load(outDir)
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        graft.functions.TokenFold.token_fold(col("tokens"), 0L).as("h1"),
+        graft.functions.TokenFold.token_fold(col("tokens"), 1L).as("h2")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupGroups = hashed
+        .groupBy("h1", "h2", "n_tok")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .where(col("n_copies") > 1)
+      // materialize the hash pass (and the group count) BEFORE the delete
+      // commits — a cache eviction after the commit would otherwise rescan
+      // the post-delete corpus
+      val groups = dupGroups.count()
+      if (groups == 0L) DedupExactResult(None, 0L, 0L)
+      else {
+        val losers = hashed
+          .join(dupGroups, Seq("h1", "h2", "n_tok"))
+          .where(col("doc_id") =!= col("keeper"))
+          .select(col("doc_id"))
+          .as[String]
+        val res = Deletes.deleteDocs(spark, outDir, losers)
+        DedupExactResult(
+          res.map(_.snapshotId),
+          groups,
+          res.map(_.idsRecorded).getOrElse(0L)
+        )
+      }
+    } finally hashed.unpersist(): Unit
+  }
+
   private[graft] def repairRebase(fs: FileSystem, outDir: String): Unit = {
     val snapsDir = new Path(s"$outDir/_snapshots")
     if (!fs.exists(snapsDir)) return

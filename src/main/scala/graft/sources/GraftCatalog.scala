@@ -962,8 +962,28 @@ private object GraftCatalog {
     }
   }
 
+  private val dedupExact = new MaintenanceProcedure(
+    "dedup_exact",
+    Array(in("path", StringType)),
+    StructType(Seq(
+      StructField("snapshot", LongType, nullable = true),
+      StructField("dup_groups", LongType, nullable = false),
+      StructField("docs_deleted", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "delete every exact-duplicate document (identical tokens) except the " +
+        "lexicographically smallest doc_id per group, as one merge-on-read " +
+        "equality-delete snapshot; purge_deletes amortizes the physical rewrite"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val r = Maintenance.dedupExact(spark, pathOf(input))
+      InternalRow(r.snapshotId.map(Long.box).orNull, r.dupGroups, r.docsDeleted)
+    }
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
+    "dedup_exact" -> dedupExact,
     "build_token_index" -> buildTokenIndex,
     "recompress" -> recompress,
     "rebin" -> rebin,
