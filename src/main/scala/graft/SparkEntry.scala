@@ -243,6 +243,9 @@ object SparkEntry {
     graftDedupDirCache.keys.filter(_._1 == id).foreach { k =>
       graftDedupDirCache.remove(k).foreach(deleteDir)
     }
+    graftNearDupDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftNearDupDirCache.remove(k).foreach(deleteDir)
+    }
     graftRebinDirCache.keys.filter(_._1 == id).foreach { k =>
       graftRebinDirCache.remove(k).foreach(deleteDir)
     }
@@ -538,6 +541,39 @@ object SparkEntry {
           .write.format("graft").mode("append").save(out)
         val res = graft.pipeline.Maintenance.dedupExact(s, out)
         require(res.docsDeleted > 0, s"dedup under test deleted nothing on $out")
+    }
+
+  private val graftNearDupDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Like [[graftDedupDir]], but the planted copies are NEAR duplicates —
+    * docs with id % 41 == 3 and n_tok >= 14, re-keyed to id + 4·10^12 with
+    * the last TWO tokens dropped (token-shingle Jaccard ≈ (m-2)/m, above
+    * the 0.7 threshold for these lengths) — and the verb under test is
+    * [[graft.pipeline.Maintenance.dedupNear]]: MinHash+LSH over token
+    * 4-gram shingles, exact-Jaccard verification, connected components,
+    * min-doc_id keeper, one equality-delete snapshot. q_corpus_neardup
+    * reads the survivors back token-for-token while the DuckDB oracle
+    * recomputes the ENTIRE chain — gram shingles, 64 minhash permutations,
+    * band buckets, the salt-capped candidate join (ordered over VARCHAR
+    * ids, exactly the engine's string sort), exact intersections, the 0.7
+    * integer-threshold filter, and the transitive closure's min-string-id
+    * keeper rule — so a drift anywhere in signatures, banding, pairing,
+    * clustering, or delete application fails the hash comparison.
+    */
+  private def graftNearDupDir(s: SparkSession, dir: String): String =
+    cachedGraftDir(graftNearDupDirCache, s, dir, "graft-dsv2-neardup", withLineage = true) {
+      (out, ec) =>
+        import s.implicits._
+        ec.rows
+          .where($"doc_id".cast("long") % 41 === 3 && $"n_tok" >= 14)
+          .withColumn("tokens", expr("slice(tokens, 1, n_tok - 2)"))
+          .withColumn("n_tok", ($"n_tok" - 2).cast("int"))
+          .withColumn("doc_id", ($"doc_id".cast("long") + 4000000000000L).cast("string"))
+          .as[TokenRow]
+          .write.format("graft").mode("append").save(out)
+        val res = graft.pipeline.Maintenance.dedupNear(s, out, threshold = 0.7)
+        require(res.docsDeleted > 0, s"near-dedup under test deleted nothing on $out")
     }
 
   /** Full encode->decode->verify of the derived token table; the engine's
@@ -1019,6 +1055,30 @@ object SparkEntry {
     // read back token-for-token. DuckDB recomputes the keeper set by
     // grouping on the token LISTS themselves — hash collisions, a wrong
     // keeper rule, or a mis-applied delete all fail the hash comparison
+    // NEAR-dup corpus dedup end-to-end: truncated near-copies are planted,
+    // dedup_near runs (token-shingle MinHash+LSH -> exact Jaccard at 0.7 ->
+    // components -> one equality-delete snapshot), and the survivors are
+    // read back token-for-token against DuckDB's recomputation of the FULL
+    // chain (shingles, 64 permutations, banding, salt caps over VARCHAR
+    // order, exact intersections, transitive-closure keeper rule)
+    "q_corpus_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftNearDupDir(s, dir)
+      s.read
+        .format("graft")
+        .load(out)
+        .where(
+          ($"doc_id".cast("long") % 4000000000000L) % 41 === 3 ||
+            $"doc_id".cast("long") % 701 === 0
+        )
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
     "q_corpus_dedup" -> ((s, dir) => {
       import s.implicits._
       val out = graftDedupDir(s, dir)
@@ -2172,6 +2232,66 @@ object SparkEntry {
          |SELECT doc_id, ${graft.ops.XHash.sqlMix62("r0")} AS h0,
          |       ${graft.ops.XHash.sqlMix62("r7")} AS h7
          |FROM raws ORDER BY doc_id""".stripMargin
+    },
+
+    "q_corpus_neardup" -> {
+      // the token 4-gram hash (Decontaminate.gramHash twin, as in
+      // q_decontaminate) over each doc's token list
+      val gh =
+        s"CAST(list_reduce(list_prepend(CAST(${X.FoldInit} AS BIGINT), toks[p:p+3]), " +
+          s"(h, v) -> ${X.sqlFoldStep("h", "v")}) AS BIGINT)"
+      s"""WITH RECURSIVE ${CTE.stripPrefix("WITH ")}
+         |, uni AS (
+         |  SELECT doc_id, pos, token, n_tok FROM tok
+         |  UNION ALL
+         |  SELECT doc_id + 4000000000000 AS doc_id, pos, token, n_tok - 2 AS n_tok
+         |  FROM tok WHERE doc_id % 41 = 3 AND n_tok >= 14 AND pos <= n_tok - 2
+         |), docsl AS (
+         |  SELECT doc_id, n_tok, list(token ORDER BY pos) AS toks
+         |  FROM uni GROUP BY doc_id, n_tok
+         |), gpos AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, n_tok - 3)) AS p
+         |  FROM docsl WHERE n_tok >= 4
+         |), shingles AS (SELECT DISTINCT doc_id, $gh AS shingle FROM gpos),
+         |shsize AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+         |salts AS (SELECT i, ${X.sqlMix62("(24301 + i)")} AS salt FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+         |sigv AS (SELECT s.doc_id, t.i, min(${X.sqlMix62("xor(s.shingle, t.salt)")}) AS sig
+         |         FROM shingles s, salts t GROUP BY 1, 2),
+         |alldocs AS (SELECT DISTINCT doc_id FROM uni),
+         |sigfull AS (SELECT d.doc_id, t.i, coalesce(v.sig, ${X.Mask62}) AS sig
+         |            FROM alldocs d CROSS JOIN salts t
+         |            LEFT JOIN sigv v ON v.doc_id = d.doc_id AND v.i = t.i),
+         |buckets AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         list_reduce(list_prepend(xor(CAST(${X.FoldInit} AS BIGINT), i // 4), list(sig ORDER BY i)),
+         |                     (h, v) -> ${X.sqlFoldStep("h", "v")}) AS bucket
+         |  FROM sigfull GROUP BY doc_id, band
+         |),
+         |kept AS (SELECT *, (row_number() OVER (PARTITION BY band, bucket ORDER BY CAST(doc_id AS VARCHAR)) - 1) // 1024 AS salt
+         |         FROM buckets),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM kept a JOIN kept b USING (band, bucket, salt) WHERE a.doc_id < b.doc_id),
+         |inters AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |           FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM cand c
+         |  LEFT JOIN inters i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  LEFT JOIN shsize sa ON sa.doc_id = c.doc_a
+         |  LEFT JOIN shsize sb ON sb.doc_id = c.doc_b
+         |  WHERE coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0) > 0
+         |    AND coalesce(i.inter, 0) >= (coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0) - coalesce(i.inter, 0)) * 0.7
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |losers AS (SELECT DISTINCT a AS doc_id FROM reach
+         |           WHERE CAST(b AS VARCHAR) < CAST(a AS VARCHAR))
+         |SELECT doc_id, pos, token FROM uni
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |  AND ((doc_id % 4000000000000) % 41 = 3 OR doc_id % 701 = 0)
+         |ORDER BY doc_id, pos""".stripMargin
     },
 
     "q_corpus_dedup" ->

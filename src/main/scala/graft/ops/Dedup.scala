@@ -75,7 +75,17 @@ object Dedup {
     * oracle's coalesce default — NOT Long.MaxValue, which exceeds the
     * cross-engine domain).
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int = 64, shingleN: Int = 3): DataFrame =
+    minhashFromShingles(
+      docs.withColumn("shingles", TextOps.shingleUdf(shingleN)(TextOps.wordsCol(col("text")))),
+      k
+    )
+
+  /** MinHash signatures over an already-shingled frame (doc_id, shingles:
+    * array<long>) — the shared back half of [[minhashSignatures]] and the
+    * token-shingle path ([[tokenShingles]] + the corpus near-dedup verb).
+    */
+  def minhashFromShingles(shingled: DataFrame, k: Int = 64): DataFrame = {
     val salts = Array.tabulate(k)(minhashSalt)
     val sigUdf = udf { shingles: Seq[Long] =>
       if (shingles == null || shingles.isEmpty) Array.fill(k)(XHash.Mask62)
@@ -92,10 +102,36 @@ object Dedup {
         sig
       }
     }
-    docs
-      .withColumn("shingles", TextOps.shingleUdf(shingleN)(TextOps.wordsCol(col("text"))))
+    shingled
       .withColumn("minhash", sigUdf(col("shingles")))
       .select(col("doc_id"), col("shingles"), col("minhash"))
+  }
+
+  /** Distinct token n-gram shingles per document — the token-stream analog
+    * of the word shingles: each consecutive n-window folds through
+    * [[Decontaminate.gramHash]] (XHash.fold over raw token values, the same
+    * rule the eval-set screen uses, so the DuckDB twin is the proven
+    * `list_reduce(list_prepend(FoldInit, toks[p:p+n-1]), sqlFoldStep)`).
+    * Docs shorter than n yield an empty set (the sentinel-signature case).
+    */
+  def tokenShingles(corpus: DataFrame, n: Int = 4): DataFrame = {
+    val shUdf = udf { tokens: Seq[Int] =>
+      if (tokens == null || tokens.length < n) Array.empty[Long]
+      else {
+        val arr = new Array[Long](tokens.length)
+        var i = 0
+        while (i < arr.length) { arr(i) = tokens(i).toLong; i += 1 }
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        var p = 0
+        while (p + n <= arr.length) { seen.add(Decontaminate.gramHash(arr, p, n)): Unit; p += 1 }
+        val out = new Array[Long](seen.size)
+        val it = seen.iterator()
+        var j = 0
+        while (it.hasNext) { out(j) = it.next(); j += 1 }
+        out
+      }
+    }
+    corpus.select(col("doc_id"), shUdf(col("tokens")).as("shingles"))
   }
 
   /** LSH banding: split the k-signature into `bands` bands of k/bands rows;

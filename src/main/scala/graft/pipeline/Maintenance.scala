@@ -1692,6 +1692,90 @@ object Maintenance {
     } finally hashed.unpersist(): Unit
   }
 
+  /** NEAR-duplicate corpus dedup as one verb
+    * (`CALL graft.system.dedup_near(path[, threshold])`): MinHash+LSH over
+    * TOKEN n-gram shingles, exact-Jaccard verification at `threshold`,
+    * connected-component resolution, and ONE merge-on-read equality-delete
+    * snapshot keeping the lexicographically-smallest doc_id per cluster —
+    * the boilerplate/template pass that exact dedup misses, run directly on
+    * the compressed corpus. Every stage is an existing proven primitive:
+    *
+    *   - shingles = [[graft.ops.Dedup.tokenShingles]] (the eval-screen's
+    *     gram-hash rule), signatures/banding/candidates =
+    *     [[graft.ops.Dedup.minhashFromShingles]] /
+    *     [[graft.ops.Dedup.lshCandidatePairs]] — bucket equi-joins with
+    *     deterministic salt-split caps, never an all-pairs compare;
+    *   - candidates verify by EXACT shingle-set Jaccard
+    *     ([[graft.ops.Dedup.jaccard]], integer threshold test), so LSH is
+    *     recall-only — a false bucket collision cannot delete a document;
+    *   - near-similarity is not transitive, so pairs resolve to components
+    *     ([[graft.ops.Dedup.resolveClusters]], min-label propagation, one
+    *     shuffle per round) and exactly one doc per component survives.
+    *
+    * Cost: one decode scan + signature pass over ~k·8 bytes/doc, bucket
+    * joins over doc-count-sized rows — the payload never shuffles. The
+    * delete commits like [[dedupExact]]'s (no data files move). NOT
+    * guaranteed single-pass-complete under hot-bucket salt caps: deleting
+    * losers can regroup a capped bucket's salt windows and expose pairs a
+    * first pass never compared (recall, never precision) — re-run until
+    * `docsDeleted == 0` for a fixpoint; on healthy (non-degenerate) corpora
+    * one pass is the fixpoint, and a second run costs one scan + hash pass.
+    */
+  final case class DedupNearResult(
+      snapshotId: Option[Long],
+      nPairs: Long,
+      nClusters: Long,
+      docsDeleted: Long
+  )
+
+  def dedupNear(
+      spark: SparkSession,
+      outDir: String,
+      threshold: Double = 0.7,
+      shingleN: Int = 4,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1024
+  ): DedupNearResult = {
+    import spark.implicits._
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0, 1], got $threshold")
+    val shingled = graft.ops.Dedup
+      .tokenShingles(
+        spark.read.format("graft").load(outDir).select(col("doc_id"), col("tokens")),
+        shingleN
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = graft.ops.Dedup.minhashFromShingles(shingled, k)
+      val cands = graft.ops.Dedup.lshCandidatePairs(sigs, bands, maxBucket)
+      // integer-exact threshold test (the minhashNearDups rule)
+      val pairs = graft.ops.Dedup
+        .jaccard(cands, shingled)
+        .where(col("uni") > 0 && col("inter").cast("double") >= col("uni") * threshold)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nPairs = pairs.count()
+        if (nPairs == 0L) DedupNearResult(None, 0L, 0L, 0L)
+        else {
+          val labels = graft.ops.Dedup.resolveClusters(pairs)
+          val nClusters = labels.select(col("cluster")).distinct().count()
+          val losers = labels
+            .where(col("doc_id") =!= col("cluster"))
+            .select(col("doc_id"))
+            .as[String]
+          val res = Deletes.deleteDocs(spark, outDir, losers)
+          DedupNearResult(
+            res.map(_.snapshotId),
+            nPairs,
+            nClusters,
+            res.map(_.idsRecorded).getOrElse(0L)
+          )
+        }
+      } finally pairs.unpersist(): Unit
+    } finally shingled.unpersist(): Unit
+  }
+
   private[graft] def repairRebase(fs: FileSystem, outDir: String): Unit = {
     val snapsDir = new Path(s"$outDir/_snapshots")
     if (!fs.exists(snapsDir)) return

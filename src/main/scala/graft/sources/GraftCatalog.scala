@@ -981,9 +981,41 @@ private object GraftCatalog {
     }
   }
 
+  private val dedupNear = new MaintenanceProcedure(
+    "dedup_near",
+    Array(
+      in("path", StringType),
+      inDflt("threshold", DoubleType, "0.7D"),
+      inDflt("shingle_n", IntegerType, "4"),
+      inDflt("max_bucket", IntegerType, "1024")
+    ),
+    StructType(Seq(
+      StructField("snapshot", LongType, nullable = true),
+      StructField("n_pairs", LongType, nullable = false),
+      StructField("n_clusters", LongType, nullable = false),
+      StructField("docs_deleted", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "delete near-duplicate documents (MinHash+LSH over token n-gram shingles, " +
+        "exact-Jaccard verified at threshold, connected components) keeping the " +
+        "smallest doc_id per cluster, as one merge-on-read equality-delete snapshot"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val r = Maintenance.dedupNear(
+        spark,
+        pathOf(input),
+        threshold = input.getDouble(1),
+        shingleN = input.getInt(2),
+        maxBucket = input.getInt(3)
+      )
+      InternalRow(r.snapshotId.map(Long.box).orNull, r.nPairs, r.nClusters, r.docsDeleted)
+    }
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
     "dedup_exact" -> dedupExact,
+    "dedup_near" -> dedupNear,
     "build_token_index" -> buildTokenIndex,
     "recompress" -> recompress,
     "rebin" -> rebin,

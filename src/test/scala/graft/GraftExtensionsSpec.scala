@@ -93,6 +93,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder-time injection path
     assert(GraftExtensions.all.map(_._1.funcName).sorted ==
-      Seq("graft_pack_varint", "graft_sample", "graft_token_sum", "hie_token"))
+      Seq("graft_pack_varint", "graft_sample", "graft_token_fold", "graft_token_sum", "hie_token"))
   }
 }
