@@ -287,7 +287,9 @@ object SparkEntry {
       dir: String,
       prefix: String,
       withLineage: Boolean = false,
-      blockParts: Option[Int] = None
+      blockParts: Option[Int] = None,
+      blocksOf: EncodedCorpus => org.apache.spark.sql.Dataset[graft.pipeline.EncodedBlock] =
+        _.blocks
   )(mutate: (String, EncodedCorpus) => Unit): String = {
     val key = (System.identityHashCode(s), dir)
     cache.get(key) match {
@@ -297,7 +299,8 @@ object SparkEntry {
         val out = java.nio.file.Files.createTempDirectory(prefix).toString
         graft.pipeline.EncodeJob
           .saveTables(s, out, ec.tables.value, pipelineCfg.contextModel, layout = Some(pipelineCfg))
-        blockParts.fold(ec.blocks)(ec.blocks.repartition(_))
+        val blocks = blocksOf(ec)
+        blockParts.fold(blocks)(blocks.repartition(_))
           .write.mode("overwrite").parquet(s"$out/blocks")
         if (withLineage) {
           val snapDir = java.nio.file.Paths.get(out, "_snapshots")
@@ -554,26 +557,52 @@ object SparkEntry {
     * 4-gram shingles, exact-Jaccard verification, connected components,
     * min-doc_id keeper, one equality-delete snapshot. q_corpus_neardup
     * reads the survivors back token-for-token while the DuckDB oracle
-    * recomputes the ENTIRE chain — gram shingles, 64 minhash permutations,
-    * band buckets, the salt-capped candidate join (ordered over VARCHAR
-    * ids, exactly the engine's string sort), exact intersections, the 0.7
-    * integer-threshold filter, and the transitive closure's min-string-id
-    * keeper rule — so a drift anywhere in signatures, banding, pairing,
-    * clustering, or delete application fails the hash comparison.
+    * recomputes the ENTIRE chain — gram shingles, every minhash
+    * permutation, band buckets, the salt-capped candidate join (ordered
+    * over VARCHAR ids, exactly the engine's string sort), exact
+    * intersections, the 0.7 integer-threshold filter, and the transitive
+    * closure's min-string-id keeper rule — so a drift anywhere in
+    * signatures, banding, pairing, clustering, or delete application fails
+    * the hash comparison.
+    *
+    * Oracle tractability bounds the FIXTURE, not the engine: the dir holds
+    * a deterministic 1-in-5 corpus slice (id % 5 == 0) and the verb runs
+    * with k=16 signatures in 4 bands — the same 4-row band width as the
+    * production 64/16 defaults, ~12x fewer HUGEINT mix62 evaluations on
+    * the DuckDB side (the sf0.01 full-corpus 64-permutation oracle
+    * measured 8.7 min; this shape is seconds). Production-default
+    * parameters stay covered by DedupNearSpec.
     */
   private def graftNearDupDir(s: SparkSession, dir: String): String =
-    cachedGraftDir(graftNearDupDirCache, s, dir, "graft-dsv2-neardup", withLineage = true) {
-      (out, ec) =>
-        import s.implicits._
-        ec.rows
-          .where($"doc_id".cast("long") % 41 === 3 && $"n_tok" >= 14)
-          .withColumn("tokens", expr("slice(tokens, 1, n_tok - 2)"))
-          .withColumn("n_tok", ($"n_tok" - 2).cast("int"))
-          .withColumn("doc_id", ($"doc_id".cast("long") + 4000000000000L).cast("string"))
-          .as[TokenRow]
-          .write.format("graft").mode("append").save(out)
-        val res = graft.pipeline.Maintenance.dedupNear(s, out, threshold = 0.7)
-        require(res.docsDeleted > 0, s"near-dedup under test deleted nothing on $out")
+    cachedGraftDir(
+      graftNearDupDirCache,
+      s,
+      dir,
+      "graft-dsv2-neardup",
+      withLineage = true,
+      blocksOf = ec => {
+        import ec.rows.sparkSession.implicits._
+        GraftPipeline.encode(
+          ec.rows.where($"doc_id".cast("long") % 5 === 0),
+          ec.tables,
+          pipelineCfg
+        )
+      }
+    ) { (out, ec) =>
+      import s.implicits._
+      ec.rows
+        .where(
+          $"doc_id".cast("long") % 5 === 0 &&
+            $"doc_id".cast("long") % 41 === 3 && $"n_tok" >= 14
+        )
+        .withColumn("tokens", expr("slice(tokens, 1, n_tok - 2)"))
+        .withColumn("n_tok", ($"n_tok" - 2).cast("int"))
+        .withColumn("doc_id", ($"doc_id".cast("long") + 4000000000000L).cast("string"))
+        .as[TokenRow]
+        .write.format("graft").mode("append").save(out)
+      val res = graft.pipeline.Maintenance
+        .dedupNear(s, out, threshold = 0.7, k = 16, bands = 4)
+      require(res.docsDeleted > 0, s"near-dedup under test deleted nothing on $out")
     }
 
   /** Full encode->decode->verify of the derived token table; the engine's
@@ -2242,10 +2271,11 @@ object SparkEntry {
           s"(h, v) -> ${X.sqlFoldStep("h", "v")}) AS BIGINT)"
       s"""WITH RECURSIVE ${CTE.stripPrefix("WITH ")}
          |, uni AS (
-         |  SELECT doc_id, pos, token, n_tok FROM tok
+         |  SELECT doc_id, pos, token, n_tok FROM tok WHERE doc_id % 5 = 0
          |  UNION ALL
          |  SELECT doc_id + 4000000000000 AS doc_id, pos, token, n_tok - 2 AS n_tok
-         |  FROM tok WHERE doc_id % 41 = 3 AND n_tok >= 14 AND pos <= n_tok - 2
+         |  FROM tok
+         |  WHERE doc_id % 5 = 0 AND doc_id % 41 = 3 AND n_tok >= 14 AND pos <= n_tok - 2
          |), docsl AS (
          |  SELECT doc_id, n_tok, list(token ORDER BY pos) AS toks
          |  FROM uni GROUP BY doc_id, n_tok
@@ -2254,7 +2284,7 @@ object SparkEntry {
          |  FROM docsl WHERE n_tok >= 4
          |), shingles AS (SELECT DISTINCT doc_id, $gh AS shingle FROM gpos),
          |shsize AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
-         |salts AS (SELECT i, ${X.sqlMix62("(24301 + i)")} AS salt FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+         |salts AS (SELECT i, ${X.sqlMix62("(24301 + i)")} AS salt FROM (SELECT unnest(generate_series(0, 15)) AS i)),
          |sigv AS (SELECT s.doc_id, t.i, min(${X.sqlMix62("xor(s.shingle, t.salt)")}) AS sig
          |         FROM shingles s, salts t GROUP BY 1, 2),
          |alldocs AS (SELECT DISTINCT doc_id FROM uni),

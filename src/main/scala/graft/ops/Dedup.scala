@@ -319,7 +319,7 @@ object Dedup {
     * ContextCleaner gets to the GC'd reference) — so walk this dataset's own
     * physical lineage to its persisted ancestor and unpersist that.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit = {
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit = {
     var r: org.apache.spark.rdd.RDD[_] = df.queryExecution.toRdd
     while (r.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
       r.dependencies.nonEmpty) r = r.dependencies.head.rdd

@@ -1759,21 +1759,76 @@ object Maintenance {
         if (nPairs == 0L) DedupNearResult(None, 0L, 0L, 0L)
         else {
           val labels = graft.ops.Dedup.resolveClusters(pairs)
-          val nClusters = labels.select(col("cluster")).distinct().count()
-          val losers = labels
-            .where(col("doc_id") =!= col("cluster"))
-            .select(col("doc_id"))
-            .as[String]
-          val res = Deletes.deleteDocs(spark, outDir, losers)
-          DedupNearResult(
-            res.map(_.snapshotId),
-            nPairs,
-            nClusters,
-            res.map(_.idsRecorded).getOrElse(0L)
-          )
+          try {
+            val nClusters = labels.select(col("cluster")).distinct().count()
+            val losers = labels
+              .where(col("doc_id") =!= col("cluster"))
+              .select(col("doc_id"))
+              .as[String]
+            val res = Deletes.deleteDocs(spark, outDir, losers)
+            DedupNearResult(
+              res.map(_.snapshotId),
+              nPairs,
+              nClusters,
+              res.map(_.idsRecorded).getOrElse(0L)
+            )
+            // the delete write materialized `losers`; the labels checkpoint
+            // (resolveClusters' final round) can be dropped deterministically
+            // instead of waiting on the ContextCleaner
+          } finally graft.ops.Dedup.unpersistCheckpoint(labels)
         }
       } finally pairs.unpersist(): Unit
     } finally shingled.unpersist(): Unit
+  }
+
+  /** Eval-set decontamination as one verb
+    * (`CALL graft.system.decontaminate(path, eval_view[, n][, delete])`):
+    * flag — and optionally DELETE — every corpus document containing any
+    * consecutive token n-gram of the eval set, composing the broadcast
+    * screen ([[graft.ops.Decontaminate.screen]]: eval grams collected
+    * sorted + broadcast, ONE shuffle-free corpus pass, output eval-sized)
+    * with the merge-on-read equality-delete commit. `delete = false` is
+    * the review mode (counts only, nothing committed); `delete = true`
+    * commits the flagged ids as one snapshot — time travel still reads the
+    * pre-decontamination corpus, and the physical rewrite is
+    * [[purgeDeletes]]' amortized job, exactly like the dedup verbs.
+    */
+  final case class DecontaminateResult(
+      snapshotId: Option[Long],
+      docsFlagged: Long,
+      docsDeleted: Long
+  )
+
+  def decontaminate(
+      spark: SparkSession,
+      outDir: String,
+      evalSeqs: org.apache.spark.sql.DataFrame,
+      n: Int = 4,
+      delete: Boolean = false
+  ): DecontaminateResult = {
+    import spark.implicits._
+    val corpus = spark.read.format("graft").load(outDir).select(col("doc_id"), col("tokens"))
+    val hits = graft.ops.Decontaminate
+      .screen(corpus, evalSeqs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // materialize the flag pass before any delete commits (the dedup
+      // verbs' cache-eviction rule)
+      val flagged = hits.count()
+      if (!delete || flagged == 0L) DecontaminateResult(None, flagged, 0L)
+      else {
+        val res = Deletes.deleteDocs(
+          spark,
+          outDir,
+          hits.select(col("doc_id").cast("string")).as[String]
+        )
+        DecontaminateResult(
+          res.map(_.snapshotId),
+          flagged,
+          res.map(_.idsRecorded).getOrElse(0L)
+        )
+      }
+    } finally hits.unpersist(): Unit
   }
 
   private[graft] def repairRebase(fs: FileSystem, outDir: String): Unit = {

@@ -1012,8 +1012,41 @@ private object GraftCatalog {
     }
   }
 
+  private val decontaminate = new MaintenanceProcedure(
+    "decontaminate",
+    Array(
+      in("path", StringType),
+      in("eval_view", StringType),
+      inDflt("n", IntegerType, "4"),
+      inDflt("delete", BooleanType, "false")
+    ),
+    StructType(Seq(
+      StructField("snapshot", LongType, nullable = true),
+      StructField("docs_flagged", LongType, nullable = false),
+      StructField("docs_deleted", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "flag (and with delete => true, equality-delete) every corpus doc " +
+        "containing any consecutive token n-gram of the named eval view's " +
+        "tokens column — broadcast screen, one shuffle-free corpus pass"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      require(!input.isNullAt(1), "eval_view must not be null")
+      val eval = spark.table(input.getUTF8String(1).toString)
+      val r = Maintenance.decontaminate(
+        spark,
+        pathOf(input),
+        eval,
+        n = input.getInt(2),
+        delete = input.getBoolean(3)
+      )
+      InternalRow(r.snapshotId.map(Long.box).orNull, r.docsFlagged, r.docsDeleted)
+    }
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
+    "decontaminate" -> decontaminate,
     "dedup_exact" -> dedupExact,
     "dedup_near" -> dedupNear,
     "build_token_index" -> buildTokenIndex,

@@ -258,7 +258,8 @@ class GraftCatalogSpec extends AnyFunSuite {
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("adopt", "build_token_index", "codec_stats", "compact", "create_tag",
-        "dedup_exact", "dedup_near", "delete_docs", "drop_tag", "expire_snapshots", "files",
+        "decontaminate", "dedup_exact", "dedup_near", "delete_docs", "drop_tag",
+        "expire_snapshots", "files",
         "pack", "purge_deletes", "rebin", "recompress", "replace_docs",
         "rewrite_manifests", "snapshots", "tags", "token_stats", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
