@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   */
 case class TokenFold(left: Expression, right: Expression) extends BinaryExpression {
 
+  override def prettyName: String = "graft_token_fold"
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes()

@@ -1654,11 +1654,16 @@ object Maintenance {
       docsDeleted: Long
   )
 
-  def dedupExact(spark: SparkSession, outDir: String): DedupExactResult = {
-    import spark.implicits._
-    val hashed = spark.read
-      .format("graft")
-      .load(outDir)
+  /** The [[dedupExact]] dataflow over any (doc_id, tokens, n_tok) frame,
+    * exposed for plan audits: `hashed` (returned PERSISTED — caller
+    * unpersists) projects the token payload down to the two 62-bit folds
+    * ON THE SCAN SIDE, so every exchange in `dupGroups`/`losers` moves
+    * ~30-byte rows, never token arrays.
+    */
+  private[graft] def exactDedupPlan(
+      corpus: org.apache.spark.sql.DataFrame
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val hashed = corpus
       .select(
         col("doc_id"),
         col("n_tok"),
@@ -1666,23 +1671,29 @@ object Maintenance {
         graft.functions.TokenFold.token_fold(col("tokens"), 1L).as("h2")
       )
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupGroups = hashed
+      .groupBy("h1", "h2", "n_tok")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+    val losers = hashed
+      .join(dupGroups, Seq("h1", "h2", "n_tok"))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    (hashed, dupGroups, losers)
+  }
+
+  def dedupExact(spark: SparkSession, outDir: String): DedupExactResult = {
+    import spark.implicits._
+    val (hashed, dupGroups, losers) =
+      exactDedupPlan(spark.read.format("graft").load(outDir))
     try {
-      val dupGroups = hashed
-        .groupBy("h1", "h2", "n_tok")
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-        .where(col("n_copies") > 1)
       // materialize the hash pass (and the group count) BEFORE the delete
       // commits — a cache eviction after the commit would otherwise rescan
       // the post-delete corpus
       val groups = dupGroups.count()
       if (groups == 0L) DedupExactResult(None, 0L, 0L)
       else {
-        val losers = hashed
-          .join(dupGroups, Seq("h1", "h2", "n_tok"))
-          .where(col("doc_id") =!= col("keeper"))
-          .select(col("doc_id"))
-          .as[String]
-        val res = Deletes.deleteDocs(spark, outDir, losers)
+        val res = Deletes.deleteDocs(spark, outDir, losers.as[String])
         DedupExactResult(
           res.map(_.snapshotId),
           groups,

@@ -70,4 +70,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bin filter not pushed:\n${plan.take(2000)}"
     )
   }
+
+  test("plan audit: dedupExact hashes below every exchange; payload never shuffles") {
+    import spark.implicits._
+    // a range scan, not a local Seq: ConvertToLocalRelation would otherwise
+    // constant-fold the projection and leave nothing to audit
+    val docs = spark
+      .range(40)
+      .select(
+        format_string("d%03d", $"id").as("doc_id"),
+        expr("transform(sequence(0, 7), j -> CAST((id % 5) * 100 + j AS INT))").as("tokens")
+      )
+      .withColumn("n_tok", size($"tokens"))
+    val (hashed, _, losers) = graft.pipeline.Maintenance.exactDedupPlan(docs)
+    // unpersist FIRST: the audit must see the real dataflow, not an
+    // InMemoryTableScan hiding the scan-side projection
+    hashed.unpersist()
+    locally {
+      val plan = losers.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      println("PLANAUDIT dedup_exact_corpus exchanges=" + nExchanges)
+      // expected: the group-by's exchange + the join-side re-exchange of the
+      // hashed stream (the aggregate side reuses its partitioning). More
+      // means the ~30 B/doc key rows shuffled redundantly.
+      assert(nExchanges <= 3, s"unexpected exchange count in:\n$plan")
+      // every shuffle partitions on the hash key, never the token payload —
+      // the 100 TB contract of the verb
+      val partitionings =
+        "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(partitionings.nonEmpty, s"no hash exchange found:\n$plan")
+      partitionings.foreach { p =>
+        assert(p.contains("h1") && !p.contains("tokens"), s"exchange on '$p' in:\n$plan")
+      }
+      // and the keeper/count aggregate combines MAP-SIDE below the exchange
+      // (partial_min on the already-hashed rows), so a boilerplate hot key
+      // arrives pre-reduced
+      assert(plan.contains("partial_min(doc_id"), s"no map-side combine in:\n$plan")
+    }
+  }
 }
