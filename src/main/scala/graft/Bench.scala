@@ -247,6 +247,30 @@ object Bench {
           queries("dsv2_needle_scan_ix") = tIx
         }
 
+        // ---- curation-verb floor: the exact-dedup signature pass (decode
+        // -> codegen'd token_fold x2 -> ~30 B/doc group-by -> dup-group
+        // count). NON-mutating — the delete commit is metadata-cost and
+        // corpus-independent; this row measures the one corpus-scale pass
+        // the dedup_exact verb pays, against dsv2_decode_scan as the
+        // decode-only floor.
+        locally {
+          val (nDupGroups, tDedupHash) = time {
+            spark32.read.format("graft").load(encDir)
+              .select(
+                $"doc_id",
+                $"n_tok",
+                graft.functions.TokenFold.token_fold($"tokens", 0L).as("h1"),
+                graft.functions.TokenFold.token_fold($"tokens", 1L).as("h2")
+              )
+              .groupBy("h1", "h2", "n_tok")
+              .agg(count(lit(1)).as("n"))
+              .where($"n" > 1)
+              .count()
+          }
+          System.err.println(s"[bench] dedup hash pass: $nDupGroups dup groups")
+          queries("dsv2_dedup_hash") = tDedupHash
+        }
+
         // ---- storage-partitioned self-join vs the default shuffled join:
         // the same doc_id equi-join once through KeyGroupedPartitioning
         // (zero join exchanges — both sides read their co-located bins) and

@@ -9,14 +9,21 @@ import org.apache.spark.sql.SparkSession
   * procedures for this engine's layout).
   *
   * Usage:
-  *   runMain graft.tools.MaintainCli compact   <outDir> [smallFileMB] [targetFileMB]
-  *   runMain graft.tools.MaintainCli vacuum    <outDir> [graceMinutes]
-  *   runMain graft.tools.MaintainCli expire    <outDir> <keepLast>
-  *   runMain graft.tools.MaintainCli manifests <outDir>
+  *   runMain graft.tools.MaintainCli compact     <outDir> [smallFileMB] [targetFileMB]
+  *   runMain graft.tools.MaintainCli vacuum      <outDir> [graceMinutes]
+  *   runMain graft.tools.MaintainCli expire      <outDir> <keepLast>
+  *   runMain graft.tools.MaintainCli manifests   <outDir>
+  *   runMain graft.tools.MaintainCli dedup-exact <outDir>
+  *   runMain graft.tools.MaintainCli dedup-near  <outDir> [threshold]
+  *   runMain graft.tools.MaintainCli decontaminate <outDir> <evalParquet> [n] [delete]
   *
   * `compact` defaults: rewrite files under 32 MB into ~128 MB ones.
   * `vacuum` defaults to a zero grace window (pass minutes in production so
   * in-flight readers planned against the old listing can finish).
+  * The curation verbs commit merge-on-read equality deletes (see
+  * [[Maintenance.dedupExact]] / [[Maintenance.dedupNear]] /
+  * [[Maintenance.decontaminate]]); `decontaminate` without the literal
+  * `delete` argument only reports.
   * Exit 0 with a one-line summary; "compact: nothing to do" is success.
   */
 object MaintainCli {
@@ -60,6 +67,29 @@ object MaintainCli {
           println(
             s"expire: snapshots_expired=[${r.snapshotsExpired.mkString(",")}] " +
               s"rebased_into=${r.rebasedInto.map(_.toString).getOrElse("none")}"
+          )
+        case "dedup-exact" =>
+          val r = Maintenance.dedupExact(spark, outDir)
+          println(
+            s"dedup-exact: snapshot=${r.snapshotId.map(_.toString).getOrElse("none")} " +
+              s"dup_groups=${r.dupGroups} docs_deleted=${r.docsDeleted}"
+          )
+        case "dedup-near" =>
+          val threshold = if (args.length > 2) args(2).toDouble else 0.7
+          val r = Maintenance.dedupNear(spark, outDir, threshold = threshold)
+          println(
+            s"dedup-near: snapshot=${r.snapshotId.map(_.toString).getOrElse("none")} " +
+              s"n_pairs=${r.nPairs} n_clusters=${r.nClusters} docs_deleted=${r.docsDeleted}"
+          )
+        case "decontaminate" =>
+          require(args.length > 2, "decontaminate needs <evalParquet>")
+          val eval = spark.read.parquet(args(2))
+          val n = if (args.length > 3) args(3).toInt else 4
+          val delete = args.length > 4 && args(4) == "delete"
+          val r = Maintenance.decontaminate(spark, outDir, eval, n, delete)
+          println(
+            s"decontaminate: snapshot=${r.snapshotId.map(_.toString).getOrElse("none")} " +
+              s"docs_flagged=${r.docsFlagged} docs_deleted=${r.docsDeleted}"
           )
         case other => throw new IllegalArgumentException(s"unknown command $other")
       }
