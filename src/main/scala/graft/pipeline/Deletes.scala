@@ -74,7 +74,7 @@ object Deletes {
     def paths(outDir: String): Seq[String] = live.map(d => s"$outDir/_deletes/${d.name}")
   }
 
-  final case class DeleteResult(snapshotId: Long, idsRecorded: Long, fileName: String)
+  final case class DeleteResult(snapshotId: Long, idsRecorded: Long, fileNames: Seq[String])
 
   private def fsOf(outDir: String, conf: Configuration): FileSystem =
     new Path(outDir).getFileSystem(conf)
@@ -108,67 +108,114 @@ object Deletes {
     (numBins, meta.long("salt"))
   }
 
-  /** Stage + publish one bin-sorted delete parquet; returns (name, id
-    * count), or None for an empty set. NOT yet committed — the published
-    * file is inert (in no lineage) until a snapshot records it.
+  /** Target ids per delete parquet. One bin-sorted file is the common
+    * (curation-sized) case; a dedup pass over a web corpus can delete a
+    * large FRACTION of it, and funnelling 10^11 ids through one write task
+    * (the old `coalesce(1)`) would be the job's bottleneck — so past this
+    * size the staged write range-partitions on (bin, doc_id) and ONE
+    * snapshot commits every part (`deletes_added` is a list). Readers are
+    * indifferent: each part is bin-sorted, the inline cap keys off total
+    * ids, and past it executors stream whichever files apply with bin
+    * row-group skipping.
     */
-  private def writeDeleteFile(
+  private[graft] val DefaultIdsPerDeleteFile: Long = 16L * 1024 * 1024
+
+  /** Stage + publish bin-sorted delete parquet(s); returns one (name, id
+    * count) per part, or None for an empty set. NOT yet committed — the
+    * published files are inert (in no lineage) until a snapshot records
+    * them. The id stream is persisted for the size probe + write pair, so
+    * an expensive upstream (a dedup loser join) computes once.
+    */
+  private def writeDeleteFiles(
       spark: SparkSession,
       outDir: String,
       docIds: Dataset[String],
       numBins: Int,
-      salt: Long
-  ): Option[(String, Long)] = {
+      salt: Long,
+      idsPerFile: Long = DefaultIdsPerDeleteFile
+  ): Option[Seq[(String, Long)]] = {
     import spark.implicits._
-    val fs = fsOf(outDir, spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(outDir, conf)
     val rows = docIds
       .toDF("doc_id")
       .where($"doc_id".isNotNull)
       .distinct()
       .withColumn("bin", GraftPipeline.binCol(numBins, salt))
       .select($"bin", $"doc_id")
-
-    val uuid = java.util.UUID.randomUUID().toString
-    val staging = new Path(s"$outDir/_deletes/.tmp-$uuid")
-    rows.coalesce(1).sortWithinPartitions($"bin", $"doc_id").write.parquet(staging.toString)
-    val parts = fs
-      .listStatus(staging)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    require(parts.length == 1, s"expected one staged delete part, got ${parts.length}")
-    val n = spark.read.parquet(parts.head.getPath.toString).count()
-    if (n == 0L) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rows.count()
+      if (n == 0L) return None
+      val nParts =
+        math.max(1L, math.min(1024L, (n + idsPerFile - 1L) / idsPerFile)).toInt
+      val uuid = java.util.UUID.randomUUID().toString
+      val staging = new Path(s"$outDir/_deletes/.tmp-$uuid")
+      val sorted =
+        if (nParts == 1) rows.coalesce(1).sortWithinPartitions($"bin", $"doc_id")
+        else
+          rows
+            .repartitionByRange(nParts, $"bin", $"doc_id")
+            .sortWithinPartitions($"bin", $"doc_id")
+      sorted.write.parquet(staging.toString)
+      val parts = fs
+        .listStatus(staging)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      // per-part counts from the footers (driver-side, <=1024 small files);
+      // range partitioning can leave empty parts — skip them
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      parts.zipWithIndex.foreach { case (st, k) =>
+        val cnt = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf)
+          )
+          try r.getRecordCount
+          finally r.close()
+        }
+        if (cnt > 0L) {
+          val name =
+            if (nParts == 1) s"del-$uuid.parquet" else s"del-$uuid-p$k.parquet"
+          val dest = new Path(s"$outDir/_deletes/$name")
+          require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
+          out += ((name, cnt))
+        }
+      }
       fs.delete(staging, true): Unit
-      return None
-    }
-    val name = s"del-$uuid.parquet"
-    val dest = new Path(s"$outDir/_deletes/$name")
-    require(fs.rename(parts.head.getPath, dest), s"rename ${parts.head.getPath} -> $dest failed")
-    fs.delete(staging, true): Unit
-    Some((name, n))
+      require(out.map(_._2).sum == n, s"staged delete parts hold ${out.map(_._2).sum} ids, expected $n")
+      Some(out.toSeq)
+    } finally rows.unpersist(): Unit
   }
 
   def deleteDocs(
       spark: SparkSession,
       outDir: String,
-      docIds: Dataset[String]
+      docIds: Dataset[String],
+      idsPerFile: Long = DefaultIdsPerDeleteFile
   ): Option[DeleteResult] = {
     // an interrupted rebin must fold before any new snapshot commits (see
     // EncodeJob.nextSnapshotId's base-id reservation); gated no-op otherwise
     Maintenance.healRebin(spark, outDir)
     val (numBins, salt) = binLayout(spark, outDir)
-    val (name, n) = writeDeleteFile(spark, outDir, docIds, numBins, salt).getOrElse(return None)
+    val parts = writeDeleteFiles(spark, outDir, docIds, numBins, salt, idsPerFile)
+      .getOrElse(return None)
+    val n = parts.map(_._2).sum
+    val namesJson =
+      parts.map(p => MiniJson.render(MiniJson.JStr(p._1))).mkString("[", ",", "]")
+    val countsJson = parts.map(_._2).mkString("[", ",", "]")
 
-    // THE commit point: CAS-claimed snapshot carrying the delete delta.
-    // bins_added stays empty — no data files changed.
+    // THE commit point: CAS-claimed snapshot carrying the delete delta
+    // (every part in ONE snapshot). bins_added stays empty — no data files
+    // changed.
     val (snapId, _) = EncodeJob.casWriteSnapshot(
       spark,
       outDir,
       () => EncodeJob.nextSnapshotId(spark, outDir),
       (id, parent) =>
         s"""{"snapshot_id":$id,"parent_id":$parent,"bins_added":[],
-           |"deletes_added":[${MiniJson.render(MiniJson.JStr(name))}],"deletes_counts":[$n]}""".stripMargin
+           |"deletes_added":$namesJson,"deletes_counts":$countsJson}""".stripMargin
     )
-    Some(DeleteResult(snapId, n, name))
+    Some(DeleteResult(snapId, n, parts.map(_._1)))
   }
 
   /** One stat that spares the hot no-deletes path the per-planning lineage
@@ -183,7 +230,7 @@ object Deletes {
       snapshotId: Long,
       nDocs: Long,
       filesAdded: Seq[String],
-      deleteFile: String
+      deleteFiles: Seq[String]
   )
 
   /** Atomic UPSERT: replace each doc_id in `rows` with its new content in
@@ -278,13 +325,17 @@ object Deletes {
           require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
           renamed += name
         }
-        val (delName, nIds) = writeDeleteFile(
+        val delParts = writeDeleteFiles(
           spark, outDir, cached.select($"doc_id").as[String], numBins, salt
         ).get // nDocs > 0, so the id set is non-empty
+        val delNames = delParts.map(_._1)
         val snapId =
           try {
             val filesJson =
               renamed.sorted.map(n => MiniJson.render(MiniJson.JStr(n))).mkString("[", ",", "]")
+            val delNamesJson =
+              delNames.map(n => MiniJson.render(MiniJson.JStr(n))).mkString("[", ",", "]")
+            val delCountsJson = delParts.map(_._2).mkString("[", ",", "]")
             // THE commit point: one snapshot carries BOTH halves of the upsert
             val (id, _) = EncodeJob.casWriteSnapshot(
               spark,
@@ -292,14 +343,14 @@ object Deletes {
               () => EncodeJob.nextSnapshotId(spark, outDir),
               (id, parent) =>
                 s"""{"snapshot_id":$id,"parent_id":$parent,"bins_added":[],"files_added":$filesJson,
-                   |"deletes_added":[${MiniJson.render(MiniJson.JStr(delName))}],"deletes_counts":[$nIds],
+                   |"deletes_added":$delNamesJson,"deletes_counts":$delCountsJson,
                    |"n_rows_added":$nDocs}""".stripMargin
             )
             committed = true
             id
           } catch {
             case err: Throwable =>
-              scala.util.Try(fs.delete(new Path(s"$outDir/_deletes/$delName"), false))
+              delNames.foreach(n => scala.util.Try(fs.delete(new Path(s"$outDir/_deletes/$n"), false)))
               throw err
           }
         // committed — everything below is advisory and must not fail the replace
@@ -311,7 +362,7 @@ object Deletes {
             )
         }
         scala.util.Try(fs.delete(staging, true)): Unit
-        Some(ReplaceResult(snapId, nDocs, renamed.toSeq.sorted, delName))
+        Some(ReplaceResult(snapId, nDocs, renamed.toSeq.sorted, delNames))
       } catch {
         case err: Throwable if !committed =>
           renamed.foreach(n => scala.util.Try(fs.delete(new Path(s"$outDir/blocks/$n"), false)))

@@ -450,4 +450,40 @@ class DeleteSpec extends AnyFunSuite {
       assert(GraftPipeline.verify(want, steps.as[TokenRow]) == 0L)
     } finally q2.stop()
   }
+
+  test("a large delete shards into bin-ranged parts under ONE snapshot; reads/purge unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-del-sharded").toString
+    EncodeJob.run(all, dir, cfg) // snapshot 0
+    // force the dedup-scale path: ~128 ids with a 40-id/file target
+    val res = Deletes
+      .deleteDocs(spark, dir, doomed.select($"doc_id").as[String], idsPerFile = 40L)
+      .get
+    assert(res.snapshotId == 1L)
+    assert(res.idsRecorded == doomed.count())
+    assert(res.fileNames.size >= 3, s"expected sharded delete files, got ${res.fileNames}")
+
+    // ONE snapshot records every part with exact per-file counts
+    val recs = EncodeJob.loadSnapshotRecords(dir, conf)
+    assert(recs.map(_.id) == Seq(0L, 1L))
+    assert(recs(1).deletesAdded.map(_._1).toSet == res.fileNames.toSet)
+    assert(recs(1).deletesAdded.map(_._2).sum == res.idsRecorded)
+    // every part is non-empty and bin-sorted on disk
+    recs(1).deletesAdded.foreach { case (_, n) => assert(n > 0L) }
+    res.fileNames.foreach { name =>
+      val part = spark.read.parquet(s"$dir/_deletes/$name")
+      val rows = part.select($"bin", $"doc_id").collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(rows.sameElements(rows.sortBy(identity)), s"$name not (bin, doc_id)-sorted")
+    }
+
+    // merge-on-read application is part-count-independent
+    val decoded = spark.read.format("graft").load(dir).as[TokenRow]
+    assert(GraftPipeline.verify(kept, decoded) == 0L)
+
+    // purge applies ALL parts physically and retires each
+    val pr = Maintenance.purgeDeletes(spark, dir).get
+    assert(pr.deleteFilesApplied == res.fileNames.size)
+    assert(pr.idsApplied == res.idsRecorded)
+    assert(GraftPipeline.verify(kept, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+  }
 }
