@@ -1044,8 +1044,57 @@ private object GraftCatalog {
     }
   }
 
+  private val auditSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_values", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("error", StringType, nullable = true)
+  ))
+
+  /** Integrity fsck ([[Audit.audit]]): decode every live block distributed
+    * (one task per file, the scan's own codec dispatch) and cross-check the
+    * per-block accounting; one row per file, corrupt files report
+    * `ok = false` with the error instead of failing the job.
+    */
+  private val audit = new MaintenanceProcedure(
+    "audit",
+    Array(in("path", StringType)),
+    auditSchema
+  ) {
+    override def description(): String =
+      "decode-verify every live block file (one row per file; ok=false + error on corruption)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = Audit
+        .audit(SparkSession.active, pathOf(input))
+        .map { r =>
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.file),
+            r.bytes,
+            r.nBlocks,
+            r.nRows,
+            r.nValues,
+            r.ok,
+            r.error.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull
+          )
+        }
+        .toArray
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = auditSchema
+        override def description(): String = "graft.system.audit result"
+      }
+      Collections.singletonList(scan).iterator()
+    }
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      throw new IllegalStateException("audit overrides call() directly")
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
+    "audit" -> audit,
     "decontaminate" -> decontaminate,
     "dedup_exact" -> dedupExact,
     "dedup_near" -> dedupNear,
