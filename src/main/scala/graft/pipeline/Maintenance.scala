@@ -1842,6 +1842,79 @@ object Maintenance {
     } finally hits.unpersist(): Unit
   }
 
+  /** Quality screen by compression cost
+    * (`CALL graft.system.filter_nll(path, min_bpt_ppm, max_bpt_ppm[,
+    * delete])`): flag — and optionally DELETE — every document whose
+    * unigram log-loss (quantized bits-per-token under the corpus's OWN
+    * token distribution, ppm-scaled; [[graft.ops.Scoring.unigramLogLoss]],
+    * the estimator cost model the encoder already runs) falls outside
+    * [min, max]. The LOW tail compresses suspiciously well — templates,
+    * boilerplate, constant filler (an empty doc scores 0 and is low-tail
+    * junk by definition); the HIGH tail does not fit the corpus — binary
+    * junk, wrong language. Cost: one histogram pass (256-cell aggregate)
+    * to build the cost table from the corpus itself + one scoring pass —
+    * two decode scans, no shuffle beyond the tiny histogram reduce; the
+    * flag set and the delete commit follow the dedup verbs' shape exactly.
+    */
+  final case class FilterNllResult(
+      snapshotId: Option[Long],
+      docsFlagged: Long,
+      flaggedLow: Long,
+      flaggedHigh: Long,
+      docsDeleted: Long
+  )
+
+  def filterNll(
+      spark: SparkSession,
+      outDir: String,
+      minBptPpm: Long,
+      maxBptPpm: Long,
+      delete: Boolean = false
+  ): FilterNllResult = {
+    import spark.implicits._
+    require(
+      0L <= minBptPpm && minBptPpm <= maxBptPpm,
+      s"need 0 <= min_bpt_ppm <= max_bpt_ppm, got [$minBptPpm, $maxBptPpm]"
+    )
+    def corpus =
+      spark.read
+        .format("graft")
+        .load(outDir)
+        .select(
+          col("doc_id"),
+          col("tokens").cast("array<int>").as("tokens"),
+          col("n_tok"),
+          col("source")
+        )
+        .as[TokenRow]
+    val cfg1 = GraftPipeline.Config(
+      numContexts = 1,
+      maxBits = graft.core.Hybrid.DefaultMaxBits
+    )
+    val costs = GraftPipeline.analyze(corpus, cfg1).costModel(0)
+    val flagged = graft.ops.Scoring
+      .unigramLogLoss(corpus.toDF, costs, col("tokens"))
+      .select(col("doc_id"), col("bpt_ppm"))
+      .where(col("bpt_ppm") < minBptPpm || col("bpt_ppm") > maxBptPpm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lo = flagged.where(col("bpt_ppm") < minBptPpm).count()
+      val hi = flagged.where(col("bpt_ppm") > maxBptPpm).count()
+      val n = lo + hi
+      if (!delete || n == 0L) FilterNllResult(None, n, lo, hi, 0L)
+      else {
+        val res = Deletes.deleteDocs(spark, outDir, flagged.select(col("doc_id")).as[String])
+        FilterNllResult(
+          res.map(_.snapshotId),
+          n,
+          lo,
+          hi,
+          res.map(_.idsRecorded).getOrElse(0L)
+        )
+      }
+    } finally flagged.unpersist(): Unit
+  }
+
   private[graft] def repairRebase(fs: FileSystem, outDir: String): Unit = {
     val snapsDir = new Path(s"$outDir/_snapshots")
     if (!fs.exists(snapsDir)) return

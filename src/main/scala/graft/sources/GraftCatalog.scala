@@ -1092,10 +1092,49 @@ private object GraftCatalog {
       throw new IllegalStateException("audit overrides call() directly")
   }
 
+  private val filterNll = new MaintenanceProcedure(
+    "filter_nll",
+    Array(
+      in("path", StringType),
+      in("min_bpt_ppm", LongType),
+      in("max_bpt_ppm", LongType),
+      inDflt("delete", BooleanType, "false")
+    ),
+    StructType(Seq(
+      StructField("snapshot", LongType, nullable = true),
+      StructField("docs_flagged", LongType, nullable = false),
+      StructField("flagged_low", LongType, nullable = false),
+      StructField("flagged_high", LongType, nullable = false),
+      StructField("docs_deleted", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "flag (and with delete => true, equality-delete) docs whose unigram " +
+        "log-loss bits-per-token (ppm, under the corpus's own distribution) " +
+        "falls outside [min, max] — low = templated/boilerplate, high = junk"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val r = Maintenance.filterNll(
+        spark,
+        pathOf(input),
+        minBptPpm = input.getLong(1),
+        maxBptPpm = input.getLong(2),
+        delete = input.getBoolean(3)
+      )
+      InternalRow(
+        r.snapshotId.map(Long.box).orNull,
+        r.docsFlagged,
+        r.flaggedLow,
+        r.flaggedHigh,
+        r.docsDeleted
+      )
+    }
+  }
+
   private val procedures: Map[String, UnboundProcedure] = Map(
     "compact" -> compact,
     "audit" -> audit,
     "decontaminate" -> decontaminate,
+    "filter_nll" -> filterNll,
     "dedup_exact" -> dedupExact,
     "dedup_near" -> dedupNear,
     "build_token_index" -> buildTokenIndex,

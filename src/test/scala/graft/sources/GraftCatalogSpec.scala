@@ -259,7 +259,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("adopt", "audit", "build_token_index", "codec_stats", "compact", "create_tag",
         "decontaminate", "dedup_exact", "dedup_near", "delete_docs", "drop_tag",
-        "expire_snapshots", "files",
+        "expire_snapshots", "files", "filter_nll",
         "pack", "purge_deletes", "rebin", "recompress", "replace_docs",
         "rewrite_manifests", "snapshots", "tags", "token_stats", "vacuum"))
     assert(cat.listProcedures(Array("nope")).isEmpty)
