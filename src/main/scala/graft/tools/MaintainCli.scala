@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.MaintainCli dedup-exact <outDir>
   *   runMain graft.tools.MaintainCli dedup-near  <outDir> [threshold]
   *   runMain graft.tools.MaintainCli decontaminate <outDir> <evalParquet> [n] [delete]
+  *   runMain graft.tools.MaintainCli filter-nll  <outDir> <minBptPpm> <maxBptPpm> [delete]
   *
   * `compact` defaults: rewrite files under 32 MB into ~128 MB ones.
   * `vacuum` defaults to a zero grace window (pass minutes in production so
@@ -90,6 +91,15 @@ object MaintainCli {
           println(
             s"decontaminate: snapshot=${r.snapshotId.map(_.toString).getOrElse("none")} " +
               s"docs_flagged=${r.docsFlagged} docs_deleted=${r.docsDeleted}"
+          )
+        case "filter-nll" =>
+          require(args.length > 3, "filter-nll needs <minBptPpm> <maxBptPpm>")
+          val delete = args.length > 4 && args(4) == "delete"
+          val r = Maintenance.filterNll(spark, outDir, args(2).toLong, args(3).toLong, delete)
+          println(
+            s"filter-nll: snapshot=${r.snapshotId.map(_.toString).getOrElse("none")} " +
+              s"docs_flagged=${r.docsFlagged} flagged_low=${r.flaggedLow} " +
+              s"flagged_high=${r.flaggedHigh} docs_deleted=${r.docsDeleted}"
           )
         case other => throw new IllegalArgumentException(s"unknown command $other")
       }
