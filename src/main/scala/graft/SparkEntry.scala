@@ -246,6 +246,9 @@ object SparkEntry {
     graftNearDupDirCache.keys.filter(_._1 == id).foreach { k =>
       graftNearDupDirCache.remove(k).foreach(deleteDir)
     }
+    graftNllDirCache.keys.filter(_._1 == id).foreach { k =>
+      graftNllDirCache.remove(k).foreach(deleteDir)
+    }
     graftRebinDirCache.keys.filter(_._1 == id).foreach { k =>
       graftRebinDirCache.remove(k).foreach(deleteDir)
     }
@@ -603,6 +606,29 @@ object SparkEntry {
       val res = graft.pipeline.Maintenance
         .dedupNear(s, out, threshold = 0.7, k = 16, bands = 4)
       require(res.docsDeleted > 0, s"near-dedup under test deleted nothing on $out")
+    }
+
+  private val graftNllDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Corpus with the QUALITY screen applied:
+    * [[graft.pipeline.Maintenance.filterNll]] deletes every doc whose
+    * unigram log-loss exceeds 15.4 bits/token (ppm 15,400,000 — splits the
+    * derived corpus's 10–17M range at both sf0.001 and sf0.01, so losers
+    * AND survivors exist at either scale; min 0 keeps the low tail).
+    * q_nll_filter_scan reads the survivors back token-for-token while
+    * DuckDB recomputes the whole chain — corpus histogram, quantized
+    * floor-log2 cost table, per-doc cost, the ppm threshold, and the
+    * delete application — so the verb's composition (not just the metric,
+    * which q_doc_nll pins) sits under the hard oracle.
+    */
+  private def graftNllDir(s: SparkSession, dir: String): String =
+    cachedGraftDir(graftNllDirCache, s, dir, "graft-dsv2-nll", withLineage = true) {
+      (out, _) =>
+        val res = graft.pipeline.Maintenance
+          .filterNll(s, out, minBptPpm = 0L, maxBptPpm = 15400000L, delete = true)
+        require(res.docsDeleted > 0, s"nll filter under test deleted nothing on $out")
+        require(res.flaggedLow == 0L, s"min 0 must not flag a low tail on $out")
     }
 
   /** Full encode->decode->verify of the derived token table; the engine's
@@ -1100,6 +1126,25 @@ object SparkEntry {
           ($"doc_id".cast("long") % 4000000000000L) % 41 === 3 ||
             $"doc_id".cast("long") % 701 === 0
         )
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // quality-screen verb end-to-end: filter_nll deleted every doc above
+    // 15.4 bits/token (unigram log-loss, corpus's own distribution) and the
+    // survivors are read back token-for-token against DuckDB's recomputation
+    // of histogram -> cost table -> per-doc cost -> threshold -> delete
+    "q_nll_filter_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftNllDir(s, dir)
+      s.read
+        .format("graft")
+        .load(out)
+        .where($"doc_id".cast("long") % 97 === 2)
         .select(
           $"doc_id".cast("long").as("doc_id"),
           posexplode($"tokens").as(Seq("pos0", "token"))
@@ -2649,6 +2694,25 @@ object SparkEntry {
          | CAST(min(cost_bits * 1000000 // n_tok) AS BIGINT) AS min_bpt_ppm,
          | CAST(max(cost_bits * 1000000 // n_tok) AS BIGINT) AS max_bpt_ppm
          |FROM doc GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_nll_filter_scan" ->
+      s"""$CTE, hist AS (
+         | SELECT ${duckHybridToken("token")} AS ht, count(*) AS freq FROM tok GROUP BY 1
+         |), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM hist),
+         |costs AS (
+         | SELECT ht, CAST(length(bin(greatest(CAST(floor(total / freq) AS BIGINT), 2))) - 1 AS BIGINT) AS cb
+         | FROM hist, tot
+         |), doc AS (
+         | SELECT t.doc_id, CAST(max(t.n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(c.cb + CASE WHEN t.token < 16 THEN 0 ELSE length(bin(t.token)) - 4 END) AS BIGINT) AS cost_bits
+         | FROM tok t JOIN costs c ON ${duckHybridToken("t.token")} = c.ht
+         | GROUP BY 1
+         |), survivors AS (
+         | SELECT doc_id FROM doc WHERE cost_bits * 1000000 // n_tok <= 15400000
+         |)
+         |SELECT t.doc_id, t.pos, t.token FROM tok t
+         |WHERE t.doc_id IN (SELECT doc_id FROM survivors) AND t.doc_id % 97 = 2
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_nll_outliers" ->
       s"""$CTE, hist AS (
