@@ -1136,6 +1136,17 @@ object Maintenance {
       }
     }
 
+    // content-index build staging, same protocol as the token index
+    // (committed cix- files are never swept — entries keyed to dead file
+    // names are ignored by readers and cost nothing)
+    val cixDir = new Path(s"$outDir/${graft.sources.ContentIndex.DirName}")
+    if (fs.exists(cixDir)) {
+      fs.listStatus(cixDir).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".tmp-") && st.getModificationTime <= cutoff)
+          if (fs.delete(st.getPath, true)) dirsDeleted += 1
+      }
+    }
+
     // a driver killed BETWEEN publishing appended files into blocks/ and
     // the snapshot write leaves orphans: visible to scans (kept
     // conservatively) but in no snapshot's files_added, so a retried epoch
@@ -1651,7 +1662,12 @@ object Maintenance {
   final case class DedupExactResult(
       snapshotId: Option[Long],
       dupGroups: Long,
-      docsDeleted: Long
+      docsDeleted: Long,
+      /** Block files decoded for content hashes this run: -1 on the full-scan
+        * path (every live file, inside the DSv2 scan), ≥0 on the incremental
+        * path (only files the content index did not already cover).
+        */
+      filesHashed: Long = -1L
   )
 
   /** The [[dedupExact]] dataflow over any (doc_id, tokens, n_tok) frame,
@@ -1671,6 +1687,18 @@ object Maintenance {
         graft.functions.TokenFold.token_fold(col("tokens"), 1L).as("h2")
       )
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dupGroups, losers) = exactDedupGroups(hashed)
+    (hashed, dupGroups, losers)
+  }
+
+  /** Group/keeper/loser stage shared by the full-scan and incremental paths:
+    * both feed ~30-byte (doc_id, n_tok, h1, h2) rows, so the dedup SEMANTICS
+    * (124-bit key, min-doc_id keeper) are one piece of code regardless of
+    * where the hashes came from.
+    */
+  private def exactDedupGroups(
+      hashed: org.apache.spark.sql.DataFrame
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val dupGroups = hashed
       .groupBy("h1", "h2", "n_tok")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
@@ -1679,25 +1707,56 @@ object Maintenance {
       .join(dupGroups, Seq("h1", "h2", "n_tok"))
       .where(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"))
-    (hashed, dupGroups, losers)
+    (dupGroups, losers)
   }
 
-  def dedupExact(spark: SparkSession, outDir: String): DedupExactResult = {
+  /** With `incremental = true`, the content-hash pass reads the persistent
+    * [[graft.sources.ContentIndex]] instead of decoding the corpus: only
+    * live block files with no committed index entry are decoded (and their
+    * entries published for the NEXT run), then entries are restricted to the
+    * current live doc set by a metadata-only doc_id scan — so re-running
+    * dedup on an append-mostly 100 TB corpus costs O(new data) decode plus
+    * hash-row shuffles, not a full re-read. Same keeper rule, same delete
+    * commit, same result as the full-scan path (the index pins its hashes
+    * equal to `graft_token_fold` by spec).
+    */
+  def dedupExact(
+      spark: SparkSession,
+      outDir: String,
+      incremental: Boolean = false
+  ): DedupExactResult = {
     import spark.implicits._
-    val (hashed, dupGroups, losers) =
-      exactDedupPlan(spark.read.format("graft").load(outDir))
+    val (hashed, filesHashed) =
+      if (!incremental)
+        (exactDedupPlan(spark.read.format("graft").load(outDir))._1, -1L)
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val live = liveBlockFiles(outDir, conf).map(_._1)
+        val (entries, built) = graft.sources.ContentIndex.ensure(spark, outDir, live)
+        // entries cover live FILES; restrict to live DOCS (merge-on-read
+        // deletes hide rows without rewriting files) via the metadata-only
+        // doc_id scan — no payload pages, no entropy decode
+        val liveDocs = spark.read.format("graft").load(outDir).select("doc_id")
+        val h = entries
+          .join(liveDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("n_tok"), col("h1"), col("h2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (h, built)
+      }
+    val (dupGroups, losers) = exactDedupGroups(hashed)
     try {
       // materialize the hash pass (and the group count) BEFORE the delete
       // commits — a cache eviction after the commit would otherwise rescan
       // the post-delete corpus
       val groups = dupGroups.count()
-      if (groups == 0L) DedupExactResult(None, 0L, 0L)
+      if (groups == 0L) DedupExactResult(None, 0L, 0L, filesHashed)
       else {
         val res = Deletes.deleteDocs(spark, outDir, losers.as[String])
         DedupExactResult(
           res.map(_.snapshotId),
           groups,
-          res.map(_.idsRecorded).getOrElse(0L)
+          res.map(_.idsRecorded).getOrElse(0L),
+          filesHashed
         )
       }
     } finally hashed.unpersist(): Unit

@@ -1,0 +1,240 @@
+package graft.sources
+
+import graft.codec.{CodecSelector, HybridCodec, StringCodecs}
+import graft.core.{BitReader, ContextModel, Huffman}
+import graft.ops.XHash
+import graft.pipeline.GraftPipeline
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.UUID
+
+/** One per-document row of the content index (`_content_index/cix-*.parquet`).
+  * Top-level for the Dataset encoder. A `doc_id = null` row is the coverage
+  * sentinel for a zero-doc file (excluded from hashing, counted as covered).
+  */
+final case class ContentIndexRow(
+    file: String,
+    doc_id: String,
+    n_tok: Int,
+    h1: Long,
+    h2: Long
+)
+
+/** The CONTENT INDEX — per-document 124-bit content keys
+  * ((graft_token_fold seed 0, seed 1), n_tok) persisted as an incremental
+  * sidecar, so exact dedup over an append-mostly corpus decodes only the
+  * files added since the last run instead of re-reading 100 TB.
+  *
+  * Shape mirrors [[TokenIndex]]: file names are immutable identities, so
+  * coverage is per FILE — a build hashes exactly the live files no
+  * committed cix entry covers (one task per file, whole-file decode through
+  * the scan's codec dispatch, doc_ids from the lightweight string stream),
+  * publishes by staged rename, and never rewrites. Consumers filter entries
+  * to the CURRENT live file set (entries of compacted-away files are
+  * ignored; the rewritten files index on the next run) and to the CURRENT
+  * live doc set (deleted docs' entries persist harmlessly — liveness comes
+  * from the metadata-only doc_id scan at use time). Staleness therefore
+  * costs extra hashing, never wrong answers; the hash values themselves are
+  * pinned equal to the codegen'd `graft_token_fold` expression by spec.
+  *
+  * At 100 TB: index bytes ≈ 50 B/doc (~50 GB for 10^12 docs — itself a
+  * modest parquet table read distributed, never driver-side; only the
+  * covered-file NAME set is collected, the same O(files) scale the manifest
+  * index already carries).
+  */
+object ContentIndex {
+
+  val DirName = "_content_index"
+
+  /** The per-row fold — EXACTLY `graft_token_fold(tokens, seed)` over the
+    * stored (non-null) token values; pinned equal to the expression by
+    * ContentIndexSpec.
+    */
+  def foldRow(values: Array[Int], from: Int, until: Int, seed: Long): Long = {
+    var h = XHash.mix62((XHash.FnvInit ^ seed) & XHash.Mask62)
+    var i = from
+    while (i < until) {
+      h = XHash.fnvStep(h, values(i).toLong & 0xffffffffL)
+      i += 1
+    }
+    XHash.mix62(h)
+  }
+
+  private def ixDirOf(outDir: String) = new Path(outDir, DirName)
+  private def nameOf(file: String): String = new Path(file).getName
+
+  /** Committed index entries restricted to `liveNames`, plus the covered
+    * file-name set (over ALL committed entries — a dead file's coverage is
+    * irrelevant, so the caller intersects with its own live list).
+    * Returns (None, empty) when no index exists.
+    */
+  def rows(
+      spark: SparkSession,
+      outDir: String,
+      liveNames: Set[String]
+  ): (Option[DataFrame], Set[String]) = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = ixDirOf(outDir).getFileSystem(conf)
+    val dir = ixDirOf(outDir)
+    if (!fs.exists(dir)) return (None, Set.empty)
+    val files = fs
+      .listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("cix-") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    if (files.isEmpty) return (None, Set.empty)
+    val all = spark.read.parquet(files.toIndexedSeq: _*)
+    val covered = all
+      .select("file")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    // the live-name restriction joins (never an 800k-term In-list); two
+    // racing builds may both have covered a file — identical rows, deduped
+    val namesDf = liveNames.toSeq.toDF("file")
+    val live = all
+      .where(col("doc_id").isNotNull)
+      .join(namesDf, "file")
+      .dropDuplicates("file", "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("h1"), col("h2"))
+    (Some(live), covered)
+  }
+
+  /** Hash `todo` block files (full paths) and publish their cix entries.
+    * One task per file; staged write + rename (a crash leaves `.tmp-*`
+    * debris that vacuum reclaims, never a half-visible entry set that
+    * loses rows — entries are per-file atomic because each task's rows
+    * land in whole parquet parts).
+    */
+  def buildFor(spark: SparkSession, outDir: String, todo: Array[String]): Long = {
+    if (todo.isEmpty) return 0L
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = ixDirOf(outDir).getFileSystem(conf)
+    fs.mkdirs(ixDirOf(outDir)): Unit
+    val meta = GraftMeta.load(outDir, conf)
+    val bMeta = spark.sparkContext.broadcast(
+      (meta.headerBytes, meta.maxBits, meta.numContexts, meta.contextModel)
+    )
+    val sConf = new SerializableHadoopConf(conf)
+    val entries = spark.sparkContext
+      .parallelize(todo.toIndexedSeq, todo.length)
+      .flatMap { file =>
+        val (headerBytes, maxBits, numContexts, modelName) = bMeta.value
+        hashOneFile(file, sConf, headerBytes, maxBits, numContexts, modelName)
+      }
+      .toDS()
+
+    val uuid = UUID.randomUUID().toString
+    val stage = new Path(ixDirOf(outDir), s".tmp-$uuid")
+    entries.write.parquet(stage.toString)
+    var i = 0
+    fs.listStatus(stage)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        require(
+          fs.rename(st.getPath, new Path(ixDirOf(outDir), s"cix-$uuid-$i.parquet")),
+          s"failed to publish content-index file ${st.getPath}"
+        )
+        i += 1
+      }
+    fs.delete(stage, true): Unit
+    todo.length.toLong
+  }
+
+  /** Ensure every name in `live` is covered, hashing only the uncovered
+    * files; returns (live entry rows, filesHashed).
+    */
+  def ensure(
+      spark: SparkSession,
+      outDir: String,
+      live: Array[String]
+  ): (DataFrame, Long) = {
+    val liveNames = live.map(nameOf).toSet
+    val (_, covered0) = rows(spark, outDir, liveNames)
+    val todo = live.filter(f => !covered0.contains(nameOf(f)))
+    val built = buildFor(spark, outDir, todo)
+    val (liveRows, covered) = rows(spark, outDir, liveNames)
+    val missing = liveNames -- covered
+    require(missing.isEmpty, s"content index build left ${missing.size} live files uncovered")
+    (liveRows.get, built)
+  }
+
+  private def hashOneFile(
+      file: String,
+      sConf: SerializableHadoopConf,
+      headerBytes: Array[Byte],
+      maxBits: Int,
+      numContexts: Int,
+      modelName: String
+  ): Seq[ContentIndexRow] = {
+    val tables = Huffman.readHeader(new BitReader(headerBytes), maxBits, numContexts)
+    val model = ContextModel(modelName, numContexts)
+    val hybrid = new HybridCodec(tables, model)
+    val name = nameOf(file)
+    val wanted = Set(
+      "codec", "n_rows", "doc_ids_codec", "doc_ids_payload", "n_toks_codec",
+      "n_toks_payload", "payload", "embedded_tables", "table_hash"
+    )
+    val reader = GraftPartitionReader.openProjected(file, sConf, wanted, None)
+    val out = Seq.newBuilder[ContentIndexRow]
+    var any = false
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val nRows = g.getInteger("n_rows", 0)
+        if (nRows > 0) {
+          any = true
+          val docIds = StringCodecs.decode(
+            g.getString("doc_ids_codec", 0),
+            g.getBinary("doc_ids_payload", 0).getBytes,
+            nRows
+          )
+          val nToks = CodecSelector.decodeIntColumn(
+            g.getString("n_toks_codec", 0),
+            g.getBinary("n_toks_payload", 0).getBytes,
+            nRows
+          )
+          val rowOffsets = new Array[Int](nRows + 1)
+          var off = 0
+          var i = 0
+          while (i < nRows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
+          rowOffsets(nRows) = off
+          val values =
+            if (off == 0) Array.emptyIntArray
+            else
+              GraftPipeline.decodeBlockPayload(
+                g.getBinary("payload", 0).getBytes,
+                g.getString("codec", 0),
+                g.getBoolean("embedded_tables", 0),
+                g.getLong("table_hash", 0),
+                tables,
+                model,
+                hybrid,
+                off,
+                rowOffsets
+              )
+          i = 0
+          while (i < nRows) {
+            out += ContentIndexRow(
+              name,
+              docIds(i),
+              nToks(i),
+              foldRow(values, rowOffsets(i), rowOffsets(i + 1), 0L),
+              foldRow(values, rowOffsets(i), rowOffsets(i + 1), 1L)
+            )
+            i += 1
+          }
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    if (!any) Seq(ContentIndexRow(name, null, -1, 0L, 0L)) // coverage sentinel
+    else out.result()
+  }
+}

@@ -964,20 +964,28 @@ private object GraftCatalog {
 
   private val dedupExact = new MaintenanceProcedure(
     "dedup_exact",
-    Array(in("path", StringType)),
+    Array(in("path", StringType), inDflt("incremental", BooleanType, "false")),
     StructType(Seq(
       StructField("snapshot", LongType, nullable = true),
       StructField("dup_groups", LongType, nullable = false),
-      StructField("docs_deleted", LongType, nullable = false)
+      StructField("docs_deleted", LongType, nullable = false),
+      StructField("files_hashed", LongType, nullable = true)
     ))
   ) {
     override def description(): String =
       "delete every exact-duplicate document (identical tokens) except the " +
         "lexicographically smallest doc_id per group, as one merge-on-read " +
-        "equality-delete snapshot; purge_deletes amortizes the physical rewrite"
+        "equality-delete snapshot; purge_deletes amortizes the physical rewrite. " +
+        "incremental => hash through the persistent _content_index (decode only " +
+        "files not yet covered; files_hashed reports how many)"
     override def run(spark: SparkSession, input: InternalRow): InternalRow = {
-      val r = Maintenance.dedupExact(spark, pathOf(input))
-      InternalRow(r.snapshotId.map(Long.box).orNull, r.dupGroups, r.docsDeleted)
+      val r = Maintenance.dedupExact(spark, pathOf(input), incremental = input.getBoolean(1))
+      InternalRow(
+        r.snapshotId.map(Long.box).orNull,
+        r.dupGroups,
+        r.docsDeleted,
+        if (r.filesHashed < 0L) null else Long.box(r.filesHashed)
+      )
     }
   }
 

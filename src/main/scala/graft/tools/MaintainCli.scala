@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.MaintainCli vacuum      <outDir> [graceMinutes]
   *   runMain graft.tools.MaintainCli expire      <outDir> <keepLast>
   *   runMain graft.tools.MaintainCli manifests   <outDir>
-  *   runMain graft.tools.MaintainCli dedup-exact <outDir>
+  *   runMain graft.tools.MaintainCli dedup-exact <outDir> [incremental]
   *   runMain graft.tools.MaintainCli dedup-near  <outDir> [threshold]
   *   runMain graft.tools.MaintainCli decontaminate <outDir> <evalParquet> [n] [delete]
   *   runMain graft.tools.MaintainCli filter-nll  <outDir> <minBptPpm> <maxBptPpm> [delete]
@@ -70,10 +70,12 @@ object MaintainCli {
               s"rebased_into=${r.rebasedInto.map(_.toString).getOrElse("none")}"
           )
         case "dedup-exact" =>
-          val r = Maintenance.dedupExact(spark, outDir)
+          val incremental = args.length > 2 && args(2) == "incremental"
+          val r = Maintenance.dedupExact(spark, outDir, incremental = incremental)
+          val hashed = if (r.filesHashed < 0L) "" else s" files_hashed=${r.filesHashed}"
           println(
             s"dedup-exact: snapshot=${r.snapshotId.map(_.toString).getOrElse("none")} " +
-              s"dup_groups=${r.dupGroups} docs_deleted=${r.docsDeleted}"
+              s"dup_groups=${r.dupGroups} docs_deleted=${r.docsDeleted}$hashed"
           )
         case "dedup-near" =>
           val threshold = if (args.length > 2) args(2).toDouble else 0.7
