@@ -1103,6 +1103,31 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // the persistent CONTENT INDEX end-to-end: ContentIndex.ensure decodes
+    // the compressed block files themselves (embedded-table parse, string
+    // doc_id stream, per-row fold) and publishes the per-doc 124-bit
+    // exact-dedup key as a parquet sidecar; the read-back entries must equal
+    // DuckDB's recomputation of the fold from the raw corpus derivation —
+    // pinning the whole decode→fold→publish→read chain, not just the
+    // graft_token_fold expression q_token_fold already covers
+    "q_content_index" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftScanDir(s, dir)
+      val live = graft.pipeline.Maintenance
+        .liveBlockFiles(out, s.sparkContext.hadoopConfiguration)
+        .map(_._1)
+      val (entries, _) = graft.sources.ContentIndex.ensure(s, out, live)
+      entries
+        .where($"doc_id".cast("long") % 89 === 1)
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          $"n_tok".cast("long").as("n_tok"),
+          $"h1",
+          $"h2"
+        )
+        .orderBy($"doc_id")
+    }),
+
     // exact corpus dedup end-to-end: planted duplicate docs (id % 23 == 1
     // re-keyed to id + 3e12, same tokens) are appended, then
     // CALL graft.system.dedup_exact-equivalent runs (content hash group-by,
@@ -2305,6 +2330,24 @@ object SparkEntry {
          |)
          |SELECT doc_id, ${graft.ops.XHash.sqlMix62("r0")} AS h0,
          |       ${graft.ops.XHash.sqlMix62("r7")} AS h7
+         |FROM raws ORDER BY doc_id""".stripMargin
+    },
+
+    "q_content_index" -> {
+      import graft.functions.TokenFold
+      s"""$CTE
+         |, docs AS (
+         |  SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+         |         list(token ORDER BY pos) AS toks
+         |  FROM tok WHERE doc_id % 89 = 1 GROUP BY doc_id
+         |), raws AS (
+         |  SELECT doc_id, n_tok,
+         |         ${TokenFold.oracleSqlRawExpr("toks", 0L)} AS r1,
+         |         ${TokenFold.oracleSqlRawExpr("toks", 1L)} AS r2
+         |  FROM docs
+         |)
+         |SELECT doc_id, n_tok, ${graft.ops.XHash.sqlMix62("r1")} AS h1,
+         |       ${graft.ops.XHash.sqlMix62("r2")} AS h2
          |FROM raws ORDER BY doc_id""".stripMargin
     },
 
