@@ -253,8 +253,8 @@ object Bench {
         // corpus-independent; this row measures the one corpus-scale pass
         // the dedup_exact verb pays, against dsv2_decode_scan as the
         // decode-only floor.
-        locally {
-          val (nDupGroups, tDedupHash) = time {
+        val nDupGroups = {
+          val (n, tDedupHash) = time {
             spark32.read.format("graft").load(encDir)
               .select(
                 $"doc_id",
@@ -267,8 +267,38 @@ object Bench {
               .where($"n" > 1)
               .count()
           }
-          System.err.println(s"[bench] dedup hash pass: $nDupGroups dup groups")
+          System.err.println(s"[bench] dedup hash pass: $n dup groups")
           queries("dsv2_dedup_hash") = tDedupHash
+          n
+        }
+
+        // ---- incremental dedup via the persistent content index: build the
+        // _content_index sidecar once (dropped first so the row is honest —
+        // this is the one-time O(corpus) decode), then recompute the SAME
+        // dup-group count from index entries alone. The incr row is what an
+        // append-mostly corpus pays on re-run: parquet sidecar read +
+        // metadata-only liveness scan + ~30 B/doc shuffles, no entropy
+        // decode — against dsv2_dedup_hash as the full-pass cost.
+        locally {
+          val conf = spark32.sparkContext.hadoopConfiguration
+          graft.sources.ContentIndex.dropIndex(encDir, conf): Unit
+          val live = graft.pipeline.Maintenance.liveBlockFiles(encDir, conf).map(_._1)
+          val (_, tBuildCix) =
+            time(graft.sources.ContentIndex.ensure(spark32, encDir, live))
+          queries("content_index_build") = tBuildCix
+          val (nIncr, tIncr) = time {
+            val (entries, built) = graft.sources.ContentIndex.ensure(spark32, encDir, live)
+            require(built == 0L, s"incr row must run fully covered, hashed $built files")
+            val liveDocs = spark32.read.format("graft").load(encDir).select("doc_id")
+            entries
+              .join(liveDocs, Seq("doc_id"), "left_semi")
+              .groupBy("h1", "h2", "n_tok")
+              .agg(count(lit(1)).as("n"))
+              .where($"n" > 1)
+              .count()
+          }
+          require(nIncr == nDupGroups, s"index dup groups $nIncr != full-pass $nDupGroups")
+          queries("dsv2_dedup_incr") = tIncr
         }
 
         // ---- storage-partitioned self-join vs the default shuffled join:

@@ -1713,8 +1713,10 @@ object Maintenance {
   /** With `incremental = true`, the content-hash pass reads the persistent
     * [[graft.sources.ContentIndex]] instead of decoding the corpus: only
     * live block files with no committed index entry are decoded (and their
-    * entries published for the NEXT run), then entries are restricted to the
-    * current live doc set by a metadata-only doc_id scan — so re-running
+    * entries published for the NEXT run), then entries are restricted to
+    * live (file, doc) pairs by a metadata-only `_file`/doc_id scan when
+    * equality deletes are live (skipped entirely on append-only corpora) —
+    * so re-running
     * dedup on an append-mostly 100 TB corpus costs O(new data) decode plus
     * hash-row shuffles, not a full re-read. Same keeper rule, same delete
     * commit, same result as the full-scan path (the index pins its hashes
@@ -1733,12 +1735,23 @@ object Maintenance {
         val conf = spark.sparkContext.hadoopConfiguration
         val live = liveBlockFiles(outDir, conf).map(_._1)
         val (entries, built) = graft.sources.ContentIndex.ensure(spark, outDir, live)
-        // entries cover live FILES; restrict to live DOCS (merge-on-read
-        // deletes hide rows without rewriting files) via the metadata-only
-        // doc_id scan — no payload pages, no entropy decode
-        val liveDocs = spark.read.format("graft").load(outDir).select("doc_id")
-        val h = entries
-          .join(liveDocs, Seq("doc_id"), "left_semi")
+        // entries cover live FILES; when equality deletes are live, restrict
+        // to live (file, doc) pairs via the scan's `_file` metadata column —
+        // a metadata-only read (no payload pages, no entropy decode) that
+        // applies EXACTLY the scan's sequence-scoped delete rule, so a doc
+        // deleted from an old file but re-appended later keeps its new
+        // entry. Append-only corpora (no live deletes) skip the scan
+        // entirely: the hash pass is then a pure sidecar parquet read.
+        val liveRows =
+          if (Deletes.liveDeletes(outDir, conf, asOf = None).isEmpty) entries
+          else {
+            val livePairs = spark.read
+              .format("graft")
+              .load(outDir)
+              .select(col("_file").as("file"), col("doc_id"))
+            entries.join(livePairs, Seq("file", "doc_id"), "left_semi")
+          }
+        val h = liveRows
           .select(col("doc_id"), col("n_tok"), col("h1"), col("h2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (h, built)

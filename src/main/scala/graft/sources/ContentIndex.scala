@@ -65,6 +65,15 @@ object ContentIndex {
   private def ixDirOf(outDir: String) = new Path(outDir, DirName)
   private def nameOf(file: String): String = new Path(file).getName
 
+  /** Drop the whole index (coverage resets; the next ensure re-hashes every
+    * live file). Returns whether an index existed.
+    */
+  def dropIndex(outDir: String, conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val dir = ixDirOf(outDir)
+    val fs = dir.getFileSystem(conf)
+    fs.exists(dir) && fs.delete(dir, true)
+  }
+
   /** Committed index entries restricted to `liveNames`, plus the covered
     * file-name set (over ALL committed entries — a dead file's coverage is
     * irrelevant, so the caller intersects with its own live list).
@@ -94,13 +103,18 @@ object ContentIndex {
       .map(_.getString(0))
       .toSet
     // the live-name restriction joins (never an 800k-term In-list); two
-    // racing builds may both have covered a file — identical rows, deduped
+    // racing builds may both have covered a file — identical rows, deduped.
+    // `file` stays in the output: consumers needing exact liveness under
+    // sequence-scoped deletes join on (file, doc_id) against the scan's
+    // `_file` metadata column — per-file liveness is what the scan itself
+    // evaluates, so a doc deleted from an old file but re-appended in a new
+    // one keeps exactly its new entry.
     val namesDf = liveNames.toSeq.toDF("file")
     val live = all
       .where(col("doc_id").isNotNull)
       .join(namesDf, "file")
       .dropDuplicates("file", "doc_id")
-      .select(col("doc_id"), col("n_tok"), col("h1"), col("h2"))
+      .select(col("file"), col("doc_id"), col("n_tok"), col("h1"), col("h2"))
     (Some(live), covered)
   }
 
@@ -155,9 +169,19 @@ object ContentIndex {
       outDir: String,
       live: Array[String]
   ): (DataFrame, Long) = {
+    import spark.implicits._
     val liveNames = live.map(nameOf).toSet
-    val (_, covered0) = rows(spark, outDir, liveNames)
+    val (rows0, covered0) = rows(spark, outDir, liveNames)
     val todo = live.filter(f => !covered0.contains(nameOf(f)))
+    if (todo.isEmpty) {
+      // fully covered — the common re-run: no build, no second index read
+      val entries = rows0.getOrElse(
+        spark
+          .emptyDataset[ContentIndexRow]
+          .select(col("file"), col("doc_id"), col("n_tok"), col("h1"), col("h2"))
+      )
+      return (entries, 0L)
+    }
     val built = buildFor(spark, outDir, todo)
     val (liveRows, covered) = rows(spark, outDir, liveNames)
     val missing = liveNames -- covered

@@ -275,6 +275,20 @@ private[sources] class GraftTable(
         override def comment(): String =
           "stored compressed bits of this row's token payload (per-row bit index); " +
             "null on block-level (non-seekable) codecs"
+      },
+      // `_file` — the block parquet file NAME the row is stored in (file
+      // names are immutable identities in this layout, so the name alone is
+      // the row's physical address together with `_bin`). The Iceberg-style
+      // provenance column: joins against per-file sidecars (content index,
+      // token index coverage, audit rows) become exact under sequence-scoped
+      // deletes — liveness of (file, doc) pairs is precisely what the scan
+      // itself evaluates. Costs nothing: constant per partition.
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "name of the block parquet file this row is stored in"
       }
     )
   override def schema(): StructType = GraftDataSource.Schema
@@ -2225,6 +2239,10 @@ private[sources] abstract class GraftBlockReaderBase(
   protected var rowsEmitted = 0L
   protected var blocksIndexSkipped = 0L
 
+  /** The `_file` metadata value: this partition's file NAME, interned once. */
+  protected lazy val fileNameUtf8: UTF8String =
+    UTF8String.fromString(GraftScan.nameOf(file))
+
   private val reader: ParquetReader[Group] = {
     // project the parquet scan down to the needed block columns
     val wanted = scala.collection.mutable.LinkedHashSet[String]("bin", "codec", "n_rows")
@@ -2549,6 +2567,7 @@ private[sources] class GraftPartitionReader(
         case "_bin"   => out.setInt(i, b.bin) // metadata column
         case "_row_bits" =>
           if (b.rowBits == null) out.setNullAt(i) else out.setLong(i, b.rowBits(r).toLong)
+        case "_file"  => out.update(i, fileNameUtf8)
         case other    => throw new IllegalArgumentException(s"unknown column $other")
       }
       i += 1
@@ -2601,6 +2620,7 @@ private[sources] class GraftColumnarReader(
       case "_row_bits" =>
         if (blk.rowBits == null) new GraftNullLongVector(nHits)
         else new GraftHitLongVector(blk.rowBits, blk.hits)
+      case "_file"  => new GraftConstStringVector(fileNameUtf8)
       case other    => throw new IllegalArgumentException(s"unknown column $other")
     }
     batch = new ColumnarBatch(cols, nOut)
@@ -2664,6 +2684,12 @@ private[sources] final class GraftHitIntVector(vals: Array[Int], hits: Array[Int
 /** The `_bin` metadata column: constant within one block's batch. */
 private[sources] final class GraftConstIntVector(v: Int) extends GraftVector(IntegerType) {
   override def getInt(i: Int): Int = v
+}
+
+/** The `_file` metadata column: constant within one partition's batches. */
+private[sources] final class GraftConstStringVector(v: UTF8String)
+    extends GraftVector(StringType) {
+  override def getUTF8String(i: Int): UTF8String = v
 }
 
 /** The `_row_bits` metadata column on a seekable block: the stored per-row

@@ -72,6 +72,26 @@ class ContentIndexSpec extends AnyFunSuite {
     val (e3, built3) = ContentIndex.ensure(spark, dir, live1)
     assert(built3 == (live1.length - live0.length).toLong, "append must hash only the new files")
     assert(entriesOf(e3) == foldsOf(rows ++ extra))
+
+    // the `_file` metadata column names exactly the live block files, and
+    // entry (file, doc) pairs agree with the scan's own attribution
+    val scanPairs = spark.read
+      .format("graft")
+      .load(dir)
+      .select(col("_file"), col("doc_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    // subset, not equality: a zero-doc block file is live but emits no rows
+    // (the index covers it with its doc_id-null sentinel)
+    assert(scanPairs.map(_._1).subsetOf(live1.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet))
+    assert(scanPairs.map(_._1).size >= live1.length - 1)
+    val entryPairs = e3
+      .select("file", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(entryPairs == scanPairs)
   }
 
   test("incremental dedupExact: index-driven hashes, same survivors, idempotent, compaction-safe") {
@@ -132,6 +152,42 @@ class ContentIndexSpec extends AnyFunSuite {
       spark.read.format("graft").load(dir)
         .select("doc_id").collect().map(_.getString(0)).toSet == survivors
     )
+  }
+
+  test("sequence-scoped liveness: a doc replaced after indexing cannot ghost-delete its twin") {
+    import spark.implicits._
+    // X and Y share content; X is then REPLACED (delete+append) with new
+    // content AFTER the index covered the old block. Live corpus has no
+    // duplicates, so incremental dedup must delete nothing — a liveness
+    // filter on doc_id alone would keep X's STALE entry (still Y's twin,
+    // X's doc_id is live in its new file) and ghost-delete Y.
+    val base = TokenTables
+      .synthetic(spark, 60L, seed = 13L)
+      .collect()
+      .toSeq
+      .groupBy(r => (r.tokens.toSeq, r.n_tok)) // drop natural dups: the
+      .values.map(_.minBy(_.doc_id)).toSeq     // planted pair must be the only group
+    val x = base(4).copy(doc_id = "aa-x") // min id => keeper under the bug
+    val y = base(4).copy(doc_id = "bb-y") // the would-be ghost victim
+    val dir = freshDir("graft-cix-replace")
+    // base(4) itself stays OUT — x and y must be the only twins
+    EncodeJob.run(
+      spark.createDataset(base.filterNot(_.doc_id == base(4).doc_id) ++ Seq(x, y)),
+      dir,
+      cfg
+    )
+    val conf = spark.sparkContext.hadoopConfiguration
+    ContentIndex.ensure(spark, dir, Maintenance.liveBlockFiles(dir, conf).map(_._1)): Unit
+
+    val x2 = x.copy(tokens = x.tokens.map(_ + 1), n_tok = x.n_tok)
+    assert(graft.pipeline.Deletes.replaceDocs(spark, dir, spark.createDataset(Seq(x2))).nonEmpty)
+
+    val r = Maintenance.dedupExact(spark, dir, incremental = true)
+    assert(r.snapshotId.isEmpty && r.dupGroups == 0L && r.docsDeleted == 0L,
+      s"replaced doc's stale entry must not form a group: $r")
+    val ids = spark.read.format("graft").load(dir)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(ids.contains("bb-y") && ids.contains("aa-x"))
   }
 
   test("SQL procedure face reports files_hashed; vacuum reclaims build staging debris") {
