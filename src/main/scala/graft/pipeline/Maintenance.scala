@@ -1136,14 +1136,23 @@ object Maintenance {
       }
     }
 
-    // content-index build staging, same protocol as the token index
-    // (committed cix- files are never swept — entries keyed to dead file
-    // names are ignored by readers and cost nothing)
+    // content/signature-index build staging, same protocol as the token
+    // index (committed cix-/six- files are never swept — entries keyed to
+    // dead file names are ignored by readers and cost nothing). Signature
+    // index dirs are per-params (_sig_index_n4_k64, ...), so sweep every
+    // matching dir.
     val cixDir = new Path(s"$outDir/${graft.sources.ContentIndex.DirName}")
-    if (fs.exists(cixDir)) {
-      fs.listStatus(cixDir).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith(".tmp-") && st.getModificationTime <= cutoff)
-          if (fs.delete(st.getPath, true)) dirsDeleted += 1
+    val sigDirs = fs
+      .listStatus(new Path(outDir))
+      .filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith(graft.sources.SignatureIndex.DirPrefix))
+      .map(_.getPath)
+    (sigDirs :+ cixDir).foreach { ixd =>
+      if (fs.exists(ixd)) {
+        fs.listStatus(ixd).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith(".tmp-") && st.getModificationTime <= cutoff)
+            if (fs.delete(st.getPath, true)) dirsDeleted += 1
+        }
       }
     }
 
@@ -1808,9 +1817,64 @@ object Maintenance {
       snapshotId: Option[Long],
       nPairs: Long,
       nClusters: Long,
-      docsDeleted: Long
+      docsDeleted: Long,
+      /** Block files decoded for signatures this run: -1 on the full-scan
+        * path, ≥0 on the incremental ([[graft.sources.SignatureIndex]]) path.
+        */
+      filesSigned: Long = -1L
   )
 
+  /** Shared back half of both near-dup paths: persist the verified pairs,
+    * resolve components, commit the delete.
+    */
+  private def nearDupCommit(
+      spark: SparkSession,
+      outDir: String,
+      pairsDf: org.apache.spark.sql.DataFrame,
+      filesSigned: Long
+  ): DedupNearResult = {
+    import spark.implicits._
+    val pairs =
+      pairsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nPairs = pairs.count()
+      if (nPairs == 0L) DedupNearResult(None, 0L, 0L, 0L, filesSigned)
+      else {
+        val labels = graft.ops.Dedup.resolveClusters(pairs)
+        try {
+          val nClusters = labels.select(col("cluster")).distinct().count()
+          val losers = labels
+            .where(col("doc_id") =!= col("cluster"))
+            .select(col("doc_id"))
+            .as[String]
+          val res = Deletes.deleteDocs(spark, outDir, losers)
+          DedupNearResult(
+            res.map(_.snapshotId),
+            nPairs,
+            nClusters,
+            res.map(_.idsRecorded).getOrElse(0L),
+            filesSigned
+          )
+          // the delete write materialized `losers`; the labels checkpoint
+          // (resolveClusters' final round) can be dropped deterministically
+          // instead of waiting on the ContextCleaner
+        } finally graft.ops.Dedup.unpersistCheckpoint(labels)
+      }
+    } finally pairs.unpersist(): Unit
+  }
+
+  /** With `incremental = true`, the signature pass (the verb's one
+    * corpus-scale decode) reads the persistent
+    * [[graft.sources.SignatureIndex]]: only uncovered live files are
+    * decoded and signed, liveness follows the content-index rule (live
+    * files; live (file, doc) pairs via `_file` when deletes exist), and the
+    * exact-Jaccard verification re-derives shingles for CANDIDATE docs only
+    * through a doc-pruned scan — LSH buckets admit a tiny fraction, so the
+    * full-corpus decode disappears from the re-run entirely. Banding,
+    * verification, clustering and the delete commit are the same code as
+    * the full path; signatures are pinned equal by spec, so the two paths
+    * are interchangeable on results.
+    */
   def dedupNear(
       spark: SparkSession,
       outDir: String,
@@ -1818,50 +1882,71 @@ object Maintenance {
       shingleN: Int = 4,
       k: Int = 64,
       bands: Int = 16,
-      maxBucket: Int = 1024
+      maxBucket: Int = 1024,
+      incremental: Boolean = false
   ): DedupNearResult = {
-    import spark.implicits._
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0, 1], got $threshold")
-    val shingled = graft.ops.Dedup
-      .tokenShingles(
-        spark.read.format("graft").load(outDir).select(col("doc_id"), col("tokens")),
-        shingleN
-      )
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val sigs = graft.ops.Dedup.minhashFromShingles(shingled, k)
-      val cands = graft.ops.Dedup.lshCandidatePairs(sigs, bands, maxBucket)
-      // integer-exact threshold test (the minhashNearDups rule)
-      val pairs = graft.ops.Dedup
-        .jaccard(cands, shingled)
-        .where(col("uni") > 0 && col("inter").cast("double") >= col("uni") * threshold)
-        .select(col("doc_a"), col("doc_b"))
+    if (!incremental) {
+      val shingled = graft.ops.Dedup
+        .tokenShingles(
+          spark.read.format("graft").load(outDir).select(col("doc_id"), col("tokens")),
+          shingleN
+        )
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val nPairs = pairs.count()
-        if (nPairs == 0L) DedupNearResult(None, 0L, 0L, 0L)
+        val sigs = graft.ops.Dedup.minhashFromShingles(shingled, k)
+        val cands = graft.ops.Dedup.lshCandidatePairs(sigs, bands, maxBucket)
+        // integer-exact threshold test (the minhashNearDups rule)
+        val pairs = graft.ops.Dedup
+          .jaccard(cands, shingled)
+          .where(col("uni") > 0 && col("inter").cast("double") >= col("uni") * threshold)
+          .select(col("doc_a"), col("doc_b"))
+        nearDupCommit(spark, outDir, pairs, filesSigned = -1L)
+      } finally shingled.unpersist(): Unit
+    } else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val live = liveBlockFiles(outDir, conf).map(_._1)
+      val (entries, signed) =
+        graft.sources.SignatureIndex.ensure(spark, outDir, live, shingleN, k)
+      val liveRows =
+        if (Deletes.liveDeletes(outDir, conf, asOf = None).isEmpty) entries
         else {
-          val labels = graft.ops.Dedup.resolveClusters(pairs)
-          try {
-            val nClusters = labels.select(col("cluster")).distinct().count()
-            val losers = labels
-              .where(col("doc_id") =!= col("cluster"))
-              .select(col("doc_id"))
-              .as[String]
-            val res = Deletes.deleteDocs(spark, outDir, losers)
-            DedupNearResult(
-              res.map(_.snapshotId),
-              nPairs,
-              nClusters,
-              res.map(_.idsRecorded).getOrElse(0L)
-            )
-            // the delete write materialized `losers`; the labels checkpoint
-            // (resolveClusters' final round) can be dropped deterministically
-            // instead of waiting on the ContextCleaner
-          } finally graft.ops.Dedup.unpersistCheckpoint(labels)
+          val livePairs = spark.read
+            .format("graft")
+            .load(outDir)
+            .select(col("_file").as("file"), col("doc_id"))
+          entries.join(livePairs, Seq("file", "doc_id"), "left_semi")
         }
-      } finally pairs.unpersist(): Unit
-    } finally shingled.unpersist(): Unit
+      val sigs = liveRows
+        .select(col("doc_id"), col("minhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cands = graft.ops.Dedup
+          .lshCandidatePairs(sigs, bands, maxBucket)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // exact verification decodes ONLY the candidate docs' shingles
+          val candDocs = cands
+            .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+            .distinct()
+          val subset = spark.read
+            .format("graft")
+            .load(outDir)
+            .join(candDocs, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("tokens"))
+          val shingled = graft.ops.Dedup
+            .tokenShingles(subset, shingleN)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val pairs = graft.ops.Dedup
+              .jaccard(cands, shingled)
+              .where(col("uni") > 0 && col("inter").cast("double") >= col("uni") * threshold)
+              .select(col("doc_a"), col("doc_b"))
+            nearDupCommit(spark, outDir, pairs, filesSigned = signed)
+          } finally shingled.unpersist(): Unit
+        } finally cands.unpersist(): Unit
+      } finally sigs.unpersist(): Unit
+    }
   }
 
   /** Eval-set decontamination as one verb

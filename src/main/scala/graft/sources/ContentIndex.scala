@@ -1,9 +1,6 @@
 package graft.sources
 
-import graft.codec.{CodecSelector, HybridCodec, StringCodecs}
-import graft.core.{BitReader, ContextModel, Huffman}
 import graft.ops.XHash
-import graft.pipeline.GraftPipeline
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -197,67 +194,18 @@ object ContentIndex {
       numContexts: Int,
       modelName: String
   ): Seq[ContentIndexRow] = {
-    val tables = Huffman.readHeader(new BitReader(headerBytes), maxBits, numContexts)
-    val model = ContextModel(modelName, numContexts)
-    val hybrid = new HybridCodec(tables, model)
     val name = nameOf(file)
-    val wanted = Set(
-      "codec", "n_rows", "doc_ids_codec", "doc_ids_payload", "n_toks_codec",
-      "n_toks_payload", "payload", "embedded_tables", "table_hash"
-    )
-    val reader = GraftPartitionReader.openProjected(file, sConf, wanted, None)
     val out = Seq.newBuilder[ContentIndexRow]
-    var any = false
-    try {
-      var g = reader.read()
-      while (g != null) {
-        val nRows = g.getInteger("n_rows", 0)
-        if (nRows > 0) {
-          any = true
-          val docIds = StringCodecs.decode(
-            g.getString("doc_ids_codec", 0),
-            g.getBinary("doc_ids_payload", 0).getBytes,
-            nRows
-          )
-          val nToks = CodecSelector.decodeIntColumn(
-            g.getString("n_toks_codec", 0),
-            g.getBinary("n_toks_payload", 0).getBytes,
-            nRows
-          )
-          val rowOffsets = new Array[Int](nRows + 1)
-          var off = 0
-          var i = 0
-          while (i < nRows) { rowOffsets(i) = off; off += nToks(i); i += 1 }
-          rowOffsets(nRows) = off
-          val values =
-            if (off == 0) Array.emptyIntArray
-            else
-              GraftPipeline.decodeBlockPayload(
-                g.getBinary("payload", 0).getBytes,
-                g.getString("codec", 0),
-                g.getBoolean("embedded_tables", 0),
-                g.getLong("table_hash", 0),
-                tables,
-                model,
-                hybrid,
-                off,
-                rowOffsets
-              )
-          i = 0
-          while (i < nRows) {
-            out += ContentIndexRow(
-              name,
-              docIds(i),
-              nToks(i),
-              foldRow(values, rowOffsets(i), rowOffsets(i + 1), 0L),
-              foldRow(values, rowOffsets(i), rowOffsets(i + 1), 1L)
-            )
-            i += 1
-          }
-        }
-        g = reader.read()
-      }
-    } finally reader.close()
+    val any = BlockFileScan.foreachRow(file, sConf, headerBytes, maxBits, numContexts, modelName) {
+      (docId, nTok, values, from, until) =>
+        out += ContentIndexRow(
+          name,
+          docId,
+          nTok,
+          foldRow(values, from, until, 0L),
+          foldRow(values, from, until, 1L)
+        )
+    }
     if (!any) Seq(ContentIndexRow(name, null, -1, 0L, 0L)) // coverage sentinel
     else out.result()
   }

@@ -850,6 +850,30 @@ private object GraftCatalog {
     }
   }
 
+  private val buildContentIndex = new MaintenanceProcedure(
+    "build_content_index",
+    Array(in("path", StringType)),
+    StructType(Seq(
+      StructField("files_hashed", LongType, nullable = false),
+      StructField("files_covered", IntegerType, nullable = false),
+      StructField("entries", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "build (or incrementally extend) the _content_index sidecar: per-doc " +
+        "124-bit content keys used by dedup_exact(incremental => true); " +
+        "only live files without committed entries are decoded — run it " +
+        "off-peak so the dedup pass itself is a pure sidecar read"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val dir = pathOf(input)
+      val live = Maintenance
+        .liveBlockFiles(dir, spark.sparkContext.hadoopConfiguration)
+        .map(_._1)
+      val (entries, built) = ContentIndex.ensure(spark, dir, live)
+      InternalRow(built, live.length, entries.count())
+    }
+  }
+
   /** The pretraining chunker as a SQL verb: pack a graft corpus into
     * fixed-length training examples and write them to a NEW graft dir —
     * the whole prepare-an-epoch step (`ops/Packing` + `EncodeJob`) as one
@@ -995,28 +1019,39 @@ private object GraftCatalog {
       in("path", StringType),
       inDflt("threshold", DoubleType, "0.7D"),
       inDflt("shingle_n", IntegerType, "4"),
-      inDflt("max_bucket", IntegerType, "1024")
+      inDflt("max_bucket", IntegerType, "1024"),
+      inDflt("incremental", BooleanType, "false")
     ),
     StructType(Seq(
       StructField("snapshot", LongType, nullable = true),
       StructField("n_pairs", LongType, nullable = false),
       StructField("n_clusters", LongType, nullable = false),
-      StructField("docs_deleted", LongType, nullable = false)
+      StructField("docs_deleted", LongType, nullable = false),
+      StructField("files_signed", LongType, nullable = true)
     ))
   ) {
     override def description(): String =
       "delete near-duplicate documents (MinHash+LSH over token n-gram shingles, " +
         "exact-Jaccard verified at threshold, connected components) keeping the " +
-        "smallest doc_id per cluster, as one merge-on-read equality-delete snapshot"
+        "smallest doc_id per cluster, as one merge-on-read equality-delete snapshot. " +
+        "incremental => sign through the persistent _sig_index (decode only files " +
+        "not yet covered; exact verification decodes candidate docs only)"
     override def run(spark: SparkSession, input: InternalRow): InternalRow = {
       val r = Maintenance.dedupNear(
         spark,
         pathOf(input),
         threshold = input.getDouble(1),
         shingleN = input.getInt(2),
-        maxBucket = input.getInt(3)
+        maxBucket = input.getInt(3),
+        incremental = input.getBoolean(4)
       )
-      InternalRow(r.snapshotId.map(Long.box).orNull, r.nPairs, r.nClusters, r.docsDeleted)
+      InternalRow(
+        r.snapshotId.map(Long.box).orNull,
+        r.nPairs,
+        r.nClusters,
+        r.docsDeleted,
+        if (r.filesSigned < 0L) null else Long.box(r.filesSigned)
+      )
     }
   }
 
@@ -1146,6 +1181,7 @@ private object GraftCatalog {
     "dedup_exact" -> dedupExact,
     "dedup_near" -> dedupNear,
     "build_token_index" -> buildTokenIndex,
+    "build_content_index" -> buildContentIndex,
     "recompress" -> recompress,
     "rebin" -> rebin,
     "create_tag" -> createTag,

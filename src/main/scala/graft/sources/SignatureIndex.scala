@@ -1,0 +1,219 @@
+package graft.sources
+
+import graft.ops.{Decontaminate, Dedup, XHash}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.UUID
+
+/** One per-document row of the signature index
+  * (`_sig_index_n{N}_k{K}/six-*.parquet`). `doc_id = null` is the coverage
+  * sentinel for a zero-doc file.
+  */
+final case class SigIndexRow(
+    file: String,
+    doc_id: String,
+    minhash: Array[Long]
+)
+
+/** The SIGNATURE INDEX — per-document MinHash signatures over token
+  * n-gram shingles, persisted per block file like [[ContentIndex]], so the
+  * NEAR-dup verb's one corpus-scale decode (the signature pass) becomes
+  * incremental on an append-mostly corpus. The index stores ONLY the k·8 B
+  * signature (never the shingle sets — those are n_tok-sized and would
+  * rival the payload); the verb's exact-Jaccard verification re-derives
+  * shingles for CANDIDATE docs only, via a doc-pruned scan — candidates
+  * are the tiny LSH-bucket fraction, so the expensive full decode is what
+  * the sidecar eliminates.
+  *
+  * The signature math is pinned EQUAL to the query-side chain
+  * ([[Dedup.tokenShingles]] + [[Dedup.minhashFromShingles]]) by spec:
+  * gram = XHash fold over each n-window ([[Decontaminate.gramHash]]),
+  * permutation i = s -> mix62(s ^ mix62(0x5eed + i)), empty/short docs get
+  * the all-Mask62 sentinel signature. Shingle params are part of the
+  * sidecar's IDENTITY (the dir name embeds n and k), so runs with
+  * different params use different sidecars and can never mix.
+  *
+  * Coverage/liveness semantics are [[ContentIndex]]'s: per-file coverage,
+  * staged-rename publication (vacuum reclaims `.tmp-` staging), entries
+  * restricted to live files at read time and to live (file, doc) pairs via
+  * the `_file` column when equality deletes are live.
+  */
+object SignatureIndex {
+
+  def dirName(shingleN: Int, k: Int): String = s"_sig_index_n${shingleN}_k$k"
+
+  /** Every index dir under `outDir` (any params) — the vacuum sweep's
+    * listing hook.
+    */
+  val DirPrefix = "_sig_index_"
+
+  private def ixDirOf(outDir: String, n: Int, k: Int) = new Path(outDir, dirName(n, k))
+  private def nameOf(file: String): String = new Path(file).getName
+
+  def dropIndex(
+      outDir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      shingleN: Int,
+      k: Int
+  ): Boolean = {
+    val dir = ixDirOf(outDir, shingleN, k)
+    val fs = dir.getFileSystem(conf)
+    fs.exists(dir) && fs.delete(dir, true)
+  }
+
+  /** The per-row signature — EXACTLY
+    * `minhashFromShingles(tokenShingles(corpus, n), k)` over the stored
+    * token values; pinned equal by SignatureIndexSpec.
+    */
+  def sigRow(
+      values: Array[Int],
+      from: Int,
+      until: Int,
+      shingleN: Int,
+      salts: Array[Long]
+  ): Array[Long] = {
+    val k = salts.length
+    val sig = Array.fill(k)(XHash.Mask62)
+    val len = until - from
+    if (len < shingleN) return sig // the empty-shingle sentinel
+    val arr = new Array[Long](len)
+    var i = 0
+    while (i < len) { arr(i) = values(from + i).toLong; i += 1 }
+    var p = 0
+    while (p + shingleN <= len) {
+      val s = Decontaminate.gramHash(arr, p, shingleN)
+      var j = 0
+      while (j < k) {
+        val h = XHash.mix62(s ^ salts(j))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      p += 1
+    }
+    sig
+  }
+
+  /** Committed entries restricted to `liveNames` (with `file` kept for
+    * (file, doc) liveness joins), plus the covered-name set.
+    */
+  def rows(
+      spark: SparkSession,
+      outDir: String,
+      liveNames: Set[String],
+      shingleN: Int,
+      k: Int
+  ): (Option[DataFrame], Set[String]) = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = ixDirOf(outDir, shingleN, k)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return (None, Set.empty)
+    val files = fs
+      .listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("six-") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    if (files.isEmpty) return (None, Set.empty)
+    val all = spark.read.parquet(files.toIndexedSeq: _*)
+    val covered = all
+      .select("file")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val namesDf = liveNames.toSeq.toDF("file")
+    val live = all
+      .where(col("doc_id").isNotNull)
+      .join(namesDf, "file")
+      .dropDuplicates("file", "doc_id")
+      .select(col("file"), col("doc_id"), col("minhash"))
+    (Some(live), covered)
+  }
+
+  /** Sign `todo` files (full paths) and publish their six- entries; the
+    * [[ContentIndex.buildFor]] protocol.
+    */
+  def buildFor(
+      spark: SparkSession,
+      outDir: String,
+      todo: Array[String],
+      shingleN: Int,
+      k: Int
+  ): Long = {
+    if (todo.isEmpty) return 0L
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = ixDirOf(outDir, shingleN, k)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir): Unit
+    val meta = GraftMeta.load(outDir, conf)
+    val bMeta = spark.sparkContext.broadcast(
+      (meta.headerBytes, meta.maxBits, meta.numContexts, meta.contextModel)
+    )
+    val sConf = new SerializableHadoopConf(conf)
+    val salts = Array.tabulate(k)(Dedup.minhashSalt)
+    val entries = spark.sparkContext
+      .parallelize(todo.toIndexedSeq, todo.length)
+      .flatMap { file =>
+        val (headerBytes, maxBits, numContexts, modelName) = bMeta.value
+        val name = nameOf(file)
+        val out = Seq.newBuilder[SigIndexRow]
+        val any = BlockFileScan
+          .foreachRow(file, sConf, headerBytes, maxBits, numContexts, modelName) {
+            (docId, _, values, from, until) =>
+              out += SigIndexRow(name, docId, sigRow(values, from, until, shingleN, salts))
+          }
+        if (!any) Seq(SigIndexRow(name, null, Array.emptyLongArray)) // coverage sentinel
+        else out.result()
+      }
+      .toDS()
+
+    val uuid = UUID.randomUUID().toString
+    val stage = new Path(dir, s".tmp-$uuid")
+    entries.write.parquet(stage.toString)
+    var i = 0
+    fs.listStatus(stage)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .foreach { st =>
+        require(
+          fs.rename(st.getPath, new Path(dir, s"six-$uuid-$i.parquet")),
+          s"failed to publish signature-index file ${st.getPath}"
+        )
+        i += 1
+      }
+    fs.delete(stage, true): Unit
+    todo.length.toLong
+  }
+
+  /** Ensure every name in `live` is covered, signing only uncovered files;
+    * returns (live entry rows, filesSigned).
+    */
+  def ensure(
+      spark: SparkSession,
+      outDir: String,
+      live: Array[String],
+      shingleN: Int,
+      k: Int
+  ): (DataFrame, Long) = {
+    import spark.implicits._
+    val liveNames = live.map(nameOf).toSet
+    val (rows0, covered0) = rows(spark, outDir, liveNames, shingleN, k)
+    val todo = live.filter(f => !covered0.contains(nameOf(f)))
+    if (todo.isEmpty) {
+      val entries = rows0.getOrElse(
+        spark
+          .emptyDataset[SigIndexRow]
+          .select(col("file"), col("doc_id"), col("minhash"))
+      )
+      return (entries, 0L)
+    }
+    val built = buildFor(spark, outDir, todo, shingleN, k)
+    val (liveRows, covered) = rows(spark, outDir, liveNames, shingleN, k)
+    val missing = liveNames -- covered
+    require(missing.isEmpty, s"signature index build left ${missing.size} live files uncovered")
+    (liveRows.get, built)
+  }
+}

@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.MaintainCli expire      <outDir> <keepLast>
   *   runMain graft.tools.MaintainCli manifests   <outDir>
   *   runMain graft.tools.MaintainCli dedup-exact <outDir> [incremental]
-  *   runMain graft.tools.MaintainCli dedup-near  <outDir> [threshold]
+  *   runMain graft.tools.MaintainCli dedup-near  <outDir> [threshold] [incremental]
   *   runMain graft.tools.MaintainCli decontaminate <outDir> <evalParquet> [n] [delete]
   *   runMain graft.tools.MaintainCli filter-nll  <outDir> <minBptPpm> <maxBptPpm> [delete]
   *
@@ -78,11 +78,16 @@ object MaintainCli {
               s"dup_groups=${r.dupGroups} docs_deleted=${r.docsDeleted}$hashed"
           )
         case "dedup-near" =>
-          val threshold = if (args.length > 2) args(2).toDouble else 0.7
-          val r = Maintenance.dedupNear(spark, outDir, threshold = threshold)
+          val rest = args.drop(2)
+          val incremental = rest.contains("incremental")
+          val threshold =
+            rest.filterNot(_ == "incremental").headOption.map(_.toDouble).getOrElse(0.7)
+          val r = Maintenance
+            .dedupNear(spark, outDir, threshold = threshold, incremental = incremental)
+          val signed = if (r.filesSigned < 0L) "" else s" files_signed=${r.filesSigned}"
           println(
             s"dedup-near: snapshot=${r.snapshotId.map(_.toString).getOrElse("none")} " +
-              s"n_pairs=${r.nPairs} n_clusters=${r.nClusters} docs_deleted=${r.docsDeleted}"
+              s"n_pairs=${r.nPairs} n_clusters=${r.nClusters} docs_deleted=${r.docsDeleted}$signed"
           )
         case "decontaminate" =>
           require(args.length > 2, "decontaminate needs <evalParquet>")

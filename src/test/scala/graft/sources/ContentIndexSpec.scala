@@ -198,12 +198,19 @@ class ContentIndexSpec extends AnyFunSuite {
     EncodeJob.run(spark.createDataset(base ++ dup), dir, cfg)
 
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    // pre-build through the SQL face: the off-peak indexing verb
+    val bld = spark.sql(s"CALL graft.system.build_content_index(path => '$dir')").head()
+    assert(bld.getLong(0) > 0L, "first build hashes files")
+    assert(bld.getLong(2) == (base.size + dup.size).toLong, "one entry per doc")
+    val bld2 = spark.sql(s"CALL graft.system.build_content_index(path => '$dir')").head()
+    assert(bld2.getLong(0) == 0L, "second build is covered")
     val row = spark
       .sql(s"CALL graft.system.dedup_exact(path => '$dir', incremental => true)")
       .head()
     assert(!row.isNullAt(0), "snapshot committed")
     assert(row.getLong(2) >= 1L) // docs_deleted
-    assert(!row.isNullAt(3) && row.getLong(3) > 0L, "files_hashed reported")
+    assert(!row.isNullAt(3) && row.getLong(3) == 0L,
+      "dedup after pre-build must be a pure sidecar read")
     // the full-scan face keeps files_hashed null
     val full = spark.sql(s"CALL graft.system.dedup_exact(path => '$dir')").head()
     assert(full.isNullAt(0) && full.isNullAt(3))

@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.ops.Dedup
+import graft.pipeline.{EncodeJob, Maintenance, SparkTestBase, TokenTables}
+import graft.pipeline.GraftPipeline.Config
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** [[SignatureIndex]] — the persistent MinHash-signature sidecar behind
+  * `dedup_near(incremental => true)`: signatures must pin the query-side
+  * chain (tokenShingles → minhashFromShingles) exactly, coverage must be
+  * file-incremental, and the incremental verb must delete exactly what the
+  * full-scan verb deletes.
+  */
+class SignatureIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  val cfg = Config(numContexts = 16, numBins = 8, maxBlockRows = 64, maxBlockValues = 32768)
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def shingleSet(tokens: Array[Int], n: Int = 4): Set[Long] = {
+    val arr = tokens.map(_.toLong)
+    (0 to arr.length - n).map(p => graft.ops.Decontaminate.gramHash(arr, p, n)).toSet
+  }
+
+  /** DedupNearSpec's self-validating fixture: truncated near-copies in both
+    * keeper directions plus an unrelated replacement.
+    */
+  private def nearDups(seed: Long) = {
+    val base = TokenTables.synthetic(spark, 150L, seed = seed).collect()
+    val candidates = base.filter(_.n_tok >= 40).filter { d =>
+      val so = shingleSet(d.tokens)
+      val sc = shingleSet(d.tokens.dropRight(2))
+      sc.size < so.size && sc.size.toDouble >= so.size * 0.75
+    }
+    assert(candidates.length >= 2, s"fixture found only ${candidates.length} candidates")
+    val a = candidates(0)
+    val b = candidates(1)
+    val planted = Seq(
+      a.copy(doc_id = s"aa-near-${a.doc_id}", tokens = a.tokens.dropRight(2), n_tok = a.n_tok - 2),
+      b.copy(doc_id = s"zz-near-${b.doc_id}", tokens = b.tokens.dropRight(2), n_tok = b.n_tok - 2)
+    )
+    (base.toSeq, planted, a.doc_id, b.doc_id)
+  }
+
+  test("index signatures pin the tokenShingles->minhash chain; coverage is incremental") {
+    import spark.implicits._
+    val input = TokenTables.synthetic(spark, 120L, seed = 31L)
+    val rows = input.collect().toSeq
+    val dir = freshDir("graft-six")
+    EncodeJob.run(input, dir, cfg)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = Maintenance.liveBlockFiles(dir, conf).map(_._1)
+
+    val (e1, built1) = SignatureIndex.ensure(spark, dir, live, shingleN = 4, k = 16)
+    assert(built1 == live.length.toLong)
+    val got = e1
+      .select("doc_id", "minhash")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toList)
+      .toMap
+    val expected = Dedup
+      .minhashFromShingles(
+        Dedup.tokenShingles(spark.createDataset(rows).toDF(), 4),
+        16
+      )
+      .select("doc_id", "minhash")
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toList)
+      .toMap
+    assert(got == expected, "sidecar signatures must equal the query-side chain")
+
+    // short-doc sentinel is exercised iff the fixture has one; the kernel's
+    // < shingleN branch is pinned by the map equality either way
+    val (_, built2) = SignatureIndex.ensure(spark, dir, live, shingleN = 4, k = 16)
+    assert(built2 == 0L, "covered ensure must sign nothing")
+
+    // different params = different sidecar: a k=8 ensure builds from scratch
+    val (e8, built8) = SignatureIndex.ensure(spark, dir, live, shingleN = 4, k = 8)
+    assert(built8 == live.length.toLong)
+    assert(e8.select("minhash").head().getSeq[Long](0).length == 8)
+  }
+
+  test("incremental dedupNear: same deletions as full-scan, only new files signed, idempotent") {
+    import spark.implicits._
+    val (base, planted, aId, bId) = nearDups(57L)
+
+    // twin dirs, identical corpora: full-scan on one, incremental on the other
+    val dirFull = freshDir("graft-six-full")
+    val dirIncr = freshDir("graft-six-incr")
+    EncodeJob.run(spark.createDataset(base ++ planted), dirFull, cfg)
+
+    // incr dir: prime the index on the base corpus, then APPEND the planted
+    // near-dups — the verb must sign only the appended files
+    EncodeJob.run(spark.createDataset(base), dirIncr, cfg)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live0 = Maintenance.liveBlockFiles(dirIncr, conf).map(_._1)
+    SignatureIndex.ensure(spark, dirIncr, live0, shingleN = 4, k = 64): Unit
+    spark.createDataset(planted).write.format("graft").mode("append").save(dirIncr)
+    val liveAll = Maintenance.liveBlockFiles(dirIncr, conf).map(_._1)
+
+    val rFull = Maintenance.dedupNear(spark, dirFull, threshold = 0.7)
+    val rIncr = Maintenance.dedupNear(spark, dirIncr, threshold = 0.7, incremental = true)
+    assert(rIncr.snapshotId.nonEmpty)
+    assert(rIncr.filesSigned > 0L && rIncr.filesSigned < liveAll.length.toLong,
+      s"must sign only appended files: ${rIncr.filesSigned} of ${liveAll.length}")
+    assert(rIncr.nPairs == rFull.nPairs && rIncr.docsDeleted == rFull.docsDeleted,
+      s"incremental $rIncr != full ${rFull}")
+
+    def kept(dir: String): Set[String] =
+      spark.read.format("graft").load(dir).select("doc_id").collect().map(_.getString(0)).toSet
+    assert(kept(dirIncr) == kept(dirFull), "both paths must keep the same documents")
+    assert(kept(dirIncr).contains(s"aa-near-$aId") && !kept(dirIncr).contains(aId))
+    assert(kept(dirIncr).contains(bId) && !kept(dirIncr).contains(s"zz-near-$bId"))
+
+    // idempotent: deletes are live now, so liveness flows through the
+    // (_file, doc_id) semi-join; nothing new to sign, nothing to delete
+    val r2 = Maintenance.dedupNear(spark, dirIncr, threshold = 0.7, incremental = true)
+    assert(r2.snapshotId.isEmpty && r2.docsDeleted == 0L && r2.filesSigned == 0L, s"got $r2")
+  }
+
+  test("SQL face reports files_signed; vacuum sweeps _sig_index staging only") {
+    import spark.implicits._
+    val (base, planted, _, _) = nearDups(91L)
+    val dir = freshDir("graft-six-sql")
+    EncodeJob.run(spark.createDataset(base ++ planted), dir, cfg)
+
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val row = spark
+      .sql(s"CALL graft.system.dedup_near(path => '$dir', incremental => true)")
+      .head()
+    assert(!row.isNullAt(0), "snapshot committed")
+    assert(row.getLong(3) >= 2L) // docs_deleted
+    assert(!row.isNullAt(4) && row.getLong(4) > 0L, "files_signed reported")
+    // full-scan face keeps files_signed null
+    val full = spark.sql(s"CALL graft.system.dedup_near(path => '$dir')").head()
+    assert(full.isNullAt(4))
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val six = new org.apache.hadoop.fs.Path(dir, SignatureIndex.dirName(4, 64))
+    val fs = six.getFileSystem(conf)
+    val debris = new org.apache.hadoop.fs.Path(six, ".tmp-crashed")
+    fs.mkdirs(debris)
+    val committed = fs.listStatus(six).count(_.getPath.getName.startsWith("six-"))
+    assert(committed > 0)
+    Maintenance.vacuum(spark, dir, olderThanMs = 0L)
+    assert(!fs.exists(debris), "vacuum must sweep .tmp- under _sig_index dirs")
+    assert(fs.listStatus(six).count(_.getPath.getName.startsWith("six-")) == committed)
+  }
+}
