@@ -86,40 +86,47 @@ object ContentIndex {
     val fs = ixDirOf(outDir).getFileSystem(conf)
     val dir = ixDirOf(outDir)
     if (!fs.exists(dir)) return (None, Set.empty)
-    val files = fs
+    // each committed BUILD is one atomically-renamed cix-<uuid>/ directory
+    // of parquet parts (so a crash can never publish half a build)
+    val buildDirs = fs
       .listStatus(dir)
-      .filter(st => st.isFile && st.getPath.getName.startsWith("cix-") &&
-        st.getPath.getName.endsWith(".parquet"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cix-"))
       .map(_.getPath.toString)
-    if (files.isEmpty) return (None, Set.empty)
-    val all = spark.read.parquet(files.toIndexedSeq: _*)
-    val covered = all
-      .select("file")
-      .distinct()
+    if (buildDirs.isEmpty) return (None, Set.empty)
+    val all = spark.read.parquet(buildDirs.toIndexedSeq: _*)
+    // one aggregate pass yields coverage AND race detection: a file covered
+    // by >1 build dir (two concurrent first-builds) has duplicate entries
+    // input_file_name() is non-deterministic: project it BEFORE aggregating
+    val cov = all
+      .select(col("file"), regexp_extract(input_file_name(), "/(cix-[^/]+)/", 1).as("_build"))
+      .groupBy(col("file"))
+      .agg(countDistinct(col("_build")).as("n_builds"))
       .collect()
-      .map(_.getString(0))
-      .toSet
-    // the live-name restriction joins (never an 800k-term In-list); two
-    // racing builds may both have covered a file — identical rows, deduped.
+      .map(r => r.getString(0) -> r.getLong(1))
+    val covered = cov.map(_._1).toSet
+    val raced = cov.exists(_._2 > 1L)
+    // the live-name restriction joins (never an 800k-term In-list).
     // `file` stays in the output: consumers needing exact liveness under
     // sequence-scoped deletes join on (file, doc_id) against the scan's
     // `_file` metadata column — per-file liveness is what the scan itself
     // evaluates, so a doc deleted from an old file but re-appended in a new
     // one keeps exactly its new entry.
     val namesDf = liveNames.toSeq.toDF("file")
-    val live = all
+    val joined = all
       .where(col("doc_id").isNotNull)
       .join(namesDf, "file")
-      .dropDuplicates("file", "doc_id")
+    // racing builds wrote identical rows — dedup ONLY when one actually
+    // happened (the shuffle is the dominant cost of a covered re-run)
+    val live = (if (raced) joined.dropDuplicates("file", "doc_id") else joined)
       .select(col("file"), col("doc_id"), col("n_tok"), col("h1"), col("h2"))
     (Some(live), covered)
   }
 
   /** Hash `todo` block files (full paths) and publish their cix entries.
-    * One task per file; staged write + rename (a crash leaves `.tmp-*`
-    * debris that vacuum reclaims, never a half-visible entry set that
-    * loses rows — entries are per-file atomic because each task's rows
-    * land in whole parquet parts).
+    * One DECODE task per file, coalesced to ~64-file parquet parts (an
+    * 800k-file corpus indexes into ~12k parts, not 800k), then ONE atomic
+    * directory rename publishes the whole build — a crash leaves `.tmp-*`
+    * staging that vacuum reclaims, never a half-visible build.
     */
   def buildFor(spark: SparkSession, outDir: String, todo: Array[String]): Long = {
     if (todo.isEmpty) return 0L
@@ -139,22 +146,20 @@ object ContentIndex {
         hashOneFile(file, sConf, headerBytes, maxBits, numContexts, modelName)
       }
       .toDS()
+      // repartition, not coalesce: the decode keeps one task per file (full
+      // parallelism); only the computed ~50 B/doc entry rows shuffle down
+      // to a bounded part count
+      .repartition(math.max(1, math.min(4096, todo.length / 64)))
 
     val uuid = UUID.randomUUID().toString
     val stage = new Path(ixDirOf(outDir), s".tmp-$uuid")
     entries.write.parquet(stage.toString)
-    var i = 0
-    fs.listStatus(stage)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .foreach { st =>
-        require(
-          fs.rename(st.getPath, new Path(ixDirOf(outDir), s"cix-$uuid-$i.parquet")),
-          s"failed to publish content-index file ${st.getPath}"
-        )
-        i += 1
-      }
-    fs.delete(stage, true): Unit
+    // drop the _SUCCESS marker etc.? parquet readers ignore non-parquet
+    // files; rename the STAGE DIR as the committed build (atomic)
+    require(
+      fs.rename(stage, new Path(ixDirOf(outDir), s"cix-$uuid")),
+      s"failed to publish content-index build $stage"
+    )
     todo.length.toLong
   }
 

@@ -110,24 +110,27 @@ object SignatureIndex {
     val dir = ixDirOf(outDir, shingleN, k)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return (None, Set.empty)
-    val files = fs
+    // one atomically-renamed six-<uuid>/ directory per committed build
+    val buildDirs = fs
       .listStatus(dir)
-      .filter(st => st.isFile && st.getPath.getName.startsWith("six-") &&
-        st.getPath.getName.endsWith(".parquet"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("six-"))
       .map(_.getPath.toString)
-    if (files.isEmpty) return (None, Set.empty)
-    val all = spark.read.parquet(files.toIndexedSeq: _*)
-    val covered = all
-      .select("file")
-      .distinct()
+    if (buildDirs.isEmpty) return (None, Set.empty)
+    val all = spark.read.parquet(buildDirs.toIndexedSeq: _*)
+    // input_file_name() is non-deterministic: project it BEFORE aggregating
+    val cov = all
+      .select(col("file"), regexp_extract(input_file_name(), "/(six-[^/]+)/", 1).as("_build"))
+      .groupBy(col("file"))
+      .agg(countDistinct(col("_build")).as("n_builds"))
       .collect()
-      .map(_.getString(0))
-      .toSet
+      .map(r => r.getString(0) -> r.getLong(1))
+    val covered = cov.map(_._1).toSet
+    val raced = cov.exists(_._2 > 1L)
     val namesDf = liveNames.toSeq.toDF("file")
-    val live = all
+    val joined = all
       .where(col("doc_id").isNotNull)
       .join(namesDf, "file")
-      .dropDuplicates("file", "doc_id")
+    val live = (if (raced) joined.dropDuplicates("file", "doc_id") else joined)
       .select(col("file"), col("doc_id"), col("minhash"))
     (Some(live), covered)
   }
@@ -169,22 +172,17 @@ object SignatureIndex {
         else out.result()
       }
       .toDS()
+      // decode keeps one task per file; only entry rows shuffle down
+      .repartition(math.max(1, math.min(4096, todo.length / 64)))
 
     val uuid = UUID.randomUUID().toString
     val stage = new Path(dir, s".tmp-$uuid")
     entries.write.parquet(stage.toString)
-    var i = 0
-    fs.listStatus(stage)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .foreach { st =>
-        require(
-          fs.rename(st.getPath, new Path(dir, s"six-$uuid-$i.parquet")),
-          s"failed to publish signature-index file ${st.getPath}"
-        )
-        i += 1
-      }
-    fs.delete(stage, true): Unit
+    // ONE atomic directory rename publishes the whole build
+    require(
+      fs.rename(stage, new Path(dir, s"six-$uuid")),
+      s"failed to publish signature-index build $stage"
+    )
     todo.length.toLong
   }
 

@@ -154,6 +154,27 @@ class ContentIndexSpec extends AnyFunSuite {
     )
   }
 
+  test("racing builds: double coverage is detected and entries dedupe") {
+    import spark.implicits._
+    val input = TokenTables.synthetic(spark, 50L, seed = 71L)
+    val rows = input.collect().toSeq
+    val dir = freshDir("graft-cix-race")
+    EncodeJob.run(input, dir, cfg)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = Maintenance.liveBlockFiles(dir, conf).map(_._1)
+    // two concurrent first-builds both publish the full file set
+    assert(ContentIndex.buildFor(spark, dir, live) == live.length.toLong)
+    assert(ContentIndex.buildFor(spark, dir, live) == live.length.toLong)
+    val liveNames = live.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val (entries, covered) = ContentIndex.rows(spark, dir, liveNames)
+    assert(covered == liveNames)
+    val got = entries.get.select("doc_id").collect().map(_.getString(0))
+    assert(got.length == rows.size, "raced duplicate rows must dedupe")
+    assert(got.toSet == rows.map(_.doc_id).toSet)
+    // and the fully-covered ensure still hashes nothing
+    assert(ContentIndex.ensure(spark, dir, live)._2 == 0L)
+  }
+
   test("sequence-scoped liveness: a doc replaced after indexing cannot ghost-delete its twin") {
     import spark.implicits._
     // X and Y share content; X is then REPLACED (delete+append) with new
