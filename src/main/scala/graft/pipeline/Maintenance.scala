@@ -1136,24 +1136,21 @@ object Maintenance {
       }
     }
 
-    // content/signature-index build staging, same protocol as the token
-    // index (committed cix-/six- files are never swept — entries keyed to
-    // dead file names are ignored by readers and cost nothing). Signature
-    // index dirs are per-params (_sig_index_n4_k64, ...), so sweep every
-    // matching dir.
-    val cixDir = new Path(s"$outDir/${graft.sources.ContentIndex.DirName}")
-    val sigDirs = fs
+    // content/signature-index build staging (committed cix-/six- BUILD DIRS
+    // are never swept — entries keyed to dead file names are ignored by
+    // readers and cost nothing; legacy flat parquet files from the
+    // pre-build-dir layout ARE reclaimed, the protocol's sweep handles
+    // both). Signature index dirs are per-params (_sig_index_n4_k64, ...),
+    // so sweep every matching dir.
+    val sigProtocols = fs
       .listStatus(new Path(outDir))
       .filter(st =>
         st.isDirectory && st.getPath.getName.startsWith(graft.sources.SignatureIndex.DirPrefix))
-      .map(_.getPath)
-    (sigDirs :+ cixDir).foreach { ixd =>
-      if (fs.exists(ixd)) {
-        fs.listStatus(ixd).foreach { st =>
-          if (st.isDirectory && st.getPath.getName.startsWith(".tmp-") && st.getModificationTime <= cutoff)
-            if (fs.delete(st.getPath, true)) dirsDeleted += 1
-        }
-      }
+      .map(st => new graft.sources.SidecarProtocol(st.getPath, "six-"))
+    (sigProtocols :+ graft.sources.ContentIndex.protocol(outDir)).foreach { p =>
+      val (d, f) = p.sweep(conf, cutoff)
+      dirsDeleted += d
+      filesDeleted += f
     }
 
     // a driver killed BETWEEN publishing appended files into blocks/ and

@@ -5,11 +5,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.util.UUID
-
-/** One per-document row of the content index (`_content_index/cix-*.parquet`).
-  * Top-level for the Dataset encoder. A `doc_id = null` row is the coverage
-  * sentinel for a zero-doc file (excluded from hashing, counted as covered).
+/** One per-document row of the content index
+  * (`_content_index/cix-<uuid>/part-*.parquet`). Top-level for the Dataset
+  * encoder. A `doc_id = null` row is the coverage sentinel for a zero-doc
+  * file (excluded from hashing, counted as covered).
   */
 final case class ContentIndexRow(
     file: String,
@@ -24,15 +23,17 @@ final case class ContentIndexRow(
   * sidecar, so exact dedup over an append-mostly corpus decodes only the
   * files added since the last run instead of re-reading 100 TB.
   *
-  * Shape mirrors [[TokenIndex]]: file names are immutable identities, so
-  * coverage is per FILE — a build hashes exactly the live files no
-  * committed cix entry covers (one task per file, whole-file decode through
-  * the scan's codec dispatch, doc_ids from the lightweight string stream),
-  * publishes by staged rename, and never rewrites. Consumers filter entries
-  * to the CURRENT live file set (entries of compacted-away files are
-  * ignored; the rewritten files index on the next run) and to the CURRENT
-  * live doc set (deleted docs' entries persist harmlessly — liveness comes
-  * from the metadata-only doc_id scan at use time). Staleness therefore
+  * Protocol (shared with [[SignatureIndex]] via [[SidecarProtocol]]): file
+  * names are immutable identities, so coverage is per FILE — a build hashes
+  * exactly the live files no committed build covers (one decode task per
+  * file through the scan's codec dispatch, doc_ids from the lightweight
+  * string stream, entry rows repartitioned to ~64-files-per-part parquet),
+  * publishes as ONE atomically-renamed build directory, and never rewrites.
+  * Consumers filter entries to the CURRENT live file set (entries of
+  * compacted-away files are ignored; the rewritten files index on the next
+  * run) and — when equality deletes are live — to the CURRENT live
+  * (file, doc) pairs via the scan's `_file` metadata column, which applies
+  * exactly the scan's sequence-scoped delete rule. Staleness therefore
   * costs extra hashing, never wrong answers; the hash values themselves are
   * pinned equal to the codegen'd `graft_token_fold` expression by spec.
   *
@@ -59,21 +60,24 @@ object ContentIndex {
     XHash.mix62(h)
   }
 
-  private def ixDirOf(outDir: String) = new Path(outDir, DirName)
+  private[graft] def protocol(outDir: String) =
+    new SidecarProtocol(new Path(outDir, DirName), "cix-")
+
   private def nameOf(file: String): String = new Path(file).getName
+
+  private val EntryCols = Seq("file", "doc_id", "n_tok", "h1", "h2")
 
   /** Drop the whole index (coverage resets; the next ensure re-hashes every
     * live file). Returns whether an index existed.
     */
   def dropIndex(outDir: String, conf: org.apache.hadoop.conf.Configuration): Boolean = {
-    val dir = ixDirOf(outDir)
-    val fs = dir.getFileSystem(conf)
-    fs.exists(dir) && fs.delete(dir, true)
+    val p = protocol(outDir)
+    val fs = p.fsOf(conf)
+    fs.exists(p.dir) && fs.delete(p.dir, true)
   }
 
-  /** Committed index entries restricted to `liveNames`, plus the covered
-    * file-name set (over ALL committed entries — a dead file's coverage is
-    * irrelevant, so the caller intersects with its own live list).
+  /** Committed index entries restricted to `liveNames` (with `file` kept
+    * for (file, doc) liveness joins), plus the covered file-name set.
     * Returns (None, empty) when no index exists.
     */
   def rows(
@@ -81,85 +85,66 @@ object ContentIndex {
       outDir: String,
       liveNames: Set[String]
   ): (Option[DataFrame], Set[String]) = {
-    import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = ixDirOf(outDir).getFileSystem(conf)
-    val dir = ixDirOf(outDir)
-    if (!fs.exists(dir)) return (None, Set.empty)
-    // each committed BUILD is one atomically-renamed cix-<uuid>/ directory
-    // of parquet parts (so a crash can never publish half a build)
-    val buildDirs = fs
-      .listStatus(dir)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cix-"))
-      .map(_.getPath.toString)
+    val p = protocol(outDir)
+    val buildDirs = p.builds(spark.sparkContext.hadoopConfiguration)
     if (buildDirs.isEmpty) return (None, Set.empty)
-    val all = spark.read.parquet(buildDirs.toIndexedSeq: _*)
-    // one aggregate pass yields coverage AND race detection: a file covered
-    // by >1 build dir (two concurrent first-builds) has duplicate entries
-    // input_file_name() is non-deterministic: project it BEFORE aggregating
-    val cov = all
-      .select(col("file"), regexp_extract(input_file_name(), "/(cix-[^/]+)/", 1).as("_build"))
-      .groupBy(col("file"))
-      .agg(countDistinct(col("_build")).as("n_builds"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    val covered = cov.map(_._1).toSet
-    val raced = cov.exists(_._2 > 1L)
-    // the live-name restriction joins (never an 800k-term In-list).
-    // `file` stays in the output: consumers needing exact liveness under
-    // sequence-scoped deletes join on (file, doc_id) against the scan's
-    // `_file` metadata column — per-file liveness is what the scan itself
-    // evaluates, so a doc deleted from an old file but re-appended in a new
-    // one keeps exactly its new entry.
-    val namesDf = liveNames.toSeq.toDF("file")
-    val joined = all
-      .where(col("doc_id").isNotNull)
-      .join(namesDf, "file")
-    // racing builds wrote identical rows — dedup ONLY when one actually
-    // happened (the shuffle is the dominant cost of a covered re-run)
-    val live = (if (raced) joined.dropDuplicates("file", "doc_id") else joined)
-      .select(col("file"), col("doc_id"), col("n_tok"), col("h1"), col("h2"))
-    (Some(live), covered)
+    val cov = p.coverage(spark, buildDirs)
+    val live = p.liveEntries(spark, buildDirs, liveNames, cov.exists(_._2 > 1L), EntryCols)
+    (Some(live), cov.map(_._1).toSet)
   }
 
-  /** Hash `todo` block files (full paths) and publish their cix entries.
-    * One DECODE task per file, coalesced to ~64-file parquet parts (an
-    * 800k-file corpus indexes into ~12k parts, not 800k), then ONE atomic
-    * directory rename publishes the whole build — a crash leaves `.tmp-*`
-    * staging that vacuum reclaims, never a half-visible build.
+  /** Covered-file count and live entry count for `liveNames`, straight from
+    * the coverage aggregate (no second scan of the entry columns): raced
+    * builds wrote identical rows, so a file's true doc count is its total
+    * divided by the builds covering it.
+    */
+  def stats(spark: SparkSession, outDir: String, liveNames: Set[String]): (Int, Long) = {
+    val p = protocol(outDir)
+    val cov = p.coverage(spark, p.builds(spark.sparkContext.hadoopConfiguration))
+    val live = cov.filter(c => liveNames.contains(c._1))
+    (live.length, live.map(c => c._3 / math.max(1L, c._2)).sum)
+  }
+
+  /** Hash `todo` block files (full paths) and publish their cix entries as
+    * one atomic build (see [[SidecarProtocol]]).
     */
   def buildFor(spark: SparkSession, outDir: String, todo: Array[String]): Long = {
     if (todo.isEmpty) return 0L
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = ixDirOf(outDir).getFileSystem(conf)
-    fs.mkdirs(ixDirOf(outDir)): Unit
     val meta = GraftMeta.load(outDir, conf)
     val bMeta = spark.sparkContext.broadcast(
       (meta.headerBytes, meta.maxBits, meta.numContexts, meta.contextModel)
     )
     val sConf = new SerializableHadoopConf(conf)
+    val p = protocol(outDir)
     val entries = spark.sparkContext
       .parallelize(todo.toIndexedSeq, todo.length)
       .flatMap { file =>
         val (headerBytes, maxBits, numContexts, modelName) = bMeta.value
-        hashOneFile(file, sConf, headerBytes, maxBits, numContexts, modelName)
+        val name = nameOf(file)
+        val rows = BlockFileScan
+          .rowIterator(file, sConf, headerBytes, maxBits, numContexts, modelName)
+        // stream rows straight to the writer (never a whole-file buffer);
+        // an empty file yields its coverage sentinel
+        if (!rows.hasNext) Iterator(ContentIndexRow(name, null, -1, 0L, 0L))
+        else
+          rows.map { case (docId, nTok, values, from, until) =>
+            ContentIndexRow(
+              name,
+              docId,
+              nTok,
+              foldRow(values, from, until, 0L),
+              foldRow(values, from, until, 1L)
+            )
+          }
       }
       .toDS()
       // repartition, not coalesce: the decode keeps one task per file (full
       // parallelism); only the computed ~50 B/doc entry rows shuffle down
       // to a bounded part count
-      .repartition(math.max(1, math.min(4096, todo.length / 64)))
-
-    val uuid = UUID.randomUUID().toString
-    val stage = new Path(ixDirOf(outDir), s".tmp-$uuid")
-    entries.write.parquet(stage.toString)
-    // drop the _SUCCESS marker etc.? parquet readers ignore non-parquet
-    // files; rename the STAGE DIR as the committed build (atomic)
-    require(
-      fs.rename(stage, new Path(ixDirOf(outDir), s"cix-$uuid")),
-      s"failed to publish content-index build $stage"
-    )
+      .repartition(p.partsFor(todo.length))
+    p.publish(conf, entries.toDF())
     todo.length.toLong
   }
 
@@ -180,7 +165,7 @@ object ContentIndex {
       val entries = rows0.getOrElse(
         spark
           .emptyDataset[ContentIndexRow]
-          .select(col("file"), col("doc_id"), col("n_tok"), col("h1"), col("h2"))
+          .select(EntryCols.map(col): _*)
       )
       return (entries, 0L)
     }
@@ -189,29 +174,5 @@ object ContentIndex {
     val missing = liveNames -- covered
     require(missing.isEmpty, s"content index build left ${missing.size} live files uncovered")
     (liveRows.get, built)
-  }
-
-  private def hashOneFile(
-      file: String,
-      sConf: SerializableHadoopConf,
-      headerBytes: Array[Byte],
-      maxBits: Int,
-      numContexts: Int,
-      modelName: String
-  ): Seq[ContentIndexRow] = {
-    val name = nameOf(file)
-    val out = Seq.newBuilder[ContentIndexRow]
-    val any = BlockFileScan.foreachRow(file, sConf, headerBytes, maxBits, numContexts, modelName) {
-      (docId, nTok, values, from, until) =>
-        out += ContentIndexRow(
-          name,
-          docId,
-          nTok,
-          foldRow(values, from, until, 0L),
-          foldRow(values, from, until, 1L)
-        )
-    }
-    if (!any) Seq(ContentIndexRow(name, null, -1, 0L, 0L)) // coverage sentinel
-    else out.result()
   }
 }

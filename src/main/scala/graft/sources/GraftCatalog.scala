@@ -869,8 +869,12 @@ private object GraftCatalog {
       val live = Maintenance
         .liveBlockFiles(dir, spark.sparkContext.hadoopConfiguration)
         .map(_._1)
-      val (entries, built) = ContentIndex.ensure(spark, dir, live)
-      InternalRow(built, live.length, entries.count())
+      val (_, built) = ContentIndex.ensure(spark, dir, live)
+      // entry count from the coverage aggregate — never a second full scan
+      // of the (file, doc, hashes) entry columns
+      val liveNames = live.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+      val (filesCovered, entries) = ContentIndex.stats(spark, dir, liveNames)
+      InternalRow(built, filesCovered, entries)
     }
   }
 

@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.UUID
+
+/** The publication/coverage protocol shared by the per-file sidecar indexes
+  * ([[ContentIndex]], [[SignatureIndex]]) — one implementation so a protocol
+  * fix can never apply to one index and miss the other:
+  *
+  *   - builds stage under `.tmp-<uuid>/` and publish as ONE atomically
+  *     renamed `<prefix><uuid>/` directory of parquet parts (a crash can
+  *     never publish half a build; vacuum reclaims dead staging);
+  *   - coverage, race detection, and per-file doc counts come from one
+  *     aggregate over the committed builds — the build id is extracted from
+  *     `input_file_name()` with the pattern ANCHORED at the index dir name,
+  *     so an ancestor path segment that happens to share the prefix (e.g. a
+  *     corpus under `/data/cix-prod/`) can never alias every row to one
+  *     phantom build;
+  *   - entries of live files dedup ONLY when two builds actually raced
+  *     (identical rows; the dedup shuffle is the dominant cost of a covered
+  *     re-run, so it must not run unconditionally).
+  *
+  * Rows must carry `file` (block file name) and `doc_id` (null marks the
+  * zero-doc coverage sentinel); any further columns are the index's own.
+  */
+private[graft] final class SidecarProtocol(val dir: Path, val prefix: String) {
+
+  def fsOf(conf: Configuration): FileSystem = dir.getFileSystem(conf)
+
+  /** Committed build directories (`<prefix><uuid>/`). */
+  def builds(conf: Configuration): Array[String] = {
+    val fs = fsOf(conf)
+    if (!fs.exists(dir)) Array.empty
+    else
+      fs.listStatus(dir)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .map(_.getPath.toString)
+  }
+
+  /** Per-file coverage from one aggregate over `buildDirs`:
+    * (file, n_builds covering it, entry rows across all builds — sentinels
+    * excluded because count(doc_id) skips nulls). Reads only the
+    * file/doc_id/path columns (parquet pruning).
+    */
+  def coverage(
+      spark: SparkSession,
+      buildDirs: Array[String]
+  ): Array[(String, Long, Long)] = {
+    if (buildDirs.isEmpty) return Array.empty
+    val all = spark.read.parquet(buildDirs.toIndexedSeq: _*)
+    val pat = java.util.regex.Pattern.quote(dir.getName) + "/(" +
+      java.util.regex.Pattern.quote(prefix) + "[^/]+)/"
+    all
+      // input_file_name() is non-deterministic: project BEFORE aggregating
+      .select(
+        col("file"),
+        col("doc_id"),
+        regexp_extract(input_file_name(), pat, 1).as("_build")
+      )
+      .groupBy(col("file"))
+      .agg(countDistinct(col("_build")).as("n_builds"), count(col("doc_id")).as("n_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+  }
+
+  /** Entry rows restricted to `liveNames` (broadcast-joined, never an
+    * 800k-term In-list), projected to `outCols`, deduped on (file, doc_id)
+    * only when `raced`.
+    */
+  def liveEntries(
+      spark: SparkSession,
+      buildDirs: Array[String],
+      liveNames: Set[String],
+      raced: Boolean,
+      outCols: Seq[String]
+  ): DataFrame = {
+    import spark.implicits._
+    val all = spark.read.parquet(buildDirs.toIndexedSeq: _*)
+    val namesDf = liveNames.toSeq.toDF("file")
+    val joined = all
+      .where(col("doc_id").isNotNull)
+      .join(namesDf, "file")
+    (if (raced) joined.dropDuplicates("file", "doc_id") else joined)
+      .select(outCols.map(col): _*)
+  }
+
+  /** Write `entries` as one staged build and publish it with a single
+    * atomic directory rename.
+    */
+  def publish(conf: Configuration, entries: DataFrame): Unit = {
+    val fs = fsOf(conf)
+    fs.mkdirs(dir): Unit
+    val uuid = UUID.randomUUID().toString
+    val stage = new Path(dir, s".tmp-$uuid")
+    entries.write.parquet(stage.toString)
+    require(
+      fs.rename(stage, new Path(dir, s"$prefix$uuid")),
+      s"failed to publish sidecar build $stage"
+    )
+  }
+
+  /** Bound the part count of a build: decode keeps one task per input file;
+    * only the computed entry rows shuffle down (~64 input files per part, so
+    * an 800k-file corpus indexes into ~12k parts).
+    */
+  def partsFor(todoFiles: Int): Int = math.max(1, math.min(4096, todoFiles / 64))
+
+  /** Vacuum hook: reclaim `.tmp-` staging older than `cutoff` plus legacy
+    * flat `<prefix>*.parquet` files from the pre-build-dir layout (the
+    * current reader lists build DIRECTORIES only, so flat files are dead
+    * weight — deleting them forces at worst a re-hash of their files).
+    * Returns (dirs deleted, files deleted).
+    */
+  def sweep(conf: Configuration, cutoff: Long): (Int, Int) = {
+    val fs = fsOf(conf)
+    if (!fs.exists(dir)) return (0, 0)
+    var dirs = 0
+    var files = 0
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(".tmp-") && st.getModificationTime <= cutoff) {
+        if (fs.delete(st.getPath, true)) dirs += 1
+      } else if (st.isFile && n.startsWith(prefix) && n.endsWith(".parquet") &&
+        st.getModificationTime <= cutoff) {
+        if (fs.delete(st.getPath, false)) files += 1
+      }
+    }
+    (dirs, files)
+  }
+}

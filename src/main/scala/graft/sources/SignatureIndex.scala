@@ -5,11 +5,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.util.UUID
-
 /** One per-document row of the signature index
-  * (`_sig_index_n{N}_k{K}/six-*.parquet`). `doc_id = null` is the coverage
-  * sentinel for a zero-doc file.
+  * (`_sig_index_n{N}_k{K}/six-<uuid>/part-*.parquet`). `doc_id = null` is
+  * the coverage sentinel for a zero-doc file.
   */
 final case class SigIndexRow(
     file: String,
@@ -18,14 +16,14 @@ final case class SigIndexRow(
 )
 
 /** The SIGNATURE INDEX — per-document MinHash signatures over token
-  * n-gram shingles, persisted per block file like [[ContentIndex]], so the
-  * NEAR-dup verb's one corpus-scale decode (the signature pass) becomes
-  * incremental on an append-mostly corpus. The index stores ONLY the k·8 B
-  * signature (never the shingle sets — those are n_tok-sized and would
-  * rival the payload); the verb's exact-Jaccard verification re-derives
-  * shingles for CANDIDATE docs only, via a doc-pruned scan — candidates
-  * are the tiny LSH-bucket fraction, so the expensive full decode is what
-  * the sidecar eliminates.
+  * n-gram shingles, persisted per block file like [[ContentIndex]] (same
+  * [[SidecarProtocol]]), so the NEAR-dup verb's one corpus-scale decode
+  * (the signature pass) becomes incremental on an append-mostly corpus.
+  * The index stores ONLY the k·8 B signature (never the shingle sets —
+  * those are n_tok-sized and would rival the payload); the verb's
+  * exact-Jaccard verification re-derives shingles for CANDIDATE docs only,
+  * via a doc-pruned scan — candidates are the tiny LSH-bucket fraction, so
+  * the full-corpus decode is what the sidecar eliminates.
   *
   * The signature math is pinned EQUAL to the query-side chain
   * ([[Dedup.tokenShingles]] + [[Dedup.minhashFromShingles]]) by spec:
@@ -34,11 +32,6 @@ final case class SigIndexRow(
   * the all-Mask62 sentinel signature. Shingle params are part of the
   * sidecar's IDENTITY (the dir name embeds n and k), so runs with
   * different params use different sidecars and can never mix.
-  *
-  * Coverage/liveness semantics are [[ContentIndex]]'s: per-file coverage,
-  * staged-rename publication (vacuum reclaims `.tmp-` staging), entries
-  * restricted to live files at read time and to live (file, doc) pairs via
-  * the `_file` column when equality deletes are live.
   */
 object SignatureIndex {
 
@@ -49,8 +42,12 @@ object SignatureIndex {
     */
   val DirPrefix = "_sig_index_"
 
-  private def ixDirOf(outDir: String, n: Int, k: Int) = new Path(outDir, dirName(n, k))
+  private[sources] def protocol(outDir: String, shingleN: Int, k: Int) =
+    new SidecarProtocol(new Path(outDir, dirName(shingleN, k)), "six-")
+
   private def nameOf(file: String): String = new Path(file).getName
+
+  private val EntryCols = Seq("file", "doc_id", "minhash")
 
   def dropIndex(
       outDir: String,
@@ -58,9 +55,9 @@ object SignatureIndex {
       shingleN: Int,
       k: Int
   ): Boolean = {
-    val dir = ixDirOf(outDir, shingleN, k)
-    val fs = dir.getFileSystem(conf)
-    fs.exists(dir) && fs.delete(dir, true)
+    val p = protocol(outDir, shingleN, k)
+    val fs = p.fsOf(conf)
+    fs.exists(p.dir) && fs.delete(p.dir, true)
   }
 
   /** The per-row signature — EXACTLY
@@ -96,7 +93,7 @@ object SignatureIndex {
   }
 
   /** Committed entries restricted to `liveNames` (with `file` kept for
-    * (file, doc) liveness joins), plus the covered-name set.
+    * (file, doc) liveness joins), plus the covered file-name set.
     */
   def rows(
       spark: SparkSession,
@@ -105,38 +102,16 @@ object SignatureIndex {
       shingleN: Int,
       k: Int
   ): (Option[DataFrame], Set[String]) = {
-    import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dir = ixDirOf(outDir, shingleN, k)
-    val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) return (None, Set.empty)
-    // one atomically-renamed six-<uuid>/ directory per committed build
-    val buildDirs = fs
-      .listStatus(dir)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("six-"))
-      .map(_.getPath.toString)
+    val p = protocol(outDir, shingleN, k)
+    val buildDirs = p.builds(spark.sparkContext.hadoopConfiguration)
     if (buildDirs.isEmpty) return (None, Set.empty)
-    val all = spark.read.parquet(buildDirs.toIndexedSeq: _*)
-    // input_file_name() is non-deterministic: project it BEFORE aggregating
-    val cov = all
-      .select(col("file"), regexp_extract(input_file_name(), "/(six-[^/]+)/", 1).as("_build"))
-      .groupBy(col("file"))
-      .agg(countDistinct(col("_build")).as("n_builds"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    val covered = cov.map(_._1).toSet
-    val raced = cov.exists(_._2 > 1L)
-    val namesDf = liveNames.toSeq.toDF("file")
-    val joined = all
-      .where(col("doc_id").isNotNull)
-      .join(namesDf, "file")
-    val live = (if (raced) joined.dropDuplicates("file", "doc_id") else joined)
-      .select(col("file"), col("doc_id"), col("minhash"))
-    (Some(live), covered)
+    val cov = p.coverage(spark, buildDirs)
+    val live = p.liveEntries(spark, buildDirs, liveNames, cov.exists(_._2 > 1L), EntryCols)
+    (Some(live), cov.map(_._1).toSet)
   }
 
-  /** Sign `todo` files (full paths) and publish their six- entries; the
-    * [[ContentIndex.buildFor]] protocol.
+  /** Sign `todo` files (full paths) and publish their six- entries as one
+    * atomic build.
     */
   def buildFor(
       spark: SparkSession,
@@ -148,41 +123,32 @@ object SignatureIndex {
     if (todo.isEmpty) return 0L
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val dir = ixDirOf(outDir, shingleN, k)
-    val fs = dir.getFileSystem(conf)
-    fs.mkdirs(dir): Unit
     val meta = GraftMeta.load(outDir, conf)
     val bMeta = spark.sparkContext.broadcast(
       (meta.headerBytes, meta.maxBits, meta.numContexts, meta.contextModel)
     )
     val sConf = new SerializableHadoopConf(conf)
     val salts = Array.tabulate(k)(Dedup.minhashSalt)
+    val p = protocol(outDir, shingleN, k)
     val entries = spark.sparkContext
       .parallelize(todo.toIndexedSeq, todo.length)
       .flatMap { file =>
         val (headerBytes, maxBits, numContexts, modelName) = bMeta.value
         val name = nameOf(file)
-        val out = Seq.newBuilder[SigIndexRow]
-        val any = BlockFileScan
-          .foreachRow(file, sConf, headerBytes, maxBits, numContexts, modelName) {
-            (docId, _, values, from, until) =>
-              out += SigIndexRow(name, docId, sigRow(values, from, until, shingleN, salts))
+        val rows = BlockFileScan
+          .rowIterator(file, sConf, headerBytes, maxBits, numContexts, modelName)
+        // stream rows straight to the writer — a dense file of millions of
+        // tiny docs must not materialize its k·8 B/doc signatures at once
+        if (!rows.hasNext) Iterator(SigIndexRow(name, null, Array.emptyLongArray))
+        else
+          rows.map { case (docId, _, values, from, until) =>
+            SigIndexRow(name, docId, sigRow(values, from, until, shingleN, salts))
           }
-        if (!any) Seq(SigIndexRow(name, null, Array.emptyLongArray)) // coverage sentinel
-        else out.result()
       }
       .toDS()
       // decode keeps one task per file; only entry rows shuffle down
-      .repartition(math.max(1, math.min(4096, todo.length / 64)))
-
-    val uuid = UUID.randomUUID().toString
-    val stage = new Path(dir, s".tmp-$uuid")
-    entries.write.parquet(stage.toString)
-    // ONE atomic directory rename publishes the whole build
-    require(
-      fs.rename(stage, new Path(dir, s"six-$uuid")),
-      s"failed to publish signature-index build $stage"
-    )
+      .repartition(p.partsFor(todo.length))
+    p.publish(conf, entries.toDF())
     todo.length.toLong
   }
 
@@ -204,7 +170,7 @@ object SignatureIndex {
       val entries = rows0.getOrElse(
         spark
           .emptyDataset[SigIndexRow]
-          .select(col("file"), col("doc_id"), col("minhash"))
+          .select(EntryCols.map(col): _*)
       )
       return (entries, 0L)
     }

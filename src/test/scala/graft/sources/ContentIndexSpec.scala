@@ -158,7 +158,10 @@ class ContentIndexSpec extends AnyFunSuite {
     import spark.implicits._
     val input = TokenTables.synthetic(spark, 50L, seed = 71L)
     val rows = input.collect().toSeq
-    val dir = freshDir("graft-cix-race")
+    // the corpus dir itself starts with "cix-": an UNANCHORED build-id
+    // extraction would alias every row to this ancestor segment and never
+    // see the race — the pattern must anchor at the _content_index dir
+    val dir = freshDir("cix-ancestor")
     EncodeJob.run(input, dir, cfg)
     val conf = spark.sparkContext.hadoopConfiguration
     val live = Maintenance.liveBlockFiles(dir, conf).map(_._1)
@@ -243,10 +246,15 @@ class ContentIndexSpec extends AnyFunSuite {
     val fs = cix.getFileSystem(conf)
     val debris = new org.apache.hadoop.fs.Path(cix, ".tmp-crashed")
     fs.mkdirs(debris)
-    val committed = fs.listStatus(cix).count(_.getPath.getName.startsWith("cix-"))
+    // a legacy flat entry file (pre-build-dir layout): unreadable by the
+    // current reader, so vacuum reclaims it; committed build DIRS stay
+    val legacy = new org.apache.hadoop.fs.Path(cix, "cix-legacy-0.parquet")
+    fs.create(legacy).close()
+    val committed = fs.listStatus(cix).count(st => st.isDirectory && st.getPath.getName.startsWith("cix-"))
     assert(committed > 0)
     Maintenance.vacuum(spark, dir, olderThanMs = 0L)
     assert(!fs.exists(debris), "vacuum must sweep .tmp- staging under _content_index")
-    assert(fs.listStatus(cix).count(_.getPath.getName.startsWith("cix-")) == committed)
+    assert(!fs.exists(legacy), "vacuum must reclaim legacy flat entry files")
+    assert(fs.listStatus(cix).count(st => st.isDirectory && st.getPath.getName.startsWith("cix-")) == committed)
   }
 }
