@@ -148,6 +148,20 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(metric(scan, GraftMetrics.RowsEmitted) < input.count())
   }
 
+  test("(_file, doc_id) liveness projection never decodes token payloads") {
+    import spark.implicits._
+    // the incremental-dedup liveness scan shape: provenance + identity only
+    val df = spark.read.format("graft").load(dirA).select($"_file", $"doc_id")
+    val rows = df.collect()
+    assert(rows.length.toLong == input.count())
+    assert(rows.map(_.getString(0)).forall(_.endsWith(".parquet")))
+    // every doc maps to exactly one (file, doc) pair on a delete-free dir
+    assert(rows.map(_.getString(1)).distinct.length == rows.length)
+    val scan = findScan(df.queryExecution.executedPlan)
+    assert(metric(scan, GraftMetrics.TokenValuesDecoded) == 0L,
+      "the _file/doc_id projection must stay metadata-only")
+  }
+
   test("GROUP BY source pushdown: COUNT/SUM/MIN/MAX per source from metadata only") {
     import spark.implicits._
     val df = spark.read.format("graft").load(dirA)
