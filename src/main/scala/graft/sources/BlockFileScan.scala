@@ -42,6 +42,20 @@ private[sources] object BlockFileScan {
     )
     private var reader = GraftPartitionReader.openProjected(file, sConf, wanted, None)
 
+    // close on every exit path: normal drain (advance hits EOF), a decode
+    // exception (closeQuietly + rethrow), AND abandonment — a killed or
+    // failed task never drains the iterator, so the task-completion
+    // listener is what stops retry storms from leaking input streams
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeQuietly()))
+
+    private def closeQuietly(): Unit =
+      if (reader != null) {
+        try reader.close()
+        catch { case _: Exception => () }
+        reader = null
+      }
+
     // current block's decoded columns
     private var docIds: Array[String] = _
     private var nToks: Array[Int] = _
@@ -50,7 +64,7 @@ private[sources] object BlockFileScan {
     private var nRows = 0
     private var i = 0
 
-    private def advance(): Unit = {
+    private def advance(): Unit = try {
       while (i >= nRows && reader != null) {
         val g = reader.read()
         if (g == null) {
@@ -93,6 +107,10 @@ private[sources] object BlockFileScan {
           }
         }
       }
+    } catch {
+      case e: Throwable =>
+        closeQuietly()
+        throw e
     }
 
     override def hasNext: Boolean = {

@@ -76,6 +76,25 @@ object ContentIndex {
     fs.exists(p.dir) && fs.delete(p.dir, true)
   }
 
+  /** One listing + ONE parquet frame shared by coverage and entries (the
+    * pre-refactor `all` — an object-store index read must not list the
+    * build parts once per consumer). Returns the live entry frame plus the
+    * full per-file coverage rows.
+    */
+  private def rowsImpl(
+      spark: SparkSession,
+      outDir: String,
+      liveNames: Set[String]
+  ): (Option[DataFrame], Array[(String, Long, Long)]) = {
+    val p = protocol(outDir)
+    val buildDirs = p.builds(spark.sparkContext.hadoopConfiguration)
+    if (buildDirs.isEmpty) return (None, Array.empty)
+    val all = p.entriesDf(spark, buildDirs)
+    val cov = p.coverage(all)
+    val live = p.liveEntries(spark, all, liveNames, cov.exists(_._2 > 1L), EntryCols)
+    (Some(live), cov)
+  }
+
   /** Committed index entries restricted to `liveNames` (with `file` kept
     * for (file, doc) liveness joins), plus the covered file-name set.
     * Returns (None, empty) when no index exists.
@@ -85,24 +104,8 @@ object ContentIndex {
       outDir: String,
       liveNames: Set[String]
   ): (Option[DataFrame], Set[String]) = {
-    val p = protocol(outDir)
-    val buildDirs = p.builds(spark.sparkContext.hadoopConfiguration)
-    if (buildDirs.isEmpty) return (None, Set.empty)
-    val cov = p.coverage(spark, buildDirs)
-    val live = p.liveEntries(spark, buildDirs, liveNames, cov.exists(_._2 > 1L), EntryCols)
-    (Some(live), cov.map(_._1).toSet)
-  }
-
-  /** Covered-file count and live entry count for `liveNames`, straight from
-    * the coverage aggregate (no second scan of the entry columns): raced
-    * builds wrote identical rows, so a file's true doc count is its total
-    * divided by the builds covering it.
-    */
-  def stats(spark: SparkSession, outDir: String, liveNames: Set[String]): (Int, Long) = {
-    val p = protocol(outDir)
-    val cov = p.coverage(spark, p.builds(spark.sparkContext.hadoopConfiguration))
-    val live = cov.filter(c => liveNames.contains(c._1))
-    (live.length, live.map(c => c._3 / math.max(1L, c._2)).sum)
+    val (live, cov) = rowsImpl(spark, outDir, liveNames)
+    (live, cov.map(_._1).toSet)
   }
 
   /** Hash `todo` block files (full paths) and publish their cix entries as
@@ -148,6 +151,56 @@ object ContentIndex {
     todo.length.toLong
   }
 
+  /** [[ensure]]'s full report: the coverage aggregate the ensure already
+    * ran also answers "how many live files are covered, holding how many
+    * entries" — callers wanting those numbers (the SQL procedure) must not
+    * pay a second aggregate. `liveDocs` divides each file's total by the
+    * builds covering it: raced builds wrote identical full copies, so the
+    * quotient is exact.
+    */
+  final case class Ensured(
+      entries: DataFrame,
+      filesBuilt: Long,
+      filesCovered: Int,
+      liveDocs: Long
+  )
+
+  /** Ensure every name in `live` is covered, hashing only the uncovered
+    * files; stats come from the same coverage aggregate the ensure ran.
+    */
+  def ensureStats(
+      spark: SparkSession,
+      outDir: String,
+      live: Array[String]
+  ): Ensured = {
+    import spark.implicits._
+    val liveNames = live.map(nameOf).toSet
+    def report(entries: DataFrame, built: Long, cov: Array[(String, Long, Long)]): Ensured = {
+      val liveCov = cov.filter(c => liveNames.contains(c._1))
+      Ensured(entries, built, liveCov.length,
+        liveCov.map(c => c._3 / math.max(1L, c._2)).sum)
+    }
+    val (rows0, cov0) = rowsImpl(spark, outDir, liveNames)
+    val todo = {
+      val covered0 = cov0.map(_._1).toSet
+      live.filter(f => !covered0.contains(nameOf(f)))
+    }
+    if (todo.isEmpty) {
+      // fully covered — the common re-run: no build, no second index read
+      val entries = rows0.getOrElse(
+        spark
+          .emptyDataset[ContentIndexRow]
+          .select(EntryCols.map(col): _*)
+      )
+      return report(entries, 0L, cov0)
+    }
+    val built = buildFor(spark, outDir, todo)
+    val (liveRows, cov1) = rowsImpl(spark, outDir, liveNames)
+    val missing = liveNames -- cov1.map(_._1).toSet
+    require(missing.isEmpty, s"content index build left ${missing.size} live files uncovered")
+    report(liveRows.get, built, cov1)
+  }
+
   /** Ensure every name in `live` is covered, hashing only the uncovered
     * files; returns (live entry rows, filesHashed).
     */
@@ -156,23 +209,7 @@ object ContentIndex {
       outDir: String,
       live: Array[String]
   ): (DataFrame, Long) = {
-    import spark.implicits._
-    val liveNames = live.map(nameOf).toSet
-    val (rows0, covered0) = rows(spark, outDir, liveNames)
-    val todo = live.filter(f => !covered0.contains(nameOf(f)))
-    if (todo.isEmpty) {
-      // fully covered — the common re-run: no build, no second index read
-      val entries = rows0.getOrElse(
-        spark
-          .emptyDataset[ContentIndexRow]
-          .select(EntryCols.map(col): _*)
-      )
-      return (entries, 0L)
-    }
-    val built = buildFor(spark, outDir, todo)
-    val (liveRows, covered) = rows(spark, outDir, liveNames)
-    val missing = liveNames -- covered
-    require(missing.isEmpty, s"content index build left ${missing.size} live files uncovered")
-    (liveRows.get, built)
+    val e = ensureStats(spark, outDir, live)
+    (e.entries, e.filesBuilt)
   }
 }

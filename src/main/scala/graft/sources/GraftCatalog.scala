@@ -869,12 +869,9 @@ private object GraftCatalog {
       val live = Maintenance
         .liveBlockFiles(dir, spark.sparkContext.hadoopConfiguration)
         .map(_._1)
-      val (_, built) = ContentIndex.ensure(spark, dir, live)
-      // entry count from the coverage aggregate — never a second full scan
-      // of the (file, doc, hashes) entry columns
-      val liveNames = live.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
-      val (filesCovered, entries) = ContentIndex.stats(spark, dir, liveNames)
-      InternalRow(built, filesCovered, entries)
+      // stats ride the ensure's own coverage aggregate — no extra job
+      val e = ContentIndex.ensureStats(spark, dir, live)
+      InternalRow(e.filesBuilt, e.filesCovered, e.liveDocs)
     }
   }
 

@@ -15,11 +15,11 @@ import java.util.UUID
   *     renamed `<prefix><uuid>/` directory of parquet parts (a crash can
   *     never publish half a build; vacuum reclaims dead staging);
   *   - coverage, race detection, and per-file doc counts come from one
-  *     aggregate over the committed builds — the build id is extracted from
-  *     `input_file_name()` with the pattern ANCHORED at the index dir name,
-  *     so an ancestor path segment that happens to share the prefix (e.g. a
-  *     corpus under `/data/cix-prod/`) can never alias every row to one
-  *     phantom build;
+  *     aggregate over ONE shared read of the committed builds — the build
+  *     id is extracted from `input_file_name()` with a pattern anchored to
+  *     the part file's PARENT directory (`…/<indexDir>/<prefix>uuid/part$`),
+  *     so no ancestor path segment — even a nested `<indexDir>/<prefix>…`
+  *     pair — can alias rows to a phantom build;
   *   - entries of live files dedup ONLY when two builds actually raced
   *     (identical rows; the dedup shuffle is the dominant cost of a covered
   *     re-run, so it must not run unconditionally).
@@ -41,19 +41,24 @@ private[graft] final class SidecarProtocol(val dir: Path, val prefix: String) {
         .map(_.getPath.toString)
   }
 
-  /** Per-file coverage from one aggregate over `buildDirs`:
+  /** ONE DataFrame over every committed build — share it between
+    * [[coverage]] and [[liveEntries]] so an index read lists and
+    * schema-reads the build parts once, not per consumer (an object-store
+    * listing of ~12k parts is thousands of LIST calls).
+    */
+  def entriesDf(spark: SparkSession, buildDirs: Array[String]): DataFrame =
+    spark.read.parquet(buildDirs.toIndexedSeq: _*)
+
+  /** Per-file coverage from one aggregate over the shared build frame:
     * (file, n_builds covering it, entry rows across all builds — sentinels
     * excluded because count(doc_id) skips nulls). Reads only the
-    * file/doc_id/path columns (parquet pruning).
+    * file/doc_id/path columns (parquet pruning). The build id anchors at
+    * the part file's parent (`<indexDir>/<prefix>uuid/<leaf>$`), immune to
+    * ancestor segments that merely look like index dirs.
     */
-  def coverage(
-      spark: SparkSession,
-      buildDirs: Array[String]
-  ): Array[(String, Long, Long)] = {
-    if (buildDirs.isEmpty) return Array.empty
-    val all = spark.read.parquet(buildDirs.toIndexedSeq: _*)
+  def coverage(all: DataFrame): Array[(String, Long, Long)] = {
     val pat = java.util.regex.Pattern.quote(dir.getName) + "/(" +
-      java.util.regex.Pattern.quote(prefix) + "[^/]+)/"
+      java.util.regex.Pattern.quote(prefix) + "[^/]+)/[^/]*$"
     all
       // input_file_name() is non-deterministic: project BEFORE aggregating
       .select(
@@ -73,13 +78,12 @@ private[graft] final class SidecarProtocol(val dir: Path, val prefix: String) {
     */
   def liveEntries(
       spark: SparkSession,
-      buildDirs: Array[String],
+      all: DataFrame,
       liveNames: Set[String],
       raced: Boolean,
       outCols: Seq[String]
   ): DataFrame = {
     import spark.implicits._
-    val all = spark.read.parquet(buildDirs.toIndexedSeq: _*)
     val namesDf = liveNames.toSeq.toDF("file")
     val joined = all
       .where(col("doc_id").isNotNull)

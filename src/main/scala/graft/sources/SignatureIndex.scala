@@ -105,8 +105,10 @@ object SignatureIndex {
     val p = protocol(outDir, shingleN, k)
     val buildDirs = p.builds(spark.sparkContext.hadoopConfiguration)
     if (buildDirs.isEmpty) return (None, Set.empty)
-    val cov = p.coverage(spark, buildDirs)
-    val live = p.liveEntries(spark, buildDirs, liveNames, cov.exists(_._2 > 1L), EntryCols)
+    // ONE shared frame: list + schema-read the build parts once
+    val all = p.entriesDf(spark, buildDirs)
+    val cov = p.coverage(all)
+    val live = p.liveEntries(spark, all, liveNames, cov.exists(_._2 > 1L), EntryCols)
     (Some(live), cov.map(_._1).toSet)
   }
 

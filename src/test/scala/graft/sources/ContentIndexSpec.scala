@@ -158,10 +158,16 @@ class ContentIndexSpec extends AnyFunSuite {
     import spark.implicits._
     val input = TokenTables.synthetic(spark, 50L, seed = 71L)
     val rows = input.collect().toSeq
-    // the corpus dir itself starts with "cix-": an UNANCHORED build-id
-    // extraction would alias every row to this ancestor segment and never
-    // see the race — the pattern must anchor at the _content_index dir
-    val dir = freshDir("cix-ancestor")
+    // the corpus lives under an ancestor `.../_content_index/cix-prod/...`
+    // PAIR: a build-id extraction not anchored at the part file's parent
+    // would alias every row to that ancestor and never see the race — the
+    // strongest aliasing case, stronger than a lone cix- segment
+    val dir = {
+      val p = Files.createTempDirectory("cixroot")
+        .resolve("_content_index").resolve("cix-prod").resolve("corpus")
+      Files.createDirectories(p)
+      p.toString
+    }
     EncodeJob.run(input, dir, cfg)
     val conf = spark.sparkContext.hadoopConfiguration
     val live = Maintenance.liveBlockFiles(dir, conf).map(_._1)
