@@ -1922,25 +1922,41 @@ object Maintenance {
           .lshCandidatePairs(sigs, bands, maxBucket)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // exact verification decodes ONLY the candidate docs' shingles
+          // exact verification decodes ONLY the candidate docs' shingles.
+          // "Only" is a PLAN property: the scan decodes candidate rows
+          // alone iff the semi-join broadcasts (the DSv2 source's runtime
+          // filtering then prunes bins and bit-seeks the hit rows — the
+          // q_graft_join shape); a sort-merge join would silently decode
+          // the whole corpus below the join. So broadcast explicitly while
+          // the candidate set is broadcastable, and fall back to the plain
+          // join — paying one decode scan, same as the full path — only
+          // past ~5M candidate ids (near-dup candidates at that scale mean
+          // the corpus is mostly duplicates anyway).
           val candDocs = cands
             .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
             .distinct()
-          val subset = spark.read
-            .format("graft")
-            .load(outDir)
-            .join(candDocs, Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), col("tokens"))
-          val shingled = graft.ops.Dedup
-            .tokenShingles(subset, shingleN)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val pairs = graft.ops.Dedup
-              .jaccard(cands, shingled)
-              .where(col("uni") > 0 && col("inter").cast("double") >= col("uni") * threshold)
-              .select(col("doc_a"), col("doc_b"))
-            nearDupCommit(spark, outDir, pairs, filesSigned = signed)
-          } finally shingled.unpersist(): Unit
+            val nCand = candDocs.count()
+            val joinSide =
+              if (nCand <= 5000000L) org.apache.spark.sql.functions.broadcast(candDocs)
+              else candDocs
+            val subset = spark.read
+              .format("graft")
+              .load(outDir)
+              .join(joinSide, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("tokens"))
+            val shingled = graft.ops.Dedup
+              .tokenShingles(subset, shingleN)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val pairs = graft.ops.Dedup
+                .jaccard(cands, shingled)
+                .where(col("uni") > 0 && col("inter").cast("double") >= col("uni") * threshold)
+                .select(col("doc_a"), col("doc_b"))
+              nearDupCommit(spark, outDir, pairs, filesSigned = signed)
+            } finally shingled.unpersist(): Unit
+          } finally candDocs.unpersist(): Unit
         } finally cands.unpersist(): Unit
       } finally sigs.unpersist(): Unit
     }

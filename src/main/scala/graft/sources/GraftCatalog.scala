@@ -875,6 +875,34 @@ private object GraftCatalog {
     }
   }
 
+  private val buildSigIndex = new MaintenanceProcedure(
+    "build_sig_index",
+    Array(
+      in("path", StringType),
+      inDflt("shingle_n", IntegerType, "4"),
+      inDflt("k", IntegerType, "64")
+    ),
+    StructType(Seq(
+      StructField("files_signed", LongType, nullable = false),
+      StructField("files_covered", IntegerType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "build (or incrementally extend) the _sig_index_n{N}_k{K} sidecar of " +
+        "per-doc MinHash signatures used by dedup_near(incremental => true); " +
+        "only live files without committed entries are decoded — run it " +
+        "off-peak so the dedup's signature pass is a pure sidecar read"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val dir = pathOf(input)
+      val live = Maintenance
+        .liveBlockFiles(dir, spark.sparkContext.hadoopConfiguration)
+        .map(_._1)
+      val (_, built) =
+        SignatureIndex.ensure(spark, dir, live, input.getInt(1), input.getInt(2))
+      InternalRow(built, live.length)
+    }
+  }
+
   /** The pretraining chunker as a SQL verb: pack a graft corpus into
     * fixed-length training examples and write them to a NEW graft dir —
     * the whole prepare-an-epoch step (`ops/Packing` + `EncodeJob`) as one
@@ -1183,6 +1211,7 @@ private object GraftCatalog {
     "dedup_near" -> dedupNear,
     "build_token_index" -> buildTokenIndex,
     "build_content_index" -> buildContentIndex,
+    "build_sig_index" -> buildSigIndex,
     "recompress" -> recompress,
     "rebin" -> rebin,
     "create_tag" -> createTag,

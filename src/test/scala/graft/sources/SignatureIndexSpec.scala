@@ -130,12 +130,19 @@ class SignatureIndexSpec extends AnyFunSuite {
     EncodeJob.run(spark.createDataset(base ++ planted), dir, cfg)
 
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    // pre-build through the SQL face: the off-peak indexing verb (same
+    // params as the dedup's defaults, so the sidecars are the same dir)
+    val bld = spark.sql(s"CALL graft.system.build_sig_index(path => '$dir')").head()
+    assert(bld.getLong(0) > 0L, "first build signs files")
+    val bld2 = spark.sql(s"CALL graft.system.build_sig_index(path => '$dir')").head()
+    assert(bld2.getLong(0) == 0L && bld2.getInt(1) > 0, "second build is covered")
     val row = spark
       .sql(s"CALL graft.system.dedup_near(path => '$dir', incremental => true)")
       .head()
     assert(!row.isNullAt(0), "snapshot committed")
     assert(row.getLong(3) >= 2L) // docs_deleted
-    assert(!row.isNullAt(4) && row.getLong(4) > 0L, "files_signed reported")
+    assert(!row.isNullAt(4) && row.getLong(4) == 0L,
+      "dedup after pre-build must be a pure sidecar read")
     // full-scan face keeps files_signed null
     val full = spark.sql(s"CALL graft.system.dedup_near(path => '$dir')").head()
     assert(full.isNullAt(4))
