@@ -1128,6 +1128,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // the SIGNATURE INDEX end-to-end: SignatureIndex.ensure decodes the
+    // compressed blocks and publishes each doc's MinHash signature; the
+    // read-back sidecar rows (sampled docs, exploded per permutation) must
+    // equal DuckDB's recomputation of the token-shingle minhash chain from
+    // the raw corpus derivation — the short-doc sentinel (all-Mask62)
+    // included. Small config (k=8, 1-in-173 docs) keeps the HUGEINT mix62
+    // oracle cheap; SignatureIndexSpec pins the production k=64 path equal
+    // to the same query-side chain.
+    "q_sig_index" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftScanDir(s, dir)
+      val live = graft.pipeline.Maintenance
+        .liveBlockFiles(out, s.sparkContext.hadoopConfiguration)
+        .map(_._1)
+      val (entries, _) =
+        graft.sources.SignatureIndex.ensure(s, out, live, shingleN = 4, k = 8)
+      entries
+        .where($"doc_id".cast("long") % 173 === 5)
+        .select($"doc_id".cast("long").as("doc_id"), posexplode($"minhash").as(Seq("i", "sig")))
+        .select($"doc_id", $"i".cast("long").as("i"), $"sig")
+        .orderBy($"doc_id", $"i")
+    }),
+
     // exact corpus dedup end-to-end: planted duplicate docs (id % 23 == 1
     // re-keyed to id + 3e12, same tokens) are appended, then
     // CALL graft.system.dedup_exact-equivalent runs (content hash group-by,
@@ -2349,6 +2372,36 @@ object SparkEntry {
          |SELECT doc_id, n_tok, ${graft.ops.XHash.sqlMix62("r1")} AS h1,
          |       ${graft.ops.XHash.sqlMix62("r2")} AS h2
          |FROM raws ORDER BY doc_id""".stripMargin
+    },
+
+    "q_sig_index" -> {
+      // token 4-gram shingles (the gramHash twin) -> 8 seeded permutations
+      // (salt_i = mix62(0x5eed + i), the Dedup.minhashSalt rule) -> min per
+      // (doc, i); docs shorter than 4 tokens get the all-Mask62 sentinel
+      s"""$CTE
+         |, docs AS (
+         |  SELECT doc_id, list(token ORDER BY pos) AS toks
+         |  FROM tok WHERE doc_id % 173 = 5 GROUP BY doc_id
+         |), grams AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(toks) - 3)) AS p, toks
+         |  FROM docs WHERE len(toks) >= 4
+         |), shingles AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(list_reduce(list_prepend(CAST(${X.FoldInit} AS BIGINT), toks[p:p+3]),
+         |                     (h, v) -> ${X.sqlFoldStep("h", "v")}) AS BIGINT) AS shingle
+         |  FROM grams
+         |), salts AS (
+         |  SELECT i, ${X.sqlMix62("(24301 + i)")} AS salt
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS i)
+         |), sigv AS (
+         |  SELECT s.doc_id, t.i, min(${X.sqlMix62("xor(s.shingle, t.salt)")}) AS m
+         |  FROM shingles s CROSS JOIN salts t GROUP BY s.doc_id, t.i
+         |)
+         |SELECT d.doc_id, CAST(t.i AS BIGINT) AS i,
+         |       CAST(COALESCE(v.m, ${X.Mask62}) AS BIGINT) AS sig
+         |FROM docs d CROSS JOIN salts t
+         |LEFT JOIN sigv v ON v.doc_id = d.doc_id AND v.i = t.i
+         |ORDER BY d.doc_id, t.i""".stripMargin
     },
 
     "q_corpus_neardup" -> {
