@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.MaintainCli vacuum      <outDir> [graceMinutes]
   *   runMain graft.tools.MaintainCli expire      <outDir> <keepLast>
   *   runMain graft.tools.MaintainCli manifests   <outDir>
+  *   runMain graft.tools.MaintainCli build-content-index <outDir>
+  *   runMain graft.tools.MaintainCli build-sig-index <outDir> [shingleN] [k]
   *   runMain graft.tools.MaintainCli dedup-exact <outDir> [incremental]
   *   runMain graft.tools.MaintainCli dedup-near  <outDir> [threshold] [incremental]
   *   runMain graft.tools.MaintainCli decontaminate <outDir> <evalParquet> [n] [delete]
@@ -68,6 +70,27 @@ object MaintainCli {
           println(
             s"expire: snapshots_expired=[${r.snapshotsExpired.mkString(",")}] " +
               s"rebased_into=${r.rebasedInto.map(_.toString).getOrElse("none")}"
+          )
+        case "build-content-index" =>
+          val live = Maintenance
+            .liveBlockFiles(outDir, spark.sparkContext.hadoopConfiguration)
+            .map(_._1)
+          val e = graft.sources.ContentIndex.ensureStats(spark, outDir, live)
+          println(
+            s"build-content-index: files_hashed=${e.filesBuilt} " +
+              s"files_covered=${e.filesCovered} entries=${e.liveDocs}"
+          )
+        case "build-sig-index" =>
+          val shingleN = if (args.length > 2) args(2).toInt else 4
+          val k = if (args.length > 3) args(3).toInt else 64
+          val live = Maintenance
+            .liveBlockFiles(outDir, spark.sparkContext.hadoopConfiguration)
+            .map(_._1)
+          val (_, built) =
+            graft.sources.SignatureIndex.ensure(spark, outDir, live, shingleN, k)
+          println(
+            s"build-sig-index: files_signed=$built files_covered=${live.length} " +
+              s"dir=${graft.sources.SignatureIndex.dirName(shingleN, k)}"
           )
         case "dedup-exact" =>
           val incremental = args.length > 2 && args(2) == "incremental"
