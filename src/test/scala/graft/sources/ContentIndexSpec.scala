@@ -154,6 +154,29 @@ class ContentIndexSpec extends AnyFunSuite {
     )
   }
 
+  test("differential: incremental and full-scan dedupExact agree across seeds") {
+    import spark.implicits._
+    for (seed <- Seq(101L, 202L, 303L)) {
+      val base = TokenTables.synthetic(spark, 70L, seed = seed).collect().toSeq
+      val planted = Seq(
+        base(2).copy(doc_id = s"aa-$seed-${base(2).doc_id}"),
+        base(5).copy(doc_id = s"zz-$seed-${base(5).doc_id}")
+      )
+      val all = base ++ planted
+      val dirFull = freshDir(s"cix-diff-full-$seed")
+      val dirIncr = freshDir(s"cix-diff-incr-$seed")
+      EncodeJob.run(spark.createDataset(all), dirFull, cfg)
+      EncodeJob.run(spark.createDataset(all), dirIncr, cfg)
+      val rFull = Maintenance.dedupExact(spark, dirFull)
+      val rIncr = Maintenance.dedupExact(spark, dirIncr, incremental = true)
+      assert(rIncr.dupGroups == rFull.dupGroups && rIncr.docsDeleted == rFull.docsDeleted,
+        s"seed $seed: $rIncr != $rFull")
+      def kept(d: String) = spark.read.format("graft").load(d)
+        .select("doc_id").collect().map(_.getString(0)).toSet
+      assert(kept(dirIncr) == kept(dirFull), s"seed $seed: survivor sets differ")
+    }
+  }
+
   test("racing builds: double coverage is detected and entries dedupe") {
     import spark.implicits._
     val input = TokenTables.synthetic(spark, 50L, seed = 71L)
