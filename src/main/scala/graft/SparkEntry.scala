@@ -944,7 +944,13 @@ object SparkEntry {
         .select($"doc_id", concat_ws(" ", slice(split($"text", " "), 1, 3)).as("text"))
       graft.ops.Dedup
         .exact(normalized, maxExamples = 2)
-        .select($"n_copies", $"keep_doc_id", $"doc_ids")
+        .select(
+          $"n_copies",
+          $"keep_doc_id",
+          // Serialized: the driver's pandas oracle harness hashes flat
+          // columns only — an array<string> column is unhashable there.
+          concat_ws(",", $"doc_ids").as("doc_ids")
+        )
         .orderBy($"keep_doc_id")
     }),
 
@@ -2310,7 +2316,7 @@ object SparkEntry {
 
     "q_dedup_exact_op" ->
       """SELECT count(*) AS n_copies, min(doc_id) AS keep_doc_id,
-        | (list(doc_id ORDER BY doc_id))[1:2] AS doc_ids
+        | array_to_string((list(doc_id ORDER BY doc_id))[1:2], ',') AS doc_ids
         |FROM (SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS k FROM documents)
         |GROUP BY k HAVING count(*) > 1 ORDER BY keep_doc_id""".stripMargin,
 

@@ -1432,7 +1432,11 @@ object Maintenance {
       filesAdopted: Int,
       bytesAdopted: Long,
       rowsAdopted: Long,
-      valuesAdopted: Long
+      valuesAdopted: Long,
+      /** doc_ids live on BOTH sides before the merge — each becomes a
+        * same-id twin in the union (see the adopt guard's warning).
+        */
+      docIdOverlap: Long = 0L
   )
 
   /** Zero-recode merge: adopt another encode dir's live block files into
@@ -1545,6 +1549,28 @@ object Maintenance {
     val srcFiles = liveBlockFiles(srcDir, conf)
     if (srcFiles.isEmpty) return None
 
+    // doc_id-overlap guard: adopted rows keep their ids verbatim, so an id
+    // already live in the destination becomes a same-id content twin that a
+    // doc_id-keyed equality delete can never thin (dedup_exact surfaces
+    // them as same_id_groups but cannot delete them), and point lookups on
+    // that id return two rows. Both sides are METADATA-ONLY scans (doc_id
+    // streams, no entropy decode) and the shuffle carries ids only — the
+    // cost any id-level check must pay, tiny next to a re-encode. Warn
+    // loudly rather than refuse: the union of genuinely disjoint crawls is
+    // the common case and must not grow a bypass flag.
+    val docIdOverlap = {
+      val srcIds = spark.read.format("graft").load(srcDir).select("doc_id").distinct()
+      val dstIds = spark.read.format("graft").load(dstDir).select("doc_id")
+      srcIds.join(dstIds, Seq("doc_id"), "left_semi").count()
+    }
+    if (docIdOverlap > 0L)
+      System.err.println(
+        s"adopt: WARNING — $docIdOverlap doc_id(s) in $srcDir are already live in $dstDir; " +
+          "the union will hold same-id twins that equality deletes cannot separate " +
+          "(dedup_exact reports them as same_id_groups). Re-id the source or purge the " +
+          "destination ids first if id uniqueness matters."
+      )
+
     val uid = java.util.UUID.randomUUID().toString
     val stagingDir = new Path(s"$dstDir/_write_staging/adopt-$uid")
     dstFs.mkdirs(stagingDir): Unit
@@ -1627,7 +1653,7 @@ object Maintenance {
     }
     dstFs.delete(stagingDir, true): Unit
 
-    Some(AdoptResult(snapshotId, renamed.size, plan.map(_._3).sum, rowsAdopted, valuesAdopted))
+    Some(AdoptResult(snapshotId, renamed.size, plan.map(_._3).sum, rowsAdopted, valuesAdopted, docIdOverlap))
   }
 
   /** Exact-duplicate corpus dedup as ONE maintenance verb: find every group
@@ -1673,7 +1699,16 @@ object Maintenance {
         * path (every live file, inside the DSv2 scan), ≥0 on the incremental
         * path (only files the content index did not already cover).
         */
-      filesHashed: Long = -1L
+      filesHashed: Long = -1L,
+      /** Duplicate-content groups whose members all share ONE doc_id (e.g. a
+        * double-append of the same batch, or an adopt of an overlapping
+        * crawl). A doc_id-keyed equality delete cannot thin such a group
+        * without deleting its keeper too, so these are surfaced here rather
+        * than counted in [[dupGroups]] — keeping the idempotence contract
+        * honest: a second run reports `dupGroups == 0` even when same-id
+        * twins remain (they need a physical rewrite, not a delete).
+        */
+      sameIdGroups: Long = 0L
   )
 
   /** The [[dedupExact]] dataflow over any (doc_id, tokens, n_tok) frame,
@@ -1693,7 +1728,7 @@ object Maintenance {
         graft.functions.TokenFold.token_fold(col("tokens"), 1L).as("h2")
       )
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (dupGroups, losers) = exactDedupGroups(hashed)
+    val (dupGroups, losers, _) = exactDedupGroups(hashed)
     (hashed, dupGroups, losers)
   }
 
@@ -1701,19 +1736,30 @@ object Maintenance {
     * both feed ~30-byte (doc_id, n_tok, h1, h2) rows, so the dedup SEMANTICS
     * (124-bit key, min-doc_id keeper) are one piece of code regardless of
     * where the hashes came from.
+    *
+    * A group is actionable only when it spans MORE THAN ONE distinct doc_id:
+    * the delete commit is keyed on doc_id, so a group whose copies all carry
+    * the same id (double-append / overlapping adopt) is returned separately
+    * as `sameIdGroups` — deleting that id would take the keeper with it.
     */
   private def exactDedupGroups(
       hashed: org.apache.spark.sql.DataFrame
-  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val dupGroups = hashed
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val groups = hashed
       .groupBy("h1", "h2", "n_tok")
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .agg(
+        min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_ids")
+      )
       .where(col("n_copies") > 1)
+    val dupGroups = groups.where(col("n_ids") > 1)
+    val sameIdGroups = groups.where(col("n_ids") === 1)
     val losers = hashed
       .join(dupGroups, Seq("h1", "h2", "n_tok"))
       .where(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"))
-    (dupGroups, losers)
+    (dupGroups, losers, sameIdGroups)
   }
 
   /** With `incremental = true`, the content-hash pass reads the persistent
@@ -1762,20 +1808,23 @@ object Maintenance {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (h, built)
       }
-    val (dupGroups, losers) = exactDedupGroups(hashed)
+    val (dupGroups, losers, sameIdGroups) = exactDedupGroups(hashed)
     try {
-      // materialize the hash pass (and the group count) BEFORE the delete
+      // materialize the hash pass (and the group counts) BEFORE the delete
       // commits — a cache eviction after the commit would otherwise rescan
-      // the post-delete corpus
+      // the post-delete corpus. Both counts re-aggregate the PERSISTED
+      // ~30-byte hash rows, so the second is a cheap map-side-combined pass.
       val groups = dupGroups.count()
-      if (groups == 0L) DedupExactResult(None, 0L, 0L, filesHashed)
+      val sameId = sameIdGroups.count()
+      if (groups == 0L) DedupExactResult(None, 0L, 0L, filesHashed, sameId)
       else {
         val res = Deletes.deleteDocs(spark, outDir, losers.as[String])
         DedupExactResult(
           res.map(_.snapshotId),
           groups,
           res.map(_.idsRecorded).getOrElse(0L),
-          filesHashed
+          filesHashed,
+          sameId
         )
       }
     } finally hashed.unpersist(): Unit

@@ -75,7 +75,8 @@ object Audit {
       val hybrid = new HybridCodec(tables, model)
       val wanted = Set(
         "bin", "block_seq", "codec", "n_rows", "n_values", "n_toks_codec",
-        "n_toks_payload", "payload", "embedded_tables", "table_hash"
+        "n_toks_payload", "payload", "embedded_tables", "table_hash",
+        "doc_ids_codec", "doc_ids_payload", "sources_codec", "sources_payload"
       )
       val reader = GraftPartitionReader.openProjected(file, sConf, wanted, None)
       try {
@@ -97,6 +98,30 @@ object Audit {
             throw new IllegalStateException(
               s"block (bin=${g.getInteger("bin", 0)}, seq=${g.getInteger("block_seq", 0)}): " +
                 s"n_toks sum $off != recorded n_values $recorded"
+            )
+          // All four per-block payloads are covered: decode the doc_id and
+          // source string streams too (cheap next to the entropy payload) so
+          // a corrupt metadata stream reports ok=false here instead of
+          // crashing the first scan that projects doc_id.
+          val docIds = graft.codec.StringCodecs.decode(
+            g.getString("doc_ids_codec", 0),
+            g.getBinary("doc_ids_payload", 0).getBytes,
+            nRows
+          )
+          if (docIds.length != nRows)
+            throw new IllegalStateException(
+              s"block (bin=${g.getInteger("bin", 0)}, seq=${g.getInteger("block_seq", 0)}): " +
+                s"doc_ids stream decoded ${docIds.length} entries, expected $nRows"
+            )
+          val srcs = graft.codec.StringCodecs.decode(
+            g.getString("sources_codec", 0),
+            g.getBinary("sources_payload", 0).getBytes,
+            nRows
+          )
+          if (srcs.length != nRows)
+            throw new IllegalStateException(
+              s"block (bin=${g.getInteger("bin", 0)}, seq=${g.getInteger("block_seq", 0)}): " +
+                s"sources stream decoded ${srcs.length} entries, expected $nRows"
             )
           if (off > 0) {
             val decoded = GraftPipeline.decodeBlockPayload(

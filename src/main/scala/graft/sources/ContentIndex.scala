@@ -166,7 +166,9 @@ object ContentIndex {
   )
 
   /** Ensure every name in `live` is covered, hashing only the uncovered
-    * files; stats come from the same coverage aggregate the ensure ran.
+    * files. Coverage is computed DISTRIBUTED ([[SidecarProtocol.liveCoverage]]):
+    * only the uncovered todo list and the report scalars reach the driver,
+    * never the covered-file name set.
     */
   def ensureStats(
       spark: SparkSession,
@@ -174,31 +176,37 @@ object ContentIndex {
       live: Array[String]
   ): Ensured = {
     import spark.implicits._
+    val p = protocol(outDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pathNames = live.map(f => (f, nameOf(f))).toIndexedSeq
     val liveNames = live.map(nameOf).toSet
-    def report(entries: DataFrame, built: Long, cov: Array[(String, Long, Long)]): Ensured = {
-      val liveCov = cov.filter(c => liveNames.contains(c._1))
-      Ensured(entries, built, liveCov.length,
-        liveCov.map(c => c._3 / math.max(1L, c._2)).sum)
+    def emptyEntries =
+      spark.emptyDataset[ContentIndexRow].select(EntryCols.map(col): _*)
+
+    val buildDirs0 = p.builds(conf)
+    val cov0 =
+      if (buildDirs0.isEmpty) SidecarProtocol.LiveCoverage(live, 0L, 0L, raced = false)
+      else p.liveCoverage(spark, p.entriesDf(spark, buildDirs0), pathNames)
+    if (cov0.todoPaths.isEmpty) {
+      // fully covered — the common re-run: no build, one coverage job
+      val entries =
+        if (buildDirs0.isEmpty) emptyEntries
+        else p.liveEntries(spark, p.entriesDf(spark, buildDirs0), liveNames, cov0.raced, EntryCols)
+      return Ensured(entries, 0L, cov0.filesCovered.toInt, cov0.liveDocs)
     }
-    val (rows0, cov0) = rowsImpl(spark, outDir, liveNames)
-    val todo = {
-      val covered0 = cov0.map(_._1).toSet
-      live.filter(f => !covered0.contains(nameOf(f)))
-    }
-    if (todo.isEmpty) {
-      // fully covered — the common re-run: no build, no second index read
-      val entries = rows0.getOrElse(
-        spark
-          .emptyDataset[ContentIndexRow]
-          .select(EntryCols.map(col): _*)
-      )
-      return report(entries, 0L, cov0)
-    }
-    val built = buildFor(spark, outDir, todo)
-    val (liveRows, cov1) = rowsImpl(spark, outDir, liveNames)
-    val missing = liveNames -- cov1.map(_._1).toSet
-    require(missing.isEmpty, s"content index build left ${missing.size} live files uncovered")
-    report(liveRows.get, built, cov1)
+    val built = buildFor(spark, outDir, cov0.todoPaths)
+    val all1 = p.entriesDf(spark, p.builds(conf))
+    val cov1 = p.liveCoverage(spark, all1, pathNames)
+    require(
+      cov1.todoPaths.isEmpty,
+      s"content index build left ${cov1.todoPaths.length} live files uncovered"
+    )
+    Ensured(
+      p.liveEntries(spark, all1, liveNames, cov1.raced, EntryCols),
+      built,
+      cov1.filesCovered.toInt,
+      cov1.liveDocs
+    )
   }
 
   /** Ensure every name in `live` is covered, hashing only the uncovered

@@ -3,7 +3,7 @@ package graft.sources
 import graft.pipeline.Maintenance
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
@@ -903,6 +903,37 @@ private object GraftCatalog {
     }
   }
 
+  private val adopt = new MaintenanceProcedure(
+    "adopt",
+    Array(in("path", StringType), in("source", StringType)),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = true),
+      StructField("files_adopted", IntegerType, nullable = false),
+      StructField("bytes_adopted", LongType, nullable = false),
+      StructField("rows_adopted", LongType, nullable = false),
+      StructField("values_adopted", LongType, nullable = false),
+      StructField("doc_id_overlap", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "zero-recode merge: adopt another same-layout encode dir's live block files " +
+        "into this one (file copies + one snapshot commit — no decode/re-encode); " +
+        "requires matching format/bins/salt/tables and a purge-clean source. " +
+        "doc_id_overlap counts source ids already live in the destination " +
+        "(warned: the union holds same-id twins equality deletes cannot thin)"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      require(!input.isNullAt(1), "source must not be null")
+      Maintenance.adopt(spark, input.getUTF8String(1).toString, pathOf(input)) match {
+        case Some(r) =>
+          InternalRow(
+            r.snapshotId, r.filesAdopted, r.bytesAdopted, r.rowsAdopted, r.valuesAdopted,
+            r.docIdOverlap
+          )
+        case None => InternalRow(null, 0, 0L, 0L, 0L, 0L)
+      }
+    }
+  }
+
   /** The pretraining chunker as a SQL verb: pack a graft corpus into
     * fixed-length training examples and write them to a NEW graft dir —
     * the whole prepare-an-epoch step (`ops/Packing` + `EncodeJob`) as one
@@ -913,31 +944,6 @@ private object GraftCatalog {
     * reads) and must be fresh — packing over an existing corpus is almost
     * certainly an operator mistake, refused rather than mixed.
     */
-  private val adopt = new MaintenanceProcedure(
-    "adopt",
-    Array(in("path", StringType), in("source", StringType)),
-    StructType(Seq(
-      StructField("snapshot_id", LongType, nullable = true),
-      StructField("files_adopted", IntegerType, nullable = false),
-      StructField("bytes_adopted", LongType, nullable = false),
-      StructField("rows_adopted", LongType, nullable = false),
-      StructField("values_adopted", LongType, nullable = false)
-    ))
-  ) {
-    override def description(): String =
-      "zero-recode merge: adopt another same-layout encode dir's live block files " +
-        "into this one (file copies + one snapshot commit — no decode/re-encode); " +
-        "requires matching format/bins/salt/tables and a purge-clean source"
-    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
-      require(!input.isNullAt(1), "source must not be null")
-      Maintenance.adopt(spark, input.getUTF8String(1).toString, pathOf(input)) match {
-        case Some(r) =>
-          InternalRow(r.snapshotId, r.filesAdopted, r.bytesAdopted, r.rowsAdopted, r.valuesAdopted)
-        case None => InternalRow(null, 0, 0L, 0L, 0L)
-      }
-    }
-  }
-
   private val pack = new MaintenanceProcedure(
     "pack",
     Array(
@@ -982,11 +988,18 @@ private object GraftCatalog {
       // size the output's bins from source metadata (pushed aggregate —
       // zero payload bytes): packed tokens ≈ source tokens + one separator
       // per doc, minus the dropped tail
+      // coalesce: sum() is NULL on a valid-but-empty corpus (every doc
+      // deleted by a dedup/filter pass) and would NPE into the primitive
+      // decode before the zero-examples message below could fire
       val (srcTokens, nDocs) = corpus
-        .agg(sum(col("n_tok").cast("long")), count(lit(1)))
+        .agg(coalesce(sum(col("n_tok").cast("long")), lit(0L)), count(lit(1)))
         .as[(Long, Long)]
         .collect()
         .head
+      require(
+        nDocs > 0,
+        s"corpus at $src has no live documents — nothing to pack"
+      )
       val estTokens = srcTokens + (if (sep.isDefined) nDocs else 0L)
       val cfg = graft.pipeline.GraftPipeline
         .Config(numBins = graft.pipeline.GraftPipeline.Config.binsFor(estTokens))
@@ -1022,7 +1035,8 @@ private object GraftCatalog {
       StructField("snapshot", LongType, nullable = true),
       StructField("dup_groups", LongType, nullable = false),
       StructField("docs_deleted", LongType, nullable = false),
-      StructField("files_hashed", LongType, nullable = true)
+      StructField("files_hashed", LongType, nullable = true),
+      StructField("same_id_groups", LongType, nullable = false)
     ))
   ) {
     override def description(): String =
@@ -1030,14 +1044,17 @@ private object GraftCatalog {
         "lexicographically smallest doc_id per group, as one merge-on-read " +
         "equality-delete snapshot; purge_deletes amortizes the physical rewrite. " +
         "incremental => hash through the persistent _content_index (decode only " +
-        "files not yet covered; files_hashed reports how many)"
+        "files not yet covered; files_hashed reports how many). same_id_groups " +
+        "counts duplicate groups sharing ONE doc_id (double-append) — not " +
+        "deletable by id, surfaced instead of looping forever"
     override def run(spark: SparkSession, input: InternalRow): InternalRow = {
       val r = Maintenance.dedupExact(spark, pathOf(input), incremental = input.getBoolean(1))
       InternalRow(
         r.snapshotId.map(Long.box).orNull,
         r.dupGroups,
         r.docsDeleted,
-        if (r.filesHashed < 0L) null else Long.box(r.filesHashed)
+        if (r.filesHashed < 0L) null else Long.box(r.filesHashed),
+        r.sameIdGroups
       )
     }
   }
@@ -1049,7 +1066,12 @@ private object GraftCatalog {
       inDflt("threshold", DoubleType, "0.7D"),
       inDflt("shingle_n", IntegerType, "4"),
       inDflt("max_bucket", IntegerType, "1024"),
-      inDflt("incremental", BooleanType, "false")
+      inDflt("incremental", BooleanType, "false"),
+      // mirror build_sig_index's signature knobs: an incremental run with a
+      // sidecar pre-built at non-default k would otherwise silently rebuild
+      // (and pay for) the default _sig_index_n{N}_k64
+      inDflt("k", IntegerType, "64"),
+      inDflt("bands", IntegerType, "16")
     ),
     StructType(Seq(
       StructField("snapshot", LongType, nullable = true),
@@ -1063,14 +1085,20 @@ private object GraftCatalog {
       "delete near-duplicate documents (MinHash+LSH over token n-gram shingles, " +
         "exact-Jaccard verified at threshold, connected components) keeping the " +
         "smallest doc_id per cluster, as one merge-on-read equality-delete snapshot. " +
-        "incremental => sign through the persistent _sig_index (decode only files " +
-        "not yet covered; exact verification decodes candidate docs only)"
+        "incremental => sign through the persistent _sig_index for the given " +
+        "(shingle_n, k) (decode only files not yet covered; exact verification " +
+        "decodes candidate docs only); k/bands must satisfy bands | k"
     override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      val k = input.getInt(5)
+      val bands = input.getInt(6)
+      require(k > 0 && bands > 0 && k % bands == 0, s"bands ($bands) must divide k ($k)")
       val r = Maintenance.dedupNear(
         spark,
         pathOf(input),
         threshold = input.getDouble(1),
         shingleN = input.getInt(2),
+        k = k,
+        bands = bands,
         maxBucket = input.getInt(3),
         incremental = input.getBoolean(4)
       )

@@ -27,6 +27,20 @@ import java.util.UUID
   * Rows must carry `file` (block file name) and `doc_id` (null marks the
   * zero-doc coverage sentinel); any further columns are the index's own.
   */
+private[graft] object SidecarProtocol {
+
+  /** Distributed build-coverage report: the (small) uncovered-path list plus
+    * live-coverage scalars — everything an `ensure` needs, with the covered
+    * NAME SET never materialized on the driver.
+    */
+  final case class LiveCoverage(
+      todoPaths: Array[String],
+      filesCovered: Long,
+      liveDocs: Long,
+      raced: Boolean
+  )
+}
+
 private[graft] final class SidecarProtocol(val dir: Path, val prefix: String) {
 
   def fsOf(conf: Configuration): FileSystem = dir.getFileSystem(conf)
@@ -72,6 +86,56 @@ private[graft] final class SidecarProtocol(val dir: Path, val prefix: String) {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
   }
 
+  /** The BUILD path's coverage view, fully distributed: anti-joins the live
+    * (path, name) list against the committed entries' file names and
+    * aggregates the live-coverage scalars, returning only the (small)
+    * uncovered todo list plus three numbers — never the covered-file set
+    * (at an 800k-file corpus that set is ~50–100 MB of driver strings, the
+    * exact pattern the manifest file index exists to kill). Per-file docs
+    * divide by the builds covering the file (raced builds wrote identical
+    * full copies, so integer division is exact); `raced` is live-restricted
+    * max(n_builds) > 1 — a race on a dead file cannot force the dedup
+    * shuffle on live entries.
+    */
+  def liveCoverage(
+      spark: SparkSession,
+      all: DataFrame,
+      livePathNames: Seq[(String, String)]
+  ): SidecarProtocol.LiveCoverage = {
+    import spark.implicits._
+    val pat = java.util.regex.Pattern.quote(dir.getName) + "/(" +
+      java.util.regex.Pattern.quote(prefix) + "[^/]+)/[^/]*$"
+    val liveDf = livePathNames.toDF("path", "file")
+    val perFile = all
+      // input_file_name() is non-deterministic: project BEFORE aggregating
+      .select(
+        col("file"),
+        col("doc_id"),
+        regexp_extract(input_file_name(), pat, 1).as("_build")
+      )
+      .groupBy(col("file"))
+      .agg(countDistinct(col("_build")).as("n_builds"), count(col("doc_id")).as("n_docs"))
+    // no broadcast hint: left-outer/anti cannot build on the preserved
+    // side, and both inputs are already O(files) rows (entries collapsed
+    // by the aggregate above) — a plain shuffled join is the scale-safe plan
+    val joined = liveDf
+      .join(perFile, Seq("file"), "left_outer")
+      .select(col("path"), col("n_builds"), col("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val todo = joined.where(col("n_builds").isNull).select("path").as[String].collect()
+      val r = joined
+        .where(col("n_builds").isNotNull)
+        .agg(
+          count(lit(1)),
+          coalesce(sum(expr("n_docs div n_builds")), lit(0L)),
+          coalesce(max(col("n_builds")), lit(0L))
+        )
+        .head()
+      SidecarProtocol.LiveCoverage(todo, r.getLong(0), r.getLong(1), r.getLong(2) > 1L)
+    } finally joined.unpersist(): Unit
+  }
+
   /** Entry rows restricted to `liveNames` (broadcast-joined, never an
     * 800k-term In-list), projected to `outCols`, deduped on (file, doc_id)
     * only when `raced`.
@@ -84,7 +148,10 @@ private[graft] final class SidecarProtocol(val dir: Path, val prefix: String) {
       outCols: Seq[String]
   ): DataFrame = {
     import spark.implicits._
-    val namesDf = liveNames.toSeq.toDF("file")
+    // explicit broadcast: the name set is bounded by the file count (the
+    // scale the driver already holds), and past the 10 MB auto threshold a
+    // silent fallback would shuffle the ENTIRE entry frame for this join
+    val namesDf = broadcast(liveNames.toSeq.toDF("file"))
     val joined = all
       .where(col("doc_id").isNotNull)
       .join(namesDf, "file")

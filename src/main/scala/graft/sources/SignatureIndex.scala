@@ -155,7 +155,9 @@ object SignatureIndex {
   }
 
   /** Ensure every name in `live` is covered, signing only uncovered files;
-    * returns (live entry rows, filesSigned).
+    * returns (live entry rows, filesSigned). Coverage is computed
+    * DISTRIBUTED ([[SidecarProtocol.liveCoverage]]): only the uncovered
+    * todo list reaches the driver, never the covered-file name set.
     */
   def ensure(
       spark: SparkSession,
@@ -165,21 +167,30 @@ object SignatureIndex {
       k: Int
   ): (DataFrame, Long) = {
     import spark.implicits._
+    val p = protocol(outDir, shingleN, k)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pathNames = live.map(f => (f, nameOf(f))).toIndexedSeq
     val liveNames = live.map(nameOf).toSet
-    val (rows0, covered0) = rows(spark, outDir, liveNames, shingleN, k)
-    val todo = live.filter(f => !covered0.contains(nameOf(f)))
-    if (todo.isEmpty) {
-      val entries = rows0.getOrElse(
-        spark
-          .emptyDataset[SigIndexRow]
-          .select(EntryCols.map(col): _*)
-      )
+    def emptyEntries =
+      spark.emptyDataset[SigIndexRow].select(EntryCols.map(col): _*)
+
+    val buildDirs0 = p.builds(conf)
+    val cov0 =
+      if (buildDirs0.isEmpty) SidecarProtocol.LiveCoverage(live, 0L, 0L, raced = false)
+      else p.liveCoverage(spark, p.entriesDf(spark, buildDirs0), pathNames)
+    if (cov0.todoPaths.isEmpty) {
+      val entries =
+        if (buildDirs0.isEmpty) emptyEntries
+        else p.liveEntries(spark, p.entriesDf(spark, buildDirs0), liveNames, cov0.raced, EntryCols)
       return (entries, 0L)
     }
-    val built = buildFor(spark, outDir, todo, shingleN, k)
-    val (liveRows, covered) = rows(spark, outDir, liveNames, shingleN, k)
-    val missing = liveNames -- covered
-    require(missing.isEmpty, s"signature index build left ${missing.size} live files uncovered")
-    (liveRows.get, built)
+    val built = buildFor(spark, outDir, cov0.todoPaths, shingleN, k)
+    val all1 = p.entriesDf(spark, p.builds(conf))
+    val cov1 = p.liveCoverage(spark, all1, pathNames)
+    require(
+      cov1.todoPaths.isEmpty,
+      s"signature index build left ${cov1.todoPaths.length} live files uncovered"
+    )
+    (p.liveEntries(spark, all1, liveNames, cov1.raced, EntryCols), built)
   }
 }

@@ -194,23 +194,27 @@ object TokenIndex {
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .map(_.getPath)
 
-    val covered: Set[String] =
-      if (full || priorFiles.isEmpty) Set.empty
+    // todo = live ∖ covered, computed DISTRIBUTED: the live (path, name)
+    // list anti-joins the summary files' covered names, and only the
+    // (small) todo list returns to the driver — never the covered-file
+    // name set (~50–100 MB of strings at the 800k-file design point).
+    val todo: Array[String] = {
+      val entryFiles =
+        if (full || priorFiles.isEmpty) Array.empty[String]
+        else priorFiles.filter(_.getName.startsWith("tfs-")).map(_.toString)
+      if (entryFiles.isEmpty) live.map(_._1)
       else {
-        val entryFiles = priorFiles.filter(_.getName.startsWith("tfs-")).map(_.toString)
-        if (entryFiles.isEmpty) Set.empty
-        else
-          spark.read
-            .parquet(entryFiles.toIndexedSeq: _*)
-            .select("file")
-            .distinct()
-            .collect()
-            .map(_.getString(0))
-            .toSet
+        import spark.implicits._
+        val liveDf = live.map(p => (p._1, nameOf(p._1))).toIndexedSeq.toDF("path", "file")
+        liveDf
+          .join(spark.read.parquet(entryFiles.toIndexedSeq: _*).select("file"), Seq("file"), "left_anti")
+          .select("path")
+          .as[String]
+          .collect()
       }
-
-    val todo = live.map(_._1).filter(p => !covered.contains(nameOf(p)))
-    if (todo.isEmpty) return BuildResult(0, covered.size, 0L, 0L)
+    }
+    val skipped = live.length - todo.length
+    if (todo.isEmpty) return BuildResult(0, skipped, 0L, 0L)
 
     val meta = GraftMeta.load(outDir, conf)
     val bMeta = spark.sparkContext.broadcast(
@@ -315,7 +319,7 @@ object TokenIndex {
     invalidateCaches(outDir)
     val nBlocks = entries.filter(_.bin >= 0).count()
     entries.unpersist()
-    BuildResult(todo.length, covered.size, nBlocks, indexBytes)
+    BuildResult(todo.length, skipped, nBlocks, indexBytes)
   }
 
   /** Decode one block file sequentially and emit its index rows. The decode

@@ -96,9 +96,10 @@ object MaintainCli {
           val incremental = args.length > 2 && args(2) == "incremental"
           val r = Maintenance.dedupExact(spark, outDir, incremental = incremental)
           val hashed = if (r.filesHashed < 0L) "" else s" files_hashed=${r.filesHashed}"
+          val sameId = if (r.sameIdGroups == 0L) "" else s" same_id_groups=${r.sameIdGroups}"
           println(
             s"dedup-exact: snapshot=${r.snapshotId.map(_.toString).getOrElse("none")} " +
-              s"dup_groups=${r.dupGroups} docs_deleted=${r.docsDeleted}$hashed"
+              s"dup_groups=${r.dupGroups} docs_deleted=${r.docsDeleted}$hashed$sameId"
           )
         case "dedup-near" =>
           val rest = args.drop(2)
