@@ -635,10 +635,34 @@ object Bench {
     val (kernelEncEnd, _) = graft.tools.KernelBench.measure(reps = 5)
     val hostHealth = math.min(kernelEnc, kernelEncEnd) / 100.0
 
+    // Band context: a committed BENCH_r{N}.json is ONE run drawn from a
+    // wide host-variance band; BENCH_BAND.json (repo root, maintained next
+    // to BASELINE.md's spread table) carries the band's low/high/run-count
+    // so any single artifact is self-identifying about where it sits.
+    // Absent or unparsable file -> fields simply omitted.
+    val bandJson =
+      try {
+        val f = new java.io.File("BENCH_BAND.json")
+        if (!f.exists()) ""
+        else {
+          val o = graft.core.MiniJson.parseObject(
+            new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"),
+            "BENCH_BAND.json"
+          )
+          import graft.core.MiniJson.ObjOps
+          def num(n: String): Option[String] =
+            o.get(n).collect { case graft.core.MiniJson.JNum(raw) => raw }
+          (for { lo <- num("band_low"); hi <- num("band_high"); n <- num("n_runs") } yield {
+            val stat = o.strOpt("band_stat").getOrElse("e2e scaling_efficiency, best-of")
+            s""","band_low":$lo,"band_high":$hi,"band_n_runs":$n,"band_stat":"$stat""""
+          }).getOrElse("")
+        }
+      } catch { case _: Exception => "" }
+
     val total = queries.values.sum
     val qs = queries.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"encode+decode bench (tokens/sec, bytes/token, N->4N scaling)","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tokens":$tokens,"bytes_per_token":$bytesPerToken%.4f,"scaling_n_cores":4,"scaling_4n_cores":16,"tokens_per_sec_n":$thr8%.0f,"tokens_per_sec_4n":$thr32%.0f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_median":$efficiencyMedian%.3f,"staged_tokens_per_sec_n":$sthr8%.0f,"staged_tokens_per_sec_4n":$sthr32%.0f,"staged_scaling_efficiency":$stagedEfficiency%.3f,"staged_scaling_efficiency_median":$stagedEffMedian%.3f,"hybrid_tokens_per_sec_n":${stok / hbest8}%.0f,"hybrid_tokens_per_sec_4n":${stok / hbest32}%.0f,"hybrid_scaling_efficiency":$hybridEfficiency%.3f,"hybrid_scaling_efficiency_median":$hybridEffMedian%.3f,"kernel_encode_mtok_per_s":$kernelEnc%.1f,"kernel_decode_mtok_per_s":$kernelDec%.1f,"kernel_zuckerli_encode_mtok_per_s":$kernelZkEnc%.1f,"kernel_zuckerli_decode_mtok_per_s":$kernelZkDec%.1f,"kernel_encode_mtok_per_s_end":$kernelEncEnd%.1f,"host_health":$hostHealth%.2f}"""
+      f"""{"metric":"encode+decode bench (tokens/sec, bytes/token, N->4N scaling)","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tokens":$tokens,"bytes_per_token":$bytesPerToken%.4f,"scaling_n_cores":4,"scaling_4n_cores":16,"tokens_per_sec_n":$thr8%.0f,"tokens_per_sec_4n":$thr32%.0f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_median":$efficiencyMedian%.3f,"staged_tokens_per_sec_n":$sthr8%.0f,"staged_tokens_per_sec_4n":$sthr32%.0f,"staged_scaling_efficiency":$stagedEfficiency%.3f,"staged_scaling_efficiency_median":$stagedEffMedian%.3f,"hybrid_tokens_per_sec_n":${stok / hbest8}%.0f,"hybrid_tokens_per_sec_4n":${stok / hbest32}%.0f,"hybrid_scaling_efficiency":$hybridEfficiency%.3f,"hybrid_scaling_efficiency_median":$hybridEffMedian%.3f,"kernel_encode_mtok_per_s":$kernelEnc%.1f,"kernel_decode_mtok_per_s":$kernelDec%.1f,"kernel_zuckerli_encode_mtok_per_s":$kernelZkEnc%.1f,"kernel_zuckerli_decode_mtok_per_s":$kernelZkDec%.1f,"kernel_encode_mtok_per_s_end":$kernelEncEnd%.1f,"host_health":$hostHealth%.2f$bandJson}"""
     )
   }
 }

@@ -222,6 +222,10 @@ object SparkEntry {
     graftCompactDirCache.keys.filter(_._1 == id).foreach { k =>
       graftCompactDirCache.remove(k).foreach(deleteDir)
     }
+    graftCtasDirCache.keys.filter(_._1 == id).foreach { k =>
+      // the CTAS dir is <tmp>/corpus — remove the enclosing tmp dir
+      graftCtasDirCache.remove(k).foreach(d => deleteDir(new java.io.File(d).getParent))
+    }
     graftAppendDirCache.keys.filter(_._1 == id).foreach { k =>
       graftAppendDirCache.remove(k).foreach(deleteDir)
     }
@@ -330,6 +334,36 @@ object SparkEntry {
     */
   private def graftScanDir(s: SparkSession, dir: String): String =
     cachedGraftDir(graftDirCache, s, dir, "graft-dsv2")((_, _) => ())
+
+  private val graftCtasDirCache =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** A corpus created PURELY through SQL: the shared scan dir is mounted via
+    * the graft catalog and CTAS'd into a fresh dir (`CREATE TABLE
+    * graft.`out`` AS SELECT …``), exercising the whole bootstrap chain —
+    * catalog createTable → staged raw rows → driver-coordinated two-pass
+    * EncodeJob → snapshot commit — so q_ctas_scan's point reads of the
+    * result sit under the hard DuckDB oracle: a row dropped, duplicated or
+    * mis-encoded anywhere in that chain fails the hash.
+    */
+  private def graftCtasDir(s: SparkSession, dir: String): String = {
+    val key = (System.identityHashCode(s), dir)
+    graftCtasDirCache.get(key) match {
+      case Some(existing) => existing
+      case None =>
+        s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+        val src = graftScanDir(s, dir)
+        val out =
+          java.nio.file.Files.createTempDirectory("graft-dsv2-ctas").toString + "/corpus"
+        s.sql(
+          s"CREATE TABLE graft.`$out` AS SELECT doc_id, tokens, n_tok, source FROM graft.`$src`"
+        ).collect(): Unit
+        graftCtasDirCache.putIfAbsent(key, out) match {
+          case Some(winner) => deleteDir(out); winner
+          case None         => out
+        }
+    }
+  }
 
   private val graftCompactDirCache =
     scala.collection.concurrent.TrieMap[(Int, String), String]()
@@ -1015,6 +1049,30 @@ object SparkEntry {
       val out = graftScanDir(s, dir)
       val ids = docTable(s, dir)
         .where($"doc_id" % 997 === 0)
+        .select($"doc_id".cast("string"))
+        .collect()
+        .map(_.getString(0))
+      s.read
+        .format("graft")
+        .load(out)
+        .where($"doc_id".isin(ids.toSeq: _*))
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"tokens").as(Seq("pos0", "token"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // SQL bootstrap under the oracle: the corpus is CTAS'd into a FRESH dir
+    // purely through SQL (CREATE TABLE graft.`out` AS SELECT … — catalog
+    // createTable, staged raw rows, driver-coordinated two-pass EncodeJob,
+    // snapshot commit), then point-read back token-for-token
+    "q_ctas_scan" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftCtasDir(s, dir)
+      val ids = docTable(s, dir)
+        .where($"doc_id" % 991 === 0)
         .select($"doc_id".cast("string"))
         .collect()
         .map(_.getString(0))
@@ -2339,6 +2397,11 @@ object SparkEntry {
       s"""$CTE
          |SELECT doc_id, pos, token FROM tok
          |WHERE doc_id % 997 = 0 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_ctas_scan" ->
+      s"""$CTE
+         |SELECT doc_id, pos, token FROM tok
+         |WHERE doc_id % 991 = 0 ORDER BY doc_id, pos""".stripMargin,
 
     "q_token_sums" ->
       s"""$CTE

@@ -184,18 +184,38 @@ object Ann {
     *      empty list keeps its previous centroid. Centroid ids stay the
     *      seed vector's vec_id — stable labels across rounds.
     *
-    * Scale shape: the running max-similarity column makes seeding one
-    * narrow map per step (k steps, localCheckpoint'd — use a modulo-sampled
-    * corpus when nLists is large); each Lloyd round is one map + one
-    * (list, dim) aggregation of nLists·dim rows. The driver holds only
-    * nLists centroids.
+    * Scale shape — O(1) Spark jobs, never one per centroid: seeding runs
+    * DRIVER-SIDE over a deterministically capped candidate set. The corpus
+    * is counted (1 job); when it exceeds `seedCandidateCap` the candidates
+    * are the `vec_id % m == 0` slice with `m = ceil(n / cap)` (the same
+    * modulo sampling rule every deterministic fixture here uses, exactly
+    * recomputable by the oracle), collected in ONE job (≤ cap quantized
+    * rows — bounded driver memory by construction), and the k-center loop
+    * runs in memory with semantics IDENTICAL to the distributed
+    * formulation: start at the lowest candidate vec_id, repeatedly take the
+    * candidate minimizing max-icos to the chosen set, ties to the lowest
+    * vec_id. At `n ≤ cap` (every committed fixture) the candidate set is
+    * the whole corpus and the result is bit-equal to the historical
+    * step-per-centroid job loop this replaced (r4 verdict: nLists
+    * sequential driver-coordinated jobs do not scale). Each Lloyd round
+    * then stays one distributed map + one (list, dim) aggregation of
+    * nLists·dim rows. The driver holds ≤ cap candidates transiently and
+    * nLists centroids after.
     */
-  def trainIvfCentroids(corpus: DataFrame, nLists: Int, iters: Int = 3): Array[(Long, Array[Long])] = {
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      nLists: Int,
+      iters: Int = 3,
+      seedCandidateCap: Int = 1 << 15
+  ): Array[(Long, Array[Long])] = {
+    require(
+      seedCandidateCap >= math.max(1, nLists),
+      s"seedCandidateCap ($seedCandidateCap) must be >= nLists ($nLists)"
+    )
     val spark = corpus.sparkSession
-    def simTo(cent: Array[Long]) = udf { qe: Seq[Long] => icos(qe.toArray, cent) }
-    // cached: the quantized corpus is re-read once per seeding step and
-    // once per Lloyd round — without the cache each of those re-scans the
-    // source and re-runs the quantize UDF
+    // cached: the quantized corpus feeds the seeding count/collect and each
+    // Lloyd round — without the cache each of those re-scans the source and
+    // re-runs the quantize UDF
     val qc = corpus
       .select(col("vec_id").cast("long").as("vec_id"), quantizeUdf(col("embedding")).as("qe"))
       .cache()
@@ -203,36 +223,48 @@ object Ann {
     // quantized corpus in executor storage for the application lifetime
     try {
 
-    // 1. farthest-point seeding with a running max-similarity column
-    val seed = qc.orderBy(col("vec_id")).limit(1).collect()
-    if (seed.isEmpty) return Array.empty // empty corpus: no lists
-    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])](
-      (seed(0).getLong(0), seed(0).getSeq[Long](1).toArray)
-    )
-    var state = qc
-      .where(col("vec_id") =!= chosen.head._1)
-      .withColumn("msim", simTo(chosen.head._2)(col("qe")))
-      .localCheckpoint(true)
-    var step = 1
-    var exhausted = false
-    while (step < nLists && !exhausted) {
-      // one job per step: the empty-corpus stop rides the same take(1)
-      val picked = state.orderBy(col("msim").asc, col("vec_id").asc).limit(1).collect()
-      if (picked.isEmpty) exhausted = true
-      else {
-        val r = picked(0)
-        val (cid, cqe) = (r.getLong(0), r.getSeq[Long](1).toArray)
-        chosen += ((cid, cqe))
-        val prev = state
-        state = state
-          .where(col("vec_id") =!= cid)
-          .withColumn("msim", greatest(col("msim"), simTo(cqe)(col("qe"))))
-          .localCheckpoint(true) // iterative self-reference: truncate lineage
-        unpersistCheckpoint(prev)
+    // 1. farthest-point seeding over the capped candidate set, driver-side
+    val n = qc.count()
+    if (n == 0L) return Array.empty // empty corpus: no lists
+    val m = (n + seedCandidateCap - 1L) / seedCandidateCap.toLong
+    val candDf = if (m <= 1L) qc else qc.where(pmod(col("vec_id"), lit(m)) === 0L)
+    val cands = candDf
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // a sparse-id corpus can modulo-sample thin; k-center then simply
+    // exhausts early (same contract as the historical loop's exhaustion)
+    val nc = cands.length
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]()
+    if (nc > 0) {
+      val used = new Array[Boolean](nc)
+      val msim = new Array[Long](nc)
+      chosen += cands(0) // lowest candidate vec_id (cands is id-sorted)
+      used(0) = true
+      var i = 0
+      while (i < nc) { msim(i) = icos(cands(i)._2, cands(0)._2); i += 1 }
+      while (chosen.length < math.min(nLists, nc)) {
+        // argmin msim, ties to the lowest vec_id: strict < over id order
+        var best = -1
+        var bestSim = Long.MaxValue
+        i = 0
+        while (i < nc) {
+          if (!used(i) && msim(i) < bestSim) { best = i; bestSim = msim(i) }
+          i += 1
+        }
+        used(best) = true
+        chosen += cands(best)
+        val cqe = cands(best)._2
+        i = 0
+        while (i < nc) {
+          if (!used(i)) {
+            val s = icos(cands(i)._2, cqe)
+            if (s > msim(i)) msim(i) = s
+          }
+          i += 1
+        }
       }
-      step += 1
     }
-    unpersistCheckpoint(state)
     var cents = chosen.toArray.sortBy(_._1)
 
     // 2. Lloyd refinement in the icos domain
@@ -265,17 +297,6 @@ object Ann {
     cents
 
     } finally qc.unpersist()
-  }
-
-  /** Free a `localCheckpoint(true)`'d round's storage now (same rationale
-    * as the dedup cluster resolver's helper).
-    */
-  private def unpersistCheckpoint(df: DataFrame): Unit = {
-    var r: org.apache.spark.rdd.RDD[_] = df.queryExecution.toRdd
-    while (r.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
-      r.dependencies.nonEmpty) r = r.dependencies.head.rdd
-    if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
-      r.unpersist(blocking = false): Unit
   }
 
   /** IVF (inverted-file) ANN — the partitioned-index scale path next to

@@ -41,13 +41,46 @@ object Decontaminate {
     h
   }
 
+  /** Hard ceiling on the collected eval gram set (distinct grams). The
+    * screen's design point is an EVAL-sized needle set broadcast against a
+    * corpus-sized haystack; a caller that passes a corpus as `evalSeqs`
+    * would otherwise silently materialize billions of hashes on the driver.
+    * 100M grams ≈ 800 MB collected — already generous for any real eval
+    * suite, and the failure names the misuse instead of OOMing the driver.
+    */
+  val MaxEvalGrams: Long = 100_000_000L
+
   /** Distinct n-gram hashes of every eval sequence, sorted for binary search.
     * Distinct-per-partition first so the driver collects at most the global
-    * distinct set per partition, then deduped once more driver-side.
+    * distinct set per partition, then deduped once more driver-side. Gated
+    * by [[MaxEvalGrams]] — one cheap distributed count before any collect.
     */
-  def evalGramHashes(evalSeqs: DataFrame, n: Int, tokensCol: String = "tokens"): Array[Long] = {
+  def evalGramHashes(
+      evalSeqs: DataFrame,
+      n: Int,
+      tokensCol: String = "tokens",
+      maxGrams: Long = MaxEvalGrams
+  ): Array[Long] = {
     val spark = evalSeqs.sparkSession
     import spark.implicits._
+    // upper bound without hashing: sum of per-row window counts — if even
+    // the bound passes, the collected distinct set surely fits
+    val windowBound = evalSeqs
+      .agg(
+        coalesce(
+          sum(greatest(size(col(tokensCol)) - n + 1, lit(0)).cast("long")),
+          lit(0L)
+        )
+      )
+      .head()
+      .getLong(0)
+    require(
+      windowBound <= maxGrams,
+      s"evalSeqs yields up to $windowBound $n-gram windows (> $maxGrams): this looks like " +
+        "a corpus, not an eval set — the decontamination screen broadcasts the EVAL grams and " +
+        "must not materialize corpus-scale hashes on the driver. Pass the (small) eval side " +
+        "as evalSeqs, or split the eval suite and run the screen per shard."
+    )
     val hashes = evalSeqs
       .select(col(tokensCol).cast("array<long>").as("t"))
       .as[Seq[Long]]

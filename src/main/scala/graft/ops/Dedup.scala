@@ -139,14 +139,29 @@ object Dedup {
     * on the band key; pairs are built per bucket (buckets are small when
     * bands/rows are sized for the target similarity).
     */
+  /** The band-bucket key rule shared by [[lshCandidatePairs]] and the
+    * band-sketch sidecar ([[graft.sources.SignatureIndex]]'s sketch level):
+    * fold band `band`'s rows of the k-signature.
+    */
+  def bandHash(sig: Array[Long], bands: Int, band: Int): Long = {
+    val rows = sig.length / bands
+    var h = XHash.FoldInit ^ band.toLong
+    var i = band * rows
+    while (i < (band + 1) * rows) { h = XHash.mix62(h ^ sig(i)); i += 1 }
+    h
+  }
+
+  /** 32-bit truncation of every band's hash — the sketch sidecar's stored
+    * form (bands·4 B/doc instead of k·8): bucketing on the truncation
+    * admits a superset of the full-hash candidates (a 1-in-4G extra
+    * collision per band), and exact-Jaccard verification decides membership
+    * either way — precision is untouched and recall can only gain.
+    */
+  def bandSketch(sig: Array[Long], bands: Int): Array[Int] =
+    Array.tabulate(bands)(b => (bandHash(sig, bands, b) & 0xffffffffL).toInt)
+
   def lshCandidatePairs(sigs: DataFrame, bands: Int = 16, maxBucket: Int = 1024): DataFrame = {
-    val bandUdf = udf { (sig: Seq[Long], band: Int) =>
-      val rows = sig.length / bands
-      var h = XHash.FoldInit ^ band.toLong
-      var i = band * rows
-      while (i < (band + 1) * rows) { h = XHash.mix62(h ^ sig(i)); i += 1 }
-      h
-    }
+    val bandUdf = udf { (sig: Seq[Long], band: Int) => bandHash(sig.toArray, bands, band) }
     val banded = saltBuckets(
       sigs
         .select(col("doc_id"), col("minhash"))
@@ -166,6 +181,25 @@ object Dedup {
 
   private def spark_range_bands(df: DataFrame, bands: Int): DataFrame =
     df.sparkSession.range(bands).select(col("id").cast("int").as("band"))
+
+  /** LSH candidates from PRE-COMPUTED band sketches (`doc_id`, `bands:
+    * array<int>` — [[bandSketch]] rows, e.g. the signature sidecar's sketch
+    * level): no signatures in flight, one posexplode plus the identical
+    * salt-capped bucket join. Bucketing on the 32-bit sketch instead of the
+    * 62-bit hash can only MERGE buckets (extra candidates, killed by exact
+    * verification), never split them.
+    */
+  def lshCandidatePairsFromBands(bandsDf: DataFrame, maxBucket: Int = 1024): DataFrame = {
+    val exploded = bandsDf
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val banded = saltBuckets(exploded, Seq("band", "bucket"), "doc_id", maxBucket)
+    val a = banded.select(col("band"), col("bucket"), col("__salt"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("__salt"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bucket", "__salt"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
 
   /** Exact Jaccard similarity over shingle sets for candidate verification. */
   def jaccard(pairs: DataFrame, shingled: DataFrame): DataFrame = {

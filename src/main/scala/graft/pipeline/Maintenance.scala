@@ -1144,9 +1144,16 @@ object Maintenance {
     // so sweep every matching dir.
     val sigProtocols = fs
       .listStatus(new Path(outDir))
-      .filter(st =>
-        st.isDirectory && st.getPath.getName.startsWith(graft.sources.SignatureIndex.DirPrefix))
-      .map(st => new graft.sources.SidecarProtocol(st.getPath, "six-"))
+      .collect {
+        case st
+            if st.isDirectory &&
+              st.getPath.getName.startsWith(graft.sources.SignatureIndex.DirPrefix) =>
+          new graft.sources.SidecarProtocol(st.getPath, "six-")
+        case st
+            if st.isDirectory &&
+              st.getPath.getName.startsWith(graft.sources.SignatureIndex.SketchDirPrefix) =>
+          new graft.sources.SidecarProtocol(st.getPath, "skx-")
+      }
     (sigProtocols :+ graft.sources.ContentIndex.protocol(outDir)).foreach { p =>
       val (d, f) = p.sweep(conf, cutoff)
       dirsDeleted += d
@@ -1909,6 +1916,53 @@ object Maintenance {
     } finally pairs.unpersist(): Unit
   }
 
+  /** [[dedupNearFixpoint]]'s report: every pass's result in order, plus
+    * whether the run CONVERGED (last pass deleted nothing) or stopped at
+    * `maxPasses` with work possibly remaining.
+    */
+  final case class DedupNearFixpointResult(
+      passes: Seq[DedupNearResult],
+      converged: Boolean
+  ) {
+    def docsDeleted: Long = passes.map(_.docsDeleted).sum
+    def nPairs: Long = passes.map(_.nPairs).sum
+    def nClusters: Long = passes.map(_.nClusters).sum
+  }
+
+  /** The scaladoc'd "re-run until `docsDeleted == 0`" contract as ONE call:
+    * bounded iteration of [[dedupNear]] to the fixpoint. Salt-capped hot
+    * buckets are the only source of multi-pass work (deleting losers
+    * regroups a capped bucket's salt windows and exposes pairs a first pass
+    * never compared — recall, never precision), so healthy corpora converge
+    * in one productive pass plus one cheap empty one; a degenerate corpus
+    * (hot-bucket floods) converges geometrically, each pass shrinking every
+    * capped window to its keeper. `maxPasses` bounds the worst case; the
+    * result says whether the fixpoint was reached.
+    */
+  def dedupNearFixpoint(
+      spark: SparkSession,
+      outDir: String,
+      threshold: Double = 0.7,
+      shingleN: Int = 4,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1024,
+      incremental: Boolean = false,
+      maxPasses: Int = 8,
+      sketch: Boolean = false
+  ): DedupNearFixpointResult = {
+    require(maxPasses >= 1, s"maxPasses must be >= 1, got $maxPasses")
+    val passes = scala.collection.mutable.ArrayBuffer[DedupNearResult]()
+    var converged = false
+    while (!converged && passes.length < maxPasses) {
+      val r =
+        dedupNear(spark, outDir, threshold, shingleN, k, bands, maxBucket, incremental, sketch)
+      passes += r
+      converged = r.docsDeleted == 0L
+    }
+    DedupNearFixpointResult(passes.toSeq, converged)
+  }
+
   /** With `incremental = true`, the signature pass (the verb's one
     * corpus-scale decode) reads the persistent
     * [[graft.sources.SignatureIndex]]: only uncovered live files are
@@ -1929,9 +1983,16 @@ object Maintenance {
       k: Int = 64,
       bands: Int = 16,
       maxBucket: Int = 1024,
-      incremental: Boolean = false
+      incremental: Boolean = false,
+      /** With `incremental`: use the band-SKETCH sidecar (bands·4 B/doc)
+        * instead of the full-signature one (k·8 B/doc) — banding needs only
+        * band hashes, and exact verification never reads signatures, so the
+        * result is the same modulo 1-in-4G extra (verified-away) candidates.
+        */
+      sketch: Boolean = false
   ): DedupNearResult = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0, 1], got $threshold")
+    require(!sketch || incremental, "sketch => true requires incremental => true (the sketch IS a sidecar level)")
     if (!incremental) {
       val shingled = graft.ops.Dedup
         .tokenShingles(
@@ -1953,7 +2014,9 @@ object Maintenance {
       val conf = spark.sparkContext.hadoopConfiguration
       val live = liveBlockFiles(outDir, conf).map(_._1)
       val (entries, signed) =
-        graft.sources.SignatureIndex.ensure(spark, outDir, live, shingleN, k)
+        if (sketch)
+          graft.sources.SignatureIndex.ensureSketch(spark, outDir, live, shingleN, k, bands)
+        else graft.sources.SignatureIndex.ensure(spark, outDir, live, shingleN, k)
       val liveRows =
         if (Deletes.liveDeletes(outDir, conf, asOf = None).isEmpty) entries
         else {
@@ -1963,52 +2026,63 @@ object Maintenance {
             .select(col("_file").as("file"), col("doc_id"))
           entries.join(livePairs, Seq("file", "doc_id"), "left_semi")
         }
-      val sigs = liveRows
-        .select(col("doc_id"), col("minhash"))
+      val keyed = (if (sketch) liveRows.select(col("doc_id"), col("bands"))
+                   else liveRows.select(col("doc_id"), col("minhash")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val cands = graft.ops.Dedup
-          .lshCandidatePairs(sigs, bands, maxBucket)
+        val cands = (if (sketch) graft.ops.Dedup.lshCandidatePairsFromBands(keyed, maxBucket)
+                     else graft.ops.Dedup.lshCandidatePairs(keyed, bands, maxBucket))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // exact verification decodes ONLY the candidate docs' shingles.
-          // "Only" is a PLAN property: the scan decodes candidate rows
-          // alone iff the semi-join broadcasts (the DSv2 source's runtime
-          // filtering then prunes bins and bit-seeks the hit rows — the
-          // q_graft_join shape); a sort-merge join would silently decode
-          // the whole corpus below the join. So broadcast explicitly while
-          // the candidate set is broadcastable, and fall back to the plain
-          // join — paying one decode scan, same as the full path — only
-          // past ~5M candidate ids (near-dup candidates at that scale mean
-          // the corpus is mostly duplicates anyway).
-          val candDocs = cands
-            .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-            .distinct()
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val nCand = candDocs.count()
-            val joinSide =
-              if (nCand <= 5000000L) org.apache.spark.sql.functions.broadcast(candDocs)
-              else candDocs
-            val subset = spark.read
-              .format("graft")
-              .load(outDir)
-              .join(joinSide, Seq("doc_id"), "left_semi")
-              .select(col("doc_id"), col("tokens"))
-            val shingled = graft.ops.Dedup
-              .tokenShingles(subset, shingleN)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              val pairs = graft.ops.Dedup
-                .jaccard(cands, shingled)
-                .where(col("uni") > 0 && col("inter").cast("double") >= col("uni") * threshold)
-                .select(col("doc_a"), col("doc_b"))
-              nearDupCommit(spark, outDir, pairs, filesSigned = signed)
-            } finally shingled.unpersist(): Unit
-          } finally candDocs.unpersist(): Unit
-        } finally cands.unpersist(): Unit
-      } finally sigs.unpersist(): Unit
+        try verifyCandidatesAndCommit(spark, outDir, cands, shingleN, threshold, signed)
+        finally cands.unpersist(): Unit
+      } finally keyed.unpersist(): Unit
     }
+  }
+
+  /** The incremental near-dup paths' shared back half: exact verification
+    * decodes ONLY the candidate docs' shingles. "Only" is a PLAN property:
+    * the scan decodes candidate rows alone iff the semi-join broadcasts
+    * (the DSv2 source's runtime filtering then prunes bins and bit-seeks
+    * the hit rows — the q_graft_join shape); a sort-merge join would
+    * silently decode the whole corpus below the join. So broadcast
+    * explicitly while the candidate set is broadcastable, and fall back to
+    * the plain join — paying one decode scan, same as the full path — only
+    * past ~5M candidate ids (near-dup candidates at that scale mean the
+    * corpus is mostly duplicates anyway).
+    */
+  private def verifyCandidatesAndCommit(
+      spark: SparkSession,
+      outDir: String,
+      cands: org.apache.spark.sql.DataFrame,
+      shingleN: Int,
+      threshold: Double,
+      signed: Long
+  ): DedupNearResult = {
+    val candDocs = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nCand = candDocs.count()
+      val joinSide =
+        if (nCand <= 5000000L) org.apache.spark.sql.functions.broadcast(candDocs)
+        else candDocs
+      val subset = spark.read
+        .format("graft")
+        .load(outDir)
+        .join(joinSide, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("tokens"))
+      val shingled = graft.ops.Dedup
+        .tokenShingles(subset, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val pairs = graft.ops.Dedup
+          .jaccard(cands, shingled)
+          .where(col("uni") > 0 && col("inter").cast("double") >= col("uni") * threshold)
+          .select(col("doc_a"), col("doc_b"))
+        nearDupCommit(spark, outDir, pairs, filesSigned = signed)
+      } finally shingled.unpersist(): Unit
+    } finally candDocs.unpersist(): Unit
   }
 
   /** Eval-set decontamination as one verb

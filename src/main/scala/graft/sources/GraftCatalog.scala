@@ -125,15 +125,75 @@ final class GraftCatalog
     try { encodeDirOf(ident); true }
     catch { case _: NoSuchTableException => false }
 
-  /** Encode dirs are not enumerable from a catalog root; DDL is not this
-    * catalog's job (dirs are created by EncodeJob / the DSv2 writer).
-    */
+  /** Encode dirs are not enumerable from a catalog root. */
   override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       s"$catalogName tables are encode dirs — ALTER is not supported; use graft.system procedures"
     )
-  override def dropTable(ident: Identifier): Boolean = false
+
+  /** `CREATE TABLE graft.`dir`` [AS SELECT …]` — the SQL bootstrap entry.
+    * Creating a graft table is creating a FRESH directory (plus a pending
+    * marker so an aborted CTAS is recognizable); the data lands through the
+    * table's write, which on a fresh dir is the driver-coordinated
+    * bootstrap ([[GraftBootstrap]]): stage raw rows, run the two-pass
+    * EncodeJob, one snapshot. The schema must be the engine's fixed
+    * (doc_id, tokens, n_tok, source) row shape; PARTITIONED BY is refused —
+    * bin routing is the table's own salted layout, not a user partitioning.
+    */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]
+  ): Table = {
+    if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
+    val path = ident.name()
+    require(
+      partitions.isEmpty,
+      s"$catalogName tables manage their own salted bin layout — PARTITIONED BY is not supported"
+    )
+    val st = StructType(columns.map(c => StructField(c.name(), c.dataType(), c.nullable())))
+    GraftWriteBuilder.validateSchema(st, "graft create table"): Unit
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_tables/meta.json")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(catalogName, path)
+      )
+    require(
+      !fs.exists(p) || fs.listStatus(p).forall { s =>
+        val n = s.getPath.getName
+        n == GraftBootstrap.Marker || n == GraftBootstrap.StagingRoot
+      },
+      s"$path exists and is not empty — refusing to create a graft table over foreign data"
+    )
+    fs.mkdirs(p): Unit
+    val marker = new org.apache.hadoop.fs.Path(p, GraftBootstrap.Marker)
+    if (!fs.exists(marker)) fs.create(marker, false).close()
+    new GraftTable(path, viaCatalog = true)
+  }
+
+  /** DROP cleans up ONLY a pending (created-but-never-encoded) bootstrap
+    * dir — the non-atomic CTAS failure path. A real encoded corpus is never
+    * droppable through SQL: deleting 100 TB wants the explicit filesystem
+    * act, not a one-line DROP TABLE.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (ident.namespace().nonEmpty) return false
+    val path = ident.name()
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs =
+      try p.getFileSystem(conf)
+      catch { case _: IllegalArgumentException => return false }
+    if (!fs.exists(p)) return false
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_tables/meta.json"))) return false
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, GraftBootstrap.Marker))) return false
+    fs.delete(p, true)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       s"$catalogName tables are encode dirs — RENAME is not supported"
@@ -880,7 +940,11 @@ private object GraftCatalog {
     Array(
       in("path", StringType),
       inDflt("shingle_n", IntegerType, "4"),
-      inDflt("k", IntegerType, "64")
+      inDflt("k", IntegerType, "64"),
+      // sketch => true builds the bands·4 B/doc _sig_sketch_… level instead
+      // of the k·8 B/doc signature level (the footprint dial)
+      inDflt("sketch", BooleanType, "false"),
+      inDflt("bands", IntegerType, "16")
     ),
     StructType(Seq(
       StructField("files_signed", LongType, nullable = false),
@@ -890,15 +954,20 @@ private object GraftCatalog {
     override def description(): String =
       "build (or incrementally extend) the _sig_index_n{N}_k{K} sidecar of " +
         "per-doc MinHash signatures used by dedup_near(incremental => true); " +
-        "only live files without committed entries are decoded — run it " +
-        "off-peak so the dedup's signature pass is a pure sidecar read"
+        "with sketch => true, the _sig_sketch_n{N}_k{K}_b{B} band-hash level " +
+        "(bands*4 B/doc — the footprint dial; pair with dedup_near(sketch => " +
+        "true)). Only live files without committed entries are decoded — run " +
+        "it off-peak so the dedup's signature pass is a pure sidecar read"
     override def run(spark: SparkSession, input: InternalRow): InternalRow = {
       val dir = pathOf(input)
       val live = Maintenance
         .liveBlockFiles(dir, spark.sparkContext.hadoopConfiguration)
         .map(_._1)
       val (_, built) =
-        SignatureIndex.ensure(spark, dir, live, input.getInt(1), input.getInt(2))
+        if (input.getBoolean(3))
+          SignatureIndex
+            .ensureSketch(spark, dir, live, input.getInt(1), input.getInt(2), input.getInt(4))
+        else SignatureIndex.ensure(spark, dir, live, input.getInt(1), input.getInt(2))
       InternalRow(built, live.length)
     }
   }
@@ -1071,14 +1140,23 @@ private object GraftCatalog {
       // sidecar pre-built at non-default k would otherwise silently rebuild
       // (and pay for) the default _sig_index_n{N}_k64
       inDflt("k", IntegerType, "64"),
-      inDflt("bands", IntegerType, "16")
+      inDflt("bands", IntegerType, "16"),
+      // the documented "re-run until docs_deleted == 0" contract in one call
+      inDflt("until_fixpoint", BooleanType, "false"),
+      inDflt("max_passes", IntegerType, "8"),
+      // with incremental: band the stored _sig_sketch_… level (bands*4 B/doc)
+      // instead of full signatures
+      inDflt("sketch", BooleanType, "false")
     ),
     StructType(Seq(
       StructField("snapshot", LongType, nullable = true),
       StructField("n_pairs", LongType, nullable = false),
       StructField("n_clusters", LongType, nullable = false),
       StructField("docs_deleted", LongType, nullable = false),
-      StructField("files_signed", LongType, nullable = true)
+      StructField("files_signed", LongType, nullable = true),
+      StructField("passes", IntegerType, nullable = false),
+      StructField("pass_deletes", StringType, nullable = false),
+      StructField("converged", BooleanType, nullable = false)
     ))
   ) {
     override def description(): String =
@@ -1087,12 +1165,15 @@ private object GraftCatalog {
         "smallest doc_id per cluster, as one merge-on-read equality-delete snapshot. " +
         "incremental => sign through the persistent _sig_index for the given " +
         "(shingle_n, k) (decode only files not yet covered; exact verification " +
-        "decodes candidate docs only); k/bands must satisfy bands | k"
+        "decodes candidate docs only); k/bands must satisfy bands | k. " +
+        "until_fixpoint => iterate (bounded by max_passes) until a pass deletes " +
+        "nothing — pass_deletes reports per-pass counts, converged says whether " +
+        "the fixpoint was reached"
     override def run(spark: SparkSession, input: InternalRow): InternalRow = {
       val k = input.getInt(5)
       val bands = input.getInt(6)
       require(k > 0 && bands > 0 && k % bands == 0, s"bands ($bands) must divide k ($k)")
-      val r = Maintenance.dedupNear(
+      val fix = Maintenance.dedupNearFixpoint(
         spark,
         pathOf(input),
         threshold = input.getDouble(1),
@@ -1100,14 +1181,27 @@ private object GraftCatalog {
         k = k,
         bands = bands,
         maxBucket = input.getInt(3),
-        incremental = input.getBoolean(4)
+        incremental = input.getBoolean(4),
+        maxPasses = if (input.getBoolean(7)) input.getInt(8) else 1,
+        sketch = input.getBoolean(9)
       )
+      // single-pass (default) rows read exactly as before; fixpoint rows
+      // aggregate and carry the per-pass trail
+      val lastSnap = fix.passes.reverse.collectFirst {
+        case p if p.snapshotId.isDefined => p.snapshotId.get
+      }
+      val signed = fix.passes.map(_.filesSigned).filter(_ >= 0L)
       InternalRow(
-        r.snapshotId.map(Long.box).orNull,
-        r.nPairs,
-        r.nClusters,
-        r.docsDeleted,
-        if (r.filesSigned < 0L) null else Long.box(r.filesSigned)
+        lastSnap.map(Long.box).orNull,
+        fix.nPairs,
+        fix.nClusters,
+        fix.docsDeleted,
+        if (signed.isEmpty) null else Long.box(signed.sum),
+        fix.passes.length,
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          fix.passes.map(_.docsDeleted).mkString(",")
+        ),
+        fix.converged
       )
     }
   }

@@ -85,14 +85,36 @@ private[sources] final class GraftWriteBuilder(
     Maintenance.healRebin(spark, path)
 
     // --- dir validation (driver, at planning time: fail before any task) ---
-    val meta = EncodeJob
-      .loadMeta(spark, path)
-      .getOrElse(
-        throw new IllegalArgumentException(
-          s"$path is not an encoded graft dir (no _tables/meta.json) — bootstrap it with " +
-            "EncodeJob.run first; the DSv2 writer appends to existing tables"
-        )
+    val metaOpt = EncodeJob.loadMeta(spark, path)
+    if (metaOpt.isEmpty) {
+      // FRESH dir → driver-coordinated BOOTSTRAP (the CTAS / first-write
+      // path): tasks stage raw varint-packed rows, commit() runs the
+      // two-pass EncodeJob over them (the global analyze barrier cannot
+      // run inside the per-task BatchWrite contract). A non-empty non-graft
+      // dir is foreign data and stays refused.
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val fresh = !fs.exists(p) || fs
+        .listStatus(p)
+        .forall { st =>
+          val n = st.getPath.getName
+          n == GraftBootstrap.Marker || n == GraftBootstrap.StagingRoot
+        }
+      require(
+        fresh,
+        s"$path is neither an encoded graft dir (no _tables/meta.json) nor an empty/new " +
+          "directory — the bootstrap write refuses to run over foreign data"
       )
+      val ords = GraftWriteBuilder.validateSchema(info.schema(), "graft bootstrap")
+      return new GraftBootstrapWrite(
+        path,
+        info.queryId(),
+        ords,
+        GraftBootstrap.Options.from(info.options()),
+        new SerializableHadoopConf(conf)
+      )
+    }
+    val meta = metaOpt.get
     import MiniJson.ObjOps
     val version = meta.longOpt("format_version").map(_.toInt)
     require(
@@ -128,30 +150,8 @@ private[sources] final class GraftWriteBuilder(
 
     // --- schema validation: ACCEPT_ANY_SCHEMA skips Spark's check, so the
     // builder owns it (by NAME; nullability is enforced per-row at write) ---
-    val schema = info.schema()
-    def ord(name: String, ok: DataType => Boolean, want: String): Int = {
-      val i = schema.fieldNames.indexOf(name)
-      require(i >= 0, s"graft append: input is missing required column `$name` $want")
-      require(
-        ok(schema.fields(i).dataType),
-        s"graft append: column `$name` is ${schema.fields(i).dataType.simpleString}, expected $want"
-      )
-      i
-    }
-    val docOrd = ord("doc_id", _ == StringType, "string")
-    val tokOrd = ord(
-      "tokens",
-      { case ArrayType(IntegerType, _) => true; case _ => false },
-      "array<int>"
-    )
-    val ntokOrd = ord("n_tok", _ == IntegerType, "int")
-    val srcOrd = ord("source", _ == StringType, "string")
-    val extra = schema.fieldNames.toSet -- Set("doc_id", "tokens", "n_tok", "source")
-    require(
-      extra.isEmpty,
-      s"graft append: unexpected columns ${extra.toSeq.sorted.mkString(", ")} — the block " +
-        "layout stores exactly (doc_id, tokens, n_tok, source); drop the extras explicitly"
-    )
+    val Array(docOrd, tokOrd, ntokOrd, srcOrd) =
+      GraftWriteBuilder.validateSchema(info.schema(), "graft append")
 
     val opts = info.options()
     def boolOpt(k: String, dflt: Boolean) = Option(opts.get(k)).map(_.toBoolean).getOrElse(dflt)
@@ -186,6 +186,39 @@ private[sources] final class GraftWriteBuilder(
       conf = new SerializableHadoopConf(conf),
       clustered = boolOpt("clusteredWrite", clustered)
     )
+  }
+}
+
+private[sources] object GraftWriteBuilder {
+
+  /** Ordinals of (doc_id, tokens, n_tok, source) in `schema`, validated by
+    * NAME and type — shared by the append and bootstrap writes.
+    */
+  def validateSchema(schema: StructType, who: String): Array[Int] = {
+    def ord(name: String, ok: DataType => Boolean, want: String): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0, s"$who: input is missing required column `$name` $want")
+      require(
+        ok(schema.fields(i).dataType),
+        s"$who: column `$name` is ${schema.fields(i).dataType.simpleString}, expected $want"
+      )
+      i
+    }
+    val docOrd = ord("doc_id", _ == StringType, "string")
+    val tokOrd = ord(
+      "tokens",
+      { case ArrayType(IntegerType, _) => true; case _ => false },
+      "array<int>"
+    )
+    val ntokOrd = ord("n_tok", _ == IntegerType, "int")
+    val srcOrd = ord("source", _ == StringType, "string")
+    val extra = schema.fieldNames.toSet -- Set("doc_id", "tokens", "n_tok", "source")
+    require(
+      extra.isEmpty,
+      s"$who: unexpected columns ${extra.toSeq.sorted.mkString(", ")} — the block " +
+        "layout stores exactly (doc_id, tokens, n_tok, source); drop the extras explicitly"
+    )
+    Array(docOrd, tokOrd, ntokOrd, srcOrd)
   }
 }
 

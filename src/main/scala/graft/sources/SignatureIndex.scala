@@ -15,6 +15,17 @@ final case class SigIndexRow(
     minhash: Array[Long]
 )
 
+/** One per-document row of the band-SKETCH index
+  * (`_sig_sketch_n{N}_k{K}_b{B}/skx-<uuid>/part-*.parquet`): the bands·4 B
+  * truncated band hashes instead of the k·8 B signature — the footprint
+  * dial for corpora where the full sidecar rivals the payload.
+  */
+final case class SketchIndexRow(
+    file: String,
+    doc_id: String,
+    bands: Array[Int]
+)
+
 /** The SIGNATURE INDEX — per-document MinHash signatures over token
   * n-gram shingles, persisted per block file like [[ContentIndex]] (same
   * [[SidecarProtocol]]), so the NEAR-dup verb's one corpus-scale decode
@@ -37,17 +48,28 @@ object SignatureIndex {
 
   def dirName(shingleN: Int, k: Int): String = s"_sig_index_n${shingleN}_k$k"
 
+  /** The sketch level's identity carries BOTH k and bands: band hashes
+    * derive from the k-signature, so sketches at different k never mix.
+    */
+  def sketchDirName(shingleN: Int, k: Int, bands: Int): String =
+    s"_sig_sketch_n${shingleN}_k${k}_b$bands"
+
   /** Every index dir under `outDir` (any params) — the vacuum sweep's
     * listing hook.
     */
   val DirPrefix = "_sig_index_"
+  val SketchDirPrefix = "_sig_sketch_"
 
   private[sources] def protocol(outDir: String, shingleN: Int, k: Int) =
     new SidecarProtocol(new Path(outDir, dirName(shingleN, k)), "six-")
 
+  private[sources] def sketchProtocol(outDir: String, shingleN: Int, k: Int, bands: Int) =
+    new SidecarProtocol(new Path(outDir, sketchDirName(shingleN, k, bands)), "skx-")
+
   private def nameOf(file: String): String = new Path(file).getName
 
   private val EntryCols = Seq("file", "doc_id", "minhash")
+  private val SketchCols = Seq("file", "doc_id", "bands")
 
   def dropIndex(
       outDir: String,
@@ -167,30 +189,117 @@ object SignatureIndex {
       k: Int
   ): (DataFrame, Long) = {
     import spark.implicits._
-    val p = protocol(outDir, shingleN, k)
+    ensureImpl(
+      spark, live,
+      protocol(outDir, shingleN, k),
+      EntryCols,
+      () => spark.emptyDataset[SigIndexRow].select(EntryCols.map(col): _*),
+      todo => buildFor(spark, outDir, todo, shingleN, k),
+      "signature index"
+    )
+  }
+
+  /** Sign `todo` files into the band-SKETCH sidecar: same decode pass as
+    * [[buildFor]], but only the [[graft.ops.Dedup.bandSketch]] truncated
+    * band hashes are stored (bands·4 B/doc).
+    */
+  def buildForSketch(
+      spark: SparkSession,
+      outDir: String,
+      todo: Array[String],
+      shingleN: Int,
+      k: Int,
+      bands: Int
+  ): Long = {
+    if (todo.isEmpty) return 0L
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = GraftMeta.load(outDir, conf)
+    val bMeta = spark.sparkContext.broadcast(
+      (meta.headerBytes, meta.maxBits, meta.numContexts, meta.contextModel)
+    )
+    val sConf = new SerializableHadoopConf(conf)
+    val salts = Array.tabulate(k)(Dedup.minhashSalt)
+    val p = sketchProtocol(outDir, shingleN, k, bands)
+    val entries = spark.sparkContext
+      .parallelize(todo.toIndexedSeq, todo.length)
+      .flatMap { file =>
+        val (headerBytes, maxBits, numContexts, modelName) = bMeta.value
+        val name = nameOf(file)
+        val rows = BlockFileScan
+          .rowIterator(file, sConf, headerBytes, maxBits, numContexts, modelName)
+        if (!rows.hasNext) Iterator(SketchIndexRow(name, null, Array.emptyIntArray))
+        else
+          rows.map { case (docId, _, values, from, until) =>
+            SketchIndexRow(
+              name,
+              docId,
+              Dedup.bandSketch(sigRow(values, from, until, shingleN, salts), bands)
+            )
+          }
+      }
+      .toDS()
+      .repartition(p.partsFor(todo.length))
+    p.publish(conf, entries.toDF())
+    todo.length.toLong
+  }
+
+  /** [[ensure]]'s band-sketch twin: coverage over the `_sig_sketch_…`
+    * sidecar, building only uncovered files; returns
+    * ((file, doc_id, bands) rows, filesSigned).
+    */
+  def ensureSketch(
+      spark: SparkSession,
+      outDir: String,
+      live: Array[String],
+      shingleN: Int,
+      k: Int,
+      bands: Int
+  ): (DataFrame, Long) = {
+    import spark.implicits._
+    ensureImpl(
+      spark, live,
+      sketchProtocol(outDir, shingleN, k, bands),
+      SketchCols,
+      () => spark.emptyDataset[SketchIndexRow].select(SketchCols.map(col): _*),
+      todo => buildForSketch(spark, outDir, todo, shingleN, k, bands),
+      "signature sketch index"
+    )
+  }
+
+  /** Shared ensure protocol for both sidecar levels (full signatures and
+    * band sketches): distributed coverage, build-the-uncovered, loud
+    * completeness check.
+    */
+  private def ensureImpl(
+      spark: SparkSession,
+      live: Array[String],
+      p: SidecarProtocol,
+      cols: Seq[String],
+      empty: () => DataFrame,
+      build: Array[String] => Long,
+      what: String
+  ): (DataFrame, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val pathNames = live.map(f => (f, nameOf(f))).toIndexedSeq
     val liveNames = live.map(nameOf).toSet
-    def emptyEntries =
-      spark.emptyDataset[SigIndexRow].select(EntryCols.map(col): _*)
-
     val buildDirs0 = p.builds(conf)
     val cov0 =
       if (buildDirs0.isEmpty) SidecarProtocol.LiveCoverage(live, 0L, 0L, raced = false)
       else p.liveCoverage(spark, p.entriesDf(spark, buildDirs0), pathNames)
     if (cov0.todoPaths.isEmpty) {
       val entries =
-        if (buildDirs0.isEmpty) emptyEntries
-        else p.liveEntries(spark, p.entriesDf(spark, buildDirs0), liveNames, cov0.raced, EntryCols)
+        if (buildDirs0.isEmpty) empty()
+        else p.liveEntries(spark, p.entriesDf(spark, buildDirs0), liveNames, cov0.raced, cols)
       return (entries, 0L)
     }
-    val built = buildFor(spark, outDir, cov0.todoPaths, shingleN, k)
+    val built = build(cov0.todoPaths)
     val all1 = p.entriesDf(spark, p.builds(conf))
     val cov1 = p.liveCoverage(spark, all1, pathNames)
     require(
       cov1.todoPaths.isEmpty,
-      s"signature index build left ${cov1.todoPaths.length} live files uncovered"
+      s"$what build left ${cov1.todoPaths.length} live files uncovered"
     )
-    (p.liveEntries(spark, all1, liveNames, cov1.raced, EntryCols), built)
+    (p.liveEntries(spark, all1, liveNames, cov1.raced, cols), built)
   }
 }

@@ -104,14 +104,24 @@ object MaintainCli {
         case "dedup-near" =>
           val rest = args.drop(2)
           val incremental = rest.contains("incremental")
-          val threshold =
-            rest.filterNot(_ == "incremental").headOption.map(_.toDouble).getOrElse(0.7)
-          val r = Maintenance
-            .dedupNear(spark, outDir, threshold = threshold, incremental = incremental)
-          val signed = if (r.filesSigned < 0L) "" else s" files_signed=${r.filesSigned}"
+          val fixpoint = rest.contains("fixpoint")
+          val threshold = rest
+            .filterNot(a => a == "incremental" || a == "fixpoint")
+            .headOption.map(_.toDouble).getOrElse(0.7)
+          val fix = Maintenance.dedupNearFixpoint(
+            spark, outDir, threshold = threshold, incremental = incremental,
+            maxPasses = if (fixpoint) 8 else 1)
+          val r = fix.passes.last
+          val signed = {
+            val s = fix.passes.map(_.filesSigned).filter(_ >= 0L)
+            if (s.isEmpty) "" else s" files_signed=${s.sum}"
+          }
+          val trail =
+            if (!fixpoint) ""
+            else s" passes=${fix.passes.length} pass_deletes=${fix.passes.map(_.docsDeleted).mkString(",")} converged=${fix.converged}"
           println(
             s"dedup-near: snapshot=${r.snapshotId.map(_.toString).getOrElse("none")} " +
-              s"n_pairs=${r.nPairs} n_clusters=${r.nClusters} docs_deleted=${r.docsDeleted}$signed"
+              s"n_pairs=${fix.nPairs} n_clusters=${fix.nClusters} docs_deleted=${fix.docsDeleted}$signed$trail"
           )
         case "decontaminate" =>
           require(args.length > 2, "decontaminate needs <evalParquet>")

@@ -80,4 +80,20 @@ class DecontaminateSpec extends AnyFunSuite {
     val Array(row) = Decontaminate.screen(corpus, evalSeqs, n = 2).collect()
     assert(row.getString(0) === "doc-a")
   }
+
+  test("corpus-sized eval input is refused loudly before any collect") {
+    // 3 rows x 9 windows = 27 > the (test-sized) cap of 10 — the gate names
+    // the misuse instead of materializing the hashes on the driver
+    val big = df(Seq(
+      1L -> (0 until 12),
+      2L -> (100 until 112),
+      3L -> (200 until 212)
+    ))
+    val e = intercept[IllegalArgumentException](
+      Decontaminate.evalGramHashes(big, n = 4, maxGrams = 10L)
+    )
+    assert(e.getMessage.contains("looks like a corpus"), e.getMessage)
+    // at the default production cap the same input sails through
+    assert(Decontaminate.evalGramHashes(big, n = 4).length == 27)
+  }
 }

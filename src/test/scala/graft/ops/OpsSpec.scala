@@ -269,6 +269,40 @@ class OpsSpec extends AnyFunSuite {
     assert(sizes.values.max <= 2 * sizes.values.min, s"unbalanced: $sizes")
   }
 
+  test("IVF trainer runs O(1) Spark jobs, not one per centroid") {
+    import spark.implicits._
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cents = Ann.trainIvfCentroids(embeddings, nLists = 64, iters = 2)
+      assert(cents.length == 64)
+      Thread.sleep(2000) // listener bus is async — let job-start events drain
+      // count + candidate collect + 2 Lloyd collects (+ a little slack for
+      // cache materialization); the replaced step-per-centroid loop ran 64+
+      assert(jobs <= 10, s"trainer ran $jobs jobs for 64 centroids")
+      // the capped driver-side seeding picks the SAME centroids as the
+      // distributed formulation: geometric spread across the 8 clusters
+      assert(cents.map(_._1 / 100).toSet.size == 8)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("IVF trainer candidate sampling engages above the cap, deterministically") {
+    import spark.implicits._
+    // cap 128 over the 240-vector fixture -> m = ceil(240/128) = 2 ->
+    // candidates are the vec_id % 2 == 0 slice; seeding still spreads
+    // across clusters
+    val cents = Ann.trainIvfCentroids(embeddings, nLists = 8, iters = 0, seedCandidateCap = 128)
+    assert(cents.length == 8)
+    assert(cents.forall(_._1 % 2 == 0), s"seeds outside the modulo-2 slice: ${cents.map(_._1).mkString(",")}")
+    assert(cents.map(_._1 / 100).toSet.size == 8)
+    val again = Ann.trainIvfCentroids(embeddings, nLists = 8, iters = 0, seedCandidateCap = 128)
+    assert(cents.map(_._1).toSeq == again.map(_._1).toSeq)
+  }
+
   test("IVF on an empty corpus returns empty, not a crash") {
     import spark.implicits._
     val empty = embeddings.where(lit(false))

@@ -115,4 +115,39 @@ class DedupNearSpec extends AnyFunSuite {
     val again = spark.sql(s"CALL graft.system.dedup_near(path => '$dir')").head()
     assert(again.isNullAt(0) && again.getLong(3) == 0L)
   }
+
+  test("until_fixpoint iterates a salt-capped degenerate corpus to the fixpoint") {
+    import spark.implicits._
+    // 40 IDENTICAL docs: every signature lands in one LSH bucket, and a
+    // maxBucket=8 salt cap splits it into 5 windows — pairs only form
+    // WITHIN a window, so pass 1 keeps one doc per window (deletes 35),
+    // pass 2 regroups the 5 survivors into one window (deletes 4), pass 3
+    // finds nothing: the fixpoint in 3 passes, geometric shrink throughout
+    val toks = Array.tabulate(64)(i => 10 + (i * 13) % 97)
+    val input = spark.createDataset(
+      (0 until 40).map(i => TokenRow(f"dup-$i%03d", toks, toks.length, "s"))
+    )
+    val dir = freshDir("graft-neardup-fix")
+    EncodeJob.run(input, dir, cfg)
+
+    val fix = Maintenance.dedupNearFixpoint(spark, dir, threshold = 0.7, maxBucket = 8)
+    assert(fix.converged, s"did not converge: ${fix.passes.map(_.docsDeleted)}")
+    assert(fix.docsDeleted == 39L, s"per-pass: ${fix.passes.map(_.docsDeleted)}")
+    assert(fix.passes.map(_.docsDeleted) == Seq(35L, 4L, 0L), s"per-pass: ${fix.passes.map(_.docsDeleted)}")
+    val kept = spark.read.format("graft").load(dir).select("doc_id").as[String].collect()
+    assert(kept.toSeq == Seq("dup-000"))
+
+    // the SQL face reports the per-pass trail on one row
+    val dir2 = freshDir("graft-neardup-fix-sql")
+    EncodeJob.run(input, dir2, cfg)
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    val row = spark
+      .sql(s"CALL graft.system.dedup_near(path => '$dir2', max_bucket => 8, " +
+        "until_fixpoint => true)")
+      .head()
+    assert(row.getAs[Long]("docs_deleted") == 39L)
+    assert(row.getAs[Int]("passes") == 3)
+    assert(row.getAs[String]("pass_deletes") == "35,4,0")
+    assert(row.getAs[Boolean]("converged"))
+  }
 }

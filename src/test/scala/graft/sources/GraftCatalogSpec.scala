@@ -538,4 +538,61 @@ class GraftCatalogSpec extends AnyFunSuite {
     )
     assert(messages(both).contains("mutually exclusive"), messages(both))
   }
+
+  test("CTAS: CREATE TABLE graft.`dir` AS SELECT bootstraps a queryable corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = freshDir()
+    val out = Files.createTempDirectory("graft-ctas").toString + "/t"
+
+    // a corpus created PURELY through SQL: decode source dir -> CTAS target
+    spark.sql(
+      s"CREATE TABLE graft.`$out` AS SELECT doc_id, tokens, n_tok, source FROM graft.`$src`"
+    )
+
+    // the created table answers through the catalog AND the format route
+    val got = spark.sql(s"SELECT count(*) n, sum(n_tok) t FROM graft.`$out`").head()
+    val want = spark.read.format("graft").load(src)
+      .agg(count(lit(1)), sum(col("n_tok"))).head()
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1))
+    assert(GraftPipeline.verify(input, spark.read.format("graft").load(out).as[TokenRow]) == 0L)
+
+    // fully operational: INSERT INTO appends, the pending marker is gone
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_BOOTSTRAP_PENDING")))
+    spark.sql(
+      s"INSERT INTO graft.`$out` SELECT 'ctas-extra-1' doc_id, array(1,2,3) tokens, " +
+        "3 n_tok, 'ctas' source"
+    )
+    assert(
+      spark.sql(s"SELECT count(*) FROM graft.`$out`").head().getLong(0) == want.getLong(0) + 1
+    )
+
+    // CTAS over an existing table refuses; over a non-empty foreign dir refuses
+    val exists = intercept[Exception](
+      spark.sql(s"CREATE TABLE graft.`$out` AS SELECT * FROM graft.`$src`")
+    )
+    assert(exists.getMessage.toLowerCase.contains("already exists"), exists.getMessage)
+    val foreign = Files.createTempDirectory("graft-ctas-foreign").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(foreign, "junk.txt"), "x".getBytes)
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE graft.`$foreign` AS SELECT * FROM graft.`$src`")
+    )
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("foreign data"), messages(e))
+
+    // a FAILED CTAS cleans up: zero-row query -> commit refuses -> Spark
+    // drops the pending dir (marker-gated; real corpora are never droppable)
+    val failed = Files.createTempDirectory("graft-ctas-fail").toString + "/t"
+    val e2 = intercept[Exception](
+      spark.sql(
+        s"CREATE TABLE graft.`$failed` AS SELECT * FROM graft.`$src` WHERE n_tok < 0"
+      )
+    )
+    assert(messages(e2).contains("zero rows"), messages(e2))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(failed)), "failed CTAS must drop the pending dir")
+  }
 }

@@ -265,11 +265,14 @@ class GraftWriteSpec extends AnyFunSuite {
       extra.toDF().withColumn("junk", lit(1)).write.format("graft").mode("append").save(dir)
     }
     assert(msgOf(extraCol).contains("unexpected columns junk"))
+    // an EMPTY dir now bootstraps (see the bootstrap tests) — the refusal
+    // case is a non-empty dir that is not a graft table
     val notEncoded = intercept[Exception] {
-      val empty = Files.createTempDirectory("graft-write-notdir").toString
-      extra.toDF().write.format("graft").mode("append").save(empty)
+      val foreign = Files.createTempDirectory("graft-write-notdir").toString
+      java.nio.file.Files.write(java.nio.file.Paths.get(foreign, "data.bin"), Array[Byte](1))
+      extra.toDF().write.format("graft").mode("append").save(foreign)
     }
-    assert(msgOf(notEncoded).contains("not an encoded graft dir"))
+    assert(msgOf(notEncoded).contains("foreign data"))
     // nothing above may have mutated the dir
     assert(GraftPipeline.verify(base, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
   }
@@ -606,5 +609,48 @@ class GraftWriteSpec extends AnyFunSuite {
     assert(res.dataFilesDeleted >= 1 && !fs.exists(orphan), "sweep runs after repair")
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/blocks", committed)))
     assert(GraftPipeline.verify(all, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+  }
+
+  test("bootstrap: a write to a FRESH dir runs the two-pass encode, then appends work") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bootstrap").toString + "/t"
+    // reordered columns: the bootstrap resolves by NAME like the append
+    base.toDF().select($"source", $"doc_id", $"n_tok", $"tokens")
+      .write.format("graft").option("numBins", 8).mode("append").save(dir)
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_tables/meta.json")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_bootstrap_staging")),
+      "staging must be cleaned after the encode")
+    assert(GraftPipeline.verify(base, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+
+    // the bootstrapped dir is a normal table: DSv2 append + time travel work
+    extra.toDF().write.format("graft").mode("append").save(dir)
+    assert(GraftPipeline.verify(all, spark.read.format("graft").load(dir).as[TokenRow]) == 0L)
+    val snap0 = spark.read.format("graft").option("snapshot", "0").load(dir)
+    assert(snap0.count() == base.count())
+  }
+
+  test("bootstrap refuses foreign non-empty dirs and zero-row input") {
+    import spark.implicits._
+    val foreign = Files.createTempDirectory("graft-foreign").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(foreign, "junk.txt"), "x".getBytes)
+    val e = intercept[Exception] {
+      base.limit(1).toDF().write.format("graft").mode("append").save(foreign)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(_.contains("foreign data")), s"got: ${messages(e)}")
+
+    val empty = Files.createTempDirectory("graft-emptyboot").toString + "/t"
+    val e2 = intercept[Exception] {
+      base.limit(0).toDF().write.format("graft").mode("append").save(empty)
+    }
+    assert(messages(e2).exists(_.contains("zero rows")), s"got: ${messages(e2)}")
+    // a failed bootstrap leaves no table identity — the dir stays fresh
+    val fs = new org.apache.hadoop.fs.Path(empty)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$empty/_tables/meta.json")))
   }
 }
