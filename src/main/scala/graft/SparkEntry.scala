@@ -226,6 +226,7 @@ object SparkEntry {
       // the CTAS dir is <tmp>/corpus — remove the enclosing tmp dir
       graftCtasDirCache.remove(k).foreach(d => deleteDir(new java.io.File(d).getParent))
     }
+    auxAttachedOnce.keys.filter(_._1 == id).foreach(auxAttachedOnce.remove)
     graftAppendDirCache.keys.filter(_._1 == id).foreach { k =>
       graftAppendDirCache.remove(k).foreach(deleteDir)
     }
@@ -334,6 +335,13 @@ object SparkEntry {
     */
   private def graftScanDir(s: SparkSession, dir: String): String =
     cachedGraftDir(graftDirCache, s, dir, "graft-dsv2")((_, _) => ())
+
+  /** Once-per-(session, sfDir) attach guard for q_aux_column: the sidecar
+    * is additive (no other query reads `_column_*`), so it rides the SHARED
+    * scan dir; a second attach would only add an identical build.
+    */
+  private val auxAttachedOnce =
+    scala.collection.concurrent.TrieMap[(Int, String), Boolean]()
 
   private val graftCtasDirCache =
     scala.collection.concurrent.TrieMap[(Int, String), String]()
@@ -1061,6 +1069,37 @@ object SparkEntry {
           posexplode($"tokens").as(Seq("pos0", "token"))
         )
         .select($"doc_id", ($"pos0" + 1).as("pos"), $"token".cast("long").as("token"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // Attached aux column under the oracle: per-token logprob-ish values
+    // (a deterministic function of each token the oracle recomputes) ride
+    // the _column_ sidecar family — attach encodes per doc (LongCodecs),
+    // read joins live docs; one value wrong anywhere in encode/decode/
+    // liveness fails the hash
+    "q_aux_column" -> ((s, dir) => {
+      import s.implicits._
+      val out = graftScanDir(s, dir)
+      val key = (System.identityHashCode(s), dir)
+      auxAttachedOnce.getOrElseUpdate(key, {
+        val vals = s.read
+          .format("graft")
+          .load(out)
+          .select(
+            $"doc_id",
+            expr("transform(tokens, t -> CAST(-(t % 97) - 1 AS LONG))").as("values")
+          )
+        graft.sources.AuxColumn.attach(s, out, "logprobs", vals): Unit
+        true
+      })
+      graft.sources.AuxColumn
+        .readValues(s, out, "logprobs")
+        .where($"doc_id".cast("long") % 499 === 0)
+        .select(
+          $"doc_id".cast("long").as("doc_id"),
+          posexplode($"values").as(Seq("pos0", "lp"))
+        )
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"lp")
         .orderBy($"doc_id", $"pos")
     }),
 
@@ -2402,6 +2441,11 @@ object SparkEntry {
       s"""$CTE
          |SELECT doc_id, pos, token FROM tok
          |WHERE doc_id % 991 = 0 ORDER BY doc_id, pos""".stripMargin,
+
+    "q_aux_column" ->
+      s"""$CTE
+         |SELECT doc_id, pos, CAST(-(token % 97) - 1 AS BIGINT) AS lp FROM tok
+         |WHERE doc_id % 499 = 0 ORDER BY doc_id, pos""".stripMargin,
 
     "q_token_sums" ->
       s"""$CTE

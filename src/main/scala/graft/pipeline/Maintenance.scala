@@ -1153,6 +1153,10 @@ object Maintenance {
             if st.isDirectory &&
               st.getPath.getName.startsWith(graft.sources.SignatureIndex.SketchDirPrefix) =>
           new graft.sources.SidecarProtocol(st.getPath, "skx-")
+        case st
+            if st.isDirectory &&
+              st.getPath.getName.startsWith(graft.sources.AuxColumn.DirPrefix) =>
+          new graft.sources.SidecarProtocol(st.getPath, "col-")
       }
     (sigProtocols :+ graft.sources.ContentIndex.protocol(outDir)).foreach { p =>
       val (d, f) = p.sweep(conf, cutoff)

@@ -972,6 +972,64 @@ private object GraftCatalog {
     }
   }
 
+  private val attachColumn = new MaintenanceProcedure(
+    "attach_column",
+    Array(in("path", StringType), in("name", StringType), in("source_view", StringType)),
+    StructType(Seq(
+      StructField("docs_attached", LongType, nullable = false),
+      StructField("column_bytes", LongType, nullable = false)
+    ))
+  ) {
+    override def description(): String =
+      "attach (or override) the named per-document array<long> aux column " +
+        "(e.g. per-token logprobs) from a view of (doc_id, values): encoded " +
+        "per doc (zigzag-varint/delta/const, smallest wins) into the " +
+        "_column_<name> sidecar family — adding a column never re-encodes " +
+        "the corpus; read it back joined to the scan by doc_id"
+    override def run(spark: SparkSession, input: InternalRow): InternalRow = {
+      require(!input.isNullAt(1), "name must not be null")
+      require(!input.isNullAt(2), "source_view must not be null")
+      val r = AuxColumn.attach(
+        spark,
+        pathOf(input),
+        input.getUTF8String(1).toString,
+        spark.table(input.getUTF8String(2).toString)
+      )
+      InternalRow(r.docsAttached, r.bytes)
+    }
+  }
+
+  private val columnsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("docs", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)
+  ))
+  private val columnsProc = new MaintenanceProcedure(
+    "columns",
+    Array(in("path", StringType)),
+    columnsSchema
+  ) {
+    override def description(): String =
+      "one row per attached aux column: live doc count and stored bytes"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val path = pathOf(input)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val out = AuxColumn.list(path, conf).toArray.map { n =>
+        val (docs, bytes) = AuxColumn.stats(spark, path, n)
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n), docs, bytes)
+      }
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = columnsSchema
+        override def description(): String = "graft.system.columns result"
+      }
+      Collections.singletonList(scan).iterator()
+    }
+    override def run(spark: SparkSession, input: InternalRow): InternalRow =
+      throw new IllegalStateException("columns overrides call() directly")
+  }
+
   private val adopt = new MaintenanceProcedure(
     "adopt",
     Array(in("path", StringType), in("source", StringType)),
@@ -1334,6 +1392,8 @@ private object GraftCatalog {
     "build_token_index" -> buildTokenIndex,
     "build_content_index" -> buildContentIndex,
     "build_sig_index" -> buildSigIndex,
+    "attach_column" -> attachColumn,
+    "columns" -> columnsProc,
     "recompress" -> recompress,
     "rebin" -> rebin,
     "create_tag" -> createTag,

@@ -257,7 +257,8 @@ class GraftCatalogSpec extends AnyFunSuite {
       .catalog("graft")
       .asInstanceOf[GraftCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("adopt", "audit", "build_content_index", "build_sig_index", "build_token_index", "codec_stats", "compact", "create_tag",
+      Seq("adopt", "attach_column", "audit", "build_content_index", "build_sig_index",
+        "build_token_index", "codec_stats", "columns", "compact", "create_tag",
         "decontaminate", "dedup_exact", "dedup_near", "delete_docs", "drop_tag",
         "expire_snapshots", "files", "filter_nll",
         "pack", "purge_deletes", "rebin", "recompress", "replace_docs",
