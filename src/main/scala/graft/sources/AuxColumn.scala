@@ -145,25 +145,44 @@ object AuxColumn {
       buildDirs.map(d => fs.getContentSummary(new Path(d)).getLength).sum
     }
     val all = p.entriesDf(spark, buildDirs)
-    // latest attach wins; build id disambiguates same-seq re-attaches
-    val pat = java.util.regex.Pattern.quote(dirName(name)) + "/(col-[^/]+)/[^/]*$"
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("attached_seq").desc, col("_build").desc)
-    val latest = all
-      .select(
-        col("doc_id"),
-        col("attached_seq"),
-        col("codec"),
-        col("n_values"),
-        col("payload"),
-        regexp_extract(input_file_name(), pat, 1).as("_build")
-      )
-      .withColumn("_rk", row_number().over(w))
-      .where(col("_rk") === 1)
-    // doc-keyed liveness: hide entries of deleted docs exactly like the scan
-    val liveDocs = spark.read.format("graft").load(outDir).select(col("doc_id"))
-    val live = latest.join(liveDocs, Seq("doc_id"), "left_semi")
+    // latest attach wins; build id disambiguates same-seq re-attaches.
+    // ONE build (the common steady state) needs no override resolution —
+    // skipping the window spares a column-payload-sized shuffle at scale.
+    val latest =
+      if (buildDirs.length == 1)
+        all.select(col("doc_id"), col("codec"), col("n_values"), col("payload"))
+      else {
+        val pat = java.util.regex.Pattern.quote(dirName(name)) + "/(col-[^/]+)/[^/]*$"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("attached_seq").desc, col("_build").desc)
+        all
+          .select(
+            col("doc_id"),
+            col("attached_seq"),
+            col("codec"),
+            col("n_values"),
+            col("payload"),
+            regexp_extract(input_file_name(), pat, 1).as("_build")
+          )
+          .withColumn("_rk", row_number().over(w))
+          .where(col("_rk") === 1)
+      }
+    // doc-keyed liveness: hide entries of deleted docs exactly like the
+    // scan. On a corpus where NO delete was ever committed (`_deletes/`
+    // absent — created by the first deleteDocs and never removed, so its
+    // absence is proof) every attached entry is still live — attach
+    // validated liveness and compaction/rebin keep docs — and the read is
+    // a PURE sidecar scan: no corpus touch, no shuffle. Any delete history
+    // (live OR purged: a purged doc is gone but its entry persists) takes
+    // the exact semi-join.
+    val neverDeleted = !p.fsOf(conf).exists(new Path(outDir, "_deletes"))
+    val live =
+      if (neverDeleted) latest
+      else {
+        val liveDocs = spark.read.format("graft").load(outDir).select(col("doc_id"))
+        latest.join(liveDocs, Seq("doc_id"), "left_semi")
+      }
     val decodeUdf = udf { (codec: String, n: Int, payload: Array[Byte]) =>
       LongCodecs.decode(codec, payload, n)
     }
