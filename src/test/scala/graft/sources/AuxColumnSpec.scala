@@ -109,6 +109,19 @@ class AuxColumnSpec extends AnyFunSuite {
     assert(AuxColumn.list(dir, spark.sparkContext.hadoopConfiguration) == Seq("score"))
   }
 
+  test("single-build never-deleted read is a pure sidecar scan: zero exchanges") {
+    import spark.implicits._
+    val dir = freshDir("graft-aux-plan")
+    val in = spark.read.format("graft").load(dir)
+      .select($"doc_id", expr("transform(tokens, t -> CAST(t AS LONG))").as("values"))
+    AuxColumn.attach(spark, dir, "copy", in): Unit
+    val plan = AuxColumn.readValues(spark, dir, "copy").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fast-path read must not shuffle:\n$plan")
+    // the corpus mounts as a DSv2 BatchScan; the sidecar is a plain parquet
+    // FileScan — a BatchScan in this plan means the corpus was touched
+    assert(!plan.contains("BatchScan"), s"fast-path read must not touch the corpus:\n$plan")
+  }
+
   test("SQL faces: attach_column + columns; vacuum sweeps _column_ staging") {
     import spark.implicits._
     val dir = freshDir("graft-aux-sql")
