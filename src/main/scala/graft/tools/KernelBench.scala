@@ -129,6 +129,40 @@ object KernelBench {
       hybrid.decode(new BitReader(payload), n, rowOffsets).length.toLong
     }
 
+    // per-row RANDOM ACCESS — the reference's `bench-random` ns/arc
+    // protocol (main.rs:877-908: decode a random node's list from the
+    // compressed structure, report ns per element) at the kernel level:
+    // prefix-sum the O25 row-bits index, seek a random row's start bit,
+    // decode exactly that row. This is the single-thread floor under the
+    // Spark-level point_lookup row (which adds planning + task dispatch).
+    locally {
+      val rw = new BitWriter(n / 2)
+      val rowBits = hybrid.encodeWithRowBits(values, rowOffsets, rw)
+      val rPayload = rw.toBytes
+      val startBits = new Array[Long](nRows + 1)
+      var r = 0
+      while (r < nRows) { startBits(r + 1) = startBits(r) + rowBits(r); r += 1 }
+      val picks = Array.tabulate(4096)(j => (graft.ops.XHash.mix62(0xbeefL + j) % nRows).toInt)
+      var best = Double.MaxValue
+      var sink = 0L
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        var j = 0
+        while (j < picks.length) {
+          val row0 = picks(j)
+          val br = new BitReader(rPayload, startBits(row0))
+          sink ^= hybrid.decodeRow(br, rowLen)(rowLen - 1).toLong
+          j += 1
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best) best = dt
+      }
+      println(
+        f"KERNEL seek_random      best ${best}%8.4f s  ${best * 1e9 / picks.length}%8.1f ns/row  " +
+          f"${best * 1e9 / (picks.length.toLong * rowLen)}%6.2f ns/token (sink=$sink)"
+      )
+    }
+
     // delta kernel on its winning shape: monotone small-gap rows (the
     // posting/offset stream the codec exists for)
     val mono = new Array[Int](n)
