@@ -141,7 +141,11 @@ object SparkEntry {
   }
 
   final class EncodedCorpus(s: SparkSession, dir: String, cfg: GraftPipeline.Config) {
-    val rows: Dataset[TokenRow] = tokenRows(s, dir)
+    // persisted: analyze, encode and the verify join each consume the
+    // derived table — without the cache every pass re-runs the lineitem
+    // groupBy shuffle that derives it (3x the derivation cost per roundtrip)
+    val rows: Dataset[TokenRow] =
+      tokenRows(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tables: Broadcast[SymbolTables] =
       s.sparkContext.broadcast(
         GraftPipeline.buildTables(GraftPipeline.analyze(rows, cfg), cfg)
@@ -151,8 +155,9 @@ object SparkEntry {
     lazy val mismatches: Long =
       GraftPipeline.verify(rows, GraftPipeline.decode(blocks, tables, cfg))
 
-    /** Drop the cached blocks and the tables broadcast. */
+    /** Drop the cached rows/blocks and the tables broadcast. */
     def release(): Unit = {
+      rows.unpersist()
       blocks.unpersist()
       tables.unpersist()
     }

@@ -68,17 +68,21 @@ object DeltaHybrid {
     if (values.length < MinBlockValues) return None
     if (bestBits == Long.MaxValue) return None
     if (deltaBits.toDouble >= GateFactor * bestBits.toDouble) return None
+    // residual context = token of the PREVIOUS residual, clamped — the same
+    // prev-token chain as the corpus coder, so the same one-split-per-value
+    // fusion applies (the token feeding the histogram/cost IS the next ctx)
     val hist = new Histograms(NumContexts, 1 << MaxBits)
     var row = 0
     while (row < rowOffsets.length - 1) {
       var prevV = 0L
-      var last = 0L
+      var ctx = 0
       var i = rowOffsets(row)
       while (i < rowOffsets(row + 1)) {
         val zz = zigzag(values(i).toLong - prevV)
         prevV = values(i).toLong
-        hist.add(Hybrid.chooseContext(last, NumContexts), zz)
-        last = zz
+        val tok = Hybrid.token(zz)
+        hist.addToken(ctx, tok)
+        ctx = if (tok < NumContexts - 1) tok else NumContexts - 1
         i += 1
       }
       row += 1
@@ -91,13 +95,16 @@ object DeltaHybrid {
     row = 0
     while (row < rowOffsets.length - 1 && cost < bestBits) {
       var prevV = 0L
-      var last = 0L
+      var ctx = 0
       var i = rowOffsets(row)
       while (i < rowOffsets(row + 1)) {
         val zz = zigzag(values(i).toLong - prevV)
         prevV = values(i).toLong
-        cost += tables.bitCost(Hybrid.chooseContext(last, NumContexts), zz)
-        last = zz
+        val packed = Hybrid.split(zz)
+        val tok = Hybrid.splitToken(packed)
+        val nb = tables.nBits(ctx)(tok).toInt
+        cost += (if (nb == 0) 1 << 24 else nb + Hybrid.splitNBits(packed))
+        ctx = if (tok < NumContexts - 1) tok else NumContexts - 1
         i += 1
       }
       row += 1
@@ -137,13 +144,13 @@ object DeltaHybrid {
       while (row < nRows) {
         val before = w.bitsWritten
         var prevV = 0L
-        var last = 0L
+        var ctx = 0
         var i = rowOffsets(row)
         while (i < rowOffsets(row + 1)) {
           val zz = zigzag(values(i).toLong - prevV)
           prevV = values(i).toLong
-          Huffman.writeValue(tables, Hybrid.chooseContext(last, NumContexts), zz, w)
-          last = zz
+          val tok = Huffman.writeValueTok(tables, ctx, zz, w)
+          ctx = if (tok < NumContexts - 1) tok else NumContexts - 1
           i += 1
         }
         val bits = w.bitsWritten - before
@@ -198,14 +205,28 @@ object DeltaHybrid {
     private val lut = Huffman.decoderLut(tables)
 
     def decodeRow(r: BitReader, out: Array[Int], from: Int, until: Int): Unit = {
+      // LUT read inlined: the entry's TOKEN is the next context (clamped),
+      // so the per-value floor-log2 of chooseContext drops out
       var prevV = 0L
-      var last = 0L
+      var ctx = 0
       var i = from
       while (i < until) {
-        val zz = Huffman.readValue(lut, MaxBits, Hybrid.chooseContext(last, NumContexts), r)
+        val entry = lut(ctx)(r.peekBits(MaxBits))
+        val codeLen = entry >>> 24
+        val nb = (entry >>> 16) & 0xff
+        val tok = entry & 0xffff
+        val zz =
+          if (codeLen + nb <= 57) {
+            val bits = r.readBits(codeLen + nb) >>> codeLen
+            Hybrid.assemble(tok, bits)
+          } else {
+            r.skipBits(codeLen)
+            val bits = if (nb > 0) r.readBits(nb) else 0L
+            Hybrid.assemble(tok, bits)
+          }
         prevV += unzigzag(zz)
         out(i) = prevV.toInt
-        last = zz
+        ctx = if (tok < NumContexts - 1) tok else NumContexts - 1
         i += 1
       }
     }

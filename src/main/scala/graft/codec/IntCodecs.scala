@@ -430,6 +430,53 @@ object DictCodec extends IntBlockCodec {
     while (i < n) { out(i) = dict(r.readBits(widthIdx).toInt); i += 1 }
     out
   }
+
+  /** Encoder bound to the block's ALREADY-COMPUTED sorted dictionary (the
+    * selection stats pass's `distinctValues`): skips re-deriving the set
+    * through a boxing TreeSet and replaces the per-value binary search with
+    * one open-addressing probe. Payload is bit-identical to
+    * [[DictCodec.encode]] — same sorted dict, same widths, same indexes —
+    * pinned by a randomized equivalence test.
+    */
+  final class Bound(dict: Array[Int]) extends IntBlockCodec {
+    val id: Byte = IntCodecs.DictId
+    val name = "dict"
+    def estimateBits(s: BlockStats): Long = DictCodec.estimateBits(s)
+
+    def encode(values: Array[Int], rowOffsets: Array[Int], w: BitWriter): Unit = {
+      val widthV = IntCodecs.bitsFor(if (dict.isEmpty) 0L else dict(dict.length - 1).toLong)
+      val widthIdx = IntCodecs.bitsFor(dict.length.toLong - 1)
+      w.writeBits(dict.length.toLong, 32)
+      w.writeBits(widthV.toLong, 6)
+      var i = 0
+      while (i < dict.length) { w.writeBits(dict(i).toLong, widthV); i += 1 }
+      // value -> dict index, open addressing (values non-negative; -1 empty)
+      val capacity = math.max(Integer.highestOneBit(math.max(dict.length, 1) * 4 - 1) * 2, 16)
+      val mask = capacity - 1
+      val keys = new Array[Int](capacity)
+      java.util.Arrays.fill(keys, -1)
+      val idxs = new Array[Int](capacity)
+      i = 0
+      while (i < dict.length) {
+        var slot = ((dict(i) * 0x9e3779b9) >>> 17) & mask
+        while (keys(slot) != -1) slot = (slot + 1) & mask
+        keys(slot) = dict(i)
+        idxs(slot) = i
+        i += 1
+      }
+      i = 0
+      while (i < values.length) {
+        val v = values(i)
+        var slot = ((v * 0x9e3779b9) >>> 17) & mask
+        while (keys(slot) != v) slot = (slot + 1) & mask
+        w.writeBits(idxs(slot).toLong, widthIdx)
+        i += 1
+      }
+    }
+
+    def decode(r: BitReader, n: Int, rowOffsets: Array[Int]): Array[Int] =
+      DictCodec.decode(r, n, rowOffsets)
+  }
 }
 
 /** The reference's hybrid canonical-Huffman codec over a shared (broadcast)
@@ -483,13 +530,20 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
     var bits = 0L
     var row = 0
     if (simpleNCtx > 0) {
+      // prev-token fast path with ONE split per value: the token feeding
+      // bitCost is also the next context (clamped), so the context chain
+      // never recomputes it
+      val ctxMax = simpleNCtx - 1
+      val nBits = tables.nBits
       while (row < rowOffsets.length - 1) {
-        var last = 0L
+        var ctx = 0
         var i = rowOffsets(row)
         while (i < rowOffsets(row + 1)) {
-          val v = values(i).toLong
-          bits += tables.bitCost(Hybrid.chooseContext(last, simpleNCtx), v)
-          last = v
+          val packed = Hybrid.split(values(i).toLong)
+          val tok = Hybrid.splitToken(packed)
+          val nb = nBits(ctx)(tok).toInt
+          bits += (if (nb == 0) 1 << 24 else nb + Hybrid.splitNBits(packed))
+          ctx = if (tok < ctxMax) tok else ctxMax
           i += 1
         }
         row += 1
@@ -561,8 +615,15 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
         }
         prev = v
         val vl = v.toLong
-        bits += tables.bitCost(ctx, vl)
-        ctx = if (simpleNCtx > 0) Hybrid.chooseContext(vl, simpleNCtx) else model.next(vl)
+        // one split serves both the cost lookup and (on the simple model)
+        // the next context — chooseContext would recompute it
+        val packed = Hybrid.split(vl)
+        val tok = Hybrid.splitToken(packed)
+        val nb = tables.nBits(ctx)(tok).toInt
+        bits += (if (nb == 0) 1 << 24 else nb + Hybrid.splitNBits(packed))
+        ctx =
+          if (simpleNCtx > 0) { if (tok < simpleNCtx - 1) tok else simpleNCtx - 1 }
+          else model.next(vl)
         i += 1
       }
       row += 1
@@ -597,14 +658,16 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
     val rowBits = new Array[Int](nRows)
     var row = 0
     if (simpleNCtx > 0) {
+      // prev-token fast path: writeValueTok hands back the token it split,
+      // which IS the next context (clamped) — no recompute per value
+      val ctxMax = simpleNCtx - 1
       while (row < nRows) {
         val before = w.bitsWritten
-        var last = 0L
+        var ctx = 0
         var i = rowOffsets(row)
         while (i < rowOffsets(row + 1)) {
-          val v = values(i).toLong
-          Huffman.writeValue(tables, Hybrid.chooseContext(last, simpleNCtx), v, w)
-          last = v
+          val tok = Huffman.writeValueTok(tables, ctx, values(i).toLong, w)
+          ctx = if (tok < ctxMax) tok else ctxMax
           i += 1
         }
         rowBits(row) = rowBitLen(w.bitsWritten - before)
@@ -649,12 +712,30 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
   /** Decode one row of `until - from` values at the reader's position. */
   @inline private def decodeRowInto(r: BitReader, out: Array[Int], from: Int, until: Int): Unit = {
     if (simpleNCtx > 0) {
-      var last = 0L
+      // prev-token fast path with the LUT read inlined: the entry already
+      // carries the decoded TOKEN, which is the next context (clamped) —
+      // chooseContext's floor-log2 recompute per value drops out
+      val l = lut
+      val maxBits = tables.maxBits
+      val ctxMax = simpleNCtx - 1
+      var ctx = 0
       var i = from
       while (i < until) {
-        val v = Huffman.readValue(lut, tables.maxBits, Hybrid.chooseContext(last, simpleNCtx), r)
+        val entry = l(ctx)(r.peekBits(maxBits))
+        val codeLen = entry >>> 24
+        val nb = (entry >>> 16) & 0xff
+        val tok = entry & 0xffff
+        val v =
+          if (codeLen + nb <= 57) {
+            val bits = r.readBits(codeLen + nb) >>> codeLen
+            Hybrid.assemble(tok, bits)
+          } else {
+            r.skipBits(codeLen)
+            val bits = if (nb > 0) r.readBits(nb) else 0L
+            Hybrid.assemble(tok, bits)
+          }
         out(i) = v.toInt
-        last = v
+        ctx = if (tok < ctxMax) tok else ctxMax
         i += 1
       }
     } else {
@@ -771,6 +852,10 @@ object CodecSelector {
         case (enc, b) => best = enc; bestBits = b
       }
     }
+    // dict won: hand the encoder the dictionary the stats pass already
+    // computed (sorted exact distinct set), so encode skips rebuilding it
+    if ((best eq DictCodec) && stats.n > 0 && stats.distinctValues.nonEmpty)
+      best = new DictCodec.Bound(stats.distinctValues)
     (best, bestBits)
   }
 

@@ -11,6 +11,10 @@ package graft.core
   */
 final class BitWriter(initialCapacity: Int = 256) {
   private var buf: Array[Byte] = new Array[Byte](math.max(initialCapacity, 16))
+  // LE long view over buf — one intrinsified putLong per flushed word
+  // instead of eight byte stores; re-wrapped whenever buf grows
+  private var bb: java.nio.ByteBuffer =
+    java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
   private var byteLen: Int = 0 // full bytes flushed into buf
   private var acc: Long = 0L // pending bits (LSB-first)
   private var accBits: Int = 0 // number of pending bits in acc, always < 64
@@ -23,19 +27,14 @@ final class BitWriter(initialCapacity: Int = 256) {
       val n = new Array[Byte](math.max(buf.length * 2, byteLen + extra))
       System.arraycopy(buf, 0, n, 0, byteLen)
       buf = n
+      bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     }
   }
 
   private def emitWord(w: Long): Unit = {
     ensure(8)
-    var i = 0
-    var x = w
-    while (i < 8) {
-      buf(byteLen) = (x & 0xff).toByte
-      x >>>= 8
-      byteLen += 1
-      i += 1
-    }
+    bb.putLong(byteLen, w)
+    byteLen += 8
   }
 
   /** Append the n (0..63) low bits of `value`, LSB first. */
@@ -75,6 +74,11 @@ final class BitWriter(initialCapacity: Int = 256) {
   * at /root/reference/src/main.rs:383-386).
   */
 final class BitReader(bytes: Array[Byte], startBit: Long = 0L) {
+  // LE long view over bytes — refill loads up to 8 bytes with one
+  // intrinsified getLong instead of a per-byte loop (the refill is on the
+  // critical path of every decoded value)
+  private val bb: java.nio.ByteBuffer =
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
   private var pos: Int = 0 // next byte index to load
   private var acc: Long = 0L
   private var accBits: Int = 0
@@ -97,10 +101,20 @@ final class BitReader(bytes: Array[Byte], startBit: Long = 0L) {
   }
 
   private def refill(): Unit = {
-    while (accBits <= 56 && pos < bytes.length) {
-      acc |= (bytes(pos) & 0xffL) << accBits
-      pos += 1
-      accBits += 8
+    if (pos + 8 <= bytes.length) {
+      if (accBits <= 56) {
+        val nAdd = (64 - accBits) >>> 3 // whole bytes that fit: 1..8
+        val w = bb.getLong(pos)
+        acc |= (if (nAdd == 8) w else w & ((1L << (nAdd << 3)) - 1)) << accBits
+        pos += nAdd
+        accBits += nAdd << 3
+      }
+    } else {
+      while (accBits <= 56 && pos < bytes.length) {
+        acc |= (bytes(pos) & 0xffL) << accBits
+        pos += 1
+        accBits += 8
+      }
     }
   }
 

@@ -285,6 +285,15 @@ object Huffman {
     * zero-length code would silently corrupt the stream.
     */
   @inline def writeValue(t: SymbolTables, ctx: Int, value: Long, w: BitWriter): Unit = {
+    writeValueTok(t, ctx, value, w)
+    ()
+  }
+
+  /** [[writeValue]] returning the value's TOKEN: a prev-token context chain
+    * (SimpleContextModel) derives the next context as min(token, n-1)
+    * without re-running the split on the value it just wrote.
+    */
+  @inline def writeValueTok(t: SymbolTables, ctx: Int, value: Long, w: BitWriter): Int = {
     val packed = Hybrid.split(value)
     val tok = Hybrid.splitToken(packed)
     val nb = Hybrid.splitNBits(packed)
@@ -302,6 +311,7 @@ object Huffman {
       w.writeBits(t.codes(ctx)(tok).toLong, codeLen)
       w.writeBits(Hybrid.rawBits(value, nb), nb)
     }
+    tok
   }
 
   /** Read one value via the LUT (fused code+raw consume, see writeValue). */

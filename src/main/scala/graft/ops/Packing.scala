@@ -162,6 +162,10 @@ object Packing {
     val bStarts = spark.sparkContext.broadcast(starts)
     val l = seqLen
     val sep = sepToken
+    // span bookkeeping is per-doc-run work serialized into every piece; a
+    // spans-free pack (the common trainer layout) skips it entirely — the
+    // column is dropped at the end anyway
+    val trackSpans = withSpans
 
     // Pass 3: partition-local rolling-buffer packing (streaming — never
     // buffers more than one example).
@@ -196,7 +200,8 @@ object Packing {
           * wider than one feed) extends that span in place.
           */
         private def noteSpan(docId: String, take: Int): Unit =
-          if (spanBuf.nonEmpty && spanBuf.last.doc_id == docId &&
+          if (!trackSpans) ()
+          else if (spanBuf.nonEmpty && spanBuf.last.doc_id == docId &&
             spanBuf.last.off + spanBuf.last.len == fill) {
             val last = spanBuf.last
             spanBuf(spanBuf.length - 1) = Span(last.doc_id, last.off, last.len + take)
@@ -215,20 +220,36 @@ object Packing {
         }
 
         private var prevDocId: String = null
+        private var prevDocU: org.apache.spark.unsafe.types.UTF8String = null
 
         private def refill(): Unit = {
           while (queue.isEmpty && rows.hasNext) {
             val row = rows.next()
-            val docId = row.getUTF8String(0).toString
             // duplicate doc_ids would make the pack order (and span merging)
             // ill-defined — range partitioning routes equal keys to ONE
             // partition and the sort makes them adjacent, so this local
-            // check is an exact global uniqueness guard at zero extra cost
-            require(
-              docId != prevDocId,
-              s"packSequences requires unique doc_ids; '$docId' appears more than once"
-            )
-            prevDocId = docId
+            // check is an exact global uniqueness guard at zero extra cost.
+            // Spans-free packs compare the raw UTF8 bytes (cloned — the row
+            // buffer is reused) instead of materializing a java String per
+            // row; spans need the String anyway for the Span rows.
+            val docId =
+              if (trackSpans) {
+                val s = row.getUTF8String(0).toString
+                require(
+                  s != prevDocId,
+                  s"packSequences requires unique doc_ids; '$s' appears more than once"
+                )
+                prevDocId = s
+                s
+              } else {
+                val u = row.getUTF8String(0)
+                require(
+                  prevDocU == null || u.compareTo(prevDocU) != 0,
+                  s"packSequences requires unique doc_ids; '$u' appears more than once"
+                )
+                prevDocU = u.clone()
+                null
+              }
             feed(docId, row.getArray(1).toIntArray())
             sep.foreach { s =>
               buf(fill) = s
@@ -262,12 +283,19 @@ object Packing {
       }
     }
 
-    // persisted: the completes/assembled branches below would otherwise
-    // each recompute the packing pass (and re-read the range-shuffled
-    // corpus) — one pack, two cheap cached scans
-    val pieces = spark
-      .createDataset(piecesRdd)(Encoders.product[Piece])
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The completes/assembled branches below each drive the packing pass.
+    // Persisting the pieces trades ONE pack + a full cache write of the
+    // packed payload for two cheap cached scans — the right trade for the
+    // spans pack, which the oracle queries consume many times. For a
+    // spans-free pack (the one-pass trainer layout) the cache write of the
+    // whole payload costs more than repacking from the persisted sorted
+    // input: each branch then re-runs the pack iterator over `prepared`
+    // (deterministic — the range boundaries are fixed in the shuffle
+    // dependency), and Spark's serializer pruning drops the frag bytes from
+    // any branch that doesn't read them (e.g. a bare count).
+    val pieces0 = spark.createDataset(piecesRdd)(Encoders.product[Piece])
+    val pieces =
+      if (withSpans) pieces0.persist(StorageLevel.MEMORY_AND_DISK) else pieces0
 
     val completes = pieces
       .toDF()

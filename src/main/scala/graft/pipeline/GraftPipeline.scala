@@ -163,21 +163,45 @@ object GraftPipeline {
     val nCtx = cfg.numContexts
     val nSym = 1 << cfg.maxBits
     val model = cfg.model
+    // prev-token fast path (mirrors HybridCodec's simpleNCtx loops): one
+    // Hybrid.token per value feeds BOTH the histogram cell and the next
+    // context, with no virtual first/next dispatch in the per-token loop
+    val simpleN = model match {
+      case s: SimpleContextModel => s.numContexts
+      case _ => 0
+    }
     val flat = ds
       .select($"tokens")
       .as[Array[Int]]
       .mapPartitions { rows =>
         val hist = new Histograms(nCtx, nSym)
-        while (rows.hasNext) {
-          val tokens = rows.next()
-          var ctx = model.first(tokens.length)
-          var i = 0
-          while (i < tokens.length) {
-            val v = tokens(i).toLong
-            if (v < 0) throw new IllegalArgumentException(s"negative token $v unsupported")
-            hist.add(ctx, v)
-            ctx = model.next(v)
-            i += 1
+        if (simpleN > 0) {
+          val ctxMax = simpleN - 1
+          while (rows.hasNext) {
+            val tokens = rows.next()
+            var ctx = 0
+            var i = 0
+            while (i < tokens.length) {
+              val v = tokens(i).toLong
+              if (v < 0) throw new IllegalArgumentException(s"negative token $v unsupported")
+              val tok = Hybrid.token(v)
+              hist.addToken(ctx, tok)
+              ctx = if (tok < ctxMax) tok else ctxMax
+              i += 1
+            }
+          }
+        } else {
+          while (rows.hasNext) {
+            val tokens = rows.next()
+            var ctx = model.first(tokens.length)
+            var i = 0
+            while (i < tokens.length) {
+              val v = tokens(i).toLong
+              if (v < 0) throw new IllegalArgumentException(s"negative token $v unsupported")
+              hist.add(ctx, v)
+              ctx = model.next(v)
+              i += 1
+            }
           }
         }
         Iterator.single(hist.flat)

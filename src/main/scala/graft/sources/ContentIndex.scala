@@ -170,10 +170,16 @@ object ContentIndex {
     * only the uncovered todo list and the report scalars reach the driver,
     * never the covered-file name set.
     */
+  /** @param withDocStats when false the coverage aggregates skip the
+    *   doc_id column entirely (the bulk of the coverage read at millions of
+    *   entries) and `Ensured.liveDocs` is 0 — the [[ensure]] fast path; the
+    *   SQL procedure keeps the full report.
+    */
   def ensureStats(
       spark: SparkSession,
       outDir: String,
-      live: Array[String]
+      live: Array[String],
+      withDocStats: Boolean = true
   ): Ensured = {
     import spark.implicits._
     val p = protocol(outDir)
@@ -186,7 +192,7 @@ object ContentIndex {
     val buildDirs0 = p.builds(conf)
     val cov0 =
       if (buildDirs0.isEmpty) SidecarProtocol.LiveCoverage(live, 0L, 0L, raced = false)
-      else p.liveCoverage(spark, p.entriesDf(spark, buildDirs0), pathNames)
+      else p.liveCoverage(spark, p.entriesDf(spark, buildDirs0), pathNames, withDocStats)
     if (cov0.todoPaths.isEmpty) {
       // fully covered — the common re-run: no build, one coverage job
       val entries =
@@ -196,7 +202,7 @@ object ContentIndex {
     }
     val built = buildFor(spark, outDir, cov0.todoPaths)
     val all1 = p.entriesDf(spark, p.builds(conf))
-    val cov1 = p.liveCoverage(spark, all1, pathNames)
+    val cov1 = p.liveCoverage(spark, all1, pathNames, withDocStats)
     require(
       cov1.todoPaths.isEmpty,
       s"content index build left ${cov1.todoPaths.length} live files uncovered"
@@ -210,14 +216,16 @@ object ContentIndex {
   }
 
   /** Ensure every name in `live` is covered, hashing only the uncovered
-    * files; returns (live entry rows, filesHashed).
+    * files; returns (live entry rows, filesHashed). Coverage here skips the
+    * per-file doc counts (`ensureStats(withDocStats = false)`) — callers
+    * wanting the doc report use [[ensureStats]].
     */
   def ensure(
       spark: SparkSession,
       outDir: String,
       live: Array[String]
   ): (DataFrame, Long) = {
-    val e = ensureStats(spark, outDir, live)
+    val e = ensureStats(spark, outDir, live, withDocStats = false)
     (e.entries, e.filesBuilt)
   }
 }

@@ -97,22 +97,36 @@ private[graft] final class SidecarProtocol(val dir: Path, val prefix: String) {
     * max(n_builds) > 1 — a race on a dead file cannot force the dedup
     * shuffle on live entries.
     */
+  /** @param withDocStats when false, the per-file doc counts (the
+    *   `liveDocs` report scalar) are skipped and the aggregate never reads
+    *   the doc_id column — at millions of entries that column is the bulk
+    *   of the coverage read, and `ensure`-style callers only need the todo
+    *   list + raced flag. `liveDocs` is then 0.
+    */
   def liveCoverage(
       spark: SparkSession,
       all: DataFrame,
-      livePathNames: Seq[(String, String)]
+      livePathNames: Seq[(String, String)],
+      withDocStats: Boolean = true
   ): SidecarProtocol.LiveCoverage = {
     import spark.implicits._
     val pat = java.util.regex.Pattern.quote(dir.getName) + "/(" +
       java.util.regex.Pattern.quote(prefix) + "[^/]+)/[^/]*$"
     val liveDf = livePathNames.toDF("path", "file")
-    val perFile = all
-      // input_file_name() is non-deterministic: project BEFORE aggregating
-      .select(
-        col("file"),
-        col("doc_id"),
-        regexp_extract(input_file_name(), pat, 1).as("_build")
-      )
+    val perFile = (if (withDocStats)
+                     all
+                       // input_file_name() is non-deterministic: project BEFORE aggregating
+                       .select(
+                         col("file"),
+                         col("doc_id"),
+                         regexp_extract(input_file_name(), pat, 1).as("_build")
+                       )
+                   else
+                     all.select(
+                       col("file"),
+                       lit(null).cast("string").as("doc_id"),
+                       regexp_extract(input_file_name(), pat, 1).as("_build")
+                     ))
       .groupBy(col("file"))
       .agg(countDistinct(col("_build")).as("n_builds"), count(col("doc_id")).as("n_docs"))
     // no broadcast hint: left-outer/anti cannot build on the preserved

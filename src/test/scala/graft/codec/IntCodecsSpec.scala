@@ -263,4 +263,34 @@ class IntCodecsSpec extends AnyFunSuite {
       CodecSelector.decoderFor(IntCodecs.HybridId, None)
     }
   }
+
+  test("DictCodec.Bound writes the byte-identical payload of DictCodec") {
+    for (seed <- 1 to 8) {
+      val card = 1 + (hash64(seed.toLong, 0L) & 0xffL).toInt * 16 // 1..4081
+      val values = Array.tabulate(5000) { i =>
+        ((hash64(seed.toLong, i.toLong) % card + card) % card).toInt * 37
+      }
+      val stats = BlockStats.compute(values, 0, values.length)
+      assert(stats.distinct <= BlockStats.DictCap)
+      val offsets = singleRow(values)
+      val wRef = new BitWriter(256)
+      DictCodec.encode(values, offsets, wRef)
+      val wBound = new BitWriter(256)
+      new DictCodec.Bound(stats.distinctValues).encode(values, offsets, wBound)
+      assert(wBound.toBytes.sameElements(wRef.toBytes), s"seed $seed: payload mismatch")
+      assert(wBound.bitsWritten == wRef.bitsWritten)
+      // and when dict wins selection, select() hands back the Bound variant
+      val (picked, bits) = CodecSelector.select(values, offsets, None)
+      if (picked.name == "dict") {
+        assert(picked.isInstanceOf[DictCodec.Bound])
+        assert(bits == DictCodec.estimateBits(stats))
+      }
+    }
+    // a stream where dict certainly wins (low card, wide values)
+    locally {
+      val values = Array.tabulate(5000)(i => ((hash64(99L, i.toLong) & 0x7L) * 1000001L).toInt)
+      val (picked, _) = CodecSelector.select(values, singleRow(values), None)
+      assert(picked.name == "dict" && picked.isInstanceOf[DictCodec.Bound])
+    }
+  }
 }
