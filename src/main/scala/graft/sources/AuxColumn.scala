@@ -95,32 +95,39 @@ object AuxColumn {
       col("doc_id").cast("string").as("doc_id"),
       col("values").cast("array<long>").as("values")
     )
-    // locate each doc (metadata-only scan: no payload decode) — an inner
-    // join attaches the present docs; the anti-join count names misses
+    // locate each doc (metadata-only scan: no payload decode) — a LEFT
+    // OUTER join evaluated ONCE and persisted: the miss check, the count
+    // and the encode pass all reuse it, so an expensive (or
+    // nondeterministic) input frame is computed exactly one time — the
+    // rows validated are the rows published (the r5 ADVICE item).
     val corpus = spark.read
       .format("graft")
       .load(outDir)
       .select(col("_file").as("file"), col("doc_id"))
-    val misses = in.join(corpus, Seq("doc_id"), "left_anti").count()
-    require(
-      misses == 0L,
-      s"attach_column($name): $misses input doc_id(s) are not live in $outDir — " +
-        "aux values key by doc_id and must reference live documents"
-    )
-    val located = in.join(corpus, Seq("doc_id"))
-    val n = located.count()
-    val rows = located
-      .select(col("file"), col("doc_id"), col("values"))
-      .as[(String, String, Array[Long])]
-      .map { case (file, docId, vals) =>
-        val v = if (vals == null) Array.emptyLongArray else vals
-        val (codec, payload) = LongCodecs.encodeAuto(v)
-        AuxColumnRow(file, docId, seq, codec, v.length, payload)
-      }
-      // ~500k encoded docs per parquet part, bounded
-      .repartition(math.max(1, math.min(4096, (n / 500000L + 1L).toInt)))
-    p.publish(conf, rows.toDF())
-    AttachResult(n, read(spark, outDir, name)._2)
+    val located = in
+      .join(corpus, Seq("doc_id"), "left_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val misses = located.where(col("file").isNull).count()
+      require(
+        misses == 0L,
+        s"attach_column($name): $misses input doc_id(s) are not live in $outDir — " +
+          "aux values key by doc_id and must reference live documents"
+      )
+      val n = located.count()
+      val rows = located
+        .select(col("file"), col("doc_id"), col("values"))
+        .as[(String, String, Array[Long])]
+        .map { case (file, docId, vals) =>
+          val v = if (vals == null) Array.emptyLongArray else vals
+          val (codec, payload) = LongCodecs.encodeAuto(v)
+          AuxColumnRow(file, docId, seq, codec, v.length, payload)
+        }
+        // ~500k encoded docs per parquet part, bounded
+        .repartition(math.max(1, math.min(4096, (n / 500000L + 1L).toInt)))
+      p.publish(conf, rows.toDF())
+      AttachResult(n, read(spark, outDir, name)._2)
+    } finally located.unpersist(): Unit
   }
 
   /** The column as a frame of (doc_id, values: array<long>), restricted to

@@ -1036,10 +1036,15 @@ private[sources] class GraftScan(
     */
   private lazy val inlineDeletesByFile: Option[Map[String, Map[Int, Array[String]]]] =
     if (deleteState.isEmpty || deleteState.totalIds > GraftScan.sessionDeleteInlineCap) None
-    else
-      Some(deleteState.live.map { d =>
+    else {
+      val t0 = System.nanoTime()
+      val r = Some(deleteState.live.map { d =>
         d.name -> GraftScan.readDeleteIdsByBin(Seq(s"$path/_deletes/${d.name}"), hadoopConf)
       }.toMap)
+      if (System.getProperty("graft.debugTiming") != null)
+        System.err.println(f"[scan] inlineDeletesByFile  ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
 
   /** As-of file exclusion for DSv2 appends: bins are write-once for
     * EncodeJob snapshots (bin visibility covers them) but appends add files
@@ -1215,6 +1220,7 @@ private[sources] class GraftScan(
     stringValues(runtimeFilters, "doc_id").foreach { ids =>
       runtimeDocIds = Some(runtimeDocIds.fold(ids)(_ intersect ids))
       cachedDocState = None // re-derive ids ∩ bins once, lazily
+      cachedPartitions = None // re-plan under the narrowed id set
     }
 
   private[sources] def runtimeFiltered: Boolean = runtimeDocIds.isDefined
@@ -1228,7 +1234,43 @@ private[sources] class GraftScan(
     * (conservative, bounded). A small wanted-bin set also rides along for
     * parquet row-group skipping in the reader.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Memoized: Spark invokes planInputPartitions more than once per query
+    * (plan rendering / outputPartitioning checks, then execution), and the
+    * planning here is pure over the scan's listing-time state plus the
+    * runtime-filter ids — [[filter]] drops the memo when those narrow, so
+    * a post-filter replan sees the restriction while repeated calls on an
+    * unchanged scan stop re-paying the whole planning pass.
+    */
+  @volatile private var cachedPartitions: Option[Array[InputPartition]] = None
+
+  override def planInputPartitions(): Array[InputPartition] =
+    cachedPartitions match {
+      case Some(p) => p
+      case None =>
+        val r =
+          if (System.getProperty("graft.debugTiming") != null) {
+            val t0 = System.nanoTime()
+            val x = planInputPartitionsImpl()
+            System.err.println(f"[scan] planInputPartitions   ${(System.nanoTime() - t0) / 1e9}%7.3f s (${x.length} parts)")
+            x
+          } else planInputPartitionsImpl()
+        cachedPartitions = Some(r)
+        r
+    }
+
+  /** One shared broadcast of the inlined (delete file -> bin -> ids) map
+    * for partitions whose bin membership is unknown: slicing is impossible
+    * there, and shipping the WHOLE id set in every task serializes
+    * O(ids x files) strings through the scheduler (measured: ~1.7 s of
+    * per-file full-set sorts in planning plus ~1 MB per task at 32k ids /
+    * 322 files). Readers union the applicable files' ids themselves under
+    * the same sequence scoping the streamed tier uses.
+    */
+  private lazy val inlineDeletesBcast
+      : Option[org.apache.spark.broadcast.Broadcast[Map[String, Map[Int, Array[String]]]]] =
+    inlineDeletesByFile.map(byFile => SparkSession.active.sparkContext.broadcast(byFile))
+
+  private def planInputPartitionsImpl(): Array[InputPartition] = {
     fromSnapshot.foreach { s =>
       // incremental read: ONLY the rows added by snapshots in (s, e] —
       // shared planner with the streaming source, so a batch catch-up and
@@ -1286,6 +1328,10 @@ private[sources] class GraftScan(
       case None => planned0
     }
     val idsByBin = docState._2
+    if (System.getProperty("graft.debugTiming") != null) {
+      val kinds = planned.groupBy(_._2.getClass.getSimpleName).map { case (k, v) => s"$k=${v.length}" }
+      System.err.println(s"[scan] fileBins kinds: ${kinds.mkString(", ")}")
+    }
     val smallBins: Option[Array[Int]] = wantedBins.filter(_.size <= 1024).map(_.toArray.sorted)
     // files with UNKNOWN bin membership would each have to carry the whole
     // id set; bounded so a 1M-id runtime filter over a manifest-less dir
@@ -1309,25 +1355,29 @@ private[sources] class GraftScan(
         }
       val name = GraftScan.nameOf(f)
       // inlined delete slice: only the delete files that APPLY to this data
-      // file (sequence scoping), each sliced to the file's bins; unknown
-      // bins fall back to the delete file's full id set, which the inline
-      // cap bounds
-      val fileDeletes: Option[Array[String]] = inlineDeletesByFile.map { byFile =>
-        applicableDeletes(name).iterator
-          .flatMap { d =>
-            byFile
-              .get(d.name)
-              .toSeq
-              .flatMap(m => sliceBins(m).getOrElse(m.valuesIterator.flatten.toArray))
+      // file (sequence scoping), each sliced to the file's bins. Files with
+      // UNKNOWN bins cannot be sliced — they share ONE broadcast of the id
+      // map instead of each task carrying (and the driver sorting) the full
+      // set; the reader unions the applicable files' ids itself.
+      val (fileDeletes, fileDeletesBc) = inlineDeletesByFile match {
+        case None => (None, None)
+        case Some(byFile) =>
+          fileBins match {
+            case GraftScan.UnknownBins => (None, inlineDeletesBcast)
+            case _ =>
+              val sliced = applicableDeletes(name).iterator
+                .flatMap(d => byFile.get(d.name).toSeq.flatMap(m => sliceBins(m).get))
+                .toArray
+                .sorted
+              (Some(sliced), None)
           }
-          .toArray
-          .sorted
       }
       GraftInputPartition(
         f,
         binsOverride = smallBins,
         docIdsOverride = idsByBin.flatMap(m => sliceBins(m).orElse(allIds)),
         deletedIdsOverride = fileDeletes,
+        inlineDeletesBc = fileDeletesBc,
         fileCommitSnap = fileCommitSnaps.getOrElse(name, -1L)
       )
     }
@@ -1806,9 +1856,15 @@ private[sources] final case class GraftInputPartition(
     docIdsOverride: Option[Array[String]] = None,
     /** This file's slice of an INLINED live delete set (Some(empty) = no
       * applicable deleted id can live in this file's bins). None = not
-      * inlined — the reader streams the factory's delete files instead.
+      * inlined — the reader consults [[inlineDeletesBc]], else streams the
+      * factory's delete files.
       */
     deletedIdsOverride: Option[Array[String]] = None,
+    /** Shared broadcast of the inlined (delete file -> bin -> ids) map for
+      * partitions whose bin membership is unknown (unsliceable); the reader
+      * unions the files applicable to it under sequence scoping.
+      */
+    inlineDeletesBc: Option[org.apache.spark.broadcast.Broadcast[Map[String, Map[Int, Array[String]]]]] = None,
     /** Snapshot that committed this file via file lineage; -1 = bootstrap/
       * compacted (every delete applies). Scopes the reader's delete load.
       */
@@ -1936,7 +1992,7 @@ private[sources] final case class GraftReaderFactory(
         )
         new GraftAggReader(p.file, kinds, bins, conf, aggBySource)
       case None =>
-        new GraftPartitionReader(p.file, this, bins, docs, p.deletedIdsOverride, p.fileCommitSnap)
+        new GraftPartitionReader(p.file, this, bins, docs, p.deletedIdsOverride, p.fileCommitSnap, p.inlineDeletesBc)
     }
   }
 
@@ -1946,7 +2002,7 @@ private[sources] final case class GraftReaderFactory(
     val p = partition.asInstanceOf[GraftInputPartition]
     require(aggKinds.isEmpty, "internal error: columnar reader planned for a pushed aggregate")
     val (bins, docs) = effectiveSets(p)
-    new GraftColumnarReader(p.file, this, bins, docs, p.deletedIdsOverride, p.fileCommitSnap)
+    new GraftColumnarReader(p.file, this, bins, docs, p.deletedIdsOverride, p.fileCommitSnap, p.inlineDeletesBc)
   }
 }
 
@@ -2168,7 +2224,8 @@ private[sources] abstract class GraftBlockReaderBase(
     visibleBins: Option[Set[Int]],
     docFilter: Option[Set[String]],
     inlineDeleted: Option[Array[String]],
-    fileCommitSnap: Long
+    fileCommitSnap: Long,
+    inlineDeletesBc: Option[org.apache.spark.broadcast.Broadcast[Map[String, Map[Int, Array[String]]]]] = None
 ) {
 
   /** Delete files that APPLY to this partition's data file under sequence
@@ -2185,9 +2242,11 @@ private[sources] abstract class GraftBlockReaderBase(
     inlineDeleted.map(_.nonEmpty).getOrElse(applicableDeleteFiles.nonEmpty)
 
   /** The deleted ids this partition must hide: the planner's inlined slice
-    * when present, else the applicable delete files streamed with the
-    * partition's bin filter pushed to parquet row groups (delete files are
-    * written bin-sorted, so a single-bin point read touches one row group).
+    * when present; else the shared inline broadcast, unioning the delete
+    * files applicable under sequence scoping; else the applicable delete
+    * files streamed with the partition's bin filter pushed to parquet row
+    * groups (delete files are written bin-sorted, so a single-bin point
+    * read touches one row group).
     */
   private lazy val deletedSet: Set[String] =
     inlineDeleted match {
@@ -2196,14 +2255,29 @@ private[sources] abstract class GraftBlockReaderBase(
         val files = applicableDeleteFiles
         if (files.isEmpty) Set.empty
         else
-          GraftPartitionReader.deletedIds(
-            files,
-            f.conf,
-            GraftDataSource
-              .intersectOpt(visibleBins, f.wantedBins.map(_.toSet))
-              .filter(_.size <= 1024)
-              .map(_.toArray.sorted)
-          )
+          inlineDeletesBc match {
+            case Some(bc) =>
+              val byFile = bc.value
+              val bins = GraftDataSource.intersectOpt(visibleBins, f.wantedBins.map(_.toSet))
+              val b = Set.newBuilder[String]
+              files.foreach { p =>
+                byFile.get(GraftScan.nameOf(p)).foreach { m =>
+                  m.foreach { case (bin, ids) =>
+                    if (bins.forall(_.contains(bin))) b ++= ids
+                  }
+                }
+              }
+              b.result()
+            case None =>
+              GraftPartitionReader.deletedIds(
+                files,
+                f.conf,
+                GraftDataSource
+                  .intersectOpt(visibleBins, f.wantedBins.map(_.toSet))
+                  .filter(_.size <= 1024)
+                  .map(_.toArray.sorted)
+              )
+          }
     }
 
   private val needDocIds =
@@ -2514,8 +2588,9 @@ private[sources] class GraftPartitionReader(
     visibleBins: Option[Set[Int]],
     docFilter: Option[Set[String]],
     inlineDeleted: Option[Array[String]] = None,
-    fileCommitSnap: Long = -1L
-) extends GraftBlockReaderBase(file, f, visibleBins, docFilter, inlineDeleted, fileCommitSnap)
+    fileCommitSnap: Long = -1L,
+    inlineDeletesBc: Option[org.apache.spark.broadcast.Broadcast[Map[String, Map[Int, Array[String]]]]] = None
+) extends GraftBlockReaderBase(file, f, visibleBins, docFilter, inlineDeleted, fileCommitSnap, inlineDeletesBc)
     with PartitionReader[InternalRow] {
 
   private var blk: DecodedBlock = null
@@ -2592,8 +2667,9 @@ private[sources] class GraftColumnarReader(
     visibleBins: Option[Set[Int]],
     docFilter: Option[Set[String]],
     inlineDeleted: Option[Array[String]] = None,
-    fileCommitSnap: Long = -1L
-) extends GraftBlockReaderBase(file, f, visibleBins, docFilter, inlineDeleted, fileCommitSnap)
+    fileCommitSnap: Long = -1L,
+    inlineDeletesBc: Option[org.apache.spark.broadcast.Broadcast[Map[String, Map[Int, Array[String]]]]] = None
+) extends GraftBlockReaderBase(file, f, visibleBins, docFilter, inlineDeleted, fileCommitSnap, inlineDeletesBc)
     with PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 

@@ -182,6 +182,14 @@ object TokenIndex {
     * names, which the next build picks up.
     */
   def build(spark: SparkSession, outDir: String, full: Boolean = false): BuildResult = {
+    // -Dgraft.debugTiming: stderr per-phase timings (BenchExtra diagnostics)
+    val debugT = System.getProperty("graft.debugTiming") != null
+    var tMark = System.nanoTime()
+    def mark(label: String): Unit = if (debugT) {
+      val now = System.nanoTime()
+      System.err.println(f"[tix] $label%-24s ${(now - tMark) / 1e9}%7.3f s")
+      tMark = now
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(outDir).getFileSystem(conf)
     val ixDir = new Path(outDir, DirName)
@@ -215,6 +223,7 @@ object TokenIndex {
     }
     val skipped = live.length - todo.length
     if (todo.isEmpty) return BuildResult(0, skipped, 0L, 0L)
+    mark("listing+todo")
 
     val meta = GraftMeta.load(outDir, conf)
     val bMeta = spark.sparkContext.broadcast(
@@ -223,16 +232,32 @@ object TokenIndex {
     val sConf = new SerializableHadoopConf(conf)
 
     import spark.implicits._
-    // persisted: the decode pass (the expensive part) feeds the entry
-    // write, the summary aggregation and the result count exactly once
+    // ONE distributed job: the decode pass feeds the bucketed entry write
+    // directly, and each task reports its files' summaries through an
+    // accumulator (a file's entries are all produced by its own task, so
+    // the summary needs no shuffle; retried/speculative duplicates are
+    // deduped by file name — decode is deterministic, so copies are
+    // identical). This replaces the previous persist + groupByKey summary
+    // job + count job (≈3 s of the build at bench scale).
+    val sums = spark.sparkContext
+      .collectionAccumulator[(String, Int, Int, Int, Long)]("tixFileSummaries")
     val entries = spark.sparkContext
       .parallelize(todo.toIndexedSeq, todo.length)
       .flatMap { file =>
         val (headerBytes, maxBits, numContexts, modelName) = bMeta.value
-        indexOneFile(file, sConf, headerBytes, maxBits, numContexts, modelName)
+        val rows = indexOneFile(file, sConf, headerBytes, maxBits, numContexts, modelName)
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var nd = 0L
+        var n = 0
+        rows.foreach { r =>
+          mn = math.min(mn, r.tok_min); mx = math.max(mx, r.tok_max); nd += r.n_distinct
+          if (r.bin >= 0) n += 1
+        }
+        sums.add((rows.head.file, mn, mx, n, nd))
+        rows.filter(_.bin >= 0) // coverage sentinels live only in the summaries
       }
       .toDS()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val uuid = UUID.randomUUID().toString
     val stage = new Path(ixDir, s".tmp-$uuid")
@@ -248,7 +273,6 @@ object TokenIndex {
     // measured SLOWER than the unindexed one.
     val nBuckets = math.max(1, math.min(256, todo.length / 32))
     entries
-      .filter(_.bin >= 0) // coverage sentinels live only in the summaries
       .withColumn("bucket", udf((f: String) => bucketOf(f, nBuckets)).apply(col("file")))
       .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions("file", "bin", "block_seq")
@@ -256,26 +280,30 @@ object TokenIndex {
       .option("parquet.block.size", (1 << 20).toString)
       .partitionBy("bucket")
       .parquet(new Path(stage, "blk").toString)
+    mark("decode+bucketWrite")
 
     // per-file summaries: the driver's file-pruning view (value range +
     // recorded block count — the completeness anchor for incremental
-    // builds). Deliberately NO per-file bloom: at 800k files the driver
-    // could not hold them, and the executor-side per-block blooms already
-    // do the skipping; min/max stays O(files) tiny rows forever.
-    val summaries = entries
-      .groupByKey(_.file)
-      .mapGroups { (f: String, it: Iterator[TokenIndexRow]) =>
-        // a sentinel's [MaxValue, MinValue] range is the identity under
-        // min/max, so an all-sentinel (empty) file keeps the empty range
-        var mn = Int.MaxValue; var mx = Int.MinValue; var nd = 0L; var n = 0
-        it.foreach { r =>
-          mn = math.min(mn, r.tok_min); mx = math.max(mx, r.tok_max); nd += r.n_distinct
-          if (r.bin >= 0) n += 1
-        }
-        (f, mn, mx, n, nd)
-      }
+    // builds), collected by the accumulator above — O(files) tiny rows,
+    // the same driver scale fileSummaries() already loads back. A
+    // sentinel file keeps the [MaxValue, MinValue] empty range.
+    // Deliberately NO per-file bloom: at 800k files the driver could not
+    // hold them, and the executor-side per-block blooms do the skipping.
+    val sumRows = {
+      import scala.jdk.CollectionConverters._
+      sums.value.asScala.groupBy(_._1).map(_._2.head).toSeq
+    }
+    require(
+      sumRows.size == todo.length,
+      s"token index build produced ${sumRows.size} summaries for ${todo.length} files"
+    )
+    val nBlocks = sumRows.iterator.map(_._4.toLong).sum
+    sumRows
       .toDF("file", "tok_min", "tok_max", "n_blocks", "n_distinct_sum")
-    summaries.coalesce(1).write.parquet(new Path(stage, "fs").toString)
+      .coalesce(1)
+      .write
+      .parquet(new Path(stage, "fs").toString)
+    mark("summaries")
 
     // publish: rename staged part files into the index dir under unique
     // bucket-tagged names. Partial visibility is safe by the completeness
@@ -317,9 +345,29 @@ object TokenIndex {
     fs.delete(stage, true)
     if (full && priorFiles.nonEmpty) priorFiles.foreach(p => fs.delete(p, false))
     invalidateCaches(outDir)
-    val nBlocks = entries.filter(_.bin >= 0).count()
-    entries.unpersist()
+    mark("publishRenames")
     BuildResult(todo.length, skipped, nBlocks, indexBytes)
+  }
+
+  /** Diagnostic (BenchExtra): the decode+entryFor pass alone — no persist,
+    * no publish — to isolate index compute from the publish machinery.
+    */
+  def debugComputeOnly(spark: SparkSession, outDir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = Maintenance.liveBlockFiles(outDir, conf).map(_._1)
+    if (live.isEmpty) return 0L
+    val meta = GraftMeta.load(outDir, conf)
+    val bMeta = spark.sparkContext.broadcast(
+      (meta.headerBytes, meta.maxBits, meta.numContexts, meta.contextModel)
+    )
+    val sConf = new SerializableHadoopConf(conf)
+    spark.sparkContext
+      .parallelize(live.toIndexedSeq, live.length)
+      .map { file =>
+        val (headerBytes, maxBits, numContexts, modelName) = bMeta.value
+        indexOneFile(file, sConf, headerBytes, maxBits, numContexts, modelName).length.toLong
+      }
+      .fold(0L)(_ + _)
   }
 
   /** Decode one block file sequentially and emit its index rows. The decode

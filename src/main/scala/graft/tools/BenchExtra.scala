@@ -150,6 +150,63 @@ object BenchExtra {
       time("tix: decode-only floor (dsv2 scan)", spark) {
         println(s"[extra]   toks=${spark.read.format("graft").load(encDir).agg(sum(size(col("tokens")))).collect()(0).getLong(0)}")
       }
+      // decode + entryFor only (no shuffle/write/summaries): isolates the
+      // per-file index computation from the publish machinery
+      time("tix: decode+entryFor only", spark) {
+        graft.sources.TokenIndex.dropIndex(encDir, spark.sparkContext.hadoopConfiguration)
+        val n = graft.sources.TokenIndex.debugComputeOnly(spark, encDir)
+        println(s"[extra]   entries=$n")
+      }
+    }
+
+    if (phases("deletes")) {
+      import spark.implicits._
+      val tokens = spark.read.format("graft").load(encDir)
+        .agg(sum(size(col("tokens")))).collect()(0).getLong(0)
+      val nDel = math.min(32768L, math.max(64L, synthRows / 200)).toInt
+      val delRows = input
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("nt"))
+        .limit(nDel).collect()
+      val delIds = delRows.map(_.getString(0)).toSeq
+      val expect = tokens - delRows.map(_.getLong(1)).sum
+      val res = graft.pipeline.Deletes.deleteDocs(spark, encDir, delIds.toDS()).get
+      def morScan(): Long =
+        spark.read.format("graft").load(encDir)
+          .agg(sum(size(col("tokens")))).collect()(0).getLong(0)
+      // three reps per tier, interleaved, to see warmup vs steady state
+      for (r <- 1 to 3) {
+        time(s"deletes: inline scan r$r", spark) {
+          val t = morScan(); require(t == expect, s"$t != $expect")
+        }
+        spark.conf.set("spark.graft.deleteInlineCap", "0")
+        time(s"deletes: streamed scan r$r", spark) {
+          val t = morScan(); require(t == expect, s"$t != $expect")
+        }
+        spark.conf.unset("spark.graft.deleteInlineCap")
+      }
+      // split planning from execution for both tiers
+      for (r <- 1 to 2) {
+        val df = spark.read.format("graft").load(encDir).agg(sum(size(col("tokens"))))
+        time(s"deletes: inline PLAN only r$r", spark) {
+          df.queryExecution.executedPlan.toString.length
+        }
+        time(s"deletes: inline EXEC after plan r$r", spark) {
+          val t = df.collect()(0).getLong(0); require(t == expect)
+        }
+        spark.conf.set("spark.graft.deleteInlineCap", "0")
+        val df2 = spark.read.format("graft").load(encDir).agg(sum(size(col("tokens"))))
+        time(s"deletes: streamed PLAN only r$r", spark) {
+          df2.queryExecution.executedPlan.toString.length
+        }
+        time(s"deletes: streamed EXEC after plan r$r", spark) {
+          val t = df2.collect()(0).getLong(0); require(t == expect)
+        }
+        spark.conf.unset("spark.graft.deleteInlineCap")
+      }
+      val fsEnc = new org.apache.hadoop.fs.Path(encDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsEnc.delete(new org.apache.hadoop.fs.Path(s"$encDir/_snapshots/snap-${res.snapshotId}.json"), false)
+      fsEnc.delete(new org.apache.hadoop.fs.Path(s"$encDir/_deletes"), true)
     }
 
     if (phases("dedup")) {
