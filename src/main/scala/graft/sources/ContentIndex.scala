@@ -60,6 +60,24 @@ object ContentIndex {
     XHash.mix62(h)
   }
 
+  /** Both seeds in ONE pass over the values (the chains are independent, so
+    * interleaving them is arithmetic-identical to two [[foldRow]] calls —
+    * pinned by spec — at half the memory traffic of the index build's
+    * hottest loop). Returns (h1, h2) for seeds 0 and 1.
+    */
+  def foldRowPair(values: Array[Int], from: Int, until: Int): (Long, Long) = {
+    var hA = XHash.mix62((XHash.FnvInit ^ 0L) & XHash.Mask62)
+    var hB = XHash.mix62((XHash.FnvInit ^ 1L) & XHash.Mask62)
+    var i = from
+    while (i < until) {
+      val v = values(i).toLong & 0xffffffffL
+      hA = XHash.fnvStep(hA, v)
+      hB = XHash.fnvStep(hB, v)
+      i += 1
+    }
+    (XHash.mix62(hA), XHash.mix62(hB))
+  }
+
   private[graft] def protocol(outDir: String) =
     new SidecarProtocol(new Path(outDir, DirName), "cix-")
 
@@ -133,13 +151,8 @@ object ContentIndex {
         if (!rows.hasNext) Iterator(ContentIndexRow(name, null, -1, 0L, 0L))
         else
           rows.map { case (docId, nTok, values, from, until) =>
-            ContentIndexRow(
-              name,
-              docId,
-              nTok,
-              foldRow(values, from, until, 0L),
-              foldRow(values, from, until, 1L)
-            )
+            val (h1, h2) = foldRowPair(values, from, until)
+            ContentIndexRow(name, docId, nTok, h1, h2)
           }
       }
       .toDS()

@@ -286,4 +286,16 @@ class ContentIndexSpec extends AnyFunSuite {
     assert(!fs.exists(legacy), "vacuum must reclaim legacy flat entry files")
     assert(fs.listStatus(cix).count(st => st.isDirectory && st.getPath.getName.startsWith("cix-")) == committed)
   }
+
+  test("foldRowPair equals the two separate foldRow chains (the fused index hash)") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 50) {
+      val n = rnd.nextInt(200)
+      val from = if (n == 0) 0 else rnd.nextInt(n)
+      val values = Array.fill(math.max(n, 1))(rnd.nextInt(Int.MaxValue))
+      val (h1, h2) = ContentIndex.foldRowPair(values, from, values.length)
+      assert(h1 == ContentIndex.foldRow(values, from, values.length, 0L))
+      assert(h2 == ContentIndex.foldRow(values, from, values.length, 1L))
+    }
+  }
 }
