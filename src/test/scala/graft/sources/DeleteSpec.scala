@@ -345,15 +345,24 @@ class DeleteSpec extends AnyFunSuite {
     val total = GraftMeta.listBlockFiles(dir, conf).length
     assert(parts.length < total, s"deletes broke pruning: planned ${parts.length} of $total files")
     // the inlined delete set is SLICED per planned file (its own bins' ids):
-    // every partition carries a slice, and bin-claimed files get a proper
-    // subset (a file with UNKNOWN bins is legitimately shipped the full set
-    // — conservative, bounded by the inline cap)
+    // a bin-claimed file carries its own proper subset; a file with UNKNOWN
+    // bins shares ONE broadcast of the (delete file -> bin -> ids) map
+    // instead of shipping the full set per task — every planned partition
+    // must have exactly one of the two mechanisms
     val nDel = doomed.count()
-    val slices = parts.map(_.asInstanceOf[GraftInputPartition].deletedIdsOverride)
-    assert(slices.forall(_.isDefined), "inline slice missing on a planned partition")
+    val gparts = parts.map(_.asInstanceOf[GraftInputPartition])
+    val slices = gparts.map(_.deletedIdsOverride)
+    gparts.foreach { p =>
+      assert(
+        p.deletedIdsOverride.isDefined != p.inlineDeletesBc.isDefined,
+        "a planned partition must carry either an inline slice or the shared broadcast"
+      )
+    }
+    // the unknown-bin partitions (if any) all reference the SAME broadcast
+    assert(gparts.flatMap(_.inlineDeletesBc).distinct.length <= 1)
     assert(
-      slices.exists(_.get.length < nDel),
-      s"no partition got a sliced subset (sizes ${slices.map(_.get.length).mkString(",")} vs $nDel)"
+      slices.flatten.exists(_.length < nDel),
+      s"no partition got a sliced subset (sizes ${slices.flatten.map(_.length).mkString(",")} vs $nDel)"
     )
   }
 
