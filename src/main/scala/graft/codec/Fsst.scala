@@ -118,67 +118,160 @@ object FsstTable {
   }
 }
 
+/** Open-addressing long->long gain accumulator for [[Fsst.train]]'s
+  * counting loop (a java.util.HashMap boxes every key and value on a path
+  * run three times per sampled byte). A slot is empty iff its gain is 0 —
+  * real gains are always >= 1 — so key 0 (a segment of NUL bytes) needs no
+  * sentinel.
+  */
+private[codec] final class LongGainMap(initialCapacity: Int = 1024) {
+  private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1) * 2
+  private var keys = new Array[Long](cap)
+  private var gains = new Array[Long](cap)
+  private var n = 0
+
+  @inline private def mix(k: Long): Int = {
+    val h = k * -7046029254386353131L // 0x9e3779b97f4a7c15 as signed
+    ((h ^ (h >>> 32)).toInt) & (cap - 1)
+  }
+
+  private def grow(): Unit = {
+    val oldKeys = keys
+    val oldGains = gains
+    cap *= 2
+    keys = new Array[Long](cap)
+    gains = new Array[Long](cap)
+    var i = 0
+    while (i < oldKeys.length) {
+      if (oldGains(i) != 0L) {
+        var slot = mix(oldKeys(i))
+        while (gains(slot) != 0L) slot = (slot + 1) & (cap - 1)
+        keys(slot) = oldKeys(i)
+        gains(slot) = oldGains(i)
+      }
+      i += 1
+    }
+  }
+
+  def add(key: Long, gain: Long): Unit = {
+    var slot = mix(key)
+    while (gains(slot) != 0L && keys(slot) != key) slot = (slot + 1) & (cap - 1)
+    if (gains(slot) == 0L) {
+      if ((n + 1) * 4 > cap * 3) { grow(); add(key, gain); return }
+      keys(slot) = key
+      n += 1
+    }
+    gains(slot) += gain
+  }
+
+  def entries: Array[(Long, Long)] = {
+    val out = new Array[(Long, Long)](n)
+    var i = 0
+    var j = 0
+    while (i < cap) {
+      if (gains(i) != 0L) { out(j) = (keys(i), gains(i)); j += 1 }
+      i += 1
+    }
+    out
+  }
+}
+
 object Fsst {
 
   /** Train a symbol table on a sample of strings: a few rounds of greedy
     * re-encoding, counting gains of current symbols and of adjacent-symbol
     * concatenations, keeping the top candidates by saved bytes.
+    *
+    * Hot path of every block's doc_id column encode (the micro-profile put
+    * the original at 2.3x the entropy kernel itself), so the counting loop
+    * avoids allocation: candidate segments are <= 8 bytes and key a
+    * primitive-long HashMap (length-tagged big-endian packing); the
+    * candidate matcher indexes symbols by first byte, longest first with
+    * the original's lowest-index tie-break, so the selected segments — and
+    * therefore the trained table and every encoded payload — are
+    * byte-identical to the original implementation (pinned by FsstSpec and
+    * the BlockProfile sink checksum).
     */
   def train(sample: IndexedSeq[Array[Byte]], iterations: Int = 4, maxSymbols: Int = 255): FsstTable = {
     var table = new FsstTable(Array.empty[Array[Byte]])
     var it = 0
     while (it < iterations) {
-      val gains = new java.util.HashMap[java.nio.ByteBuffer, Long]()
+      // per-length primitive maps keyed by the segment's bytes packed
+      // big-endian into one long (a segment is 1..8 bytes, so
+      // (length, packed) is injective and the bytes reconstruct from the
+      // key) — no allocation per counted occurrence
+      val sums = Array.fill(8)(new LongGainMap())
       @inline def addGain(bytes: Array[Byte], from: Int, until: Int): Unit = {
-        if (until - from >= 1 && until - from <= 8) {
-          val key = java.nio.ByteBuffer.wrap(java.util.Arrays.copyOfRange(bytes, from, until))
+        val len = until - from
+        if (len >= 1 && len <= 8) {
+          var packed = 0L
+          var k = from
+          while (k < until) { packed = (packed << 8) | (bytes(k) & 0xffL); k += 1 }
           // gain per occurrence ≈ bytes covered minus the 1 code byte
-          val g = (until - from) * 2 - 1L // count escapes avoided generously
-          gains.merge(key, g, (a, b) => a + b)
+          sums(len - 1).add(packed, len * 2 - 1L) // count escapes avoided generously
         }
       }
+      // first-byte index over the current symbols, ordered (-length, index):
+      // the first full match IS the original scan's "longest match, lowest
+      // index among that length"
+      val byFirst: Array[Array[Int]] =
+        if (table.symbols.isEmpty) null
+        else {
+          val groups = Array.fill(256)(List.empty[Int])
+          var i = table.symbols.length - 1
+          while (i >= 0) {
+            val b = table.symbols(i)(0) & 0xff
+            groups(b) = i :: groups(b)
+            i -= 1
+          }
+          groups.map(_.toArray.sortBy(i => (-table.symbols(i).length, i)))
+        }
       sample.foreach { s =>
         var i = 0
         var prevStart = -1
-        var prevEnd = -1
         while (i < s.length) {
-          val si = if (table.symbols.nonEmpty) {
-            val groups = table.symbols
-            // reuse table's matcher via encodedLength logic: inline match
-            var best = -1
-            var bestLen = 0
-            var c = 0
-            while (c < groups.length) {
-              val sym = groups(c)
-              if (sym.length > bestLen && i + sym.length <= s.length) {
-                var k = 0
+          var si = -1
+          if (byFirst != null) {
+            val cands = byFirst(s(i) & 0xff)
+            var ci = 0
+            while (si < 0 && ci < cands.length) {
+              val sym = table.symbols(cands(ci))
+              if (i + sym.length <= s.length) {
+                var k = 1
                 var ok = true
                 while (ok && k < sym.length) {
                   if (s(i + k) != sym(k)) ok = false
                   k += 1
                 }
-                if (ok) { best = c; bestLen = sym.length }
+                if (ok) si = cands(ci)
               }
-              c += 1
+              ci += 1
             }
-            best
-          } else -1
+          }
           val segLen = if (si >= 0) table.symbols(si).length else 1
           // count this segment and its extension candidates
           addGain(s, i, i + segLen)
           addGain(s, i, math.min(i + segLen + 1, s.length)) // extend by one byte
           if (prevStart >= 0) addGain(s, prevStart, math.min(i + segLen, prevStart + 8))
           prevStart = i
-          prevEnd = i + segLen
           i += segLen
         }
       }
-      val top = gains
-        .entrySet()
-        .toArray(Array.empty[java.util.Map.Entry[java.nio.ByteBuffer, Long]])
-        .sortBy(e => (-e.getValue, e.getKey)) // deterministic tie-break
+      val top = (0 until 8).iterator
+        .flatMap { li =>
+          val len = li + 1
+          sums(li).entries.iterator.map { case (packed, g) =>
+            val bytes = new Array[Byte](len)
+            var k = len - 1
+            var p = packed
+            while (k >= 0) { bytes(k) = (p & 0xff).toByte; p >>>= 8; k -= 1 }
+            (g, bytes)
+          }
+        }
+        .toArray
+        .sortBy { case (g, bytes) => (-g, java.nio.ByteBuffer.wrap(bytes)) }
         .take(maxSymbols)
-        .map(_.getKey.array())
+        .map(_._2)
       table = new FsstTable(top)
       it += 1
     }

@@ -40,37 +40,43 @@ object TokenTables {
     */
   def synthetic(spark: SparkSession, nRows: Long, seed: Long = 42L): Dataset[TokenRow] = {
     import spark.implicits._
-    spark.range(nRows).map { idx =>
-      val h = mix64(seed ^ idx)
-      val sourcePick = (h & 0x7L).toInt
-      val source = sourcePick match {
-        case 5 => "code"
-        case 6 => "chat"
-        case 7 => "wiki"
-        case _ => "web"
-      }
-      val len =
-        if (idx % 997 == 499) 100000 + (mix64(h) & 0x1ffffL).toInt // heavy tail
-        else {
-          val u = math.max(((h >>> 16).toDouble / (1L << 48).toDouble), 1e-12)
-          math.min(2000, (25.0 * math.exp(2.2 * (u - 0.5) * 2)).toInt + 1)
-        }
-      val tokens = new Array[Int](len)
-      var i = 0
-      source match {
-        case "chat" => // constant runs (RLE-friendly)
-          val v = (h & 0xffffL).toInt
-          while (i < len) { tokens(i) = v + (i / 64) % 3; i += 1 }
-        case "wiki" => // narrow ascending range (FOR-friendly)
-          val base = 1000000 + (h & 0xffffL).toInt
-          while (i < len) { tokens(i) = base + i % 50; i += 1 }
-        case "code" => // low cardinality (dict-friendly)
-          while (i < len) { tokens(i) = ((mix64(h ^ i.toLong) & 0x7L) * 12345L).toInt; i += 1 }
-        case _ => // Zipf-ish (hybrid-friendly) — the dominant shape
-          while (i < len) { tokens(i) = zipfToken(seed, idx, i.toLong, 1000000000L); i += 1 }
-      }
-      TokenRow(f"doc-$source%s-$idx%010d", tokens, len, source)
+    spark.range(nRows).map(idx => syntheticRow(seed, idx))
+  }
+
+  /** One synthetic row — a pure function of (seed, idx), so local tools
+    * (e.g. the blockIterator micro-profiler) can generate the exact bench
+    * corpus rows without a Spark job.
+    */
+  def syntheticRow(seed: Long, idx: Long): TokenRow = {
+    val h = mix64(seed ^ idx)
+    val sourcePick = (h & 0x7L).toInt
+    val source = sourcePick match {
+      case 5 => "code"
+      case 6 => "chat"
+      case 7 => "wiki"
+      case _ => "web"
     }
+    val len =
+      if (idx % 997 == 499) 100000 + (mix64(h) & 0x1ffffL).toInt // heavy tail
+      else {
+        val u = math.max(((h >>> 16).toDouble / (1L << 48).toDouble), 1e-12)
+        math.min(2000, (25.0 * math.exp(2.2 * (u - 0.5) * 2)).toInt + 1)
+      }
+    val tokens = new Array[Int](len)
+    var i = 0
+    source match {
+      case "chat" => // constant runs (RLE-friendly)
+        val v = (h & 0xffffL).toInt
+        while (i < len) { tokens(i) = v + (i / 64) % 3; i += 1 }
+      case "wiki" => // narrow ascending range (FOR-friendly)
+        val base = 1000000 + (h & 0xffffL).toInt
+        while (i < len) { tokens(i) = base + i % 50; i += 1 }
+      case "code" => // low cardinality (dict-friendly)
+        while (i < len) { tokens(i) = ((mix64(h ^ i.toLong) & 0x7L) * 12345L).toInt; i += 1 }
+      case _ => // Zipf-ish (hybrid-friendly) — the dominant shape
+        while (i < len) { tokens(i) = zipfToken(seed, idx, i.toLong, 1000000000L); i += 1 }
+    }
+    TokenRow(f"doc-$source%s-$idx%010d", tokens, len, source)
   }
 
   /** Deterministic token table derived from the driver's lineitem parquet —

@@ -95,6 +95,44 @@ object BenchExtra {
       }
     }
 
+    if (phases("staged")) {
+      // staged (bucketed-layout) encode components: the scaling-pair rows
+      // staged_encode_n*/hybrid_encode_n* are encodeStaged over this dir
+      val stagedPath = s"$synthBase/graft_bench_staged_${synthRows}_b${cfg.numBins}_s${cfg.salt}"
+      if (!new java.io.File(stagedPath + "/_SUCCESS").exists()) {
+        GraftPipeline.stageBinned(input, cfg, stagedPath)
+      }
+      val tables = spark.sparkContext.broadcast(
+        GraftPipeline.buildTables(
+          GraftPipeline.analyze(spark.read.parquet(stagedPath).drop("bin").as[TokenRow], cfg),
+          cfg
+        )
+      )
+      for (r <- 1 to 2) {
+        time(s"staged: scan only (noop) r$r", spark) {
+          spark.read.parquet(stagedPath).write.format("noop").mode("overwrite").save()
+        }
+        time(s"staged: scan+deserialize (count tokens) r$r", spark) {
+          val n = spark.read.parquet(stagedPath)
+            .as[(String, Array[Int], Int, String, Int)]
+            .mapPartitions(it => Iterator.single(it.map(_._2.length.toLong).sum))
+            .reduce(_ + _)
+          println(s"[extra]   tokens=$n")
+        }
+        time(s"staged: full hybrid-only encode r$r", spark) {
+          val blocks =
+            GraftPipeline.encodeStaged(spark, stagedPath, tables, cfg.copy(autoSelect = false))
+          val row = blocks.agg(sum($"n_values"), sum($"payload_bits")).collect()(0)
+          println(s"[extra]   tokens=${row.getLong(0)}")
+        }
+        time(s"staged: full auto-select encode r$r", spark) {
+          val blocks = GraftPipeline.encodeStaged(spark, stagedPath, tables, cfg)
+          val row = blocks.agg(sum($"n_values"), sum($"payload_bits")).collect()(0)
+          println(s"[extra]   tokens=${row.getLong(0)}")
+        }
+      }
+    }
+
     if (phases("roundtrip")) {
       time("roundtrip: derive input (noop)", spark) {
         TokenTables.fromLineitem(spark, sfDir).write.format("noop").mode("overwrite").save()
