@@ -138,6 +138,9 @@ object DeltaHybrid {
         w: BitWriter
     ): Array[Int] = {
       Huffman.writeHeader(tables, w)
+      // fused (codeLen << 24 | code) table — tiny (16 contexts) and built
+      // once per winning block; identical stream to writeValueTok
+      val encLut = Huffman.encoderLut(tables)
       val nRows = rowOffsets.length - 1
       val rowBits = new Array[Int](nRows)
       var row = 0
@@ -149,7 +152,20 @@ object DeltaHybrid {
         while (i < rowOffsets(row + 1)) {
           val zz = zigzag(values(i).toLong - prevV)
           prevV = values(i).toLong
-          val tok = Huffman.writeValueTok(tables, ctx, zz, w)
+          val packed = Hybrid.split(zz)
+          val tok = Hybrid.splitToken(packed)
+          val nb = Hybrid.splitNBits(packed)
+          val entry = encLut(ctx)(tok)
+          val codeLen = entry >>> 24
+          if (codeLen == 0)
+            throw new IllegalStateException(s"value $zz (token $tok) absent from tables in ctx $ctx")
+          val total = codeLen + nb
+          if (total < 64)
+            w.writeBits((entry & 0xffffff).toLong | (Hybrid.rawBits(zz, nb) << codeLen), total)
+          else {
+            w.writeBits((entry & 0xffffff).toLong, codeLen)
+            w.writeBits(Hybrid.rawBits(zz, nb), nb)
+          }
           ctx = if (tok < NumContexts - 1) tok else NumContexts - 1
           i += 1
         }

@@ -23,26 +23,41 @@ final class FsstTable(val symbols: Array[Array[Byte]]) extends Serializable {
     groups.map(_.sortBy(i => -symbols(i).length).toArray)
   }
 
-  /** Longest symbol matching input at `pos`, or -1. */
+  // symbols packed big-endian into the TOP bytes of a long (zeros below):
+  // a candidate check is one masked compare instead of a byte loop — the
+  // matcher runs per input byte of every encoded string
+  @transient private lazy val packedSyms: Array[Long] = symbols.map { s =>
+    var p = 0L
+    var k = 0
+    while (k < s.length) { p |= (s(k) & 0xffL) << (56 - 8 * k); k += 1 }
+    p
+  }
+
+  /** Longest symbol matching input at `pos`, or -1 (equal-length symbols
+    * are distinct, so at most one can match — order within a length never
+    * affects the result).
+    */
   @inline private def matchAt(input: Array[Byte], pos: Int): Int = {
     val cands = byFirst(input(pos) & 0xff)
+    if (cands.length == 0) return -1
+    val rem = input.length - pos
+    var inp8 = 0L
+    val n = if (rem >= 8) 8 else rem
+    var k = 0
+    while (k < n) { inp8 |= (input(pos + k) & 0xffL) << (56 - 8 * k); k += 1 }
     var ci = 0
     while (ci < cands.length) {
       val si = cands(ci)
-      val s = symbols(si)
-      if (pos + s.length <= input.length) {
-        var k = 1
-        var ok = true
-        while (ok && k < s.length) {
-          if (input(pos + k) != s(k)) ok = false
-          k += 1
-        }
-        if (ok) return si
-      }
+      val len = symbols(si).length
+      if (len <= rem && ((inp8 ^ packedSyms(si)) >>> (64 - 8 * len)) == 0L) return si
       ci += 1
     }
     -1
   }
+
+  /** [[matchAt]] for [[Fsst.train]]'s segmentation loop. */
+  private[codec] def matchSymbol(input: Array[Byte], pos: Int): Int =
+    if (symbols.isEmpty) -1 else matchAt(input, pos)
 
   def encode(input: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(input.length / 2 + 8)
@@ -211,43 +226,14 @@ object Fsst {
           sums(len - 1).add(packed, len * 2 - 1L) // count escapes avoided generously
         }
       }
-      // first-byte index over the current symbols, ordered (-length, index):
-      // the first full match IS the original scan's "longest match, lowest
-      // index among that length"
-      val byFirst: Array[Array[Int]] =
-        if (table.symbols.isEmpty) null
-        else {
-          val groups = Array.fill(256)(List.empty[Int])
-          var i = table.symbols.length - 1
-          while (i >= 0) {
-            val b = table.symbols(i)(0) & 0xff
-            groups(b) = i :: groups(b)
-            i -= 1
-          }
-          groups.map(_.toArray.sortBy(i => (-table.symbols(i).length, i)))
-        }
       sample.foreach { s =>
         var i = 0
         var prevStart = -1
         while (i < s.length) {
-          var si = -1
-          if (byFirst != null) {
-            val cands = byFirst(s(i) & 0xff)
-            var ci = 0
-            while (si < 0 && ci < cands.length) {
-              val sym = table.symbols(cands(ci))
-              if (i + sym.length <= s.length) {
-                var k = 1
-                var ok = true
-                while (ok && k < sym.length) {
-                  if (s(i + k) != sym(k)) ok = false
-                  k += 1
-                }
-                if (ok) si = cands(ci)
-              }
-              ci += 1
-            }
-          }
+          // longest match via the table's packed matcher (equal-length
+          // symbols are distinct, so candidate order cannot change the
+          // matched segment)
+          val si = table.matchSymbol(s, i)
           val segLen = if (si >= 0) table.symbols(si).length else 1
           // count this segment and its extension candidates
           addGain(s, i, i + segLen)

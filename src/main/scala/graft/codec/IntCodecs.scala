@@ -510,6 +510,12 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
 
   @transient private lazy val lut: Array[Array[Int]] = Huffman.decoderLut(tables)
 
+  // encoder LUT: (codeLen << 24 | code) per (ctx, token) — one lookup per
+  // written value where nBits + codes cost two (the write loop runs at
+  // ~10 ns/value, so the second dereference is measurable); codeLen 0 =
+  // absent symbol
+  @transient private lazy val encLut: Array[Array[Int]] = Huffman.encoderLut(tables)
+
   def tableHash: Long = tables.tableHash
   def contextModel: ContextModel = model
 
@@ -658,15 +664,35 @@ final class HybridCodec(tables: SymbolTables, model: ContextModel) extends IntBl
     val rowBits = new Array[Int](nRows)
     var row = 0
     if (simpleNCtx > 0) {
-      // prev-token fast path: writeValueTok hands back the token it split,
-      // which IS the next context (clamped) — no recompute per value
+      // prev-token fast path: the fused encoder LUT serves code+length in
+      // one lookup, and the token it was indexed by IS the next context
+      // (clamped) — no recompute per value
       val ctxMax = simpleNCtx - 1
+      val el = encLut
       while (row < nRows) {
         val before = w.bitsWritten
         var ctx = 0
         var i = rowOffsets(row)
         while (i < rowOffsets(row + 1)) {
-          val tok = Huffman.writeValueTok(tables, ctx, values(i).toLong, w)
+          val v = values(i).toLong
+          val packed = Hybrid.split(v)
+          val tok = Hybrid.splitToken(packed)
+          val nb = Hybrid.splitNBits(packed)
+          val entry = el(ctx)(tok)
+          val codeLen = entry >>> 24
+          if (codeLen == 0)
+            throw new IllegalStateException(
+              s"value $v (token $tok) absent from tables in ctx $ctx"
+            )
+          // one fused append: code low, raw mantissa above (identical
+          // stream layout to Huffman.writeValueTok)
+          val total = codeLen + nb
+          if (total < 64)
+            w.writeBits((entry & 0xffffff).toLong | (Hybrid.rawBits(v, nb) << codeLen), total)
+          else {
+            w.writeBits((entry & 0xffffff).toLong, codeLen)
+            w.writeBits(Hybrid.rawBits(v, nb), nb)
+          }
           ctx = if (tok < ctxMax) tok else ctxMax
           i += 1
         }

@@ -279,6 +279,26 @@ object Huffman {
     lut
   }
 
+  /** Encoder lookup tables: per context, one int per symbol packing
+    * (codeLen << 24 | code) — the write loop's two 2D lookups (nBits,
+    * codes) become one. codeLen 0 marks an absent symbol. Codes fit 24
+    * bits for any maxBits <= 24 (enforced).
+    */
+  def encoderLut(t: SymbolTables): Array[Array[Int]] = {
+    require(t.maxBits <= 24, s"encoderLut supports maxBits <= 24, got ${t.maxBits}")
+    val lut = Array.ofDim[Int](t.numContexts, t.numSymbols)
+    var c = 0
+    while (c < t.numContexts) {
+      var s = 0
+      while (s < t.numSymbols) {
+        if (t.present(c)(s)) lut(c)(s) = (t.nBits(c)(s).toInt << 24) | t.codes(c)(s)
+        s += 1
+      }
+      c += 1
+    }
+    lut
+  }
+
   /** Write one value: canonical code bits then raw mantissa bits. Fails
     * loudly on a symbol the tables cannot express (reference asserts the
     * same, /root/reference/src/huffman/encoder.rs:294-297) — writing a

@@ -133,6 +133,32 @@ object BenchExtra {
       }
     }
 
+    if (phases("scancodec")) {
+      // is the staged scan decompression-bound? same data, three parquet
+      // codecs, interleaved noop scans
+      val stagedPath = s"$synthBase/graft_bench_staged_${synthRows}_b${cfg.numBins}_s${cfg.salt}"
+      if (!new java.io.File(stagedPath + "/_SUCCESS").exists()) {
+        GraftPipeline.stageBinned(input, cfg, stagedPath)
+      }
+      val variants = Seq("snappy" -> stagedPath) ++ Seq("uncompressed", "zstd").map { c =>
+        val p = s"$synthBase/graft_staged_codec_$c"
+        if (!new java.io.File(p + "/_SUCCESS").exists()) {
+          spark.read.parquet(stagedPath).write
+            .option("compression", c).mode("overwrite").parquet(p)
+        }
+        c -> p
+      }
+      variants.foreach { case (c, p) =>
+        val bytes = new java.io.File(p).listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+        println(f"[extra] scancodec $c%-12s bytes=${bytes / 1e9}%.3f GB")
+      }
+      for (r <- 1 to 3; (c, p) <- variants) {
+        time(s"scancodec: $c noop r$r", spark) {
+          spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+
     if (phases("roundtrip")) {
       time("roundtrip: derive input (noop)", spark) {
         TokenTables.fromLineitem(spark, sfDir).write.format("noop").mode("overwrite").save()
