@@ -69,11 +69,70 @@ object Huffman {
   def symbolLenBits(maxBits: Int): Int =
     64 - java.lang.Long.numberOfLeadingZeros((maxBits - 1).toLong).toInt
 
+  /** A package-merge bag entry: `freq` plus the merged symbol list as a
+    * persistent concatenation tree (leaf when `left == null`) — merging two
+    * entries is O(1) instead of copying ArrayBuffers, and comparisons walk
+    * leaves lazily (they almost always resolve on the first leaf). Leaf
+    * order left-to-right IS the concatenation order of the original lists.
+    */
+  private final class PmEntry(val freq: Long, val sym: Int, val left: PmEntry, val right: PmEntry) {
+    // first leaf symbol — the one-compare fast path for the lexicographic
+    // tie-break (freq ties between entries sharing a first symbol are rare)
+    val firstSym: Int = if (left == null) sym else left.firstSym
+  }
+
+  /** Reusable in-order leaf cursor over [[PmEntry]] trees (depth <= maxBits). */
+  private final class PmCursor {
+    private val stack = new Array[PmEntry](48)
+    private var top = 0
+    def reset(root: PmEntry): Unit = { top = 0; push(root) }
+    private def push(n0: PmEntry): Unit = {
+      var n = n0
+      while (n.left != null) { stack(top) = n.right; top += 1; n = n.left }
+      stack(top) = n; top += 1
+    }
+    /** Next leaf symbol, or -1 when exhausted. */
+    def next(): Int = {
+      if (top == 0) return -1
+      top -= 1
+      val n = stack(top)
+      if (n.left == null) n.sym
+      else { push(n); next() }
+    }
+  }
+
+  /** (freq, symbol-list lexicographic, shorter-prefix-first) — the ordering
+    * of Rust's (usize, Vec<u16>) tuples. Carries reusable cursors for the
+    * deep walk, so one instance must serve one single-threaded sort at a
+    * time (each [[computeSymbolNumBits]] call builds its own).
+    */
+  private final class PmOrdering extends java.util.Comparator[PmEntry] {
+    private val ca = new PmCursor
+    private val cb = new PmCursor
+    def compare(a: PmEntry, b: PmEntry): Int = {
+      if (a.freq != b.freq) return java.lang.Long.compare(a.freq, b.freq)
+      if (a.firstSym != b.firstSym) return Integer.compare(a.firstSym, b.firstSym)
+      ca.reset(a)
+      cb.reset(b)
+      while (true) {
+        val x = ca.next()
+        val y = cb.next()
+        if (x != y) return Integer.compare(x, y) // -1 (exhausted) sorts first
+        if (x == -1) return 0
+      }
+      0
+    }
+  }
+
   /** Optimal length-limited code lengths via the quadratic package-merge /
     * coin-collector algorithm, with the reference's exact tie-breaking
     * (sort by (frequency, symbol-list) lexicographically) so that code
     * lengths — and therefore compressed sizes — are identical on identical
-    * histograms.
+    * histograms. Entries carry their symbol lists as persistent
+    * concatenation trees (see [[PmEntry]]): byte-identical output to the
+    * ArrayBuffer formulation (randomized equivalence spec + the golden
+    * table hashes) at a fraction of the copying — this runs per BLOCK in
+    * the delta-hybrid selection trial, not just once per job.
     */
   def computeSymbolNumBits(
       histogram: Array[Long],
@@ -94,55 +153,49 @@ object Huffman {
       return
     }
 
-    // (freq, symbols) bags; compare freq, then symbol list lexicographically
-    // (element-wise; shorter prefix sorts first) — the ordering of Rust's
-    // (usize, Vec<u16>) tuples.
-    val ord = new Ordering[(Long, ArrayBuffer[Int])] {
-      def compare(a: (Long, ArrayBuffer[Int]), b: (Long, ArrayBuffer[Int])): Int = {
-        if (a._1 != b._1) return java.lang.Long.compare(a._1, b._1)
-        val (x, y) = (a._2, b._2)
-        val n = math.min(x.length, y.length)
-        var i = 0
-        while (i < n) {
-          if (x(i) != y(i)) return Integer.compare(x(i), y(i))
-          i += 1
-        }
-        Integer.compare(x.length, y.length)
-      }
+    val leaves = new Array[PmEntry](nonZero)
+    var li = 0
+    var s0 = 0
+    while (s0 < present.length) {
+      if (present(s0)) { leaves(li) = new PmEntry(histogram(s0), s0, null, null); li += 1 }
+      s0 += 1
     }
 
-    val bags = Array.fill(maxBits)(ArrayBuffer.empty[(Long, ArrayBuffer[Int])])
-    var b = 0
-    while (b < maxBits) {
-      var s = 0
-      while (s < present.length) {
-        if (present(s)) bags(b) += ((histogram(s), ArrayBuffer(s)))
-        s += 1
-      }
-      b += 1
-    }
-
+    // bag(level) starts as the leaves plus the pairs packaged up from the
+    // level below; entries sort by (freq, symbol list) each round
+    val ord = new PmOrdering
+    var carry = new Array[PmEntry](0)
     var lvl = 0
-    while (lvl < maxBits - 1) {
-      val bag = bags(lvl)
-      val sorted = bag.sorted(ord)
-      bag.clear(); bag ++= sorted
-      var j = 0
-      while (j + 1 < bag.length) {
-        val nf = bag(j)._1 + bag(j + 1)._1
-        val merged = bag(j)._2 ++ bag(j + 1)._2
-        bags(lvl + 1) += ((nf, merged))
-        j += 2
+    var lastBag: Array[PmEntry] = leaves
+    while (lvl < maxBits) {
+      val bag = new Array[PmEntry](nonZero + carry.length)
+      System.arraycopy(leaves, 0, bag, 0, nonZero)
+      System.arraycopy(carry, 0, bag, nonZero, carry.length)
+      java.util.Arrays.sort(bag, ord)
+      lastBag = bag
+      if (lvl < maxBits - 1) {
+        val nPairs = bag.length / 2
+        carry = new Array[PmEntry](nPairs)
+        var j = 0
+        while (j < nPairs) {
+          val a = bag(2 * j)
+          val b = bag(2 * j + 1)
+          carry(j) = new PmEntry(a.freq + b.freq, -1, a, b)
+          j += 1
+        }
       }
       lvl += 1
     }
-    val last = bags(maxBits - 1).sorted(ord)
     val take = 2 * nonZero - 2
+    val c = new PmCursor
     var k = 0
-    while (k < take && k < last.length) {
-      val syms = last(k)._2
-      var i2 = 0
-      while (i2 < syms.length) { nBits(syms(i2)) = (nBits(syms(i2)) + 1).toByte; i2 += 1 }
+    while (k < take && k < lastBag.length) {
+      c.reset(lastBag(k))
+      var sym = c.next()
+      while (sym != -1) {
+        nBits(sym) = (nBits(sym) + 1).toByte
+        sym = c.next()
+      }
       k += 1
     }
   }

@@ -156,6 +156,72 @@ object BlockProfile {
       acc
     }
 
+    // dhybrid trial decomposition: residual histogram pass vs the per-block
+    // package-merge table build vs the full gated trial
+    locally {
+      val hists = blocks.map { b =>
+        val hist = new graft.core.Histograms(DeltaHybrid.NumContexts, 1 << DeltaHybrid.MaxBits)
+        var row = 0
+        while (row < b.nToks.length) {
+          var prevV = 0L
+          var ctx = 0
+          var i = b.rowOffsets(row)
+          while (i < b.rowOffsets(row + 1)) {
+            val zz = DeltaHybrid.zigzag(b.values(i).toLong - prevV)
+            prevV = b.values(i).toLong
+            val tok = graft.core.Hybrid.token(zz)
+            hist.addToken(ctx, tok)
+            ctx = if (tok < DeltaHybrid.NumContexts - 1) tok else DeltaHybrid.NumContexts - 1
+            i += 1
+          }
+          row += 1
+        }
+        hist
+      }
+      bench("trial: residual hist pass (all blocks)") {
+        var acc = 0L
+        blocks.foreach { b =>
+          val hist = new graft.core.Histograms(DeltaHybrid.NumContexts, 1 << DeltaHybrid.MaxBits)
+          var row = 0
+          while (row < b.nToks.length) {
+            var prevV = 0L
+            var ctx = 0
+            var i = b.rowOffsets(row)
+            while (i < b.rowOffsets(row + 1)) {
+              val zz = DeltaHybrid.zigzag(b.values(i).toLong - prevV)
+              prevV = b.values(i).toLong
+              val tok = graft.core.Hybrid.token(zz)
+              hist.addToken(ctx, tok)
+              ctx = if (tok < DeltaHybrid.NumContexts - 1) tok else DeltaHybrid.NumContexts - 1
+              i += 1
+            }
+            row += 1
+          }
+          acc += hist.total
+        }
+        acc
+      }
+      bench("trial: buildTables x blocks", perTok = false) {
+        var acc = 0L
+        hists.foreach { h => acc += graft.core.Huffman.buildTables(h, DeltaHybrid.MaxBits).tableHash }
+        acc
+      }
+      bench("trial: gated tryBuild (real gate)") {
+        var acc = 0L
+        blocks.foreach { b =>
+          val stats = BlockStats.compute(b.values, 0, b.values.length)
+          var best = PlainCodec.estimateBits(stats)
+          CodecSelector.lightweight.foreach { c =>
+            val bits = c.estimateBits(stats); if (bits < best) best = bits
+          }
+          DeltaHybrid.tryBuild(b.values, b.rowOffsets, stats.deltaBits, best).foreach {
+            case (_, bits) => acc += bits
+          }
+        }
+        acc
+      }
+    }
+
     // the full per-block pipeline exactly as blockIterator runs it (auto
     // selection + rowBits + metadata columns), minus Spark row plumbing
     bench("FULL: select+encode+meta (auto)") {

@@ -93,6 +93,104 @@ class HuffmanCoreSpec extends AnyFunSuite {
     }
   }
 
+  /** The pre-optimization ArrayBuffer package-merge, kept verbatim as the
+    * equivalence reference for the concatenation-tree rewrite: identical
+    * (freq, symbol-list lexicographic) tie-breaking, so code lengths must
+    * match bit for bit on any histogram.
+    */
+  private def computeSymbolNumBitsRef(
+      histogram: Array[Long],
+      maxBits: Int,
+      present: Array[Boolean],
+      nBits: Array[Byte]
+  ): Unit = {
+    import scala.collection.mutable.ArrayBuffer
+    var nonZero = 0
+    var i = 0
+    while (i < histogram.length) {
+      if (histogram(i) != 0) { present(i) = true; nonZero += 1 }
+      i += 1
+    }
+    if (nonZero <= 1) {
+      var s = 0
+      while (s < present.length) { if (present(s)) nBits(s) = 1; s += 1 }
+      return
+    }
+    val ord = new Ordering[(Long, ArrayBuffer[Int])] {
+      def compare(a: (Long, ArrayBuffer[Int]), b: (Long, ArrayBuffer[Int])): Int = {
+        if (a._1 != b._1) return java.lang.Long.compare(a._1, b._1)
+        val (x, y) = (a._2, b._2)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          if (x(i) != y(i)) return Integer.compare(x(i), y(i))
+          i += 1
+        }
+        Integer.compare(x.length, y.length)
+      }
+    }
+    val bags = Array.fill(maxBits)(ArrayBuffer.empty[(Long, ArrayBuffer[Int])])
+    var b = 0
+    while (b < maxBits) {
+      var s = 0
+      while (s < present.length) {
+        if (present(s)) bags(b) += ((histogram(s), ArrayBuffer(s)))
+        s += 1
+      }
+      b += 1
+    }
+    var lvl = 0
+    while (lvl < maxBits - 1) {
+      val bag = bags(lvl)
+      val sorted = bag.sorted(ord)
+      bag.clear(); bag ++= sorted
+      var j = 0
+      while (j + 1 < bag.length) {
+        val nf = bag(j)._1 + bag(j + 1)._1
+        val merged = bag(j)._2 ++ bag(j + 1)._2
+        bags(lvl + 1) += ((nf, merged))
+        j += 2
+      }
+      lvl += 1
+    }
+    val last = bags(maxBits - 1).sorted(ord)
+    val take = 2 * nonZero - 2
+    var k = 0
+    while (k < take && k < last.length) {
+      val syms = last(k)._2
+      var i2 = 0
+      while (i2 < syms.length) { nBits(syms(i2)) = (nBits(syms(i2)) + 1).toByte; i2 += 1 }
+      k += 1
+    }
+  }
+
+  test("tree package-merge equals the ArrayBuffer reference on random histograms") {
+    val rnd = new scala.util.Random(20260822L)
+    for (trial <- 0 until 60) {
+      val maxBits = Seq(2, 4, 8)(trial % 3)
+      val n = 1 << maxBits
+      val hist = new Array[Long](n)
+      // mix shapes: uniform-sparse, zipf-ish with heavy freq ties, all-equal
+      val shape = trial % 4
+      val nonZero = 2 + rnd.nextInt(n - 1)
+      for (_ <- 0 until nonZero) {
+        val s = rnd.nextInt(n)
+        hist(s) = shape match {
+          case 0 => 1L + rnd.nextInt(5) // dense freq ties
+          case 1 => 1L << rnd.nextInt(20)
+          case 2 => 1L
+          case _ => 1L + rnd.nextInt(1000)
+        }
+      }
+      val p1 = new Array[Boolean](n); val b1 = new Array[Byte](n)
+      val p2 = new Array[Boolean](n); val b2 = new Array[Byte](n)
+      Huffman.computeSymbolNumBits(hist, maxBits, p1, b1)
+      computeSymbolNumBitsRef(hist, maxBits, p2, b2)
+      assert(p1.toSeq == p2.toSeq, s"presence drift trial=$trial")
+      assert(b1.toSeq == b2.toSeq, s"code-length drift trial=$trial maxBits=$maxBits")
+    }
+  }
+
   test("canonical codes are prefix-free (LSB-first)") {
     val maxBits = 8
     val n = 1 << maxBits
