@@ -70,57 +70,31 @@ object Huffman {
     64 - java.lang.Long.numberOfLeadingZeros((maxBits - 1).toLong).toInt
 
   /** A package-merge bag entry: `freq` plus the merged symbol list as a
-    * persistent concatenation tree (leaf when `left == null`) — merging two
-    * entries is O(1) instead of copying ArrayBuffers, and comparisons walk
-    * leaves lazily (they almost always resolve on the first leaf). Leaf
-    * order left-to-right IS the concatenation order of the original lists.
+    * (start, len) slice of a per-call int arena — flat primitive storage,
+    * so the comparator reads symbols with direct array indexing and the
+    * GC never traces a node graph (a persistent-tree variant was faster
+    * single-threaded but collapsed under 32-way allocation: linked entry
+    * graphs made the auto-select encode DEGRADE run over run).
     */
-  private final class PmEntry(val freq: Long, val sym: Int, val left: PmEntry, val right: PmEntry) {
-    // first leaf symbol — the one-compare fast path for the lexicographic
-    // tie-break (freq ties between entries sharing a first symbol are rare)
-    val firstSym: Int = if (left == null) sym else left.firstSym
-  }
+  private final class PmEntry(val freq: Long, val start: Int, val len: Int, val firstSym: Int)
 
-  /** Reusable in-order leaf cursor over [[PmEntry]] trees (depth <= maxBits). */
-  private final class PmCursor {
-    private val stack = new Array[PmEntry](48)
-    private var top = 0
-    def reset(root: PmEntry): Unit = { top = 0; push(root) }
-    private def push(n0: PmEntry): Unit = {
-      var n = n0
-      while (n.left != null) { stack(top) = n.right; top += 1; n = n.left }
-      stack(top) = n; top += 1
-    }
-    /** Next leaf symbol, or -1 when exhausted. */
-    def next(): Int = {
-      if (top == 0) return -1
-      top -= 1
-      val n = stack(top)
-      if (n.left == null) n.sym
-      else { push(n); next() }
-    }
-  }
-
-  /** (freq, symbol-list lexicographic, shorter-prefix-first) — the ordering
-    * of Rust's (usize, Vec<u16>) tuples. Carries reusable cursors for the
-    * deep walk, so one instance must serve one single-threaded sort at a
-    * time (each [[computeSymbolNumBits]] call builds its own).
+  /** (freq, symbol-list lexicographic, shorter-prefix-first) over arena
+    * slices — the ordering of Rust's (usize, Vec<u16>) tuples, with a
+    * first-symbol fast path for the common tie.
     */
-  private final class PmOrdering extends java.util.Comparator[PmEntry] {
-    private val ca = new PmCursor
-    private val cb = new PmCursor
+  private final class PmOrdering(arena: Array[Int]) extends java.util.Comparator[PmEntry] {
     def compare(a: PmEntry, b: PmEntry): Int = {
       if (a.freq != b.freq) return java.lang.Long.compare(a.freq, b.freq)
       if (a.firstSym != b.firstSym) return Integer.compare(a.firstSym, b.firstSym)
-      ca.reset(a)
-      cb.reset(b)
-      while (true) {
-        val x = ca.next()
-        val y = cb.next()
-        if (x != y) return Integer.compare(x, y) // -1 (exhausted) sorts first
-        if (x == -1) return 0
+      val n = math.min(a.len, b.len)
+      var i = 1
+      while (i < n) {
+        val x = arena(a.start + i)
+        val y = arena(b.start + i)
+        if (x != y) return Integer.compare(x, y)
+        i += 1
       }
-      0
+      Integer.compare(a.len, b.len)
     }
   }
 
@@ -128,11 +102,11 @@ object Huffman {
     * coin-collector algorithm, with the reference's exact tie-breaking
     * (sort by (frequency, symbol-list) lexicographically) so that code
     * lengths — and therefore compressed sizes — are identical on identical
-    * histograms. Entries carry their symbol lists as persistent
-    * concatenation trees (see [[PmEntry]]): byte-identical output to the
-    * ArrayBuffer formulation (randomized equivalence spec + the golden
-    * table hashes) at a fraction of the copying — this runs per BLOCK in
-    * the delta-hybrid selection trial, not just once per job.
+    * histograms. Symbol lists live in one flat per-call int arena (see
+    * [[PmEntry]]): byte-identical output to the ArrayBuffer formulation
+    * (randomized equivalence spec + the golden table hashes) without the
+    * boxed-Int copying — this runs per BLOCK in the delta-hybrid selection
+    * trial, not just once per job.
     */
   def computeSymbolNumBits(
       histogram: Array[Long],
@@ -153,17 +127,28 @@ object Huffman {
       return
     }
 
+    var arena = new Array[Int](math.max(nonZero * 4, 64))
+    var arenaLen = 0
+    @inline def ensureArena(extra: Int): Unit =
+      if (arenaLen + extra > arena.length)
+        arena = java.util.Arrays.copyOf(arena, math.max(arena.length * 2, arenaLen + extra))
+
     val leaves = new Array[PmEntry](nonZero)
     var li = 0
     var s0 = 0
     while (s0 < present.length) {
-      if (present(s0)) { leaves(li) = new PmEntry(histogram(s0), s0, null, null); li += 1 }
+      if (present(s0)) {
+        ensureArena(1)
+        arena(arenaLen) = s0
+        leaves(li) = new PmEntry(histogram(s0), arenaLen, 1, s0)
+        arenaLen += 1
+        li += 1
+      }
       s0 += 1
     }
 
-    // bag(level) starts as the leaves plus the pairs packaged up from the
-    // level below; entries sort by (freq, symbol list) each round
-    val ord = new PmOrdering
+    // bag(level) = the leaves plus the pairs packaged up from the level
+    // below; entries sort by (freq, symbol list) each round
     var carry = new Array[PmEntry](0)
     var lvl = 0
     var lastBag: Array[PmEntry] = leaves
@@ -171,7 +156,7 @@ object Huffman {
       val bag = new Array[PmEntry](nonZero + carry.length)
       System.arraycopy(leaves, 0, bag, 0, nonZero)
       System.arraycopy(carry, 0, bag, nonZero, carry.length)
-      java.util.Arrays.sort(bag, ord)
+      java.util.Arrays.sort(bag, new PmOrdering(arena))
       lastBag = bag
       if (lvl < maxBits - 1) {
         val nPairs = bag.length / 2
@@ -180,21 +165,25 @@ object Huffman {
         while (j < nPairs) {
           val a = bag(2 * j)
           val b = bag(2 * j + 1)
-          carry(j) = new PmEntry(a.freq + b.freq, -1, a, b)
+          ensureArena(a.len + b.len)
+          System.arraycopy(arena, a.start, arena, arenaLen, a.len)
+          System.arraycopy(arena, b.start, arena, arenaLen + a.len, b.len)
+          carry(j) = new PmEntry(a.freq + b.freq, arenaLen, a.len + b.len, a.firstSym)
+          arenaLen += a.len + b.len
           j += 1
         }
       }
       lvl += 1
     }
     val take = 2 * nonZero - 2
-    val c = new PmCursor
     var k = 0
     while (k < take && k < lastBag.length) {
-      c.reset(lastBag(k))
-      var sym = c.next()
-      while (sym != -1) {
+      val e = lastBag(k)
+      var i2 = 0
+      while (i2 < e.len) {
+        val sym = arena(e.start + i2)
         nBits(sym) = (nBits(sym) + 1).toByte
-        sym = c.next()
+        i2 += 1
       }
       k += 1
     }

@@ -83,16 +83,18 @@ object BenchExtra {
           .select("doc_id", "packed", "n_tok", "source", "bin")
           .write.format("noop").mode("overwrite").save()
       }
-      time("encode: full (shuffle+select+encode)", spark) {
-        val blocks = GraftPipeline.encode(input, tables, cfg)
-        val row = blocks.agg(sum($"n_values"), sum($"payload_bits")).collect()(0)
-        println(s"[extra]   tokens=${row.getLong(0)}")
-      }
-      time("encode: full hybrid-only (no select pass)", spark) {
-        val blocks = GraftPipeline.encode(input, tables, cfg.copy(autoSelect = false))
-        val row = blocks.agg(sum($"n_values"), sum($"payload_bits")).collect()(0)
-        println(s"[extra]   tokens=${row.getLong(0)}")
-      }
+      for (r <- 1 to 3)
+        time(s"encode: full (shuffle+select+encode) r$r", spark) {
+          val blocks = GraftPipeline.encode(input, tables, cfg)
+          val row = blocks.agg(sum($"n_values"), sum($"payload_bits")).collect()(0)
+          println(s"[extra]   tokens=${row.getLong(0)}")
+        }
+      for (r <- 1 to 2)
+        time(s"encode: full hybrid-only (no select pass) r$r", spark) {
+          val blocks = GraftPipeline.encode(input, tables, cfg.copy(autoSelect = false))
+          val row = blocks.agg(sum($"n_values"), sum($"payload_bits")).collect()(0)
+          println(s"[extra]   tokens=${row.getLong(0)}")
+        }
     }
 
     if (phases("staged")) {
