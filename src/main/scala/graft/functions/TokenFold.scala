@@ -65,6 +65,7 @@ case class TokenFold(left: Expression, right: Expression) extends BinaryExpressi
         val n = ctx.freshName("n")
         val h = ctx.freshName("h")
         val c = ctx.freshName("c")
+        val vals = ctx.freshName("vals")
         // mix62/fnvStep inlined as plain long arithmetic (the 62-bit domain
         // is just `& Mask62` after each multiply/add)
         def mix(v: String): String =
@@ -72,16 +73,34 @@ case class TokenFold(left: Expression, right: Expression) extends BinaryExpressi
              |$h = (($h ^ ($h >>> 30)) * ${XHash.MixC1}L) & ${XHash.Mask62}L;
              |$h = (($h ^ ($h >>> 27)) * ${XHash.MixC2}L) & ${XHash.Mask62}L;
              |$h = $h ^ ($h >>> 31);""".stripMargin
+        val noNulls = left.dataType match {
+          case ArrayType(_, containsNull) => !containsNull
+          case _ => false
+        }
+        // statically null-free arrays (the scan's tokens column): one bulk
+        // extraction — ColumnarArray.toIntArray lands on the scan vector's
+        // arraycopy override, UnsafeArrayData's is one memory copy — then a
+        // tight primitive loop; beats a per-element virtual getInt/isNullAt
+        // chain on a path that folds every corpus token twice
+        val fold =
+          if (noNulls)
+            s"""final int[] $vals = $arr.toIntArray();
+               |for (int $i = 0; $i < $vals.length; $i++) {
+               |  final long $c = ((long) $vals[$i]) & 0xffffffffL;
+               |  $h = (($h ^ $c) * ${XHash.FnvPrime}L) & ${XHash.Mask62}L;
+               |}""".stripMargin
+          else
+            s"""final int $n = $arr.numElements();
+               |for (int $i = 0; $i < $n; $i++) {
+               |  if (!$arr.isNullAt($i)) {
+               |    final long $c = ((long) $arr.getInt($i)) & 0xffffffffL;
+               |    $h = (($h ^ $c) * ${XHash.FnvPrime}L) & ${XHash.Mask62}L;
+               |  }
+               |}""".stripMargin
         s"""
            |long $h;
            |${mix(s"((${XHash.FnvInit}L ^ $seed) & ${XHash.Mask62}L)")}
-           |final int $n = $arr.numElements();
-           |for (int $i = 0; $i < $n; $i++) {
-           |  if (!$arr.isNullAt($i)) {
-           |    final long $c = ((long) $arr.getInt($i)) & 0xffffffffL;
-           |    $h = (($h ^ $c) * ${XHash.FnvPrime}L) & ${XHash.Mask62}L;
-           |  }
-           |}
+           |$fold
            |${mix(h)}
            |${ev.value} = $h;
          """.stripMargin

@@ -275,6 +275,25 @@ object BenchExtra {
       fsEnc.delete(new org.apache.hadoop.fs.Path(s"$encDir/_deletes"), true)
     }
 
+    if (phases("foldhash")) {
+      // the dsv2_dedup_hash shape: decode scan + 2x token_fold + ~30 B/doc group
+      for (r <- 1 to 3)
+        time(s"foldhash: dedup hash pass r$r", spark) {
+          val n = spark.read.format("graft").load(encDir)
+            .select(
+              col("doc_id"),
+              col("n_tok"),
+              graft.functions.TokenFold.token_fold(col("tokens"), 0L).as("h1"),
+              graft.functions.TokenFold.token_fold(col("tokens"), 1L).as("h2")
+            )
+            .groupBy("h1", "h2", "n_tok")
+            .agg(count(lit(1)).as("n"))
+            .where(col("n") > 1)
+            .count()
+          println(s"[extra]   groups=$n")
+        }
+    }
+
     if (phases("dedup")) {
       val conf = spark.sparkContext.hadoopConfiguration
       graft.sources.ContentIndex.dropIndex(encDir, conf)
